@@ -1,0 +1,208 @@
+"""Query registry: every implemented operator exposed as (spark, sf_dir) -> DataFrame,
+with a DuckDB-oracle ANSI-SQL twin for the driver's correctness gate.
+
+Conventions (driver contract, /root/repo/__spark_entry__.py):
+- column names identical between Spark result and oracle SQL;
+- float aggregates rounded identically on both sides (sum-order across
+  engines differs in the last ulp; rounding makes the value-hash stable);
+- timestamps emitted as 'yyyy-MM-dd HH:mm:ss' strings so Spark/DuckDB
+  type-system differences can't break the hash.
+
+Each query cites the reference operator(s) from SURVEY.md §2 it covers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from traffic_data_pipeline_spark.operators.aggregate import aggregate_detector
+from traffic_data_pipeline_spark.sources.sensor import (
+    CONFIG_VIEW_SQL,
+    SENSOR_VIEW_SQL,
+    detector_config,
+    sensor_readings,
+)
+from traffic_data_pipeline_spark.sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def fmt_ts(col):
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+def dsum(col, scale: int = 6):
+    """Order-independent sum of a double expression.
+
+    Per-row cast to DECIMAL is deterministic; decimal addition is exact, so
+    the result is identical regardless of partitioning/engine — unlike a
+    double sum, whose last-ulp value depends on reduction order and breaks
+    the driver's cross-engine value-hash. Final cast back to double keeps
+    the output schema simple. Oracle twin:
+    ``CAST(SUM(CAST(expr AS DECIMAL(18,s))) AS DOUBLE)``.
+    """
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: 30-sec -> 15-min detector aggregation
+# (U1/U2/A1/F12/F15/P6 — /root/reference/R/_pull_data.R:324-366,440-441)
+# ---------------------------------------------------------------------------
+
+_SENSOR_15MIN_ORACLE = f"""
+WITH readings AS ({SENSOR_VIEW_SQL}),
+cleaned AS (
+  SELECT sensor, start_datetime,
+         CASE WHEN volume BETWEEN 0 AND 20 THEN volume END       AS volume,
+         CASE WHEN occupancy BETWEEN 0 AND 1800 THEN occupancy END AS occupancy
+  FROM readings
+),
+agg AS (
+  SELECT sensor,
+         to_timestamp(FLOOR(epoch(start_datetime) / 900) * 900)  AS w_start,
+         CAST(COALESCE(SUM(volume), 0) AS INTEGER)               AS volume_sum,
+         ROUND(100.0 * SUM(CASE WHEN volume IS NULL THEN 1 ELSE 0 END)
+               / COUNT(*), 1)                                    AS volume_pct_null,
+         CAST(COALESCE(SUM(occupancy), 0) AS INTEGER)            AS occupancy_sum,
+         ROUND(100.0 * SUM(CASE WHEN occupancy IS NULL THEN 1 ELSE 0 END)
+               / COUNT(*), 1)                                    AS occupancy_pct_null
+  FROM cleaned
+  GROUP BY 1, 2
+)
+SELECT sensor,
+       strftime(w_start, '%Y-%m-%d %H:%M:%S')                    AS start_datetime,
+       volume_sum, volume_pct_null, occupancy_sum, occupancy_pct_null,
+       occupancy_sum / 54000.0                                   AS occupancy_pct,
+       CASE WHEN volume_sum != 0 AND occupancy_sum / 54000.0 >= 0.002
+            THEN ROUND(volume_sum * 2.0
+                       * (300.0 + CAST(CAST(sensor AS BIGINT) % 10 AS DOUBLE) * 50.0)
+                       / (5280.0 * (occupancy_sum / 54000.0)), 1)
+       END                                                       AS speed
+FROM agg
+WHERE volume_pct_null < 100 OR occupancy_pct_null < 100
+"""
+
+
+@register("sensor_15min_agg", _SENSOR_15MIN_ORACLE)
+def q_sensor_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    readings = sensor_readings(spark, sf_dir)
+    config = detector_config(spark, sf_dir)
+    agg = aggregate_detector(readings, config)
+    return agg.select(
+        "sensor",
+        fmt_ts("start_datetime").alias("start_datetime"),
+        "volume_sum", "volume_pct_null",
+        "occupancy_sum", "occupancy_pct_null",
+        "occupancy_pct", "speed",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generic relational suite on the star schema — exercises the engine's
+# agg/join/filter plans at bench scale (these are the headline bench queries).
+# ---------------------------------------------------------------------------
+
+@register("pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)       AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)  AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)      AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)      AS avg_disc,
+       COUNT(*)                                                     AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '2024-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped scan+agg (covers A-class hash aggregation, P6 filter,
+    F7 casts). Filter + pruning reach the parquet scan via Catalyst."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("2024-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias("sum_charge"),
+            (dsum(F.col("l_quantity")) / cnt).alias("avg_qty"),
+            (dsum(F.col("l_extendedprice")) / cnt).alias("avg_price"),
+            (dsum(F.col("l_discount")) / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@register("top_revenue_orders", """
+SELECT o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       o.o_orderpriority,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY 1, 2, 3
+HAVING CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) > 100000
+""")
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped join+agg (J-class equi joins; the dim filter side is a
+    broadcast-hash join on customer). o_orderdate emitted as a string so the
+    value-hash is type-stable across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .filter(F.col("revenue") > 100000)
+        .select("o_orderkey", fmt_ts("o_orderdate").alias("o_orderdate"), "o_orderpriority", "revenue")
+    )
+
+
+@register("nation_revenue", """
+SELECT n.n_name                                              AS nation,
+       r.r_name                                              AS region,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*)                                              AS n_lineitems
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+""")
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop dim join chain (J1/J2-style enrich) — all dims broadcast,
+    so the fact table is never shuffled."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

@@ -1,0 +1,50 @@
+"""SparkSession factory.
+
+The reference runs single-machine with 5 forked R processes
+(/root/reference/R/_pull_data.R:695). Here parallelism is Spark's problem:
+local[*] for tests, any cluster master in production. Config choices are
+made for a large cluster reading ~100 TB:
+
+- AQE on: runtime shuffle-partition coalescing + skew-join splitting.
+- Arrow on: every pandas_udf / applyInPandas crosses the JVM<->Python
+  boundary in columnar batches.
+- session timezone pinned UTC: the reference forces tz="UTC" on all
+  timestamps (/root/reference/R/_analyze_data.R:229-230).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "traffic-data-pipeline-spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` so tests and bench
+    share one code path; on a real cluster pass ``None`` and rely on
+    spark-submit.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    return builder.getOrCreate()
