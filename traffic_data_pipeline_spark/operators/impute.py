@@ -1,0 +1,113 @@
+"""Missing-value imputation cascade over the 15-min fact
+(SURVEY.md §2: F13 / W1 / J9 / J10 / P8 / P4).
+
+Re-expresses /root/reference/R/_pull_data.R:467-657 as three declarative
+stages per measure (volume, occupancy), applied in priority order:
+
+1. scaling (F13, :467-482): partial-null intervals scale the observed sum
+   up by the null fraction: sum / (1 - pct_null/100); all-null -> NULL.
+2. centered rolling mean (W1, :486-518): width-5 row frame per sensor
+   ordered by time, null-skipping. frollapply leaves NA where the frame is
+   incomplete at series edges — encoded with a count(*)-over-frame == 5
+   guard (SURVEY.md §2.6 edge-semantics note).
+3. same-weekday history (J9/J10 + P8, :532-657): left self-joins against
+   the series shifted +7 and +14 days on (sensor, timestamp), then the
+   null-aware row-mean of the two historical values.
+
+The reference runs stage 3 as per-sensor-day SQL lookups inside forked
+workers (one DB query per sensor per day); here each lag is ONE distributed
+self-join — at 100 TB the fact is hash-partitioned on (sensor, ts) and the
+two lag joins reuse that shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+ROLL_WIDTH = 5  # frollapply(x, 5, align='center') — /root/reference/R/_pull_data.R:486
+
+
+def scale_partial_nulls(sum_col: Column, pct_null_col: Column) -> Column:
+    """F13: scale an interval sum by its observed fraction; NULL if nothing
+    was observed (/root/reference/R/_pull_data.R:467-482)."""
+    return F.when(
+        pct_null_col < 100.0,
+        F.round(sum_col / (1.0 - pct_null_col / 100.0)).cast("int"),
+    )
+
+
+def rolling_mean_impute(df: DataFrame, col: str, order_col: str = "start_datetime",
+                        partition_col: str = "sensor") -> Column:
+    """W1: centered width-5 rolling mean, NULL at incomplete edges
+    (/root/reference/R/_pull_data.R:486-518)."""
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(-(ROLL_WIDTH // 2), ROLL_WIDTH // 2)
+    )
+    full_frame = F.count(F.lit(1)).over(w) == ROLL_WIDTH
+    return F.when(full_frame, F.round(F.avg(F.col(col)).over(w)).cast("int"))
+
+
+def row_mean2(a: Column, b: Column) -> Column:
+    """P8: null-aware mean of two columns — rowMeans(.SD, na.rm=TRUE)
+    (/root/reference/R/_pull_data.R:578-585)."""
+    n = a.isNotNull().cast("int") + b.isNotNull().cast("int")
+    return F.when(n > 0, (F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))) / n)
+
+
+def lag_history_impute(df: DataFrame, col: str,
+                       ts_col: str = "start_datetime",
+                       key_col: str = "sensor") -> DataFrame:
+    """J9/J10 + P8: fill from the same clock slot 7 and 14 days earlier.
+
+    The reference issues one DB query per sensor-day
+    (/root/reference/R/_pull_data.R:539-575); here the history side is the
+    SAME DataFrame time-shifted forward, so each lag is one equi-join on
+    (sensor, ts) and Catalyst plans both against a shared shuffle.
+    Adds column ``{col}_hist`` (the row-mean, rounded to int).
+    """
+    h1 = df.select(
+        F.col(key_col),
+        (F.col(ts_col) + F.expr("INTERVAL 7 DAYS")).alias(ts_col),
+        F.col(col).alias("_h1"),
+    )
+    h2 = df.select(
+        F.col(key_col),
+        (F.col(ts_col) + F.expr("INTERVAL 14 DAYS")).alias(ts_col),
+        F.col(col).alias("_h2"),
+    )
+    out = (
+        df.join(h1, [key_col, ts_col], "left")
+        .join(h2, [key_col, ts_col], "left")
+        .withColumn(f"{col}_hist",
+                    F.round(row_mean2(F.col("_h1"), F.col("_h2"))).cast("int"))
+        .drop("_h1", "_h2")
+    )
+    return out
+
+
+def impute_measure(df: DataFrame, measure: str) -> DataFrame:
+    """Full cascade for one measure: scaling, then rolling mean, then
+    lag-7/14 history; first non-null wins (P4 coalesce chain,
+    /root/reference/R/_pull_data.R:497-501,650-655).
+
+    Expects columns ``{measure}_sum`` and ``{measure}_pct_null``; adds
+    ``{measure}_sum_impute``.
+    """
+    sum_c, pct_c = f"{measure}_sum", f"{measure}_pct_null"
+    impute_c = f"{measure}_sum_impute"
+    scaled = df.withColumn(impute_c, scale_partial_nulls(F.col(sum_c), F.col(pct_c)))
+    rolled = scaled.withColumn(
+        impute_c, F.coalesce(F.col(impute_c), rolling_mean_impute(scaled, impute_c))
+    )
+    hist = lag_history_impute(rolled, impute_c)
+    return hist.withColumn(
+        impute_c, F.coalesce(F.col(impute_c), F.col(f"{impute_c}_hist"))
+    ).drop(f"{impute_c}_hist")
+
+
+def impute(df: DataFrame) -> DataFrame:
+    """Impute both measures of the 15-min fact."""
+    return impute_measure(impute_measure(df, "volume"), "occupancy")

@@ -62,26 +62,71 @@ def dsum(col, scale: int = 6):
 # (U1/U2/A1/F12/F15/P6 — /root/reference/R/_pull_data.R:324-366,440-441)
 # ---------------------------------------------------------------------------
 
-_SENSOR_15MIN_ORACLE = f"""
-WITH readings AS ({SENSOR_VIEW_SQL}),
+# Shared oracle CTEs: readings -> cleaned -> agg15 (raw timestamp w_start,
+# post-P6-filter). Downstream oracles compose on top of agg15.
+AGG15_CTES = f"""
+readings AS ({SENSOR_VIEW_SQL}),
 cleaned AS (
   SELECT sensor, start_datetime,
-         CASE WHEN volume BETWEEN 0 AND 20 THEN volume END       AS volume,
+         CASE WHEN volume BETWEEN 0 AND 20 THEN volume END         AS volume,
          CASE WHEN occupancy BETWEEN 0 AND 1800 THEN occupancy END AS occupancy
   FROM readings
 ),
-agg AS (
-  SELECT sensor,
-         to_timestamp(FLOOR(epoch(start_datetime) / 900) * 900)  AS w_start,
-         CAST(COALESCE(SUM(volume), 0) AS INTEGER)               AS volume_sum,
-         ROUND(100.0 * SUM(CASE WHEN volume IS NULL THEN 1 ELSE 0 END)
-               / COUNT(*), 1)                                    AS volume_pct_null,
-         CAST(COALESCE(SUM(occupancy), 0) AS INTEGER)            AS occupancy_sum,
-         ROUND(100.0 * SUM(CASE WHEN occupancy IS NULL THEN 1 ELSE 0 END)
-               / COUNT(*), 1)                                    AS occupancy_pct_null
-  FROM cleaned
-  GROUP BY 1, 2
-)
+agg15 AS (
+  SELECT * FROM (
+    SELECT sensor,
+           to_timestamp(FLOOR(epoch(start_datetime) / 900) * 900)  AS w_start,
+           CAST(COALESCE(SUM(volume), 0) AS INTEGER)               AS volume_sum,
+           ROUND(100.0 * SUM(CASE WHEN volume IS NULL THEN 1 ELSE 0 END)
+                 / COUNT(*), 1)                                    AS volume_pct_null,
+           CAST(COALESCE(SUM(occupancy), 0) AS INTEGER)            AS occupancy_sum,
+           ROUND(100.0 * SUM(CASE WHEN occupancy IS NULL THEN 1 ELSE 0 END)
+                 / COUNT(*), 1)                                    AS occupancy_pct_null
+    FROM cleaned
+    GROUP BY 1, 2
+  ) WHERE volume_pct_null < 100 OR occupancy_pct_null < 100
+)"""
+
+# Imputation cascade CTEs over agg15 (stage semantics documented in
+# operators/impute.py; oracle mirrors the stages exactly).
+IMPUTE_CTES = AGG15_CTES + """,
+s1 AS (
+  SELECT *,
+         CASE WHEN volume_pct_null < 100.0
+              THEN CAST(ROUND(volume_sum / (1.0 - volume_pct_null / 100.0)) AS INTEGER) END AS vi,
+         CASE WHEN occupancy_pct_null < 100.0
+              THEN CAST(ROUND(occupancy_sum / (1.0 - occupancy_pct_null / 100.0)) AS INTEGER) END AS oi
+  FROM agg15
+),
+s2 AS (
+  SELECT *,
+         COALESCE(vi, CASE WHEN COUNT(*) OVER wroll = 5
+                           THEN CAST(ROUND(AVG(vi) OVER wroll) AS INTEGER) END) AS vi2,
+         COALESCE(oi, CASE WHEN COUNT(*) OVER wroll = 5
+                           THEN CAST(ROUND(AVG(oi) OVER wroll) AS INTEGER) END) AS oi2
+  FROM s1
+  WINDOW wroll AS (PARTITION BY sensor ORDER BY w_start
+                   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+),
+s3 AS (
+  SELECT s.*,
+         COALESCE(s.vi2, CAST(ROUND(
+           CASE WHEN h1.vi2 IS NOT NULL OR h2.vi2 IS NOT NULL
+                THEN (COALESCE(h1.vi2, 0) + COALESCE(h2.vi2, 0))
+                     / (CAST(h1.vi2 IS NOT NULL AS INTEGER) + CAST(h2.vi2 IS NOT NULL AS INTEGER))
+           END) AS INTEGER)) AS volume_sum_impute,
+         COALESCE(s.oi2, CAST(ROUND(
+           CASE WHEN h1.oi2 IS NOT NULL OR h2.oi2 IS NOT NULL
+                THEN (COALESCE(h1.oi2, 0) + COALESCE(h2.oi2, 0))
+                     / (CAST(h1.oi2 IS NOT NULL AS INTEGER) + CAST(h2.oi2 IS NOT NULL AS INTEGER))
+           END) AS INTEGER)) AS occupancy_sum_impute
+  FROM s2 s
+  LEFT JOIN s2 h1 ON s.sensor = h1.sensor AND s.w_start = h1.w_start + INTERVAL 7 DAY
+  LEFT JOIN s2 h2 ON s.sensor = h2.sensor AND s.w_start = h2.w_start + INTERVAL 14 DAY
+)"""
+
+_SENSOR_15MIN_ORACLE = f"""
+WITH {AGG15_CTES}
 SELECT sensor,
        strftime(w_start, '%Y-%m-%d %H:%M:%S')                    AS start_datetime,
        volume_sum, volume_pct_null, occupancy_sum, occupancy_pct_null,
@@ -91,10 +136,14 @@ SELECT sensor,
                        * (300.0 + CAST(CAST(sensor AS BIGINT) % 10 AS DOUBLE) * 50.0)
                        / (5280.0 * (occupancy_sum / 54000.0)), 1)
        END                                                       AS speed
-FROM agg
-WHERE volume_pct_null < 100 OR occupancy_pct_null < 100
+FROM agg15
 """
 
+
+# ---------------------------------------------------------------------------
+# Generic relational suite on the star schema — exercises the engine's
+# agg/join/filter plans at bench scale (these are the headline bench queries).
+# ---------------------------------------------------------------------------
 
 @register("sensor_15min_agg", _SENSOR_15MIN_ORACLE)
 def q_sensor_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,11 +158,6 @@ def q_sensor_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
         "occupancy_pct", "speed",
     )
 
-
-# ---------------------------------------------------------------------------
-# Generic relational suite on the star schema — exercises the engine's
-# agg/join/filter plans at bench scale (these are the headline bench queries).
-# ---------------------------------------------------------------------------
 
 @register("pricing_summary", """
 SELECT l_returnflag, l_linestatus,
@@ -205,4 +249,74 @@ def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Imputation cascade + full ingest fact
+# (F13/W1/J9/J10/P8/P4 — /root/reference/R/_pull_data.R:467-657;
+#  J8 enrich + RTMC_15MIN shape — :456-464, 712-715)
+# ---------------------------------------------------------------------------
+
+_SENSOR_IMPUTE_ORACLE = f"""
+WITH {IMPUTE_CTES}
+SELECT sensor,
+       strftime(w_start, '%Y-%m-%d %H:%M:%S') AS start_datetime,
+       volume_sum, volume_pct_null, volume_sum_impute,
+       occupancy_sum, occupancy_pct_null, occupancy_sum_impute
+FROM s3
+"""
+
+
+@register("sensor_impute", _SENSOR_IMPUTE_ORACLE)
+def q_sensor_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from traffic_data_pipeline_spark.operators.aggregate import aggregate_detector
+    from traffic_data_pipeline_spark.operators.impute import impute
+
+    agg = aggregate_detector(sensor_readings(spark, sf_dir))
+    imp = impute(agg.select("sensor", "start_datetime",
+                            "volume_sum", "volume_pct_null",
+                            "occupancy_sum", "occupancy_pct_null"))
+    return imp.select(
+        "sensor", fmt_ts("start_datetime").alias("start_datetime"),
+        "volume_sum", "volume_pct_null", "volume_sum_impute",
+        "occupancy_sum", "occupancy_pct_null", "occupancy_sum_impute",
+    )
+
+
+_RTMC_15MIN_ORACLE = f"""
+WITH {IMPUTE_CTES},
+config AS ({CONFIG_VIEW_SQL})
+SELECT s.sensor                                  AS "DETECTOR_NAME",
+       strftime(s.w_start, '%Y-%m-%d %H:%M:%S')  AS "START_DATETIME",
+       strftime(s.w_start, '%Y-%m-%d')           AS "START_DATE",
+       s.volume_pct_null                         AS "VOLUME_PCT_NULL",
+       s.volume_sum                              AS "VOLUME_SUM",
+       s.volume_sum_impute                       AS "VOLUME_SUM_IMPUTE",
+       s.occupancy_pct_null                      AS "OCCUPANCY_PCT_NULL",
+       s.occupancy_sum                           AS "OCCUPANCY_SUM",
+       s.occupancy_sum_impute                    AS "OCCUPANCY_SUM_IMPUTE",
+       CASE WHEN s.volume_sum != 0 AND s.occupancy_sum / 54000.0 >= 0.002
+            THEN ROUND(s.volume_sum * 2.0 * c.field_length
+                       / (5280.0 * (s.occupancy_sum / 54000.0)), 1)
+       END                                       AS "SPEED",
+       c.node_name                               AS "NODE_NAME",
+       c.corridor_route                          AS "CORRIDOR_ROUTE"
+FROM s3 s LEFT JOIN config c ON s.sensor = c.sensor
+"""
+
+
+@register("rtmc_15min", _RTMC_15MIN_ORACLE)
+def q_rtmc_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete §3.1 ingest DAG -> RTMC_15MIN fact shape."""
+    from traffic_data_pipeline_spark.operators.ingest import build_rtmc_15min
+
+    df = build_rtmc_15min(spark, sf_dir)
+    return df.select(
+        "DETECTOR_NAME",
+        fmt_ts("START_DATETIME").alias("START_DATETIME"),
+        F.date_format("START_DATE", "yyyy-MM-dd").alias("START_DATE"),
+        "VOLUME_PCT_NULL", "VOLUME_SUM", "VOLUME_SUM_IMPUTE",
+        "OCCUPANCY_PCT_NULL", "OCCUPANCY_SUM", "OCCUPANCY_SUM_IMPUTE",
+        "SPEED", "NODE_NAME", "CORRIDOR_ROUTE",
     )
