@@ -320,3 +320,112 @@ def q_rtmc_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
         "OCCUPANCY_PCT_NULL", "OCCUPANCY_SUM", "OCCUPANCY_SUM_IMPUTE",
         "SPEED", "NODE_NAME", "CORRIDOR_ROUTE",
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 config tracking + changelog
+# (J4/J5/J6/U5/K4 — /root/reference/R/_pull_data.R:140-322)
+# ---------------------------------------------------------------------------
+
+from traffic_data_pipeline_spark.operators.scd2 import initial_state, scd2_apply
+from traffic_data_pipeline_spark.sources.sensor import (
+    SNAPSHOT_NEW_PRED,
+    SNAPSHOT_OLD_PRED,
+    config_snapshot,
+    snapshot_sql,
+)
+
+SCD2_ATTRS = ["DETECTOR_LANE", "DETECTOR_CATEGORY", "DETECTOR_FIELD",
+              "DETECTOR_ABANDONED"]
+SCD2_UPDATE_DATE = "2024-01-31"
+
+_SCD2_SNAPS = f"""
+snapo AS ({snapshot_sql(SNAPSHOT_OLD_PRED)}),
+snapn AS ({snapshot_sql(SNAPSHOT_NEW_PRED)})
+"""
+
+_CHANGELOG_ORACLE = f"""
+WITH {_SCD2_SNAPS}
+SELECT '{SCD2_UPDATE_DATE}' AS "Update_Date", 'NEW_DETECTOR' AS "Change",
+       n."DETECTOR_NAME",
+       CAST(NULL AS VARCHAR) AS "Old_Value", CAST(NULL AS VARCHAR) AS "New_Value"
+FROM snapn n
+WHERE NOT EXISTS (SELECT 1 FROM snapo o WHERE o."DETECTOR_NAME" = n."DETECTOR_NAME")
+UNION ALL
+SELECT '{SCD2_UPDATE_DATE}', 'REMOVE_DETECTOR', o."DETECTOR_NAME", NULL, NULL
+FROM snapo o
+WHERE NOT EXISTS (SELECT 1 FROM snapn n WHERE n."DETECTOR_NAME" = o."DETECTOR_NAME")
+UNION ALL
+SELECT '{SCD2_UPDATE_DATE}', 'DETECTOR_LANE', o."DETECTOR_NAME",
+       CAST(o."DETECTOR_LANE" AS VARCHAR), CAST(n."DETECTOR_LANE" AS VARCHAR)
+FROM snapo o JOIN snapn n USING ("DETECTOR_NAME")
+WHERE o."DETECTOR_LANE" IS DISTINCT FROM n."DETECTOR_LANE"
+UNION ALL
+SELECT '{SCD2_UPDATE_DATE}', 'DETECTOR_CATEGORY', o."DETECTOR_NAME",
+       o."DETECTOR_CATEGORY", n."DETECTOR_CATEGORY"
+FROM snapo o JOIN snapn n USING ("DETECTOR_NAME")
+WHERE o."DETECTOR_CATEGORY" IS DISTINCT FROM n."DETECTOR_CATEGORY"
+UNION ALL
+SELECT '{SCD2_UPDATE_DATE}', 'DETECTOR_FIELD', o."DETECTOR_NAME",
+       CAST(o."DETECTOR_FIELD" AS VARCHAR), CAST(n."DETECTOR_FIELD" AS VARCHAR)
+FROM snapo o JOIN snapn n USING ("DETECTOR_NAME")
+WHERE o."DETECTOR_FIELD" IS DISTINCT FROM n."DETECTOR_FIELD"
+UNION ALL
+SELECT '{SCD2_UPDATE_DATE}', 'DETECTOR_ABANDONED', o."DETECTOR_NAME",
+       o."DETECTOR_ABANDONED", n."DETECTOR_ABANDONED"
+FROM snapo o JOIN snapn n USING ("DETECTOR_NAME")
+WHERE o."DETECTOR_ABANDONED" IS DISTINCT FROM n."DETECTOR_ABANDONED"
+"""
+
+
+@register("config_changelog", _CHANGELOG_ORACLE)
+def q_config_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old = initial_state(config_snapshot(spark, sf_dir, "old"))
+    new = config_snapshot(spark, sf_dir, "new")
+    _, changelog = scd2_apply(old, new, SCD2_UPDATE_DATE, SCD2_ATTRS)
+    return changelog.select(
+        F.date_format("Update_Date", "yyyy-MM-dd").alias("Update_Date"),
+        "Change", "DETECTOR_NAME", "Old_Value", "New_Value",
+    )
+
+
+_SCD2_STATE_ORACLE = f"""
+WITH {_SCD2_SNAPS}
+SELECT o."DETECTOR_NAME", o."DETECTOR_LANE", o."DETECTOR_CATEGORY",
+       o."DETECTOR_FIELD", o."DETECTOR_ABANDONED",
+       '1900-01-01' AS "START_DATE", '{SCD2_UPDATE_DATE}' AS "END_DATE",
+       TRUE AS "DEACTIVATE"
+FROM snapo o
+WHERE NOT EXISTS (SELECT 1 FROM snapn n WHERE n."DETECTOR_NAME" = o."DETECTOR_NAME")
+UNION ALL
+SELECT o."DETECTOR_NAME", n."DETECTOR_LANE", n."DETECTOR_CATEGORY",
+       n."DETECTOR_FIELD", n."DETECTOR_ABANDONED",
+       '1900-01-01',
+       CASE WHEN o."DETECTOR_ABANDONED" = 'f' AND n."DETECTOR_ABANDONED" = 't'
+                 THEN '{SCD2_UPDATE_DATE}'
+            WHEN o."DETECTOR_ABANDONED" = 't' AND n."DETECTOR_ABANDONED" = 'f'
+                 THEN '2019-07-31'
+            ELSE '2100-01-01' END,
+       FALSE
+FROM snapo o JOIN snapn n USING ("DETECTOR_NAME")
+UNION ALL
+SELECT n."DETECTOR_NAME", n."DETECTOR_LANE", n."DETECTOR_CATEGORY",
+       n."DETECTOR_FIELD", n."DETECTOR_ABANDONED",
+       '{SCD2_UPDATE_DATE}', '2100-01-01', FALSE
+FROM snapn n
+WHERE NOT EXISTS (SELECT 1 FROM snapo o WHERE o."DETECTOR_NAME" = n."DETECTOR_NAME")
+"""
+
+
+@register("config_scd2_state", _SCD2_STATE_ORACLE)
+def q_config_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old = initial_state(config_snapshot(spark, sf_dir, "old"))
+    new = config_snapshot(spark, sf_dir, "new")
+    state, _ = scd2_apply(old, new, SCD2_UPDATE_DATE, SCD2_ATTRS)
+    return state.select(
+        "DETECTOR_NAME", "DETECTOR_LANE", "DETECTOR_CATEGORY",
+        "DETECTOR_FIELD", "DETECTOR_ABANDONED",
+        F.date_format("START_DATE", "yyyy-MM-dd").alias("START_DATE"),
+        F.date_format("END_DATE", "yyyy-MM-dd").alias("END_DATE"),
+        "DEACTIVATE",
+    )

@@ -70,3 +70,50 @@ def detector_config(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("node_"), (F.col("user_id") % 20).cast("string")).alias("node_name"),
         F.concat(F.lit("corr_"), (F.col("user_id") % 5).cast("string")).alias("corridor_route"),
     )
+
+
+# --- derived config snapshots for the SCD-2 suite -------------------------
+# Per-detector attribute state computed over a time slice of `events`
+# (value > 150 keeps the per-slice detector sets overlapping-but-different,
+# so every SCD-2 transition class — added / removed / attribute change /
+# abandoned flips — is populated; see FIXTURES.md §2).
+
+def snapshot_sql(pred: str) -> str:
+    """DuckDB-SQL twin of config_snapshot for a given ts predicate."""
+    return f"""
+SELECT CAST(user_id AS VARCHAR)                                  AS DETECTOR_NAME,
+       CAST(COUNT(*) % 5 AS INTEGER)                             AS DETECTOR_LANE,
+       'cat_' || CAST(COUNT(DISTINCT event_type) AS VARCHAR)     AS DETECTOR_CATEGORY,
+       CAST(CAST(SUM(FLOOR(value)) AS BIGINT) % 1000 AS DOUBLE)  AS DETECTOR_FIELD,
+       CASE WHEN COUNT(*) % 3 = 0 THEN 't' ELSE 'f' END          AS DETECTOR_ABANDONED
+FROM events
+WHERE value > 150 AND {pred}
+GROUP BY 1
+"""
+
+
+SNAPSHOT_SPLIT = "2024-01-16 00:00:00"
+SNAPSHOT_OLD_PRED = f"ts < TIMESTAMP '{SNAPSHOT_SPLIT}'"
+SNAPSHOT_NEW_PRED = f"ts >= TIMESTAMP '{SNAPSHOT_SPLIT}'"
+
+
+def config_snapshot(spark: SparkSession, sf_dir: str, half: str) -> DataFrame:
+    """Flattened config snapshot derived from one half of the events span.
+
+    ``half`` is 'old' (ts < split) or 'new' (ts >= split). Spark twin of
+    ``snapshot_sql``.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 150)
+    if half == "old":
+        ev = ev.filter(F.col("ts") < F.lit(SNAPSHOT_SPLIT).cast("timestamp"))
+    elif half == "new":
+        ev = ev.filter(F.col("ts") >= F.lit(SNAPSHOT_SPLIT).cast("timestamp"))
+    else:
+        raise ValueError(half)
+    cnt = F.count(F.lit(1))
+    return ev.groupBy(F.col("user_id").cast("string").alias("DETECTOR_NAME")).agg(
+        (cnt % 5).cast("int").alias("DETECTOR_LANE"),
+        F.concat(F.lit("cat_"), F.countDistinct("event_type").cast("string")).alias("DETECTOR_CATEGORY"),
+        ((F.sum(F.floor("value")).cast("bigint")) % 1000).cast("double").alias("DETECTOR_FIELD"),
+        F.when(cnt % 3 == 0, F.lit("t")).otherwise(F.lit("f")).alias("DETECTOR_ABANDONED"),
+    )
