@@ -1,0 +1,141 @@
+"""Node-level roll-up, validity-interval join, and QAQC filters
+(SURVEY.md §2: A2-A8, J11, J13, W2, F8-F10;
+reference /root/reference/R/_analyze_data.R:35-182,308-353).
+
+The reference pushes the two-level GROUP BY into SQL Server as a
+handwritten string (:121-154) because R can't do it fast; in Spark the
+same shape is two chained groupBy's over the parquet fact — partial
+aggregation makes the first level map-side, and the second level shuffles
+only (node, hour) rows, ~1/100th of the fact.
+
+Float determinism: speed averages are computed as
+SUM(CAST(speed AS DECIMAL))/COUNT(speed) so results are identical across
+partitionings and engines (see plans/queries.dsum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _davg(col: str):
+    """Order-independent average of a double column (null-skipping)."""
+    return (F.sum(F.col(col).cast("decimal(18,6)")).cast("double")
+            / F.count(F.col(col)))
+
+
+def two_level_rollup(fact: DataFrame, time_level: str = "hour") -> DataFrame:
+    """A2: detector-hour roll-up, then node-hour roll-up
+    (/root/reference/R/_analyze_data.R:121-154; the commented intended
+    semantics at :2-30 — this implements the intent, see SURVEY §3.3 on the
+    stats::aggregate latent bug).
+
+    ``fact`` needs: sensor, w_start, volume_sum_impute, occupancy_sum_impute,
+    speed, node_name, corridor_route.
+    """
+    lvl1 = (
+        fact.groupBy(
+            "sensor", "node_name", "corridor_route",
+            F.date_trunc(time_level, F.col("w_start")).alias("ts"),
+        )
+        .agg(
+            F.sum("volume_sum_impute").cast("bigint").alias("vol"),
+            F.sum("occupancy_sum_impute").cast("bigint").alias("occ"),
+            _davg("speed").alias("avg_speed"),
+        )
+    )
+    return (
+        lvl1.groupBy("node_name", "ts", "corridor_route")
+        .agg(
+            F.sum("vol").cast("bigint").alias("volume_sum"),
+            F.count("vol").alias("volume_num"),
+            F.sum("occ").cast("bigint").alias("occupancy_sum"),
+            F.count("occ").alias("occupancy_num"),
+            _davg("avg_speed").alias("speed"),
+            F.count("avg_speed").alias("speed_num"),
+        )
+    )
+
+
+def detectors_per_node(state: DataFrame) -> DataFrame:
+    """A3: detector count per node per validity interval
+    (/root/reference/R/_analyze_data.R:104-112). ``state`` is the SCD-2
+    dimension; node derived from the detector key as in the config view."""
+    return (
+        state.withColumn(
+            "node_name",
+            F.concat(F.lit("node_"),
+                     (F.col("DETECTOR_NAME").cast("bigint") % 20).cast("string")),
+        )
+        .groupBy("node_name", "START_DATE", "END_DATE")
+        .agg(F.count("DETECTOR_NAME").alias("detector_num"))
+    )
+
+
+def join_validity(facts: DataFrame, dim: DataFrame) -> DataFrame:
+    """J11 + A4: inner range join of node-time facts against validity
+    intervals, then re-aggregate the detector count — overlapping intervals
+    sum up (/root/reference/R/_analyze_data.R:157-171).
+
+    The equi key (node_name) keeps this a hash join with a residual range
+    predicate — never a cartesian product; the dim side is tiny, so Catalyst
+    broadcasts it and the fact is not shuffled at all.
+    """
+    fact_date = F.to_date(F.col("f.ts"))
+    joined = facts.alias("f").join(
+        F.broadcast(dim).alias("d"),
+        (F.col("f.node_name") == F.col("d.node_name"))
+        & (fact_date >= F.col("d.START_DATE"))
+        & (fact_date <= F.col("d.END_DATE")),
+        "inner",
+    )
+    measure_cols = [c for c in facts.columns if c != "node_name"]
+    return (
+        joined.select(F.col("f.node_name").alias("node_name"),
+                      *[F.col(f"f.{c}").alias(c) for c in measure_cols],
+                      F.col("d.detector_num"))
+        .groupBy("node_name", *measure_cols)
+        .agg(F.sum("detector_num").cast("bigint").alias("detector_num"))
+    )
+
+
+def qaqc_for_model(df: DataFrame,
+                   median_min: float,
+                   slots: int,
+                   completeness_min: float,
+                   report_ratio: float = 1.0) -> DataFrame:
+    """Sequential QAQC tests 1-4 + J13 semi-join
+    (/root/reference/R/_analyze_data.R:35-76):
+
+    1. volume_num >= detector_num * report_ratio. With the default
+       ratio 1.0 this is the reference's equality test "all detectors
+       reported" (volume_num never exceeds detector_num); fixtures use a
+       lower ratio because the synthetic feed is sparse.
+    2. per-node row count > 100
+    3. per-node median volume >= median_min (reference: 40 hourly / 960 daily)
+    4. per-(node, year) completeness = rows/slots >= completeness_min, and a
+       node survives only if its MINIMUM yearly completeness passes (A8+J13).
+
+    Each test filters before the next computes, matching the reference's
+    chained data.table semantics.
+    """
+    q1 = df.filter(F.col("volume_num") >= F.col("detector_num") * report_ratio)
+
+    cnt = q1.groupBy("node_name").agg(F.count(F.lit(1)).alias("_n"))
+    q2 = (q1.join(F.broadcast(cnt), "node_name")
+          .filter(F.col("_n") > 100).drop("_n"))
+
+    med = q2.groupBy("node_name").agg(F.median("volume_sum").alias("_med"))
+    q3 = (q2.join(F.broadcast(med), "node_name")
+          .filter(F.col("_med") >= median_min).drop("_med"))
+
+    comp = (
+        q3.groupBy("node_name", F.year("ts").alias("_yr"))
+        .agg((F.count(F.lit(1)) / F.lit(float(slots))).alias("_pct"))
+        .groupBy("node_name")
+        .agg(F.min("_pct").alias("_min_pct"))
+        .filter(F.col("_min_pct") >= completeness_min)
+        .select("node_name")
+    )
+    return q3.join(F.broadcast(comp), "node_name", "left_semi")

@@ -429,3 +429,222 @@ def q_config_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("END_DATE", "yyyy-MM-dd").alias("END_DATE"),
         "DEACTIVATE",
     )
+
+
+# ---------------------------------------------------------------------------
+# Node roll-up, validity-interval join, QAQC, prediction & comparison
+# (A2-A8, J11, J13, W2, F8-F11, J12, P3 —
+#  /root/reference/R/_analyze_data.R:35-182,227-300,308-387)
+# ---------------------------------------------------------------------------
+
+from traffic_data_pipeline_spark.operators.compare import (
+    compare_actual_predicted,
+    hourly_spine,
+    seasonal_profile,
+)
+from traffic_data_pipeline_spark.operators.ingest import build_rtmc_15min
+from traffic_data_pipeline_spark.operators.rollup import (
+    detectors_per_node,
+    join_validity,
+    qaqc_for_model,
+    two_level_rollup,
+)
+
+NODEFACT_CTES = IMPUTE_CTES + f""",
+config AS ({CONFIG_VIEW_SQL}),
+fact AS (
+  SELECT s.sensor, s.w_start, s.volume_sum_impute, s.occupancy_sum_impute,
+         CASE WHEN s.volume_sum != 0 AND s.occupancy_sum / 54000.0 >= 0.002
+              THEN ROUND(s.volume_sum * 2.0 * c.field_length
+                         / (5280.0 * (s.occupancy_sum / 54000.0)), 1) END AS speed,
+         c.node_name, c.corridor_route
+  FROM s3 s LEFT JOIN config c ON s.sensor = c.sensor),
+lvl1 AS (
+  SELECT sensor, node_name, corridor_route, date_trunc('hour', w_start) AS ts,
+         CAST(SUM(volume_sum_impute) AS BIGINT) AS vol,
+         CAST(SUM(occupancy_sum_impute) AS BIGINT) AS occ,
+         CAST(SUM(CAST(speed AS DECIMAL(18,6))) AS DOUBLE) / COUNT(speed) AS avg_speed
+  FROM fact GROUP BY 1, 2, 3, 4),
+lvl2 AS (
+  SELECT node_name, ts, corridor_route,
+         CAST(SUM(vol) AS BIGINT) AS volume_sum, COUNT(vol) AS volume_num,
+         CAST(SUM(occ) AS BIGINT) AS occupancy_sum, COUNT(occ) AS occupancy_num,
+         CAST(SUM(CAST(avg_speed AS DECIMAL(18,6))) AS DOUBLE) / COUNT(avg_speed) AS speed,
+         COUNT(avg_speed) AS speed_num
+  FROM lvl1 GROUP BY 1, 2, 3)"""
+
+
+def _node_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTMC_15MIN fact renamed to the roll-up input contract."""
+    return build_rtmc_15min(spark, sf_dir).select(
+        F.col("DETECTOR_NAME").alias("sensor"),
+        F.col("START_DATETIME").alias("w_start"),
+        F.col("VOLUME_SUM_IMPUTE").alias("volume_sum_impute"),
+        F.col("OCCUPANCY_SUM_IMPUTE").alias("occupancy_sum_impute"),
+        F.col("SPEED").alias("speed"),
+        F.col("NODE_NAME").alias("node_name"),
+        F.col("CORRIDOR_ROUTE").alias("corridor_route"),
+    )
+
+
+_LVL2_OUT = """node_name,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       corridor_route, volume_sum, volume_num,
+       occupancy_sum, occupancy_num, speed, speed_num"""
+
+
+@register("node_hour_rollup", f"""
+WITH {NODEFACT_CTES}
+SELECT {_LVL2_OUT}
+FROM lvl2
+""")
+def q_node_hour_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    roll = two_level_rollup(_node_fact(spark, sf_dir), "hour")
+    return roll.select(
+        "node_name", fmt_ts("ts").alias("ts"), "corridor_route",
+        "volume_sum", "volume_num", "occupancy_sum", "occupancy_num",
+        "speed", "speed_num",
+    )
+
+
+# QAQC fixture constants (chosen so every test discriminates on the sf0.01
+# fixture — see operators/rollup.qaqc_for_model for reference defaults).
+QAQC_RATIO = 0.15
+QAQC_MEDIAN_MIN = 11.0
+QAQC_SLOTS = 720          # 30 days x 24 h in the fixture window
+QAQC_COMPLETENESS = 0.35
+
+_SCD2_DIM_CTES = f""",
+snapo AS ({{snapo}}),
+snapn AS ({{snapn}}),
+scd2state AS (
+  SELECT o."DETECTOR_NAME", DATE '1900-01-01' AS sd, DATE '{SCD2_UPDATE_DATE}' AS ed
+  FROM snapo o WHERE NOT EXISTS (SELECT 1 FROM snapn n WHERE n."DETECTOR_NAME" = o."DETECTOR_NAME")
+  UNION ALL
+  SELECT o."DETECTOR_NAME", DATE '1900-01-01',
+     CASE WHEN o."DETECTOR_ABANDONED" = 'f' AND n."DETECTOR_ABANDONED" = 't' THEN DATE '{SCD2_UPDATE_DATE}'
+          WHEN o."DETECTOR_ABANDONED" = 't' AND n."DETECTOR_ABANDONED" = 'f' THEN DATE '2019-07-31'
+          ELSE DATE '2100-01-01' END
+  FROM snapo o JOIN snapn n USING ("DETECTOR_NAME")
+  UNION ALL
+  SELECT n."DETECTOR_NAME", DATE '{SCD2_UPDATE_DATE}', DATE '2100-01-01'
+  FROM snapn n WHERE NOT EXISTS (SELECT 1 FROM snapo o WHERE o."DETECTOR_NAME" = n."DETECTOR_NAME")),
+dim AS (
+  SELECT 'node_' || CAST(CAST("DETECTOR_NAME" AS BIGINT) % 20 AS VARCHAR) AS node_name, sd, ed,
+         COUNT(*) AS detector_num
+  FROM scd2state GROUP BY 1, 2, 3)""".format(
+    snapo=snapshot_sql(SNAPSHOT_OLD_PRED), snapn=snapshot_sql(SNAPSHOT_NEW_PRED))
+
+
+_NODE_QAQC_ORACLE = f"""
+WITH {NODEFACT_CTES}{_SCD2_DIM_CTES},
+j11 AS (
+  SELECT f.*, d.detector_num FROM lvl2 f JOIN dim d
+  ON f.node_name = d.node_name
+     AND CAST(f.ts AS DATE) >= d.sd AND CAST(f.ts AS DATE) <= d.ed),
+a4 AS (
+  SELECT node_name, ts, corridor_route, volume_sum, volume_num,
+         occupancy_sum, occupancy_num, speed, speed_num,
+         CAST(SUM(detector_num) AS BIGINT) AS detector_num
+  FROM j11 GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9),
+q1 AS (SELECT * FROM a4 WHERE volume_num >= detector_num * {QAQC_RATIO}),
+q2 AS (SELECT q1.* FROM q1 JOIN (SELECT node_name FROM q1 GROUP BY 1 HAVING COUNT(*) > 100) k USING (node_name)),
+q3 AS (SELECT q2.* FROM q2 JOIN (SELECT node_name FROM q2 GROUP BY 1 HAVING MEDIAN(volume_sum) >= {QAQC_MEDIAN_MIN}) k USING (node_name)),
+q4 AS (SELECT q3.* FROM q3 JOIN (
+         SELECT node_name FROM (
+           SELECT node_name, year(ts) AS y, COUNT(*) / {QAQC_SLOTS}.0 AS pct
+           FROM q3 GROUP BY 1, 2)
+         GROUP BY 1 HAVING MIN(pct) >= {QAQC_COMPLETENESS}) k USING (node_name))
+SELECT {_LVL2_OUT}, detector_num
+FROM q4
+"""
+
+
+@register("node_qaqc", _NODE_QAQC_ORACLE)
+def q_node_qaqc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 validity join + A4 re-agg + QAQC tests 1-4 + J13 semi-join."""
+    roll = two_level_rollup(_node_fact(spark, sf_dir), "hour")
+    old = initial_state(config_snapshot(spark, sf_dir, "old"))
+    new = config_snapshot(spark, sf_dir, "new")
+    state, _ = scd2_apply(old, new, SCD2_UPDATE_DATE, SCD2_ATTRS)
+    dim = detectors_per_node(state)
+    joined = join_validity(roll, dim)
+    passed = qaqc_for_model(joined, QAQC_MEDIAN_MIN, QAQC_SLOTS,
+                            QAQC_COMPLETENESS, report_ratio=QAQC_RATIO)
+    return passed.select(
+        "node_name", fmt_ts("ts").alias("ts"), "corridor_route",
+        "volume_sum", "volume_num", "occupancy_sum", "occupancy_num",
+        "speed", "speed_num", "detector_num",
+    )
+
+
+PREDICT_SPLIT = "2024-01-16 00:00:00"
+PREDICT_STOP = "2024-01-30 23:00:00"
+
+
+_PREDICT_COMPARE_ORACLE = f"""
+WITH {NODEFACT_CTES},
+train AS (SELECT * FROM lvl2 WHERE ts < TIMESTAMP '{PREDICT_SPLIT}'),
+profile AS (
+  SELECT node_name, dayofweek(ts) AS dow, hour(ts) AS hod,
+         CAST(ROUND(CAST(SUM(CAST(volume_sum AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(volume_sum)) AS INTEGER) AS "VOLUMN_PREDICTION"
+  FROM train GROUP BY 1, 2, 3),
+spine AS (
+  SELECT unnest(generate_series(TIMESTAMP '{PREDICT_SPLIT}',
+                                TIMESTAMP '{PREDICT_STOP}',
+                                INTERVAL 1 HOUR)) AS predict_time),
+nodes AS (SELECT DISTINCT node_name FROM config),
+pred AS (
+  SELECT n.node_name, s.predict_time, p."VOLUMN_PREDICTION"
+  FROM spine s CROSS JOIN nodes n
+  LEFT JOIN profile p ON p.node_name = n.node_name
+       AND p.dow = dayofweek(s.predict_time) AND p.hod = hour(s.predict_time)),
+actual AS (SELECT * FROM lvl2 WHERE ts >= TIMESTAMP '{PREDICT_SPLIT}')
+SELECT a.node_name,
+       strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS start_datetime,
+       a.volume_sum, p."VOLUMN_PREDICTION",
+       a.volume_sum - p."VOLUMN_PREDICTION" AS "VOLUME_DIFF"
+FROM actual a JOIN pred p
+  ON a.node_name = p.node_name AND a.ts = p.predict_time
+"""
+
+
+@register("predict_compare", _PREDICT_COMPARE_ORACLE)
+def q_predict_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 spine + seasonal profile + J12 comparison (§3.3 intent)."""
+    roll = two_level_rollup(_node_fact(spark, sf_dir), "hour")
+    split = F.lit(PREDICT_SPLIT).cast("timestamp")
+    train = roll.filter(F.col("ts") < split)
+    actual = roll.filter(F.col("ts") >= split)
+    profile = seasonal_profile(train)
+    nodes = detector_config(spark, sf_dir).select("node_name").distinct()
+    spine = hourly_spine(spark, PREDICT_SPLIT, PREDICT_STOP, nodes)
+    pred = (
+        spine
+        .withColumn("dow", F.dayofweek("predict_time") - 1)
+        .withColumn("hod", F.hour("predict_time"))
+        .join(profile, ["node_name", "dow", "hod"], "left")
+        .select("node_name", "predict_time", "VOLUMN_PREDICTION")
+    )
+    cmp_ = compare_actual_predicted(actual, pred)
+    return cmp_.select(
+        "node_name", fmt_ts("start_datetime").alias("start_datetime"),
+        "volume_sum", "VOLUMN_PREDICTION", "VOLUME_DIFF",
+    )
+
+
+@register("calendar_spine", f"""
+SELECT n.node_name,
+       strftime(s.predict_time, '%Y-%m-%d %H:%M:%S') AS predict_time
+FROM (SELECT unnest(generate_series(TIMESTAMP '{PREDICT_SPLIT}',
+                                    TIMESTAMP '{PREDICT_STOP}',
+                                    INTERVAL 1 HOUR)) AS predict_time) s
+CROSS JOIN (SELECT DISTINCT 'node_' || CAST(user_id % 20 AS VARCHAR) AS node_name
+            FROM events) n
+""")
+def q_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: sequence()+explode table-generating function x node dim."""
+    nodes = detector_config(spark, sf_dir).select("node_name").distinct()
+    spine = hourly_spine(spark, PREDICT_SPLIT, PREDICT_STOP, nodes)
+    return spine.select("node_name", fmt_ts("predict_time").alias("predict_time"))
