@@ -1,0 +1,210 @@
+"""Deduplication operators for the training-data pipeline
+(driver extension surface): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Everything is built-in DataFrame ops — shingling is explode over a
+sequence, hashing is md5 (engine-agnostic, unlike murmur3), min-hash is a
+conditional-min aggregate, banding is a concat+md5, candidate pairing is a
+self-equi-join on band keys.
+
+Scale notes (100 TB corpus):
+- exact dedup: one shuffle on the md5 key; map-side combine collapses
+  duplicates before the shuffle.
+- MinHash+LSH: the shingle explosion is narrow; the per-doc signature is
+  one shuffle on doc_id; candidate generation joins on band keys only —
+  never the O(n^2) pair space. Band-key hot buckets (boilerplate docs) are
+  the skew risk: AQE skew-join handles moderate cases, and a bucket-size
+  cap (filter HAVING count < N before pairing) bounds the worst case.
+- SimHash: signature is an agg over (doc, bit) partial sums; pairing at
+  fixture scale is a bounded self-join, at corpus scale band the signature
+  bytes the same way as MinHash.
+- n-gram Jaccard: exact verify step on candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from traffic_data_pipeline_spark.functions.text import normalize
+
+N_MINHASH = 8
+N_BANDS = 4  # rows-per-band = 2
+SHINGLE_LEN = 5
+SIMHASH_BITS = 32
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on md5(normalized text): one row per content group with
+    the canonical (min) id and the duplicate count."""
+    return (
+        df.select(F.col(id_col), F.md5(normalize(F.col(text_col))).alias("content_key"))
+        .groupBy("content_key")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             k: int = SHINGLE_LEN) -> DataFrame:
+    """Distinct character k-gram shingles of the normalized text."""
+    norm = normalize(F.col(text_col))
+    return (
+        df.select(F.col(id_col), norm.alias("_norm"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("_norm") - (k - 1), F.lit(1)))
+            ).alias("_pos"),
+            "_norm",
+        )
+        .select(id_col, F.expr(f"substring(_norm, _pos, {k})").alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id",
+                       n_hashes: int = N_MINHASH) -> DataFrame:
+    """Per-doc MinHash signature: h_i = MIN(md5(i || ':' || shingle)).
+
+    md5 is order-free (MIN over a set) and identical across engines —
+    murmur3/xxhash would be faster but engine-specific, and this column is
+    not the hot path at fixture scale.
+    Output: id, h0..h{n-1}.
+    """
+    hashed = sh.select(
+        F.col(id_col),
+        *[F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"_mh{i}")
+          for i in range(n_hashes)],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"_mh{i}").alias(f"h{i}") for i in range(n_hashes)]
+    )
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
+                        n_hashes: int = N_MINHASH, n_bands: int = N_BANDS,
+                        min_sim: float = 0.5) -> DataFrame:
+    """Band the signature, pair docs sharing any band bucket, then estimate
+    similarity as the fraction of agreeing minhashes; keep pairs >= min_sim.
+
+    The join is on band keys — the O(n^2) pair space is never materialized.
+    """
+    rows_per_band = n_hashes // n_bands
+    bands = sig.select(
+        F.col(id_col),
+        *[F.col(f"h{i}") for i in range(n_hashes)],
+        *[
+            F.md5(F.concat_ws("|", F.lit(f"b{b}"),
+                              *[F.col(f"h{b * rows_per_band + r}")
+                                for r in range(rows_per_band)])).alias(f"band{b}")
+            for b in range(n_bands)
+        ],
+    )
+    band_long = bands.selectExpr(
+        id_col,
+        *[f"h{i}" for i in range(n_hashes)],
+        f"stack({n_bands}, "
+        + ", ".join(f"band{b}" for b in range(n_bands))
+        + ") AS band_key",
+    )
+    a, b = band_long.alias("a"), band_long.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            *[(F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int").alias(f"_eq{i}")
+              for i in range(n_hashes)],
+        )
+        .distinct()
+    )
+    est = sum(F.col(f"_eq{i}") for i in range(n_hashes)) / float(n_hashes)
+    return (
+        pairs.withColumn("est_sim", est)
+        .filter(F.col("est_sim") >= min_sim)
+        .select("doc_a", "doc_b", "est_sim")
+    )
+
+
+def ngram_jaccard_pairs(sh: DataFrame, groups: DataFrame, id_col: str = "doc_id",
+                        min_jaccard: float = 0.3) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs.
+
+    ``groups`` maps id -> group key (e.g. source, or an LSH bucket); only
+    intra-group pairs are scored, keeping the pair space bounded.
+    """
+    sized = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_g = sh.join(groups, id_col).join(sized, id_col)
+    a, b = sh_g.alias("a"), sh_g.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.grp") == F.col("b.grp"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash over token hashes.
+
+    Token hash = first 8 hex chars of md5 (32-bit, engine-agnostic); each
+    bit contributes +1/-1; the signature bit is the sign of the sum.
+    """
+    from traffic_data_pipeline_spark.functions.text import tokens
+
+    tok = tokens(df, text_col, id_col).withColumn(
+        "th", F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")
+    )
+    per_bit = (
+        tok.select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+            "th",
+        )
+        .groupBy(id_col, "bit")
+        .agg(
+            F.sum(
+                F.when(F.expr("shiftright(th, bit) & 1") == 1, 1).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    return per_bit.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+            .otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(sig: DataFrame, id_col: str = "doc_id",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance on the SimHash signature.
+
+    Bounded self-join — fine at fixture scale; at corpus scale band the
+    signature bytes (4x8-bit bands) exactly like MinHash-LSH first.
+    """
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"), "inner")
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,98 @@
+"""Text-analysis column functions for the training-data pipeline
+(driver extension surface, SURVEY.md §7 step 9): tokenization, quality
+stats, language ID, document fingerprinting.
+
+All hot-path logic is built-in pyspark.sql.functions (JVM, whole-stage
+codegen) — no Python UDFs. Every function has an exact DuckDB twin in
+plans/queries.py; tokenization is regex-based and engine-agnostic.
+
+At 100 TB: these are embarrassingly parallel narrow ops (no shuffle except
+the final per-doc aggregate of the exploded token stream, which combines
+map-side), so they scale linearly with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# tiny per-language stopword lists for the n-gram/stopword language heuristic
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+STOPWORDS_ES = ["el", "la", "de", "y", "que", "en", "un", "es", "por", "con"]
+STOPWORDS_DE = ["der", "die", "das", "und", "zu", "in", "ist", "ein", "mit", "von"]
+
+
+def normalize(col: Column) -> Column:
+    """Lowercase + collapse non-alphanumerics to single spaces + trim."""
+    return F.trim(F.regexp_replace(F.lower(col), TOKEN_SPLIT_RE, " "))
+
+
+def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Explode to one row per (doc, token). Whitespace+punct regex
+    tokenizer — the 'BPE-ish regex' path is the same explode with a
+    different pattern."""
+    return (
+        df.select(id_col, F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)).alias("token"))
+        .filter(F.col("token") != "")
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality stats: char/token counts, punctuation count,
+    stopword ratio, mean token length."""
+    toks = tokens(df, text_col, id_col)
+    stop = F.col("token").isin(STOPWORDS_EN)
+    tok_agg = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(stop.cast("int")).alias("n_stopwords"),
+        F.sum(F.length("token")).alias("_tok_chars"),
+    )
+    base = df.select(
+        id_col,
+        F.length(text_col).alias("n_chars"),
+        F.length(F.regexp_replace(F.col(text_col), "[a-zA-Z0-9 ]", "")).alias("n_punct"),
+    )
+    return (
+        base.join(tok_agg, id_col, "left")
+        .select(
+            id_col, "n_chars", "n_punct",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_stopwords", F.lit(0)).alias("n_stopwords"),
+            (F.coalesce("n_stopwords", F.lit(0))
+             / F.nullif(F.coalesce("n_tokens", F.lit(0)), F.lit(0))).alias("stopword_ratio"),
+            (F.col("_tok_chars")
+             / F.nullif(F.coalesce("n_tokens", F.lit(0)), F.lit(0))).alias("mean_token_len"),
+        )
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language heuristic with a deterministic argmax
+    (ties broken en > es > de > und)."""
+    toks = tokens(df, text_col, id_col)
+    scores = toks.groupBy(id_col).agg(
+        F.sum(F.col("token").isin(STOPWORDS_EN).cast("int")).alias("en_hits"),
+        F.sum(F.col("token").isin(STOPWORDS_ES).cast("int")).alias("es_hits"),
+        F.sum(F.col("token").isin(STOPWORDS_DE).cast("int")).alias("de_hits"),
+    )
+    pred = (
+        F.when((F.col("en_hits") == 0) & (F.col("es_hits") == 0) & (F.col("de_hits") == 0), "und")
+        .when((F.col("en_hits") >= F.col("es_hits")) & (F.col("en_hits") >= F.col("de_hits")), "en")
+        .when(F.col("es_hits") >= F.col("de_hits"), "es")
+        .otherwise("de")
+    )
+    return scores.select(id_col, "en_hits", "es_hits", "de_hits", pred.alias("lang_pred"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprints: md5 of the normalized text (exact-dup key)
+    and md5 of its first 64 chars (prefix fingerprint — the cheap
+    rolling-hash stand-in)."""
+    norm = normalize(F.col(text_col))
+    return df.select(
+        id_col,
+        F.md5(norm).alias("fp_full"),
+        F.md5(F.substring(norm, 1, 64)).alias("fp_prefix64"),
+    )

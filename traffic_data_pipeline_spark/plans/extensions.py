@@ -1,0 +1,339 @@
+"""Training-data-pipeline extension queries (driver-mandated first-class
+surface): text analysis, dedup (exact / MinHash-LSH / SimHash / n-gram
+Jaccard), similarity search (brute-force cosine top-k + LSH ANN), and JSON
+extraction — each with a DuckDB oracle.
+
+Registered into the same QUERIES/ORACLES dicts as plans/queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from traffic_data_pipeline_spark.functions.dedup import (
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    simhash_near_pairs,
+)
+from traffic_data_pipeline_spark.functions.similarity import (
+    ann_lsh_pairs,
+    knn_bruteforce,
+)
+from traffic_data_pipeline_spark.functions.text import (
+    STOPWORDS_DE,
+    STOPWORDS_EN,
+    STOPWORDS_ES,
+    fingerprint,
+    language_id,
+    text_stats,
+)
+from traffic_data_pipeline_spark.plans.queries import register
+from traffic_data_pipeline_spark.sources.tables import load_table
+
+# Shared oracle CTEs over `documents`
+_DOC_CTES = """
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents),
+toks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+    FROM documents)
+  WHERE token != ''),
+sh AS (
+  SELECT DISTINCT doc_id, substr(norm, g, 5) AS shingle
+  FROM norm, unnest(generate_series(1, greatest(length(norm) - 4, 1))) t(g))
+"""
+
+
+def _sql_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register("doc_text_stats", f"""
+WITH {_DOC_CTES},
+tok_agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_EN)}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords,
+         CAST(SUM(length(token)) AS BIGINT) AS tok_chars
+  FROM toks GROUP BY 1),
+base AS (
+  SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+         CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS INTEGER) AS n_punct
+  FROM documents)
+SELECT b.doc_id, b.n_chars, b.n_punct,
+       COALESCE(t.n_tokens, 0) AS n_tokens,
+       COALESCE(t.n_stopwords, 0) AS n_stopwords,
+       COALESCE(t.n_stopwords, 0) / NULLIF(COALESCE(t.n_tokens, 0), 0) AS stopword_ratio,
+       t.tok_chars / NULLIF(COALESCE(t.n_tokens, 0), 0) AS mean_token_len
+FROM base b LEFT JOIN tok_agg t USING (doc_id)
+""")
+def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_stats(docs)
+
+
+@register("doc_lang_id", f"""
+WITH {_DOC_CTES}
+SELECT doc_id,
+       CAST(SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_EN)}) THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
+       CAST(SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_ES)}) THEN 1 ELSE 0 END) AS BIGINT) AS es_hits,
+       CAST(SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_DE)}) THEN 1 ELSE 0 END) AS BIGINT) AS de_hits,
+       CASE WHEN SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_EN)}) THEN 1 ELSE 0 END) = 0
+             AND SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_ES)}) THEN 1 ELSE 0 END) = 0
+             AND SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_DE)}) THEN 1 ELSE 0 END) = 0 THEN 'und'
+            WHEN SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_EN)}) THEN 1 ELSE 0 END)
+                 >= SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_ES)}) THEN 1 ELSE 0 END)
+             AND SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_EN)}) THEN 1 ELSE 0 END)
+                 >= SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_DE)}) THEN 1 ELSE 0 END) THEN 'en'
+            WHEN SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_ES)}) THEN 1 ELSE 0 END)
+                 >= SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_DE)}) THEN 1 ELSE 0 END) THEN 'es'
+            ELSE 'de' END AS lang_pred
+FROM toks GROUP BY doc_id
+""")
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs)
+
+
+@register("doc_fingerprint", f"""
+WITH {_DOC_CTES}
+SELECT doc_id, md5(norm) AS fp_full, md5(substr(norm, 1, 64)) AS fp_prefix64
+FROM norm
+""")
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@register("dedup_exact", f"""
+WITH {_DOC_CTES}
+SELECT md5(norm) AS content_key,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+       COUNT(*) AS n_docs
+FROM norm GROUP BY 1
+""")
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs)
+
+
+_MINHASH_CTES = _DOC_CTES + """,
+sigs AS (
+  SELECT doc_id, s.i,
+         MIN(md5(CAST(s.i AS VARCHAR) || ':' || shingle)) AS h
+  FROM sh, (SELECT unnest(generate_series(0, 7)) AS i) s
+  GROUP BY 1, 2),
+wide AS (
+  SELECT doc_id,
+         MIN(CASE WHEN i = 0 THEN h END) AS h0, MIN(CASE WHEN i = 1 THEN h END) AS h1,
+         MIN(CASE WHEN i = 2 THEN h END) AS h2, MIN(CASE WHEN i = 3 THEN h END) AS h3,
+         MIN(CASE WHEN i = 4 THEN h END) AS h4, MIN(CASE WHEN i = 5 THEN h END) AS h5,
+         MIN(CASE WHEN i = 6 THEN h END) AS h6, MIN(CASE WHEN i = 7 THEN h END) AS h7
+  FROM sigs GROUP BY 1),
+band_long AS (
+  SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7,
+         unnest([md5(concat_ws('|', 'b0', h0, h1)),
+                 md5(concat_ws('|', 'b1', h2, h3)),
+                 md5(concat_ws('|', 'b2', h4, h5)),
+                 md5(concat_ws('|', 'b3', h6, h7))]) AS band_key
+  FROM wide)
+"""
+
+
+@register("dedup_minhash_lsh", f"""
+WITH {_MINHASH_CTES},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(a.h0 = b.h0 AS INTEGER) AS e0, CAST(a.h1 = b.h1 AS INTEGER) AS e1,
+         CAST(a.h2 = b.h2 AS INTEGER) AS e2, CAST(a.h3 = b.h3 AS INTEGER) AS e3,
+         CAST(a.h4 = b.h4 AS INTEGER) AS e4, CAST(a.h5 = b.h5 AS INTEGER) AS e5,
+         CAST(a.h6 = b.h6 AS INTEGER) AS e6, CAST(a.h7 = b.h7 AS INTEGER) AS e7
+  FROM band_long a JOIN band_long b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       (e0 + e1 + e2 + e3 + e4 + e5 + e6 + e7) / 8.0 AS est_sim
+FROM pairs
+WHERE (e0 + e1 + e2 + e3 + e4 + e5 + e6 + e7) / 8.0 >= 0.5
+""")
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(shingles(docs))
+    return lsh_candidate_pairs(sig, min_sim=0.5)
+
+
+@register("dedup_ngram_jaccard", f"""
+WITH {_DOC_CTES},
+groups AS (SELECT doc_id, source AS grp FROM documents),
+sized AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+sh_g AS (
+  SELECT s.doc_id, s.shingle, g.grp, z.n_sh
+  FROM sh s JOIN groups g USING (doc_id) JOIN sized z USING (doc_id)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_inter
+  FROM sh_g a JOIN sh_g b
+    ON a.shingle = b.shingle AND a.grp = b.grp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT doc_a, doc_b, n_inter,
+       n_inter / (n_a + n_b - n_inter) AS jaccard
+FROM inter
+WHERE n_inter / (n_a + n_b - n_inter) >= 0.25
+""")
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    groups = docs.select("doc_id", F.col("source").alias("grp"))
+    return ngram_jaccard_pairs(sh, groups, min_jaccard=0.25)
+
+
+_SIMHASH_CTES = _DOC_CTES + """,
+tokh AS (
+  SELECT doc_id, CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS th
+  FROM toks),
+perbit AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (th >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM tokh, (SELECT unnest(generate_series(0, 31)) AS bit) b
+  GROUP BY 1, 2),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM perbit GROUP BY 1)
+"""
+
+
+@register("dedup_simhash", f"""
+WITH {_SIMHASH_CTES}
+SELECT doc_id, simhash FROM sig
+""")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+@register("dedup_simhash_pairs", f"""
+WITH {_SIMHASH_CTES}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+""")
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = simhash(docs)
+    return simhash_near_pairs(sig, max_hamming=6).select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+KNN_QUERY_IDS = list(range(10))
+
+_EMB_CTES = """
+elems AS (
+  SELECT vec_id, t.i AS pos, CAST(embedding[t.i] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+norms AS (
+  SELECT vec_id, CAST(SUM(CAST(val * val AS DECIMAL(30,12))) AS DOUBLE) AS norm_sq
+  FROM elems GROUP BY 1)
+"""
+
+
+@register("embedding_knn", f"""
+WITH {_EMB_CTES},
+q AS (SELECT * FROM elems WHERE vec_id IN ({", ".join(map(str, KNN_QUERY_IDS))})),
+dots AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         CAST(SUM(CAST(q.val * c.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM q JOIN elems c ON q.pos = c.pos
+  GROUP BY 1, 2),
+cos AS (
+  SELECT d.q_id, d.c_id,
+         d.dot / (sqrt(qn.norm_sq) * sqrt(cn.norm_sq)) AS cosine
+  FROM dots d
+  JOIN norms qn ON qn.vec_id = d.q_id
+  JOIN norms cn ON cn.vec_id = d.c_id
+  WHERE d.q_id != d.c_id),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INTEGER) AS rank
+  FROM cos)
+SELECT q_id, c_id, cosine, rank FROM ranked WHERE rank <= 5
+""")
+def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_bruteforce(emb, KNN_QUERY_IDS, k=5)
+
+
+@register("embedding_ann_lsh", f"""
+WITH {_EMB_CTES},
+pd AS (
+  SELECT e.vec_id, p.p,
+         CAST(SUM(CAST(e.val * (((p.p * 73856093 + e.pos * 19349663) % 1000003)
+                                / 1000003.0 - 0.5) AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM elems e, (SELECT unnest(generate_series(0, 7)) AS p) p
+  GROUP BY 1, 2),
+codes AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+  FROM pd GROUP BY 1),
+cand AS (
+  SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+  FROM codes a JOIN codes b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+cdots AS (
+  SELECT cd.q_id, cd.c_id,
+         CAST(SUM(CAST(q.val * c.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM cand cd
+  JOIN elems q ON q.vec_id = cd.q_id
+  JOIN elems c ON c.vec_id = cd.c_id AND c.pos = q.pos
+  GROUP BY 1, 2)
+SELECT d.q_id, d.c_id,
+       d.dot / (sqrt(qn.norm_sq) * sqrt(cn.norm_sq)) AS cosine
+FROM cdots d
+JOIN norms qn ON qn.vec_id = d.q_id
+JOIN norms cn ON cn.vec_id = d.c_id
+WHERE d.dot / (sqrt(qn.norm_sq) * sqrt(cn.norm_sq)) >= 0.3
+""")
+def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_pairs(emb, n_planes=8, min_cosine=0.3)
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction on the event stream
+# ---------------------------------------------------------------------------
+
+@register("events_json_extract", """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1
+""")
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_mod")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )

@@ -648,3 +648,8 @@ def q_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = detector_config(spark, sf_dir).select("node_name").distinct()
     spine = hourly_spine(spark, PREDICT_SPLIT, PREDICT_STOP, nodes)
     return spine.select("node_name", fmt_ts("predict_time").alias("predict_time"))
+
+# load extension registrations (import at end avoids a circular-import trap:
+# extensions imports register() from this module)
+from traffic_data_pipeline_spark.plans import extensions  # noqa: E402,F401
+
