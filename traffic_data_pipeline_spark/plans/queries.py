@@ -649,6 +649,32 @@ def q_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = hourly_spine(spark, PREDICT_SPLIT, PREDICT_STOP, nodes)
     return spine.select("node_name", fmt_ts("predict_time").alias("predict_time"))
 
+@register("config_xml_flatten")
+def q_config_xml_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S3/F1-F6/J1-J3: metro_config XML -> flat detector dimension,
+    single-pass xpath + arrays_zip + posexplode (no positional bind, no
+    joins). xpath() has no DuckDB twin, so the driver records a rows-only
+    check; value-level coverage lives in tests/test_config_xml.py."""
+    from traffic_data_pipeline_spark.sources.config_xml import (
+        flatten_config_xml, make_config_xml, snapshot_frame,
+    )
+    cfg = detector_config(spark, sf_dir).collect()
+    detectors = [
+        dict(corridor=r.corridor_route, dir="EB", node=r.node_name,
+             lon=0.0, lat=0.0, station=r.node_name,
+             name=r.sensor, label=r.sensor, category="",
+             lane=1, field=float(r.field_length), abandoned="f")
+        for r in cfg
+    ]
+    url = "http://example.org/iris_xml/metro_config_20230101.xml.gz"
+    docs = snapshot_frame(spark, [(url, make_config_xml(detectors))])
+    out = flatten_config_xml(docs)
+    return out.select(
+        "DETECTOR_NAME", "DETECTOR_LANE", "DETECTOR_FIELD", "NODE_NAME",
+        "CORRIDOR_ROUTE", "SNAPSHOT_DATE",
+    ).orderBy("DETECTOR_NAME")
+
+
 # load extension registrations (import at end avoids a circular-import trap:
 # extensions imports register() from this module)
 from traffic_data_pipeline_spark.plans import extensions  # noqa: E402,F401
