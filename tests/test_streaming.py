@@ -1,0 +1,124 @@
+"""Streaming == batch equivalence for the 15-min aggregation (SURVEY.md
+§2.8 T1/T3), plus watermark append-mode and idempotent sink behavior."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from traffic_data_pipeline_spark.operators.aggregate import aggregate_detector
+from traffic_data_pipeline_spark.sources.sensor import sensor_readings
+from traffic_data_pipeline_spark.streaming.pipeline import (
+    high_water_mark,
+    start_parquet_sink,
+    stream_15min_agg,
+    stream_readings,
+)
+
+AGG_COLS = ["sensor", "start_datetime", "volume_sum", "volume_pct_null",
+            "occupancy_sum", "occupancy_pct_null"]
+
+
+@pytest.fixture(scope="module")
+def source_dir(spark, sf_dir, tmp_path_factory):
+    """Materialize the sf0.001 readings as a multi-file parquet drop zone."""
+    path = str(tmp_path_factory.mktemp("stream_src"))
+    (sensor_readings(spark, sf_dir)
+     .select("sensor", "start_datetime", "volume", "occupancy")
+     .repartition(4)
+     .write.mode("overwrite").parquet(path))
+    return path
+
+
+def _batch_result(spark, source_dir):
+    return aggregate_detector(spark.read.parquet(source_dir)).select(*AGG_COLS)
+
+
+def test_stream_complete_equals_batch(spark, source_dir):
+    """Multi-micro-batch streaming run (complete mode) converges to the
+    batch aggregation exactly."""
+    agg = stream_15min_agg(stream_readings(spark, source_dir,
+                                           max_files_per_trigger=1))
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName("agg_complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = spark.table("agg_complete").select(*AGG_COLS)
+    want = _batch_result(spark, source_dir)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_stream_append_sink_idempotent(spark, source_dir, tmp_path):
+    """Append mode emits each closed window once; emitted values match the
+    batch result; re-running from the same checkpoint adds nothing."""
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        agg = stream_15min_agg(
+            stream_readings(spark, source_dir, max_files_per_trigger=2),
+            watermark="1 hour",
+        )
+        q = start_parquet_sink(agg, sink, ckpt)
+        q.awaitTermination(300)
+
+    run()
+    emitted = spark.read.parquet(sink).select(*AGG_COLS)
+    n_emitted = emitted.count()
+    assert n_emitted > 0
+    # every emitted (closed) window carries the exact batch value
+    want = _batch_result(spark, source_dir)
+    assert emitted.exceptAll(want).count() == 0
+
+    # watermark probe over the published facts
+    hwm = high_water_mark(spark, sink)
+    assert hwm is not None
+
+    run()  # replay with no new files: checkpoint makes it a no-op
+    assert spark.read.parquet(sink).count() == n_emitted
+
+
+def test_late_beyond_watermark_dropped(spark, tmp_path):
+    """A row arriving later than the allowance never lands (T3/T4): the
+    reference's blind re-append would double-insert instead."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    mk = "sensor string, start_datetime string, volume int, occupancy int"
+
+    spark.createDataFrame(
+        [("s1", "2023-01-01 00:05:00", 5, 100),
+         ("s1", "2023-01-03 00:00:00", 7, 100)], mk,
+    ).withColumn("start_datetime", F.col("start_datetime").cast("timestamp")) \
+     .write.mode("overwrite").parquet(src)
+
+    def run():
+        agg = stream_15min_agg(stream_readings(spark, src), watermark="1 day")
+        q = start_parquet_sink(agg, sink, ckpt)
+        q.awaitTermination(300)
+
+    run()
+    first = {r.start_datetime for r in
+             spark.read.parquet(sink).select("start_datetime").collect()}
+
+    # second drop: one row >1 day behind the observed max -> dropped,
+    # one row advancing the clock
+    spark.createDataFrame(
+        [("s1", "2023-01-01 00:06:00", 9, 100),
+         ("s1", "2023-01-05 00:00:00", 1, 100)], mk,
+    ).withColumn("start_datetime", F.col("start_datetime").cast("timestamp")) \
+     .write.mode("append").parquet(src)
+    run()
+
+    rows = {(r.sensor, str(r.start_datetime), r.volume_sum)
+            for r in spark.read.parquet(sink)
+            .select("sensor", "start_datetime", "volume_sum").collect()}
+    # the 00:00-00:15 window emitted with the ORIGINAL value; the late
+    # 00:06 update never mutated it
+    assert ("s1", "2023-01-01 00:00:00", 5) in rows
+    assert ("s1", "2023-01-01 00:00:00", 14) not in rows
+    assert len(first) >= 1

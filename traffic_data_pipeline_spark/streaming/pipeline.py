@@ -1,0 +1,101 @@
+"""Structured-Streaming face of the 15-min ingest (SURVEY.md §2.8 T1-T6).
+
+The reference implements streaming-shaped semantics in batch: a nightly
+task re-pulls `MAX(START_DATE)+1 .. today-3` (watermark probe S9 plus a
+fixed 3-day lateness allowance, /root/reference/R/4) Update-SensorData-
+Nightly.R:7-13) and blindly appends (K2). The Spark-native translation:
+
+- the 30-sec feed is a file-source stream (`readStream`), one or more
+  parquet drops per day;
+- the SAME `aggregate_detector` DAG runs over it — `groupBy(sensor,
+  window('15 minutes'))` is identical code batch or stream (T1);
+- `withWatermark('start_datetime', '3 days')` encodes the reference's
+  3-day lag as an engine-managed watermark (T3): a window finalizes and
+  emits exactly once, when the watermark passes it — the nightly "wait 3
+  days before trusting the data" rule, minus the hand-rolled date math;
+- late rows inside the allowance update their window before it emits;
+  rows later than 3 days are dropped, which the reference silently
+  mis-handles (blind append would double-insert on re-pull — README's
+  known-issues list, /root/reference/README.md:34-37);
+- the sink is `foreachBatch` writing date-partitioned parquet. With
+  append-mode only *closed* windows reach the sink, so a replayed batch
+  rewrites the same partitions (idempotent-by-partition); a transactional
+  table format would make it exactly-once, plain parquet is
+  at-least-once-per-partition.
+
+Nightly `trigger(availableNow=True)` processes whatever files arrived
+since the checkpoint and stops — the scheduled-batch cadence of
+/root/reference/R/schedule_task.R:14-17 with checkpointed (not
+hand-rolled) progress tracking. Scale: state is one row per open
+(sensor, window); with a 3-day watermark that bounds state to
+sensors x 288 windows regardless of history length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from traffic_data_pipeline_spark.operators.aggregate import aggregate_detector
+
+READINGS_SCHEMA = (
+    "sensor string, start_datetime timestamp, volume int, occupancy int"
+)
+
+
+def stream_readings(spark: SparkSession, source_dir: str,
+                    max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of 30-sec readings (S4 as a stream, T6)."""
+    reader = spark.readStream.schema(READINGS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def stream_15min_agg(readings: DataFrame,
+                     config: DataFrame | None = None,
+                     watermark: str = "3 days",
+                     interval: str = "15 minutes") -> DataFrame:
+    """T1+T3: watermarked tumbling-window aggregation, batch-identical
+    semantics (same operator code as the batch path)."""
+    return aggregate_detector(
+        readings.withWatermark("start_datetime", watermark),
+        config=config, interval=interval,
+    )
+
+
+def start_parquet_sink(agg: DataFrame, sink_path: str, checkpoint: str,
+                       available_now: bool = True) -> StreamingQuery:
+    """Append-mode foreachBatch sink: closed windows land as
+    date-partitioned parquet, partitions overwritten per batch so a
+    checkpoint replay cannot double-insert a partition (the K2 blind-append
+    fix)."""
+    def write_batch(batch: DataFrame, _batch_id: int) -> None:
+        (
+            batch.withColumn("start_date", F.to_date("start_datetime"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("start_date")
+            .parquet(sink_path)
+        )
+
+    writer = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(write_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def high_water_mark(spark: SparkSession, fact_path: str):
+    """S9 watermark probe over the published fact table — the batch
+    fallback when no streaming checkpoint exists
+    (/root/reference/R/4) Update-SensorData-Nightly.R:7)."""
+    try:
+        df = spark.read.parquet(fact_path)
+    except Exception:
+        return None
+    return df.agg(F.max("start_date")).first()[0]
