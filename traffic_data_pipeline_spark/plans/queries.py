@@ -649,6 +649,24 @@ def q_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = hourly_spine(spark, PREDICT_SPLIT, PREDICT_STOP, nodes)
     return spine.select("node_name", fmt_ts("predict_time").alias("predict_time"))
 
+@register("model_predict_glm")
+def q_model_predict_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: per-node seasonal Poisson-GLM fit+score via applyInPandas
+    (ml/modeling.py). Iterative fit — no SQL twin; the driver records a
+    rows-only check and tests/test_modeling.py gates the behavior."""
+    from traffic_data_pipeline_spark.ml.modeling import modeling_node
+    roll = two_level_rollup(_node_fact(spark, sf_dir), "hour")
+    split = F.lit(PREDICT_SPLIT).cast("timestamp")
+    train = roll.filter(F.col("ts") < split).select("node_name", "ts", "volume_sum")
+    nodes = detector_config(spark, sf_dir).select("node_name").distinct()
+    spine = hourly_spine(spark, PREDICT_SPLIT, PREDICT_STOP, nodes)
+    out = modeling_node(train, spine, "hour")
+    return out.select(
+        "NODE_NAME", fmt_ts("PREDICT_TIME").alias("PREDICT_TIME"),
+        "VOLUMN_PREDICTION",
+    ).orderBy("NODE_NAME", "PREDICT_TIME")
+
+
 @register("config_xml_flatten")
 def q_config_xml_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1-S3/F1-F6/J1-J3: metro_config XML -> flat detector dimension,
