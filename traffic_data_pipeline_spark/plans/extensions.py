@@ -337,3 +337,37 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns (rows-only checks: mapInPandas has no SQL twin;
+# value-level coverage in tests/test_multimodal.py)
+# ---------------------------------------------------------------------------
+
+@register("media_decode_stats")
+def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary media -> per-image decode statistics via Arrow-batched
+    mapInPandas (decode itself is the documented deterministic fake)."""
+    from traffic_data_pipeline_spark.multimodal.media import attach_media, decode_image
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    return decode_image(media).orderBy("doc_id")
+
+
+@register("media_frame_sample")
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: every 2nd frame, one row per kept frame."""
+    from traffic_data_pipeline_spark.multimodal.media import attach_media, sample_frames
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    return (
+        sample_frames(media, every_n=2)
+        .select("doc_id", "frame_idx", F.length("frame").alias("frame_bytes"))
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+@register("media_features")
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram feature vectors (array<float>) per media blob."""
+    from traffic_data_pipeline_spark.multimodal.media import attach_media, media_features
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    return media_features(media, n_bins=16).orderBy("doc_id")
