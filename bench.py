@@ -27,8 +27,17 @@ def main() -> None:
     spark = get_spark("tdp-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up the JVM + parquet footer caches on the flagship query
+    # warm up the JVM, codegen, and parquet footer caches: one cheap pass
+    # over every fixture table plus the flagship query
+    from traffic_data_pipeline_spark.sources.tables import TABLES, load_table
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
     QUERIES["sensor_15min_agg"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # spawn the Python-worker pool once (mapInPandas/applyInPandas queries
+    # otherwise pay a per-core daemon fork on first touch)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(cpus * 4).repartition(cpus).mapInPandas(
+        lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):

@@ -45,11 +45,23 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text",
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-             k: int = SHINGLE_LEN) -> DataFrame:
-    """Distinct character k-gram shingles of the normalized text."""
+             k: int = SHINGLE_LEN, distinct: bool = True) -> DataFrame:
+    """Character k-gram shingles of the normalized text.
+
+    ``distinct=True`` dedupes (id, shingle) — required where shingle-set
+    cardinality matters (Jaccard). MinHash callers pass False: MIN is
+    duplicate-insensitive, and the dedup would cost a full shuffle of the
+    exploded shingle stream for nothing.
+    """
     norm = normalize(F.col(text_col))
-    return (
-        df.select(F.col(id_col), norm.alias("_norm"))
+    out = (
+        # spread docs across tasks BEFORE the ~300x explode: a single-file
+        # fixture scan is one partition, and doc-size skew at corpus scale
+        # wants the same rebalance. Explicit count — AQE would coalesce a
+        # small pre-explode shuffle back to one partition, defeating it.
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+                       F.col(id_col))
+        .select(F.col(id_col), norm.alias("_norm"))
         .select(
             id_col,
             F.explode(
@@ -58,8 +70,8 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             "_norm",
         )
         .select(id_col, F.expr(f"substring(_norm, _pos, {k})").alias("shingle"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id",

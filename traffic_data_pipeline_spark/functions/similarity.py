@@ -2,90 +2,113 @@
 brute-force cosine top-k baseline + random-hyperplane LSH bucketing as the
 scale path.
 
-Float determinism: dot products and squared norms are accumulated as
-DECIMAL over the exploded (vector, position) stream, so the resulting
-cosine is bit-identical across engines and partitionings (same rationale
-as plans/queries.dsum). At fixture scale (500 x 64-dim) the explode-join
-materializes ~2M rows — trivial. At corpus scale the brute-force path is
-the per-bucket verifier behind the LSH candidate generator, never the
-global strategy.
+Execution shape: every dot product / squared norm is a higher-order
+function (`zip_with` + `aggregate`) evaluated per row inside whole-stage
+codegen — vectors never explode into (id, pos, val) element rows, so the
+only shuffles are the candidate joins on ids/bucket codes. (An earlier
+formulation exploded elements and re-grouped per pair: that shuffles
+|pairs| x dim rows — at 100 TB the element stream IS the corpus, several
+times over.)
+
+Float determinism: products are accumulated as DECIMAL, which is exact and
+therefore order-independent — the resulting cosine is bit-identical across
+engines and partitionings (same rationale as plans/queries.dsum), so the
+DuckDB oracles (which still use their own unnest-SQL) hash-match.
 
 LSH planes are pure integer arithmetic
-(((p*73856093 + j*19349663) % 1000003) / 1000003 - 0.5) — deterministic,
-engine-agnostic, and seedable without any RNG.
+(((p*73856093 + pos*19349663) % 1000003) / 1000003 - 0.5), pos 1-based —
+deterministic, engine-agnostic, seedable without any RNG.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DOT_DECIMAL = "decimal(30,12)"
 N_PLANES = 8
 
 
-def vector_elements(df: DataFrame, vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> DataFrame:
-    """Explode to (id, pos 1-based, val double)."""
-    return df.select(
-        F.col(id_col),
-        F.posexplode(F.col(vec_col)),
-    ).select(
-        F.col(id_col),
-        (F.col("pos") + 1).alias("pos"),
-        F.col("col").cast("double").alias("val"),
-    )
+def _dec_sum(arr: Column) -> Column:
+    """Exact (order-independent) sum of a decimal array -> double."""
+    return F.aggregate(
+        arr, F.lit(0).cast(DOT_DECIMAL),
+        lambda acc, x: (acc + x).cast(DOT_DECIMAL),
+    ).cast("double")
 
 
-def vector_norms(elems: DataFrame, id_col: str = "vec_id") -> DataFrame:
-    """Deterministic squared norm per vector (decimal accumulation)."""
-    return elems.groupBy(id_col).agg(
-        F.sum((F.col("val") * F.col("val")).cast(DOT_DECIMAL))
-        .cast("double").alias("norm_sq")
-    )
+def dot_product(a: Column, b: Column) -> Column:
+    """Decimal-exact dot product of two array<float|double> columns."""
+    return _dec_sum(F.zip_with(
+        a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(DOT_DECIMAL)
+    ))
 
 
-def cosine_pairs(q_elems: DataFrame, c_elems: DataFrame,
-                 q_norms: DataFrame, c_norms: DataFrame) -> DataFrame:
-    """Exact cosine for every (query, corpus) pair present in the inputs.
+def norm_sq(a: Column) -> Column:
+    """Decimal-exact squared L2 norm."""
+    return dot_product(a, a)
 
-    elems frames: (vec_id, pos, val). Output: q_id, c_id, cosine.
-    """
-    q = q_elems.select(F.col("vec_id").alias("q_id"), "pos",
-                       F.col("val").alias("qv"))
-    c = c_elems.select(F.col("vec_id").alias("c_id"), "pos",
-                       F.col("val").alias("cv"))
-    dots = (
-        q.join(c, "pos")
-        .groupBy("q_id", "c_id")
-        .agg(F.sum((F.col("qv") * F.col("cv")).cast(DOT_DECIMAL))
-             .cast("double").alias("dot"))
-    )
-    return (
-        dots.join(q_norms.select(F.col("vec_id").alias("q_id"),
-                                 F.col("norm_sq").alias("qn")), "q_id")
-        .join(c_norms.select(F.col("vec_id").alias("c_id"),
-                             F.col("norm_sq").alias("cn")), "c_id")
-        .select(
-            "q_id", "c_id",
-            (F.col("dot") / (F.sqrt("qn") * F.sqrt("cn"))).alias("cosine"),
-        )
-    )
+
+def _plane_dot(vec: Column, p: int) -> Column:
+    """Dot of a vector with deterministic pseudo-noise plane ``p``."""
+    weights = lambda v, pos: (  # noqa: E731
+        v.cast("double")
+        * (((F.lit(p).cast("bigint") * 73856093 + pos * 19349663) % 1000003)
+           / 1000003.0 - 0.5)
+    ).cast(DOT_DECIMAL)
+    return _dec_sum(F.zip_with(vec, F.sequence(F.lit(1), F.size(vec)), weights))
+
+
+def bucket_code(vec: Column, n_planes: int = N_PLANES) -> Column:
+    """Random-hyperplane LSH: n_planes sign bits -> integer bucket code,
+    computed in one projection (no explode, no shuffle)."""
+    bits = [
+        F.when(_plane_dot(vec, p) >= 0,
+               F.lit(1 << p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        for p in range(n_planes)
+    ]
+    return reduce(lambda x, y: x + y, bits)
+
+
+def lsh_bucket_codes(df: DataFrame, n_planes: int = N_PLANES,
+                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """(id, bucket) per vector."""
+    return df.select(F.col(id_col),
+                     bucket_code(F.col(vec_col), n_planes).alias("bucket"))
 
 
 def knn_bruteforce(df: DataFrame, query_ids, k: int = 5,
                    vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Top-k cosine neighbors for each query vector (self excluded).
 
-    Deterministic ranking: (cosine DESC, c_id ASC) row_number <= k.
+    The query side is a handful of rows — broadcast it and score the
+    corpus in a single narrow pass; ranking is the only shuffle
+    (partitionBy query). Deterministic: (cosine DESC, c_id ASC).
     """
     from pyspark.sql import Window
 
-    elems = vector_elements(df, vec_col, id_col)
-    norms = vector_norms(elems, id_col)
-    q_elems = elems.filter(F.col(id_col).isin(list(query_ids)))
-    pairs = cosine_pairs(q_elems, elems, norms, norms).filter(
-        F.col("q_id") != F.col("c_id")
+    with_norm = df.select(
+        F.col(id_col), F.col(vec_col),
+        norm_sq(F.col(vec_col)).alias("_n2"),
+    )
+    q = with_norm.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"),
+        F.col("_n2").alias("_qn"),
+    )
+    c = with_norm.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("_cv"),
+        F.col("_n2").alias("_cn"),
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id", "c_id",
+            (dot_product(F.col("_qv"), F.col("_cv"))
+             / (F.sqrt("_qn") * F.sqrt("_cn"))).alias("cosine"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (
@@ -95,68 +118,31 @@ def knn_bruteforce(df: DataFrame, query_ids, k: int = 5,
     )
 
 
-def lsh_bucket_codes(df: DataFrame, n_planes: int = N_PLANES,
-                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Random-hyperplane LSH: n_planes sign bits -> integer bucket code.
-
-    Plane weights are the deterministic integer-arithmetic pseudo-noise
-    above; the per-(vector, plane) dot is a decimal-accumulated aggregate.
-    """
-    elems = vector_elements(df, vec_col, id_col)
-    planes = (
-        elems.select(id_col, "pos", "val")
-        .join(
-            # plane table: (p, pos) weights — generated in-engine, no RNG
-            elems.sparkSession.range(n_planes).select(F.col("id").alias("p"))
-            .crossJoin(elems.select("pos").distinct()),
-            "pos",
-        )
-        .withColumn(
-            "w",
-            ((F.col("p") * 73856093 + F.col("pos") * 19349663) % 1000003)
-            / 1000003.0 - 0.5,
-        )
-    )
-    dots = (
-        planes.groupBy(id_col, "p")
-        .agg(F.sum((F.col("val") * F.col("w")).cast(DOT_DECIMAL))
-             .cast("double").alias("dot"))
-    )
-    return dots.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("dot") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))"))
-            .otherwise(0)
-        ).alias("bucket")
-    )
-
-
 def ann_lsh_pairs(df: DataFrame, n_planes: int = N_PLANES, min_cosine: float = 0.0,
                   vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """ANN via LSH buckets: candidate pairs share a bucket code, then exact
-    cosine on candidates only. Output: doc pairs with cosine >= min_cosine."""
-    codes = lsh_bucket_codes(df, n_planes, vec_col, id_col)
-    a = codes.select(F.col(id_col).alias("q_id"), "bucket")
-    b = codes.select(F.col(id_col).alias("c_id"), "bucket")
-    cand = a.join(b, "bucket").filter(F.col("q_id") < F.col("c_id")) \
-            .select("q_id", "c_id").distinct()
-    elems = vector_elements(df, vec_col, id_col)
-    norms = vector_norms(elems, id_col)
-    # exact cosine on candidate pairs ONLY — the pair space never appears
-    dots = (
-        cand
-        .join(elems.select(F.col(id_col).alias("q_id"), "pos",
-                           F.col("val").alias("qv")), "q_id")
-        .join(elems.select(F.col(id_col).alias("c_id"), "pos",
-                           F.col("val").alias("cv")), ["c_id", "pos"])
-        .groupBy("q_id", "c_id")
-        .agg(F.sum((F.col("qv") * F.col("cv")).cast(DOT_DECIMAL))
-             .cast("double").alias("dot"))
+    cosine on candidates only — the O(n^2) pair space never materializes.
+
+    One vector = one bucket code, so the bucket self-join yields each pair
+    at most once (no dedup needed). Hot buckets are the skew risk: AQE
+    skew-join splits them at runtime.
+    """
+    coded = df.select(
+        F.col(id_col), F.col(vec_col),
+        bucket_code(F.col(vec_col), n_planes).alias("bucket"),
+        norm_sq(F.col(vec_col)).alias("_n2"),
     )
+    a = coded.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"),
+                     F.col("_n2").alias("_qn"), "bucket")
+    b = coded.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("_cv"),
+                     F.col("_n2").alias("_cn"), "bucket")
     return (
-        dots
-        .join(norms.select(F.col(id_col).alias("q_id"), F.col("norm_sq").alias("qn")), "q_id")
-        .join(norms.select(F.col(id_col).alias("c_id"), F.col("norm_sq").alias("cn")), "c_id")
-        .select("q_id", "c_id",
-                (F.col("dot") / (F.sqrt("qn") * F.sqrt("cn"))).alias("cosine"))
+        a.join(b, "bucket")
+        .filter(F.col("q_id") < F.col("c_id"))
+        .select(
+            "q_id", "c_id",
+            (dot_product(F.col("_qv"), F.col("_cv"))
+             / (F.sqrt("_qn") * F.sqrt("_cn"))).alias("cosine"),
+        )
         .filter(F.col("cosine") >= min_cosine)
     )

@@ -34,7 +34,12 @@ def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
     tokenizer — the 'BPE-ish regex' path is the same explode with a
     different pattern."""
     return (
-        df.select(id_col, F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)).alias("token"))
+        # rebalance docs before the explode (single-file fixture scans are
+        # one partition; doc-size skew wants the same at corpus scale).
+        # Explicit count so AQE can't coalesce the small pre-explode shuffle.
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+                       F.col(id_col))
+        .select(id_col, F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)).alias("token"))
         .filter(F.col("token") != "")
     )
 

@@ -77,7 +77,12 @@ def attach_media(docs: DataFrame) -> DataFrame:
                          for m in metas],
             })
 
-    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+    # rebalance before the per-row blob synthesis: a single-file fixture
+    # scan is one partition, and mapInPandas parallelism follows input
+    # partitioning (explicit count so AQE can't coalesce it away)
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select("doc_id").repartition(n, F.col("doc_id")) \
+        .mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def _parse_header(blob: bytes) -> dict:

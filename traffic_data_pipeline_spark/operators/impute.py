@@ -10,14 +10,20 @@ stages per measure (volume, occupancy), applied in priority order:
    ordered by time, null-skipping. frollapply leaves NA where the frame is
    incomplete at series edges — encoded with a count(*)-over-frame == 5
    guard (SURVEY.md §2.6 edge-semantics note).
-3. same-weekday history (J9/J10 + P8, :532-657): left self-joins against
-   the series shifted +7 and +14 days on (sensor, timestamp), then the
-   null-aware row-mean of the two historical values.
+3. same-weekday history (J9/J10 + P8, :532-657): the value at the same
+   clock slot 7 and 14 days earlier, then the null-aware row-mean of the
+   two historical values.
 
 The reference runs stage 3 as per-sensor-day SQL lookups inside forked
-workers (one DB query per sensor per day); here each lag is ONE distributed
-self-join — at 100 TB the fact is hash-partitioned on (sensor, ts) and the
-two lag joins reuse that shuffle.
+workers (one DB query per sensor per day). The join formulation (shift the
+series +7/+14 days, left equi-join on (sensor, ts)) costs one shuffle per
+lag per measure; but (sensor, ts) is unique after the 15-min aggregation,
+so "the row exactly N days earlier, if present" is exactly a window frame
+`rangeBetween(-N days, -N days)` over seconds-since-epoch ordering — an
+empty frame yields NULL just like the unmatched left join. Every stage
+(rolling mean + both lags x both measures) therefore shares ONE
+`partitionBy(sensor)` shuffle and ONE sort: at 100 TB the whole cascade
+moves the fact once, instead of five times.
 """
 
 from __future__ import annotations
@@ -37,7 +43,14 @@ def scale_partial_nulls(sum_col: Column, pct_null_col: Column) -> Column:
     )
 
 
-def rolling_mean_impute(df: DataFrame, col: str, order_col: str = "start_datetime",
+# Materialized epoch-seconds ordering column: every window in the cascade
+# orders by this ONE attribute, so Catalyst proves the child is already
+# sorted and elides all but the first sort (distinct per-stage
+# unix_timestamp() projections would each force a re-sort).
+TS_SEC = "_ts_sec"
+
+
+def rolling_mean_impute(df: DataFrame, col: str, order_col: str = TS_SEC,
                         partition_col: str = "sensor") -> Column:
     """W1: centered width-5 rolling mean, NULL at incomplete edges
     (/root/reference/R/_pull_data.R:486-518)."""
@@ -58,34 +71,21 @@ def row_mean2(a: Column, b: Column) -> Column:
 
 
 def lag_history_impute(df: DataFrame, col: str,
-                       ts_col: str = "start_datetime",
                        key_col: str = "sensor") -> DataFrame:
     """J9/J10 + P8: fill from the same clock slot 7 and 14 days earlier.
 
     The reference issues one DB query per sensor-day
-    (/root/reference/R/_pull_data.R:539-575); here the history side is the
-    SAME DataFrame time-shifted forward, so each lag is one equi-join on
-    (sensor, ts) and Catalyst plans both against a shared shuffle.
-    Adds column ``{col}_hist`` (the row-mean, rounded to int).
+    (/root/reference/R/_pull_data.R:539-575). (sensor, ts) is unique here,
+    so the slot exactly N days back is a degenerate range frame
+    `rangeBetween(-N, -N)` over epoch seconds — an empty frame gives NULL,
+    matching the unmatched left join of the shifted-series formulation,
+    without a per-lag shuffle. Adds column ``{col}_hist`` (the null-aware
+    row-mean of the two lags, rounded to int).
     """
-    h1 = df.select(
-        F.col(key_col),
-        (F.col(ts_col) + F.expr("INTERVAL 7 DAYS")).alias(ts_col),
-        F.col(col).alias("_h1"),
-    )
-    h2 = df.select(
-        F.col(key_col),
-        (F.col(ts_col) + F.expr("INTERVAL 14 DAYS")).alias(ts_col),
-        F.col(col).alias("_h2"),
-    )
-    out = (
-        df.join(h1, [key_col, ts_col], "left")
-        .join(h2, [key_col, ts_col], "left")
-        .withColumn(f"{col}_hist",
-                    F.round(row_mean2(F.col("_h1"), F.col("_h2"))).cast("int"))
-        .drop("_h1", "_h2")
-    )
-    return out
+    base = Window.partitionBy(key_col).orderBy(TS_SEC)
+    h1 = F.max(F.col(col)).over(base.rangeBetween(-7 * 86400, -7 * 86400))
+    h2 = F.max(F.col(col)).over(base.rangeBetween(-14 * 86400, -14 * 86400))
+    return df.withColumn(f"{col}_hist", F.round(row_mean2(h1, h2)).cast("int"))
 
 
 def impute_measure(df: DataFrame, measure: str) -> DataFrame:
@@ -109,5 +109,11 @@ def impute_measure(df: DataFrame, measure: str) -> DataFrame:
 
 
 def impute(df: DataFrame) -> DataFrame:
-    """Impute both measures of the 15-min fact."""
-    return impute_measure(impute_measure(df, "volume"), "occupancy")
+    """Impute both measures of the 15-min fact.
+
+    Expects a ``start_datetime`` timestamp; materializes the shared
+    ordering key once so the whole cascade is one shuffle + one sort.
+    """
+    with_key = df.withColumn(TS_SEC, F.unix_timestamp("start_datetime"))
+    return impute_measure(impute_measure(with_key, "volume"),
+                          "occupancy").drop(TS_SEC)

@@ -30,7 +30,11 @@ def build_rtmc_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full ingest DAG producing the RTMC_15MIN fact shape
     (DDL: /root/reference/R/2) Write-Historical-SensorData-RunOnce.R:8-18)."""
     readings = sensor_readings(spark, sf_dir)
-    config = detector_config(spark, sf_dir)
+    # The config dimension is tiny but (as a fixture stand-in) derived by a
+    # full distinct over events; cache it so its two uses (field_length for
+    # the speed formula, node/corridor enrich) compute it once. In
+    # production it is a stored dimension table — the cache mirrors that.
+    config = detector_config(spark, sf_dir).cache()
     agg = aggregate_detector(readings, config)
     imputed = impute(agg)
     enriched = imputed.join(

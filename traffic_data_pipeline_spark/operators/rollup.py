@@ -15,7 +15,7 @@ partitionings and engines (see plans/queries.dsum).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -118,24 +118,26 @@ def qaqc_for_model(df: DataFrame,
        node survives only if its MINIMUM yearly completeness passes (A8+J13).
 
     Each test filters before the next computes, matching the reference's
-    chained data.table semantics.
+    chained data.table semantics. Implementation is the reference's own W2
+    shape — per-node scalars broadcast onto rows as unbounded window
+    aggregates (/root/reference/R/_analyze_data.R:54-57,64-66) — rather
+    than groupBy + re-join: a re-join per test would recompute the whole
+    upstream DAG once per side, while windows make the four tests ONE
+    shuffle on node_name followed by chained WindowExecs (the (node, year)
+    window is satisfied by the node partitioning, so no second exchange).
     """
+    wn = Window.partitionBy("node_name")
+    wy = Window.partitionBy("node_name", "_yr")
+
     q1 = df.filter(F.col("volume_num") >= F.col("detector_num") * report_ratio)
-
-    cnt = q1.groupBy("node_name").agg(F.count(F.lit(1)).alias("_n"))
-    q2 = (q1.join(F.broadcast(cnt), "node_name")
+    q2 = (q1.withColumn("_n", F.count(F.lit(1)).over(wn))
           .filter(F.col("_n") > 100).drop("_n"))
-
-    med = q2.groupBy("node_name").agg(F.median("volume_sum").alias("_med"))
-    q3 = (q2.join(F.broadcast(med), "node_name")
+    q3 = (q2.withColumn("_med", F.median("volume_sum").over(wn))
           .filter(F.col("_med") >= median_min).drop("_med"))
-
-    comp = (
-        q3.groupBy("node_name", F.year("ts").alias("_yr"))
-        .agg((F.count(F.lit(1)) / F.lit(float(slots))).alias("_pct"))
-        .groupBy("node_name")
-        .agg(F.min("_pct").alias("_min_pct"))
+    return (
+        q3.withColumn("_yr", F.year("ts"))
+        .withColumn("_pct", F.count(F.lit(1)).over(wy) / F.lit(float(slots)))
+        .withColumn("_min_pct", F.min("_pct").over(wn))
         .filter(F.col("_min_pct") >= completeness_min)
-        .select("node_name")
+        .drop("_yr", "_pct", "_min_pct")
     )
-    return q3.join(F.broadcast(comp), "node_name", "left_semi")

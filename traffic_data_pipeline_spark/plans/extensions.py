@@ -171,7 +171,7 @@ WHERE (e0 + e1 + e2 + e3 + e4 + e5 + e6 + e7) / 8.0 >= 0.5
 """)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(shingles(docs))
+    sig = minhash_signatures(shingles(docs, distinct=False))
     return lsh_candidate_pairs(sig, min_sim=0.5)
 
 
