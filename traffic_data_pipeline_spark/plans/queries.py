@@ -159,6 +159,39 @@ def q_sensor_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_15min_agg", _SENSOR_15MIN_ORACLE)
+def q_streaming_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T3: the SAME 15-min aggregation executed as a Structured
+    Streaming job (file source -> watermarked window agg -> availableNow ->
+    memory sink). The oracle is the BATCH SQL — streaming==batch
+    equivalence is the check (see also tests/test_streaming.py)."""
+    import tempfile
+    import uuid
+
+    from traffic_data_pipeline_spark.streaming.pipeline import (
+        stream_15min_agg,
+        stream_readings,
+    )
+
+    src = tempfile.mkdtemp(prefix="tdp_stream_src_")
+    (sensor_readings(spark, sf_dir)
+     .select("sensor", "start_datetime", "volume", "occupancy")
+     .write.mode("overwrite").parquet(src))
+    name = f"stream15_{uuid.uuid4().hex[:8]}"
+    agg = stream_15min_agg(stream_readings(spark, src),
+                           config=detector_config(spark, sf_dir))
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    return spark.table(name).select(
+        "sensor", fmt_ts("start_datetime").alias("start_datetime"),
+        "volume_sum", "volume_pct_null",
+        "occupancy_sum", "occupancy_pct_null",
+        "occupancy_pct", "speed",
+    )
+
+
 @register("pricing_summary", """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)       AS sum_qty,
@@ -648,6 +681,64 @@ def q_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = detector_config(spark, sf_dir).select("node_name").distinct()
     spine = hourly_spine(spark, PREDICT_SPLIT, PREDICT_STOP, nodes)
     return spine.select("node_name", fmt_ts("predict_time").alias("predict_time"))
+
+@register("watermark_probe", """
+SELECT strftime(MAX(CAST(ts AS DATE)), '%Y-%m-%d %H:%M:%S') AS high_water_mark
+FROM events
+""")
+def q_watermark_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/A9: scalar incremental watermark — MAX(START_DATE) over the fact
+    feed (/root/reference/R/4) Update-SensorData-Nightly.R:7-13). The one
+    sanctioned driver-side scalar in the engine."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.date_format(F.max(F.to_date("ts")), "yyyy-MM-dd HH:mm:ss")
+        .alias("high_water_mark")
+    )
+
+
+@register("sensor_worklist", """
+WITH bounds AS (
+  SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi FROM events),
+dates AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS data_date
+  FROM bounds),
+cfg AS (
+  SELECT CAST(user_id AS VARCHAR) AS sensor,
+         CAST(MIN(ts) AS DATE)    AS start_date,
+         CAST(MAX(ts) AS DATE)    AS end_date
+  FROM events GROUP BY 1)
+SELECT strftime(d.data_date, '%Y-%m-%d') AS data_date, COUNT(*) AS n_sensors
+FROM dates d CROSS JOIN cfg c
+WHERE d.data_date >= c.start_date AND d.data_date <= c.end_date
+GROUP BY 1
+""")
+def q_sensor_worklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: dates x sensors cross join bounded by each sensor's validity
+    interval (/root/reference/R/_pull_data.R:383-386) — written as a
+    conditioned join so Catalyst plans BNLJ against the broadcast date
+    spine rather than a blind cartesian; summarized per day for a stable
+    driver hash."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min(F.to_date("ts")).alias("lo"),
+                    F.max(F.to_date("ts")).alias("hi"))
+    dates = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("data_date")
+    )
+    cfg = ev.groupBy(F.col("user_id").cast("string").alias("sensor")).agg(
+        F.min(F.to_date("ts")).alias("start_date"),
+        F.max(F.to_date("ts")).alias("end_date"),
+    )
+    return (
+        cfg.join(
+            F.broadcast(dates),
+            (F.col("data_date") >= F.col("start_date"))
+            & (F.col("data_date") <= F.col("end_date")),
+        )
+        .groupBy(F.date_format("data_date", "yyyy-MM-dd").alias("data_date"))
+        .agg(F.count(F.lit(1)).alias("n_sensors"))
+    )
+
 
 @register("model_predict_glm")
 def q_model_predict_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
