@@ -146,3 +146,34 @@ def ann_lsh_pairs(df: DataFrame, n_planes: int = N_PLANES, min_cosine: float = 0
         )
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+def embedding_near_dup(df: DataFrame, threshold: float = 0.85,
+                       n_planes: int = N_PLANES,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate grouping (driver extension).
+
+    Candidates come from the LSH buckets; edges are exact-cosine pairs
+    >= threshold; each vector's canonical id is the minimum id among
+    itself and its direct neighbors — the standard one-round min-id
+    approximation of connected components (full CC would iterate this
+    to fixpoint; one round is the common dedup-pipeline compromise and
+    keeps the operator a bounded three-shuffle plan).
+    Output: one row per vector (id, canonical_id).
+    """
+    pairs = ann_lsh_pairs(df, n_planes, threshold, vec_col, id_col) \
+        .select("q_id", "c_id")
+    neigh = pairs.unionByName(
+        pairs.select(F.col("c_id").alias("q_id"), F.col("q_id").alias("c_id"))
+    ).withColumnRenamed("q_id", id_col)
+    return (
+        df.select(id_col)
+        .join(neigh, id_col, "left")
+        .groupBy(id_col)
+        .agg(
+            F.least(F.col(id_col),
+                    F.coalesce(F.min("c_id"), F.col(id_col)))
+            .alias("canonical_id")
+        )
+    )

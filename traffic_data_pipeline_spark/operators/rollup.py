@@ -104,7 +104,8 @@ def qaqc_for_model(df: DataFrame,
                    median_min: float,
                    slots: int,
                    completeness_min: float,
-                   report_ratio: float = 1.0) -> DataFrame:
+                   report_ratio: float = 1.0,
+                   min_rows: int = 100) -> DataFrame:
     """Sequential QAQC tests 1-4 + J13 semi-join
     (/root/reference/R/_analyze_data.R:35-76):
 
@@ -131,7 +132,7 @@ def qaqc_for_model(df: DataFrame,
 
     q1 = df.filter(F.col("volume_num") >= F.col("detector_num") * report_ratio)
     q2 = (q1.withColumn("_n", F.count(F.lit(1)).over(wn))
-          .filter(F.col("_n") > 100).drop("_n"))
+          .filter(F.col("_n") > min_rows).drop("_n"))
     q3 = (q2.withColumn("_med", F.median("volume_sum").over(wn))
           .filter(F.col("_med") >= median_min).drop("_med"))
     return (

@@ -22,6 +22,7 @@ from traffic_data_pipeline_spark.functions.dedup import (
 )
 from traffic_data_pipeline_spark.functions.similarity import (
     ann_lsh_pairs,
+    embedding_near_dup,
     knn_bruteforce,
 )
 from traffic_data_pipeline_spark.functions.text import (
@@ -313,6 +314,50 @@ WHERE d.dot / (sqrt(qn.norm_sq) * sqrt(cn.norm_sq)) >= 0.3
 def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_lsh_pairs(emb, n_planes=8, min_cosine=0.3)
+
+
+@register("dedup_embedding_cosine", f"""
+WITH {_EMB_CTES},
+pd AS (
+  SELECT e.vec_id, p.p,
+         CAST(SUM(CAST(e.val * (((p.p * 73856093 + e.pos * 19349663) % 1000003)
+                                / 1000003.0 - 0.5) AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM elems e, (SELECT unnest(generate_series(0, 7)) AS p) p
+  GROUP BY 1, 2),
+codes AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+  FROM pd GROUP BY 1),
+cand AS (
+  SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+  FROM codes a JOIN codes b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+cdots AS (
+  SELECT cd.q_id, cd.c_id,
+         CAST(SUM(CAST(q.val * c.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM cand cd
+  JOIN elems q ON q.vec_id = cd.q_id
+  JOIN elems c ON c.vec_id = cd.c_id AND c.pos = q.pos
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT d.q_id, d.c_id
+  FROM cdots d
+  JOIN norms qn ON qn.vec_id = d.q_id
+  JOIN norms cn ON cn.vec_id = d.c_id
+  WHERE d.dot / (sqrt(qn.norm_sq) * sqrt(cn.norm_sq)) >= 0.85),
+neigh AS (
+  SELECT q_id AS vec_id, c_id AS nb FROM pairs
+  UNION ALL
+  SELECT c_id, q_id FROM pairs)
+SELECT e.vec_id,
+       LEAST(e.vec_id, COALESCE(MIN(n.nb), e.vec_id)) AS canonical_id
+FROM embeddings e LEFT JOIN neigh n USING (vec_id)
+GROUP BY e.vec_id
+""")
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: LSH candidates -> exact cosine edges
+    >= 0.85 -> one-round min-id canonicalization."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, threshold=0.85, n_planes=8)
 
 
 # ---------------------------------------------------------------------------
