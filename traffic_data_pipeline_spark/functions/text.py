@@ -101,3 +101,27 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(norm).alias("fp_full"),
         F.md5(F.substring(norm, 1, 64)).alias("fp_prefix64"),
     )
+
+
+# GPT-2-style pre-tokenizer pattern, simplified to the engine-portable
+# subset (no \p classes, no lookahead): contraction suffixes, letter runs,
+# digit runs, non-space-non-alnum runs — the "BPE-ish regex" token counter.
+BPE_TOKEN_RE = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token count under the BPE-ish pre-tokenizer regex, plus the
+    whitespace-token count for comparison — the cheap proxy for "how many
+    LLM tokens is this corpus" that data pipelines run at ingest. Pure
+    regexp_extract_all, no explode: one narrow pass."""
+    return df.select(
+        id_col,
+        F.array_size(F.regexp_extract_all(F.col(text_col),
+                                          F.lit(BPE_TOKEN_RE),
+                                          0)).alias("n_bpe_tokens"),
+        F.array_size(
+            F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE),
+                     lambda t: t != "")
+        ).alias("n_ws_tokens"),
+    )

@@ -24,11 +24,13 @@ from traffic_data_pipeline_spark.functions.similarity import (
     ann_lsh_pairs,
     embedding_near_dup,
     knn_bruteforce,
+    knn_ivf,
 )
 from traffic_data_pipeline_spark.functions.text import (
     STOPWORDS_DE,
     STOPWORDS_EN,
     STOPWORDS_ES,
+    bpe_token_count,
     fingerprint,
     language_id,
     text_stats,
@@ -114,6 +116,21 @@ FROM norm
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return fingerprint(docs)
+
+
+@register("doc_token_count", """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))
+            AS INTEGER) AS n_bpe_tokens,
+       CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> t != '')) AS INTEGER) AS n_ws_tokens
+FROM documents
+""")
+def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex + whitespace token counting (training-data surface)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_token_count(docs)
 
 
 # ---------------------------------------------------------------------------
@@ -280,6 +297,34 @@ SELECT q_id, c_id, cosine, rank FROM ranked WHERE rank <= 5
 def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_bruteforce(emb, KNN_QUERY_IDS, k=5)
+
+
+@register("embedding_knn_ivf", f"""
+WITH {_EMB_CTES},
+q AS (SELECT * FROM elems WHERE vec_id IN ({", ".join(map(str, KNN_QUERY_IDS))})),
+dots AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         CAST(SUM(CAST(q.val * c.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM q JOIN elems c ON q.pos = c.pos
+  GROUP BY 1, 2),
+cos AS (
+  SELECT d.q_id, d.c_id,
+         d.dot / (sqrt(qn.norm_sq) * sqrt(cn.norm_sq)) AS cosine
+  FROM dots d
+  JOIN norms qn ON qn.vec_id = d.q_id
+  JOIN norms cn ON cn.vec_id = d.c_id
+  WHERE d.q_id != d.c_id),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INTEGER) AS rank
+  FROM cos)
+SELECT q_id, c_id, cosine, rank FROM ranked WHERE rank <= 5
+""")
+def q_embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k run at full probe depth, so the brute-force SQL is its
+    exact oracle — the inverted-list plumbing must lose nothing. Reduced
+    n_probe (the actual scale win) is unit-tested in tests/test_ivf.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ivf(emb, KNN_QUERY_IDS, k=5, n_centroids=8, n_probe=8)
 
 
 @register("embedding_ann_lsh", f"""
