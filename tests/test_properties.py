@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) for the SCD-2 transition rules and
+the imputation cascade — randomized inputs, invariant assertions.
+
+Example counts are kept small: each example runs real Spark jobs.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from traffic_data_pipeline_spark.operators.aggregate import aggregate_detector
+from traffic_data_pipeline_spark.operators.impute import impute
+from traffic_data_pipeline_spark.operators.scd2 import initial_state, scd2_apply
+
+UPD = dt.date(2024, 6, 1)
+ATTRS = ["LANE", "CAT", "DETECTOR_ABANDONED"]
+
+detector_ids = st.lists(st.integers(0, 14), min_size=1, max_size=8,
+                        unique=True)
+attr_vals = st.tuples(st.integers(1, 3), st.sampled_from(["a", "b"]),
+                      st.sampled_from(["f", "t"]))
+
+snapshot_strategy = st.dictionaries(
+    st.integers(0, 14), attr_vals, min_size=1, max_size=10)
+
+
+def _snap_df(spark, snap: dict):
+    rows = [(f"d{i}", lane, cat, ab) for i, (lane, cat, ab) in snap.items()]
+    return spark.createDataFrame(
+        rows, "DETECTOR_NAME string, LANE int, CAT string, "
+              "DETECTOR_ABANDONED string")
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(old=snapshot_strategy, new=snapshot_strategy)
+def test_scd2_invariants(spark, old, new):
+    state, log = scd2_apply(
+        initial_state(_snap_df(spark, old)), _snap_df(spark, new), UPD, ATTRS)
+    rows = state.collect()
+    by_name = {}
+    for r in rows:
+        by_name.setdefault(r.DETECTOR_NAME, []).append(r)
+
+    # every detector ever seen appears; no detector vanishes
+    assert set(by_name) == {f"d{i}" for i in set(old) | set(new)}
+
+    open_rows = [r for r in rows
+                 if r.END_DATE == dt.date(2100, 1, 1) and not r.DEACTIVATE]
+    # at most one open row per detector
+    names = [r.DETECTOR_NAME for r in open_rows]
+    assert len(names) == len(set(names))
+
+    # removed-and-previously-active detectors are closed out today
+    for i in set(old) - set(new):
+        r = by_name[f"d{i}"][0]
+        assert r.DEACTIVATE and r.END_DATE == UPD
+
+    # changelog cell rows reproduce the exact survivor diff
+    cells = {(r.DETECTOR_NAME, r.Change): (r.Old_Value, r.New_Value)
+             for r in log.collect()
+             if r.Change not in ("NEW_DETECTOR", "REMOVE_DETECTOR")}
+    for i in set(old) & set(new):
+        o, n = old[i], new[i]
+        for attr, ov, nv in zip(ATTRS, o, n):
+            key = (f"d{i}", attr)
+            if str(ov) != str(nv):
+                assert cells[key] == (str(ov), str(nv))
+            else:
+                assert key not in cells
+
+
+reading = st.tuples(
+    st.integers(0, 400),                       # minutes offset (15-min grid)
+    st.one_of(st.none(), st.integers(0, 20)),  # volume
+    st.one_of(st.none(), st.integers(0, 1800)),  # occupancy
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(series=st.lists(reading, min_size=1, max_size=40))
+def test_impute_cascade_invariants(spark, series):
+    base = dt.datetime(2024, 3, 1)
+    rows = [("s1", base + dt.timedelta(minutes=30 * m), v, o)
+            for m, v, o in series]
+    df = spark.createDataFrame(
+        rows, "sensor string, start_datetime timestamp, volume int, occupancy int")
+    agg = aggregate_detector(df)
+    out = impute(agg).collect()
+    for r in out:
+        # fully-observed intervals: imputed == raw (scaling is identity)
+        if r.volume_pct_null == 0.0:
+            assert r.volume_sum_impute == r.volume_sum
+        # imputed value present whenever any observation existed
+        if r.volume_pct_null < 100.0:
+            assert r.volume_sum_impute is not None
+        if r.occupancy_pct_null == 0.0:
+            assert r.occupancy_sum_impute == r.occupancy_sum
