@@ -203,20 +203,43 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_near_pairs(sig: DataFrame, id_col: str = "doc_id",
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       bits: int = SIMHASH_BITS) -> DataFrame:
     """Near-dup pairs by Hamming distance on the SimHash signature.
 
-    Bounded self-join — fine at fixture scale; at corpus scale band the
-    signature bytes (4x8-bit bands) exactly like MinHash-LSH first.
+    Candidate generation is pigeonhole banding: the signature splits into
+    ``max_hamming + 1`` equal bands, and a pair within the Hamming budget
+    differs in at most max_hamming bit positions, so at least one band
+    matches EXACTLY — candidates come from an equi-join on (band, value)
+    instead of an O(n^2) theta-join, with zero recall loss. Exact Hamming
+    then filters candidates. Same shape as MinHash-LSH banding; hot bands
+    (boilerplate) are the skew risk, handled by AQE skew-join.
     """
-    a, b = sig.alias("a"), sig.alias("b")
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    long = sig.select(
+        F.col(id_col), "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * band_bits)
+                 .bitwiseAND(F.lit(mask)).alias("val"),
+            )
+            for b in range(n_bands)
+        ])).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.val")
+    a, b = long.alias("a"), long.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"), "inner")
+        a.join(b, [F.col("a.band") == F.col("b.band"),
+                   F.col("a.val") == F.col("b.val"),
+                   F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair may share several bands
     )

@@ -67,3 +67,22 @@ def write_rtmc_15min(df: DataFrame, path: str) -> None:
         .partitionBy("START_DATE")
         .parquet(path)
     )
+
+
+def write_rtmc_15min_bucketed(df: DataFrame, table: str, path: str,
+                              buckets: int = 32) -> None:
+    """Scale-path sink: bucket the fact by DETECTOR_NAME (and sort within
+    buckets by START_DATETIME) so detector-keyed consumers — the lag-join
+    formulation of imputation, detector enrichment, per-detector model
+    inputs — read co-partitioned, co-sorted data and join/window WITHOUT a
+    shuffle. At 100 TB the one-time bucketed write amortizes across every
+    nightly consumer; SURVEY.md §7 ("facts partitioned by date + bucketed
+    by detector")."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, "DETECTOR_NAME")
+        .sortBy("DETECTOR_NAME", "START_DATETIME")
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table)
+    )
