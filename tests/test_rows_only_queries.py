@@ -1,0 +1,31 @@
+"""Wiring smoke for the rows-only registry entries (queries with no DuckDB
+oracle: xpath/from_xml, iterative fits, mapInPandas media). The driver
+records only a rows-count for these, so this test is what catches schema
+or composition breaks."""
+
+from __future__ import annotations
+
+import pytest
+
+from traffic_data_pipeline_spark.plans.queries import ORACLES, QUERIES
+
+ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
+
+
+def test_rows_only_set_is_expected():
+    """Every query should have an oracle unless it is genuinely
+    non-SQL-expressible — keep this list deliberate."""
+    assert ROWS_ONLY == [
+        "config_xml_flatten",      # from_xml has no DuckDB twin
+        "media_decode_stats",      # mapInPandas over binary blobs
+        "media_features",
+        "media_frame_sample",
+        "model_predict_glm",       # iterative IRLS fit
+    ]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_runs(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert len(df.schema.fields) > 0
+    assert df.count() >= 0

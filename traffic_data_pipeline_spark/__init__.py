@@ -16,6 +16,7 @@ Layout:
     ml/        — per-node seasonal model (applyInPandas; GAM stand-in)
     streaming/ — Structured Streaming wrappers over the same batch logic
     multimodal/— binary-column (image/audio) plumbing with stubbed decoders
+    pipeline   — nightly orchestration runners (backfill/incremental gating)
 
 Everything is built on pyspark.sql DataFrames — no RDD usage — so Catalyst
 handles predicate/projection pushdown, join strategy, and AQE handles skew
