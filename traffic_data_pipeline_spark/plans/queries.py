@@ -483,7 +483,9 @@ from traffic_data_pipeline_spark.operators.rollup import (
     two_level_rollup,
 )
 
-NODEFACT_CTES = IMPUTE_CTES + f""",
+def nodefact_ctes(level: str) -> str:
+    """Oracle CTE chain for the two-level roll-up at hour or day grain."""
+    return IMPUTE_CTES + f""",
 config AS ({CONFIG_VIEW_SQL}),
 fact AS (
   SELECT s.sensor, s.w_start, s.volume_sum_impute, s.occupancy_sum_impute,
@@ -493,7 +495,7 @@ fact AS (
          c.node_name, c.corridor_route
   FROM s3 s LEFT JOIN config c ON s.sensor = c.sensor),
 lvl1 AS (
-  SELECT sensor, node_name, corridor_route, date_trunc('hour', w_start) AS ts,
+  SELECT sensor, node_name, corridor_route, date_trunc('{level}', w_start) AS ts,
          CAST(SUM(volume_sum_impute) AS BIGINT) AS vol,
          CAST(SUM(occupancy_sum_impute) AS BIGINT) AS occ,
          CAST(SUM(CAST(speed AS DECIMAL(18,6))) AS DOUBLE) / COUNT(speed) AS avg_speed
@@ -505,6 +507,9 @@ lvl2 AS (
          CAST(SUM(CAST(avg_speed AS DECIMAL(18,6))) AS DOUBLE) / COUNT(avg_speed) AS speed,
          COUNT(avg_speed) AS speed_num
   FROM lvl1 GROUP BY 1, 2, 3)"""
+
+
+NODEFACT_CTES = nodefact_ctes("hour")
 
 
 def _node_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -591,6 +596,22 @@ q4 AS (SELECT q3.* FROM q3 JOIN (
 SELECT {_LVL2_OUT}, detector_num
 FROM q4
 """
+
+
+@register("node_day_rollup", f"""
+WITH {nodefact_ctes("day")}
+SELECT {_LVL2_OUT}
+FROM lvl2
+""")
+def q_node_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 at day grain — the RTMC_PREDICT_DAY-side roll-up
+    (/root/reference/R/2) SensorData-Modeling-Daily-RunOnce.R)."""
+    roll = two_level_rollup(_node_fact(spark, sf_dir), "day")
+    return roll.select(
+        "node_name", fmt_ts("ts").alias("ts"), "corridor_route",
+        "volume_sum", "volume_num", "occupancy_sum", "occupancy_num",
+        "speed", "speed_num",
+    )
 
 
 @register("node_qaqc", _NODE_QAQC_ORACLE)
