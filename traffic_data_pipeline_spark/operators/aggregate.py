@@ -105,3 +105,14 @@ def aggregate_detector(readings: DataFrame,
         .filter((F.col("volume_pct_null") < 100) | (F.col("occupancy_pct_null") < 100))
     )
     return out.drop("field_length") if config is not None else out
+
+
+def scrub_sensor(df: DataFrame,
+                 key_cols: tuple[str, ...] = ("sensor", "start_datetime")) -> DataFrame:
+    """U3: tc.sensors::scrub_sensor's observable contract — dedupe the raw
+    pull so each (sensor, reading-time) appears once (called at
+    /root/reference/R/_pull_data.R:436). The fixture feed is clean, so the
+    default ingest path skips this shuffle; wire it in front of
+    aggregate_detector when the upstream can double-deliver (API retries,
+    at-least-once file drops)."""
+    return df.dropDuplicates(list(key_cols))
