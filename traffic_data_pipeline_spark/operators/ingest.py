@@ -26,9 +26,21 @@ from traffic_data_pipeline_spark.operators.impute import impute
 from traffic_data_pipeline_spark.sources.sensor import detector_config, sensor_readings
 
 
-def build_rtmc_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+# One materialized fact per (session, sf_dir): the reference PERSISTS
+# RTMC_15MIN and every downstream job reads the table rather than re-running
+# the ingest (/root/reference/R/_pull_data.R:712-715); the session-scoped
+# persist is that table's in-process stand-in for the seven fact-derived
+# queries (roll-ups, QAQC, model, comparison).
+_FACT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def build_rtmc_15min(spark: SparkSession, sf_dir: str,
+                     use_cache: bool = True) -> DataFrame:
     """Full ingest DAG producing the RTMC_15MIN fact shape
     (DDL: /root/reference/R/2) Write-Historical-SensorData-RunOnce.R:8-18)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if use_cache and key in _FACT_CACHE:
+        return _FACT_CACHE[key]
     readings = sensor_readings(spark, sf_dir)
     # The config dimension is tiny but (as a fixture stand-in) derived by a
     # full distinct over events; cache it so its two uses (field_length for
@@ -41,7 +53,7 @@ def build_rtmc_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(config.select("sensor", "node_name", "corridor_route")),
         "sensor", "left",
     )
-    return enriched.select(
+    out = enriched.select(
         F.col("sensor").alias("DETECTOR_NAME"),
         F.col("start_datetime").alias("START_DATETIME"),
         F.to_date("start_datetime").alias("START_DATE"),
@@ -55,6 +67,10 @@ def build_rtmc_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node_name").alias("NODE_NAME"),
         F.col("corridor_route").alias("CORRIDOR_ROUTE"),
     )
+    if use_cache:
+        out = out.persist()
+        _FACT_CACHE[key] = out
+    return out
 
 
 def write_rtmc_15min(df: DataFrame, path: str) -> None:

@@ -429,6 +429,49 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("events_sessionize", """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+               OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, sid
+""")
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows over the event stream (30-min inactivity gap) — the
+    one windowing mode the reference lacks outright (SURVEY.md §2.8 "no
+    session windows"). Spark side is the native session_window; the oracle
+    is the classic gaps-and-islands rewrite, with the boundary pinned to
+    Spark's strict-merge rule (a gap of exactly 30min starts a new
+    session)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events", "sum_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary columns (rows-only checks: mapInPandas has no SQL twin;
 # value-level coverage in tests/test_multimodal.py)
