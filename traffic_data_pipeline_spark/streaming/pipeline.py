@@ -99,3 +99,39 @@ def high_water_mark(spark: SparkSession, fact_path: str):
     except Exception:
         return None
     return df.agg(F.max("start_date")).first()[0]
+
+
+def start_config_cdc(snapshots: DataFrame, state_path: str,
+                     changelog_path: str, attrs: list[str],
+                     checkpoint: str,
+                     available_now: bool = True) -> StreamingQuery:
+    """T5: SCD-2 change tracking as a stream.
+
+    ``snapshots`` is a streaming DataFrame of flattened config rows carrying
+    a SNAPSHOT_DATE column (one daily document per drop). Each micro-batch
+    applies the same set-based scd2_apply as the batch path via
+    foreachBatch — the engine-managed replacement for the reference's
+    nightly Track_Config_Change mutation loop
+    (/root/reference/R/_pull_data.R:140-322). Snapshots inside one batch
+    are applied in date order, so a backlog catch-up replays history
+    faithfully.
+    """
+    from traffic_data_pipeline_spark.pipeline import run_config_update
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        days = [r[0] for r in
+                batch.select("SNAPSHOT_DATE").distinct().collect()]
+        for day in sorted(d for d in days if d is not None):
+            snap = (batch.filter(F.col("SNAPSHOT_DATE") == F.lit(day))
+                    .drop("SNAPSHOT_DATE"))
+            run_config_update(batch.sparkSession, snap, state_path,
+                              changelog_path, day, attrs)
+
+    writer = (
+        snapshots.writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(apply_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
