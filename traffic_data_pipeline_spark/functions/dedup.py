@@ -22,7 +22,7 @@ Scale notes (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from traffic_data_pipeline_spark.functions.text import normalize
@@ -139,13 +139,13 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
     )
 
 
-def ngram_jaccard_pairs(sh: DataFrame, groups: DataFrame, id_col: str = "doc_id",
-                        min_jaccard: float = 0.3) -> DataFrame:
-    """Exact Jaccard over shingle sets for candidate pairs.
+PREFIX_CUTOFF = 0.5  # below this threshold prefixes barely prune; go naive
 
-    ``groups`` maps id -> group key (e.g. source, or an LSH bucket); only
-    intra-group pairs are scored, keeping the pair space bounded.
-    """
+
+def _ngram_jaccard_naive(sh: DataFrame, groups: DataFrame, id_col: str,
+                         min_jaccard: float) -> DataFrame:
+    """Full shingle self-join — optimal for LOW thresholds where prefix
+    filtering cannot prune (see ngram_jaccard_pairs docstring)."""
     sized = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sh_g = sh.join(groups, id_col).join(sized, id_col)
     a, b = sh_g.alias("a"), sh_g.alias("b")
@@ -159,6 +159,84 @@ def ngram_jaccard_pairs(sh: DataFrame, groups: DataFrame, id_col: str = "doc_id"
             F.col("a.n_sh").alias("n_a"),
             F.col("b.n_sh").alias("n_b"),
         )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(sh: DataFrame, groups: DataFrame, id_col: str = "doc_id",
+                        min_jaccard: float = 0.3) -> DataFrame:
+    """Exact Jaccard over shingle sets, with prefix-filtered candidate
+    generation (AllPairs/PPJoin family — recall-lossless for a threshold).
+
+    ``groups`` maps id -> group key (e.g. source, or an LSH bucket); only
+    intra-group pairs are scored.
+
+    Why not join the full shingle stream against itself: a shingle present
+    in d docs of a group contributes d^2 join rows — boilerplate 5-grams
+    make that quadratic in corpus size. Prefix filtering is the standard
+    exact fix: order each doc's shingles rarest-first (global doc-frequency,
+    ties by shingle) and keep only the first |d| - ceil(t*|d|) + 1 as the
+    doc's PREFIX. Two docs with J >= t MUST share a prefix shingle (if all
+    shared shingles sat outside both prefixes, the intersection would be
+    too small to reach t), so the candidate join runs on the short, rare
+    prefixes; the full intersection is then counted for candidates only.
+    Output is identical to the naive formulation — the DuckDB oracle keeps
+    its full-self-join SQL and must hash-match.
+
+    Prefix length is |d| - ceil(t*|d|) + 1, so pruning power scales with
+    the threshold: at t=0.25 the prefix is ~75% of the set and the two
+    extra shuffles (frequency ordering + candidate distinct) cost more
+    than they save — measured 6-10s naive vs ~25s prefix at sf0.1. Below
+    ``PREFIX_CUTOFF`` the naive formulation is used instead; both produce
+    the same rows.
+    """
+    if min_jaccard < PREFIX_CUTOFF:
+        return _ngram_jaccard_naive(sh, groups, id_col, min_jaccard)
+    sized = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_g = sh.join(groups, id_col).join(sized, id_col)
+
+    # Rarity ordering: the prefix theorem needs only a CONSISTENT total
+    # order over shingles, so the cheaper corpus-global doc-frequency
+    # serves (no group join into the frequency aggregate).
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy(id_col).orderBy("_df", "shingle")
+    prefix_len = (F.col("n_sh")
+                  - F.ceil(F.lit(min_jaccard) * F.col("n_sh")) + 1)
+    prefixes = (
+        sh_g.join(freq, "shingle")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= prefix_len)
+        .select(id_col, "grp", "shingle", "n_sh")
+    )
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.grp") == F.col("b.grp"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .distinct()
+        # length filter (also lossless): J >= t forces t*|larger| <= |smaller|
+        .filter((F.col("n_a") >= F.lit(min_jaccard) * F.col("n_b"))
+                & (F.col("n_b") >= F.lit(min_jaccard) * F.col("n_a")))
+    )
+    # exact intersection for candidates only
+    sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))

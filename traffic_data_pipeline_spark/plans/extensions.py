@@ -218,6 +218,34 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(sh, groups, min_jaccard=0.25)
 
 
+@register("dedup_ngram_jaccard_hi", f"""
+WITH {_DOC_CTES},
+groups AS (SELECT doc_id, source AS grp FROM documents),
+sized AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+sh_g AS (
+  SELECT s.doc_id, s.shingle, g.grp, z.n_sh
+  FROM sh s JOIN groups g USING (doc_id) JOIN sized z USING (doc_id)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_inter
+  FROM sh_g a JOIN sh_g b
+    ON a.shingle = b.shingle AND a.grp = b.grp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT doc_a, doc_b, n_inter,
+       n_inter / (n_a + n_b - n_inter) AS jaccard
+FROM inter
+WHERE n_inter / (n_a + n_b - n_inter) >= 0.7
+""")
+def q_dedup_ngram_jaccard_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-threshold exact Jaccard: exercises the prefix-filtered
+    (AllPairs) candidate path; the oracle is still the naive full
+    self-join SQL — prefix filtering must be recall-lossless."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    groups = docs.select("doc_id", F.col("source").alias("grp"))
+    return ngram_jaccard_pairs(sh, groups, min_jaccard=0.7)
+
+
 _SIMHASH_CTES = _DOC_CTES + """,
 tokh AS (
   SELECT doc_id, CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS th
