@@ -761,6 +761,40 @@ def q_sensor_worklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("corridor_rollup_stats", f"""
+WITH {nodefact_ctes("hour")}
+SELECT corridor_route,
+       strftime(CAST(w_start AS DATE), '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT sensor) AS BIGINT)       AS n_detectors,
+       CAST(SUM(CAST(volume_sum_impute AS DECIMAL(18,6))) AS DOUBLE) AS volume_total,
+       CAST(GROUPING(corridor_route) * 2 + GROUPING(CAST(w_start AS DATE))
+            AS BIGINT)                              AS gid
+FROM fact
+GROUP BY ROLLUP(corridor_route, CAST(w_start AS DATE))
+""")
+def q_corridor_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals with a distinct-count — relational
+    surface the reference lacks outright (SURVEY.md §2.5 'absent':
+    grouping sets / COUNT(DISTINCT)). Distinct-agg forces the two-phase
+    expand; everything else is map-side partial."""
+    from traffic_data_pipeline_spark.operators.ingest import build_rtmc_15min
+    fact = build_rtmc_15min(spark, sf_dir)
+    return (
+        fact.select(
+            F.col("CORRIDOR_ROUTE").alias("corridor_route"),
+            F.date_format("START_DATE", "yyyy-MM-dd").alias("day"),
+            "DETECTOR_NAME", "VOLUME_SUM_IMPUTE",
+        )
+        .rollup("corridor_route", "day")
+        .agg(
+            F.countDistinct("DETECTOR_NAME").alias("n_detectors"),
+            F.sum(F.col("VOLUME_SUM_IMPUTE").cast("decimal(18,6)"))
+            .cast("double").alias("volume_total"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
 @register("model_predict_glm")
 def q_model_predict_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U4: per-node seasonal Poisson-GLM fit+score via applyInPandas
