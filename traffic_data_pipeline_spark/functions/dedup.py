@@ -33,6 +33,15 @@ SHINGLE_LEN = 5
 SIMHASH_BITS = 32
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Persist and fill the cache NOW. A lazily-persisted frame does not
+    help a self-join: its two scan stages launch concurrently, both sides
+    recompute before any partition lands in the cache."""
+    df = df.persist()
+    df.count()
+    return df
+
+
 def exact_dedup_groups(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on md5(normalized text): one row per content group with
@@ -79,8 +88,9 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id",
     """Per-doc MinHash signature: h_i = MIN(md5(i || ':' || shingle)).
 
     md5 is order-free (MIN over a set) and identical across engines —
-    murmur3/xxhash would be faster but engine-specific, and this column is
-    not the hot path at fixture scale.
+    murmur3/xxhash would be faster but engine-specific, and digest cost is
+    not the hot path (measured <1s of the sf0.1 query; slicing one digest
+    into four 32-bit hashes saved nothing and degraded hash independence).
     Output: id, h0..h{n-1}.
     """
     hashed = sh.select(
@@ -119,6 +129,9 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
         + ", ".join(f"band{b}" for b in range(n_bands))
         + ") AS band_key",
     )
+    # docs × n_bands rows; the self-join below would otherwise recompute
+    # the full shingle-hash signature aggregation per side
+    band_long = _materialize(band_long)
     a, b = band_long.alias("a"), band_long.alias("b")
     pairs = (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
@@ -146,8 +159,14 @@ def _ngram_jaccard_naive(sh: DataFrame, groups: DataFrame, id_col: str,
                          min_jaccard: float) -> DataFrame:
     """Full shingle self-join — optimal for LOW thresholds where prefix
     filtering cannot prune (see ngram_jaccard_pairs docstring)."""
-    sized = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sh_g = sh.join(groups, id_col).join(sized, id_col)
+    # n_sh as a window scalar over the doc partition (not a groupBy+rejoin,
+    # which would recompute the shingle explode per branch), and the joined
+    # stream persisted so the self-join's two sides read one materialization
+    # instead of re-deriving the explode each.
+    sh_g = _materialize(
+        sh.join(F.broadcast(groups), id_col)
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
     a, b = sh_g.alias("a"), sh_g.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -198,22 +217,28 @@ def ngram_jaccard_pairs(sh: DataFrame, groups: DataFrame, id_col: str = "doc_id"
     """
     if min_jaccard < PREFIX_CUTOFF:
         return _ngram_jaccard_naive(sh, groups, id_col, min_jaccard)
-    sized = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sh_g = sh.join(groups, id_col).join(sized, id_col)
+    # The shingle stream feeds three consumers (prefix derivation + both
+    # sides of the exact-intersection join); Spark recomputes common
+    # subplans per branch, so materialize it once.
+    sh = sh.persist()
 
     # Rarity ordering: the prefix theorem needs only a CONSISTENT total
     # order over shingles, so the cheaper corpus-global doc-frequency
-    # serves (no group join into the frequency aggregate).
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # serves. Both doc-frequency and set size are window scalars — a
+    # groupBy+rejoin formulation would shuffle AND recompute the stream
+    # once per aggregate.
     w = Window.partitionBy(id_col).orderBy("_df", "shingle")
     prefix_len = (F.col("n_sh")
                   - F.ceil(F.lit(min_jaccard) * F.col("n_sh")) + 1)
     prefixes = (
-        sh_g.join(freq, "shingle")
+        sh.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= prefix_len)
+        .join(F.broadcast(groups), id_col)
         .select(id_col, "grp", "shingle", "n_sh")
     )
+    prefixes = _materialize(prefixes)  # self-joined below; also fills sh's cache
     a, b = prefixes.alias("a"), prefixes.alias("b")
     cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -230,14 +255,21 @@ def ngram_jaccard_pairs(sh: DataFrame, groups: DataFrame, id_col: str = "doc_id"
         .filter((F.col("n_a") >= F.lit(min_jaccard) * F.col("n_b"))
                 & (F.col("n_b") >= F.lit(min_jaccard) * F.col("n_a")))
     )
-    # exact intersection for candidates only
-    sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    # Exact verification: each doc's shingle set as ONE array row, then
+    # size(array_intersect) per candidate pair — a JVM set-intersection
+    # inside a projection. The alternative (re-joining candidates through
+    # the shingle stream and counting matches) multiplies every pair by its
+    # doc's full shingle count before the shuffle — measured 10.7s vs ~1s
+    # at sf0.1. Arrays are bounded by single-doc length, so rows stay small
+    # at corpus scale.
+    doc_sets = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("_set"))
     inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        cand.join(doc_sets.select(F.col(id_col).alias("doc_a"),
+                                  F.col("_set").alias("_sa")), "doc_a")
+        .join(doc_sets.select(F.col(id_col).alias("doc_b"),
+                              F.col("_set").alias("_sb")), "doc_b")
+        .select("doc_a", "doc_b", "n_a", "n_b",
+                F.size(F.array_intersect("_sa", "_sb")).alias("n_inter"))
     )
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
@@ -307,6 +339,9 @@ def simhash_near_pairs(sig: DataFrame, id_col: str = "doc_id",
             for b in range(n_bands)
         ])).alias("bk"),
     ).select(id_col, "simhash", "bk.band", "bk.val")
+    # docs × n_bands rows; without the persist the self-join recomputes the
+    # per-bit signature aggregation once per side
+    long = _materialize(long)
     a, b = long.alias("a"), long.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
