@@ -45,11 +45,17 @@ def main() -> None:
     from traffic_data_pipeline_spark.operators.ingest import build_rtmc_15min
     build_rtmc_15min(spark, sf_dir).count()
 
+    from traffic_data_pipeline_spark.functions.execution import release
+
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop operator-internal caches so each query's timing and memory
+        # footprint is independent of what ran before it (the long-lived
+        # RTMC fact cache is not registered there and survives)
+        release()
 
     out = {
         "metric": "suite_runtime",

@@ -25,21 +25,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from traffic_data_pipeline_spark.functions.execution import materialize as _materialize
 from traffic_data_pipeline_spark.functions.text import normalize
 
 N_MINHASH = 8
 N_BANDS = 4  # rows-per-band = 2
 SHINGLE_LEN = 5
 SIMHASH_BITS = 32
-
-
-def _materialize(df: DataFrame) -> DataFrame:
-    """Persist and fill the cache NOW. A lazily-persisted frame does not
-    help a self-join: its two scan stages launch concurrently, both sides
-    recompute before any partition lands in the cache."""
-    df = df.persist()
-    df.count()
-    return df
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text",
@@ -219,8 +211,9 @@ def ngram_jaccard_pairs(sh: DataFrame, groups: DataFrame, id_col: str = "doc_id"
         return _ngram_jaccard_naive(sh, groups, id_col, min_jaccard)
     # The shingle stream feeds three consumers (prefix derivation + both
     # sides of the exact-intersection join); Spark recomputes common
-    # subplans per branch, so materialize it once.
-    sh = sh.persist()
+    # subplans per branch, so persist it — the consumers run sequentially
+    # (prefixes is materialized first), so the first action fills the cache.
+    sh = _materialize(sh, eager=False)
 
     # Rarity ordering: the prefix theorem needs only a CONSISTENT total
     # order over shingles, so the cheaper corpus-global doc-frequency

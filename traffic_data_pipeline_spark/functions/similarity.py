@@ -27,6 +27,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from traffic_data_pipeline_spark.functions.execution import materialize
+
 DOT_DECIMAL = "decimal(30,12)"
 N_PLANES = 8
 
@@ -89,7 +91,11 @@ def knn_bruteforce(df: DataFrame, query_ids, k: int = 5,
     """
     from pyspark.sql import Window
 
-    with_norm = df.select(
+    # corpus-side repartition: the per-pair decimal dot products below are
+    # the cost, and a single-file scan would run them in one task
+    with_norm = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    ).select(
         F.col(id_col), F.col(vec_col),
         norm_sq(F.col(vec_col)).alias("_n2"),
     )
@@ -127,11 +133,19 @@ def ann_lsh_pairs(df: DataFrame, n_planes: int = N_PLANES, min_cosine: float = 0
     at most once (no dedup needed). Hot buckets are the skew risk: AQE
     skew-join splits them at runtime.
     """
-    coded = df.select(
-        F.col(id_col), F.col(vec_col),
-        bucket_code(F.col(vec_col), n_planes).alias("bucket"),
-        norm_sq(F.col(vec_col)).alias("_n2"),
-    )
+    # Spread vectors across tasks first: a single-file scan is ONE
+    # partition, and the exact-cosine pass below (interpreted decimal HOFs
+    # over |candidates| x dim elements) is the query's dominant compute —
+    # serial, it was 2.2s of a 4s query at sf0.1. Explicit count: AQE
+    # would coalesce the small shuffle back to one partition.
+    coded = materialize(
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+                       F.col(id_col))
+        .select(
+            F.col(id_col), F.col(vec_col),
+            bucket_code(F.col(vec_col), n_planes).alias("bucket"),
+            norm_sq(F.col(vec_col)).alias("_n2"),
+        ))  # self-joined below: one materialization, two cache readers
     a = coded.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"),
                      F.col("_n2").alias("_qn"), "bucket")
     b = coded.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("_cv"),
@@ -162,8 +176,8 @@ def embedding_near_dup(df: DataFrame, threshold: float = 0.85,
     keeps the operator a bounded three-shuffle plan).
     Output: one row per vector (id, canonical_id).
     """
-    pairs = ann_lsh_pairs(df, n_planes, threshold, vec_col, id_col) \
-        .select("q_id", "c_id")
+    pairs = materialize(ann_lsh_pairs(df, n_planes, threshold, vec_col, id_col)
+                        .select("q_id", "c_id"))  # read twice by the union below
     neigh = pairs.unionByName(
         pairs.select(F.col("c_id").alias("q_id"), F.col("q_id").alias("c_id"))
     ).withColumnRenamed("q_id", id_col)
@@ -188,8 +202,10 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
         F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"),
         norm_sq(F.col(vec_col)).alias("_cn"),
     )
-    v = df.select(F.col(id_col), F.col(vec_col),
-                  norm_sq(F.col(vec_col)).alias("_n2"))
+    # corpus x K centroid dots are the cost; spread a single-file scan
+    v = df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+                       F.col(id_col)).select(
+        F.col(id_col), F.col(vec_col), norm_sq(F.col(vec_col)).alias("_n2"))
     scored = (
         v.crossJoin(F.broadcast(c))
         .withColumn("_cos", dot_product(F.col(vec_col), F.col("_cvec"))
@@ -223,8 +239,10 @@ def knn_ivf(df: DataFrame, query_ids, k: int = 5,
     centroids = df.orderBy(id_col).limit(n_centroids)
     assign = ivf_assign(df, centroids, vec_col, id_col)
 
-    with_norm = df.select(F.col(id_col), F.col(vec_col),
-                          norm_sq(F.col(vec_col)).alias("_n2"))
+    with_norm = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    ).select(F.col(id_col), F.col(vec_col),
+             norm_sq(F.col(vec_col)).alias("_n2"))
     q = with_norm.filter(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"),
         F.col("_n2").alias("_qn"),
