@@ -215,17 +215,21 @@ def ngram_jaccard_pairs(sh: DataFrame, groups: DataFrame, id_col: str = "doc_id"
     # (prefixes is materialized first), so the first action fills the cache.
     sh = _materialize(sh, eager=False)
 
-    # Rarity ordering: the prefix theorem needs only a CONSISTENT total
-    # order over shingles, so the cheaper corpus-global doc-frequency
-    # serves. Both doc-frequency and set size are window scalars — a
-    # groupBy+rejoin formulation would shuffle AND recompute the stream
-    # once per aggregate.
-    w = Window.partitionBy(id_col).orderBy("_df", "shingle")
+    # Shingle ordering: the prefix theorem needs only a CONSISTENT total
+    # order over shingles, so md5(shingle) serves — computed inline, no
+    # extra pass. The classic rarest-first (global doc-frequency) order
+    # prunes ~25% more candidates but needs a full-stream shuffle to count
+    # frequencies: measured 7.9s vs 2.0s for prefix+candidates at sf0.1,
+    # and the array-based verify absorbs the extra candidates for ~0.5s.
+    # At corpus scale with heavier boilerplate the tradeoff can flip —
+    # that would reinstate a `_df` window over partitionBy(shingle).
+    # Set size is a window scalar, not a groupBy+rejoin (which would
+    # shuffle AND recompute the stream per aggregate).
+    w = Window.partitionBy(id_col).orderBy(F.md5("shingle"))
     prefix_len = (F.col("n_sh")
                   - F.ceil(F.lit(min_jaccard) * F.col("n_sh")) + 1)
     prefixes = (
-        sh.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
-        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= prefix_len)
         .join(F.broadcast(groups), id_col)
