@@ -102,3 +102,44 @@ def test_impute_cascade_invariants(spark, series):
             assert r.volume_sum_impute is not None
         if r.occupancy_pct_null == 0.0:
             assert r.occupancy_sum_impute == r.occupancy_sum
+
+
+# --- prefix-filtered Jaccard ≡ naive full self-join (recall-lossless) ----
+#
+# The AllPairs prefix filter (functions/dedup.ngram_jaccard_pairs, used for
+# thresholds >= PREFIX_CUTOFF) must return EXACTLY the pairs of the naive
+# formulation — the prefix theorem holds for any consistent shingle order,
+# including the md5 order the implementation uses. Randomized documents
+# with heavy shared boilerplate exercise the pruning edge cases.
+
+doc_texts = st.lists(
+    st.tuples(
+        st.sampled_from(["the quick brown fox ", "lorem ipsum dolor sit ",
+                         "pack my box with five "]),
+        st.text(alphabet="abcd ", min_size=0, max_size=30),
+    ),
+    min_size=2, max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=doc_texts, threshold=st.sampled_from([0.5, 0.7, 0.9]))
+def test_prefix_jaccard_matches_naive(spark, texts, threshold):
+    from traffic_data_pipeline_spark.functions.dedup import (
+        _ngram_jaccard_naive, ngram_jaccard_pairs, shingles)
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", boiler + tail) for i, (boiler, tail) in enumerate(texts)],
+        "doc_id string, text string")
+    sh = shingles(docs)
+    groups = docs.select("doc_id", F.lit("g").alias("grp"))
+
+    assert threshold >= 0.5  # the prefix path, not the naive dispatch
+    fast = {(r.doc_a, r.doc_b, r.n_inter, round(r.jaccard, 9))
+            for r in ngram_jaccard_pairs(sh, groups,
+                                         min_jaccard=threshold).collect()}
+    naive = {(r.doc_a, r.doc_b, r.n_inter, round(r.jaccard, 9))
+             for r in _ngram_jaccard_naive(sh, groups, "doc_id",
+                                           threshold).collect()}
+    assert fast == naive
