@@ -49,6 +49,32 @@ def test_schema_and_coverage(model_out):
     assert len(rows) == 7 * 24
 
 
+def test_day_grain_weekly_structure():
+    """Day-grain fit (the RTMC_PREDICT_DAY path) recovers the
+    weekday-vs-weekend level difference from daily totals."""
+    import numpy as np
+
+    from traffic_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("tdp-tests", shuffle_partitions=8)
+    days = pd.date_range("2023-01-02", "2023-03-27", freq="D")
+    train = pd.DataFrame({
+        "node_name": "nA",
+        "ts": days,
+        "volume_sum": [2000 if t.dayofweek < 5 else 900 for t in days],
+    })
+    nodes = spark.createDataFrame([("nA",)], "node_name string")
+    spine = hourly_spine(spark, "2023-04-03 00:00:00", "2023-04-09 00:00:00",
+                         nodes, step="1 day")
+    out = modeling_node(spark.createDataFrame(train), spine, "day")
+    pred = {r.PREDICT_TIME.weekday(): r.VOLUMN_PREDICTION for r in out.collect()}
+    assert len(pred) == 7
+    weekday_mean = np.mean([pred[d] for d in range(5)])
+    weekend_mean = np.mean([pred[d] for d in (5, 6)])
+    assert weekday_mean > 1.5 * weekend_mean
+    assert abs(weekday_mean - 2000) / 2000 < 0.15
+
+
 def test_seasonal_structure_recovered(model_out):
     pred = {(r.PREDICT_TIME.weekday(), r.PREDICT_TIME.hour): r.VOLUMN_PREDICTION
             for r in model_out.collect()}

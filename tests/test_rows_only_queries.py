@@ -17,10 +17,8 @@ def test_rows_only_set_is_expected():
     non-SQL-expressible — keep this list deliberate."""
     assert ROWS_ONLY == [
         "config_xml_flatten",      # from_xml has no DuckDB twin
-        "media_decode_stats",      # mapInPandas over binary blobs
-        "media_features",
-        "media_frame_sample",
         "model_predict_glm",       # iterative IRLS fit
+        "model_predict_glm_day",   # iterative IRLS fit (day grain)
     ]
 
 

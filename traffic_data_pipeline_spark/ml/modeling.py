@@ -108,8 +108,11 @@ def _fit_predict(pdf: pd.DataFrame) -> pd.DataFrame:
     train = pdf[pdf["_role"] == "train"].dropna(subset=["volume_sum"])
     score = pdf[pdf["_role"] == "score"]
     # reference QAQC requires >100 training rows per node
-    # (/root/reference/R/_analyze_data.R:59-60); under 30 a fit is meaningless
-    if len(train) < 30 or len(score) == 0:
+    # (/root/reference/R/_analyze_data.R:59-60); under ~2 weeks of history a
+    # fit is meaningless. The day-grain design has ~11 columns, so two weeks
+    # of dailies is enough there; hourly keeps the stricter floor.
+    min_train = 30 if time_level == "hour" else 12
+    if len(train) < min_train or len(score) == 0:
         return pd.DataFrame({
             "NODE_NAME": pd.Series(dtype="str"),
             "PREDICT_TIME": pd.Series(dtype="datetime64[ns]"),

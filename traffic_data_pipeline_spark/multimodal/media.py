@@ -20,10 +20,14 @@ Design for 100 TB of media:
   UDF signatures production-shaped (the swap-in point is one function).
 
 Synthetic media format (deterministic from the `documents` fixture, so
-tests and the driver's rows-only checks are reproducible): a 16-byte
-header `MM01 | media_kind u8 | width u16 | height u16 | channels u8 |
-sample_rate u32 | n_frames u16` followed by a pseudo-random payload
-seeded by doc_id.
+tests and the driver's checks are reproducible): a 16-byte header
+`MM01 | media_kind u8 | width u16 | height u16 | channels u8 |
+sample_rate u32 | n_frames u16` followed by an arithmetic payload
+`byte[i] = (doc_id*131 + i*7919 + 13) % 256`. The payload formula is
+deliberately SQL-expressible (integer arithmetic only, no RNG) so every
+media query — decode stats, frame sampling, resize, byte-histogram
+features — has an exact DuckDB oracle over `generate_series`, upgrading
+the whole multimodal surface from rows-only to value-hash-checked.
 """
 
 from __future__ import annotations
@@ -50,14 +54,19 @@ MEDIA_SCHEMA = (
 
 
 def _make_blob(doc_id: int) -> bytes:
-    """Deterministic synthetic media blob for a document."""
+    """Deterministic synthetic media blob for a document.
+
+    Payload bytes follow `(doc_id*131 + i*7919 + 13) % 256` — mirrored
+    verbatim by the DuckDB oracles in plans/extensions.py; change both
+    together.
+    """
     kind = doc_id % 3
-    rng = np.random.default_rng(doc_id)
     width, height, channels = 8 + doc_id % 8, 6 + doc_id % 6, 3
     rate = 8000 if kind else 0
     n_frames = 4 + doc_id % 5 if kind == 2 else 1
     frame = width * height * channels
-    payload = rng.integers(0, 256, size=frame * n_frames, dtype=np.uint8)
+    idx = np.arange(frame * n_frames, dtype=np.int64)
+    payload = ((doc_id * 131 + idx * 7919 + 13) % 256).astype(np.uint8)
     header = struct.pack(_HEADER, MAGIC, kind, width, height, channels,
                          rate, n_frames)
     return header + payload.tobytes()
@@ -194,3 +203,34 @@ def media_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
     return (media.select("doc_id", "media_type", "content")
             .mapInPandas(gen, "doc_id bigint, media_type string, "
                               "features array<float>"))
+
+
+def byte_histogram(media: DataFrame, n_bins: int = 16) -> DataFrame:
+    """media_features in long form: one row per (doc, bin) with the exact
+    integer bin count and the double fraction.
+
+    This is the hash-stable projection of the feature vector — integer
+    counts plus a double division of two exact integers are bit-identical
+    across engines, unlike the float32 array (which the driver's
+    canonicalizer can't hash at all). Same Arrow-batched mapInPandas
+    plumbing, no shuffle.
+    """
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, bins, counts, fracs = [], [], [], [], []
+            for doc_id, mt, blob in zip(pdf["doc_id"], pdf["media_type"],
+                                        pdf["content"]):
+                arr = np.frombuffer(bytes(blob), np.uint8, offset=HEADER_BYTES)
+                hist = np.bincount(arr // (256 // n_bins), minlength=n_bins)
+                ids.extend([int(doc_id)] * n_bins)
+                types.extend([mt] * n_bins)
+                bins.extend(range(n_bins))
+                counts.extend(int(c) for c in hist)
+                fracs.extend(float(c) / float(len(arr)) for c in hist)
+            yield pd.DataFrame({"doc_id": ids, "media_type": types,
+                                "bin": bins, "n_in_bin": counts,
+                                "frac": fracs})
+
+    return (media.select("doc_id", "media_type", "content")
+            .mapInPandas(gen, "doc_id bigint, media_type string, bin int, "
+                              "n_in_bin bigint, frac double"))

@@ -18,17 +18,18 @@ from pyspark.sql import functions as F
 
 
 def hourly_spine(spark: SparkSession, start: str, stop: str,
-                 nodes: DataFrame) -> DataFrame:
+                 nodes: DataFrame, step: str = "1 hour") -> DataFrame:
     """F11: sequence() + explode calendar spine x node dimension
-    (/root/reference/R/_analyze_data.R:227-232 builds seq.POSIXt per node).
-    One sequence literal exploded then cross-joined with the (tiny,
-    broadcast) node dim — the spine itself never shuffles."""
+    (/root/reference/R/_analyze_data.R:227-232 builds seq.POSIXt per node;
+    the daily model uses a 1-day step, R/2) SensorData-Modeling-Daily-
+    RunOnce.R:22). One sequence literal exploded then cross-joined with
+    the (tiny, broadcast) node dim — the spine itself never shuffles."""
     spine = spark.range(1).select(
         F.explode(
             F.sequence(
                 F.lit(start).cast("timestamp"),
                 F.lit(stop).cast("timestamp"),
-                F.expr("INTERVAL 1 HOUR"),
+                F.expr(f"INTERVAL {step}"),
             )
         ).alias("predict_time")
     )

@@ -501,34 +501,115 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal binary columns (rows-only checks: mapInPandas has no SQL twin;
-# value-level coverage in tests/test_multimodal.py)
+# Multimodal binary columns. The synthetic payload formula
+# (doc_id*131 + i*7919 + 13) % 256 and the header metadata derivations
+# (multimodal/media.py:_make_blob) are pure integer arithmetic, so every
+# media query has an exact DuckDB oracle over generate_series — the
+# mapInPandas plumbing is value-hash-checked end to end, not just
+# rows-counted.
 # ---------------------------------------------------------------------------
 
-@register("media_decode_stats")
+# header metadata as SQL, mirroring _make_blob exactly
+_MEDIA_CTE = """
+media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+         CAST(8 + doc_id % 8 AS INTEGER)  AS width,
+         CAST(6 + doc_id % 6 AS INTEGER)  AS height,
+         CAST(3 AS INTEGER)               AS channels,
+         CAST(CASE WHEN doc_id % 3 = 2 THEN 4 + doc_id % 5 ELSE 1 END
+              AS INTEGER)                 AS n_frames
+  FROM documents)
+"""
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from traffic_data_pipeline_spark.multimodal.media import attach_media
+    return attach_media(load_table(spark, sf_dir, "documents"))
+
+
+@register("media_decode_stats", f"""
+WITH {_MEDIA_CTE},
+px AS (
+  SELECT m.doc_id, m.width, m.height, m.channels,
+         CAST((m.doc_id * 131 + t.i * 7919 + 13) % 256 AS DOUBLE) AS val
+  FROM media m, unnest(generate_series(0, m.width * m.height * m.channels - 1)) t(i)
+  WHERE m.media_type = 'image')
+SELECT doc_id, width, height, channels,
+       ROUND(AVG(val), 6)        AS mean_px,
+       ROUND(stddev_pop(val), 6) AS std_px
+FROM px GROUP BY 1, 2, 3, 4
+""")
 def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque binary media -> per-image decode statistics via Arrow-batched
-    mapInPandas (decode itself is the documented deterministic fake)."""
-    from traffic_data_pipeline_spark.multimodal.media import attach_media, decode_image
-    media = attach_media(load_table(spark, sf_dir, "documents"))
-    return decode_image(media).orderBy("doc_id")
-
-
-@register("media_frame_sample")
-def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling: every 2nd frame, one row per kept frame."""
-    from traffic_data_pipeline_spark.multimodal.media import attach_media, sample_frames
-    media = attach_media(load_table(spark, sf_dir, "documents"))
-    return (
-        sample_frames(media, every_n=2)
-        .select("doc_id", "frame_idx", F.length("frame").alias("frame_bytes"))
-        .orderBy("doc_id", "frame_idx")
+    mapInPandas (decode itself is the documented deterministic fake).
+    mean/std rounded to 6dp on both sides: the pixel sums are exact in
+    float64 (integers < 2^53), so only the std's last-ulp reduction order
+    needs absorbing."""
+    from traffic_data_pipeline_spark.multimodal.media import decode_image
+    return decode_image(_media(spark, sf_dir)).select(
+        "doc_id", "width", "height", "channels",
+        F.round("mean_px", 6).alias("mean_px"),
+        F.round("std_px", 6).alias("std_px"),
     )
 
 
-@register("media_features")
+@register("media_frame_sample", f"""
+WITH {_MEDIA_CTE}
+SELECT m.doc_id, CAST(t.i AS INTEGER) AS frame_idx,
+       m.width * m.height * m.channels AS frame_bytes
+FROM media m, unnest(generate_series(0, m.n_frames - 1, 2)) t(i)
+WHERE m.media_type = 'video'
+""")
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: every 2nd frame, one row per kept frame."""
+    from traffic_data_pipeline_spark.multimodal.media import sample_frames
+    return (
+        sample_frames(_media(spark, sf_dir), every_n=2)
+        .select("doc_id", "frame_idx", F.length("frame").alias("frame_bytes"))
+    )
+
+
+@register("media_features", f"""
+WITH {_MEDIA_CTE},
+counts AS (
+  SELECT m.doc_id,
+         CAST(((m.doc_id * 131 + t.i * 7919 + 13) % 256) // 16 AS INTEGER) AS bin,
+         COUNT(*) AS n
+  FROM media m,
+       unnest(generate_series(0, m.width * m.height * m.channels * m.n_frames - 1)) t(i)
+  GROUP BY 1, 2)
+SELECT m.doc_id, m.media_type, CAST(b.bin AS INTEGER) AS bin,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_in_bin,
+       CAST(COALESCE(c.n, 0) AS DOUBLE)
+         / (m.width * m.height * m.channels * m.n_frames) AS frac
+FROM media m
+CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bin) b
+LEFT JOIN counts c ON c.doc_id = m.doc_id AND c.bin = b.bin
+""")
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-histogram feature vectors (array<float>) per media blob."""
-    from traffic_data_pipeline_spark.multimodal.media import attach_media, media_features
-    media = attach_media(load_table(spark, sf_dir, "documents"))
-    return media_features(media, n_bins=16).orderBy("doc_id")
+    """Byte-histogram features in hash-stable long form: exact integer bin
+    counts + a double fraction (division of two exact integers — bit-equal
+    across engines). The array<float> vector form stays available as
+    multimodal.media.media_features for API users."""
+    from traffic_data_pipeline_spark.multimodal.media import byte_histogram
+    return byte_histogram(_media(spark, sf_dir), n_bins=16)
+
+
+@register("media_resize", f"""
+WITH {_MEDIA_CTE}
+SELECT doc_id, CAST(4 AS INTEGER) AS out_w, CAST(3 AS INTEGER) AS out_h,
+       CAST(16 + 4 * 3 * channels AS INTEGER) AS n_bytes
+FROM media WHERE media_type = 'image'
+""")
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize to 4x3; the checkable surface is the output
+    blob size (16-byte header + out_w*out_h*channels payload). Pixel-level
+    resampling correctness is unit-tested in tests/test_multimodal.py."""
+    from traffic_data_pipeline_spark.multimodal.media import resize_image
+    return resize_image(_media(spark, sf_dir), 4, 3).select(
+        "doc_id",
+        F.lit(4).alias("out_w"), F.lit(3).alias("out_h"),
+        F.length("content").alias("n_bytes"),
+    )

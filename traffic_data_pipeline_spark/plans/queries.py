@@ -828,6 +828,26 @@ def q_model_predict_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("NODE_NAME", "PREDICT_TIME")
 
 
+@register("model_predict_glm_day")
+def q_model_predict_glm_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 at day grain — the RTMC_PREDICT_DAY side of the reference
+    (/root/reference/R/2) SensorData-Modeling-Daily-RunOnce.R:22): the same
+    per-node Poisson-IRLS fit over the day-level roll-up scored onto a
+    1-day spine. Rows-only (iterative fit, no SQL twin); day-grain
+    seasonal-structure gates live in tests/test_modeling.py."""
+    from traffic_data_pipeline_spark.ml.modeling import modeling_node
+    roll = two_level_rollup(_node_fact(spark, sf_dir), "day")
+    split = F.lit(PREDICT_SPLIT).cast("timestamp")
+    train = roll.filter(F.col("ts") < split).select("node_name", "ts", "volume_sum")
+    nodes = detector_config(spark, sf_dir).select("node_name").distinct()
+    spine = hourly_spine(spark, PREDICT_SPLIT, PREDICT_STOP, nodes, step="1 day")
+    out = modeling_node(train, spine, "day")
+    return out.select(
+        "NODE_NAME", fmt_ts("PREDICT_TIME").alias("PREDICT_TIME"),
+        "VOLUMN_PREDICTION",
+    ).orderBy("NODE_NAME", "PREDICT_TIME")
+
+
 @register("config_xml_flatten")
 def q_config_xml_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1-S3/F1-F6/J1-J3: metro_config XML -> flat detector dimension,
