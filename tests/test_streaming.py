@@ -82,6 +82,71 @@ def test_stream_append_sink_idempotent(spark, source_dir, tmp_path):
     assert spark.read.parquet(sink).count() == n_emitted
 
 
+def test_same_date_windows_survive_across_batches(spark, tmp_path):
+    """Windows for ONE date that close in DIFFERENT runs/batches must all
+    land: a date-level partition overwrite would delete run 1's windows
+    when run 2 emits more windows for the same date (the sink is
+    batch-scoped precisely to prevent that)."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    mk = "sensor string, start_datetime string, volume int, occupancy int"
+
+    def drop(rows, mode):
+        spark.createDataFrame(rows, mk) \
+            .withColumn("start_datetime", F.col("start_datetime").cast("timestamp")) \
+            .write.mode(mode).parquet(src)
+
+    def run():
+        agg = stream_15min_agg(stream_readings(spark, src), watermark="6 hours")
+        q = start_parquet_sink(agg, sink, ckpt)
+        assert q.awaitTermination(300)
+
+    # run 1: window A (Jan 1 00:00) closes via the 12:00 clock row
+    # (watermark -> 06:00)
+    drop([("s1", "2023-01-01 00:05:00", 5, 100),
+          ("s1", "2023-01-01 12:00:00", 1, 100)], "overwrite")
+    run()
+    # run 2: window B (Jan 1 13:00 — same start_date as A, inside the
+    # allowance) closes via the Jan 2 clock row
+    drop([("s1", "2023-01-01 13:00:00", 7, 100),
+          ("s1", "2023-01-02 00:00:00", 1, 100)], "append")
+    run()
+
+    got = {str(r.start_datetime)
+           for r in spark.read.parquet(sink)
+           .filter("sensor = 's1'").select("start_datetime").collect()}
+    assert "2023-01-01 00:00:00" in got, "run-1 window was clobbered"
+    assert "2023-01-01 13:00:00" in got
+
+
+def test_available_now_flush_sentinel(spark, tmp_path):
+    """The availableNow+append withholding edge: without a far-future
+    sentinel the final windows stay in state; with it, every real window
+    lands and the sentinel's own window never does (this pins the behavior
+    q_streaming_15min relies on)."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    mk = "sensor string, start_datetime string, volume int, occupancy int"
+
+    rows = [("s1", f"2023-01-01 00:{m:02d}:00", 1, 100) for m in range(0, 60, 5)]
+    spark.createDataFrame(rows, mk) \
+        .withColumn("start_datetime", F.col("start_datetime").cast("timestamp")) \
+        .write.mode("overwrite").parquet(src)
+    spark.createDataFrame([("__flush__", "2023-01-09 00:00:00", None, None)], mk) \
+        .withColumn("start_datetime", F.col("start_datetime").cast("timestamp")) \
+        .write.mode("append").parquet(src)
+
+    agg = stream_15min_agg(stream_readings(spark, src), watermark="3 days")
+    q = start_parquet_sink(agg, sink, ckpt)
+    assert q.awaitTermination(300)
+    landed = spark.read.parquet(sink)
+    real = landed.filter("sensor = 's1'")
+    assert real.count() == 4  # all four 15-min windows of the real hour
+    assert landed.filter("sensor = '__flush__'").count() == 0
+
+
 def test_late_beyond_watermark_dropped(spark, tmp_path):
     """A row arriving later than the allowance never lands (T3/T4): the
     reference's blind re-append would double-insert instead."""

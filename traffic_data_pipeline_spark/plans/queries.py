@@ -161,19 +161,39 @@ def q_sensor_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_SRC_CACHE: dict[str, str] = {}
 
+# Sentinel sensor appended to the landing zone as its own (last) file: its
+# far-future event time advances the watermark past every real window, so
+# the availableNow run's final no-data batch emits the complete aggregate
+# in append mode. Without it, windows younger than the watermark delay stay
+# in state and never land — the availableNow+append withholding edge
+# (probed in tests/test_streaming.py::test_available_now_flush_sentinel).
+# The sentinel's own window is beyond the advanced watermark, so it never
+# emits; the read-back filter below is belt-and-braces.
+FLUSH_SENSOR = "__flush__"
+
 
 def stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per sf_dir per process) the parquet directory the
     streaming query reads as its file source — the stand-in for the
-    landing zone where 30-sec readings arrive. Building it is ingest-side
-    setup, not streaming work, so bench warmup pre-builds it."""
+    landing zone where 30-sec readings arrive, plus the watermark-flush
+    sentinel file. Building it is ingest-side setup, not streaming work,
+    so bench warmup pre-builds it."""
     if sf_dir not in _STREAM_SRC_CACHE:
         import tempfile
 
         src = tempfile.mkdtemp(prefix="tdp_stream_src_")
-        (sensor_readings(spark, sf_dir)
-         .select("sensor", "start_datetime", "volume", "occupancy")
-         .write.mode("overwrite").parquet(src))
+        readings = (sensor_readings(spark, sf_dir)
+                    .select("sensor", "start_datetime", "volume", "occupancy"))
+        readings.write.mode("overwrite").parquet(src)
+        (readings.groupBy()
+         .agg(F.max("start_datetime").alias("mx"))
+         .select(
+             F.lit(FLUSH_SENSOR).alias("sensor"),
+             (F.col("mx") + F.expr("INTERVAL 4 DAYS")).alias("start_datetime"),
+             F.lit(None).cast("int").alias("volume"),
+             F.lit(None).cast("int").alias("occupancy"),
+         )
+         .write.mode("append").parquet(src))
         _STREAM_SRC_CACHE[sf_dir] = src
     return _STREAM_SRC_CACHE[sf_dir]
 
@@ -181,25 +201,32 @@ def stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
 @register("streaming_15min_agg", _SENSOR_15MIN_ORACLE)
 def q_streaming_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/T3: the SAME 15-min aggregation executed as a Structured
-    Streaming job (file source -> watermarked window agg -> availableNow ->
-    memory sink). The oracle is the BATCH SQL — streaming==batch
-    equivalence is the check (see also tests/test_streaming.py)."""
-    import uuid
+    Streaming job, through the PRODUCTION sink path: file source ->
+    3-day-watermarked window agg -> availableNow -> append-mode
+    foreachBatch parquet sink -> read the landed partitions back. The
+    oracle is the BATCH SQL — streaming==batch equivalence is the check,
+    and unlike a complete-mode memory sink (unbounded state + full
+    collect to the driver each trigger) this exercises watermark
+    finalization and scales: state holds only open windows and each batch
+    lands distributed."""
+    import tempfile
 
     from traffic_data_pipeline_spark.streaming.pipeline import (
+        start_parquet_sink,
         stream_15min_agg,
         stream_readings,
     )
 
     src = stream_source_dir(spark, sf_dir)
-    name = f"stream15_{uuid.uuid4().hex[:8]}"
+    sink = tempfile.mkdtemp(prefix="tdp_stream_sink_")
+    ckpt = tempfile.mkdtemp(prefix="tdp_stream_ckpt_")
     agg = stream_15min_agg(stream_readings(spark, src),
                            config=detector_config(spark, sf_dir))
-    q = (agg.writeStream.outputMode("complete")
-         .format("memory").queryName(name)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(600)
-    return spark.table(name).select(
+    q = start_parquet_sink(agg, sink, ckpt)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming_15min_agg: availableNow run exceeded 600s")
+    return spark.read.parquet(sink).filter(F.col("sensor") != FLUSH_SENSOR).select(
         "sensor", fmt_ts("start_datetime").alias("start_datetime"),
         "volume_sum", "volume_pct_null",
         "occupancy_sum", "occupancy_pct_null",

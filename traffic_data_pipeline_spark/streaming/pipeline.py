@@ -17,11 +17,16 @@ Nightly.R:7-13) and blindly appends (K2). The Spark-native translation:
   rows later than 3 days are dropped, which the reference silently
   mis-handles (blind append would double-insert on re-pull — README's
   known-issues list, /root/reference/README.md:34-37);
-- the sink is `foreachBatch` writing date-partitioned parquet. With
-  append-mode only *closed* windows reach the sink, so a replayed batch
-  rewrites the same partitions (idempotent-by-partition); a transactional
-  table format would make it exactly-once, plain parquet is
-  at-least-once-per-partition.
+- the sink is `foreachBatch` writing parquet partitioned by
+  (batch_id, start_date). In append mode one date's windows close across
+  MANY micro-batches (the watermark boundary is never at midnight), so
+  overwriting whole date partitions per batch would silently delete the
+  date's earlier-batch windows; scoping the dynamic overwrite under the
+  batch_id keeps replay idempotent (a re-run of batch N rewrites exactly
+  batch N's output) without ever touching other batches' rows. A
+  transactional table format (MERGE on window key) would make it
+  exactly-once; plain parquet gets exactly-once-per-batch-replay, which
+  is what checkpoint recovery needs.
 
 Nightly `trigger(availableNow=True)` processes whatever files arrived
 since the checkpoint and stops — the scheduled-batch cadence of
@@ -67,16 +72,26 @@ def stream_15min_agg(readings: DataFrame,
 
 def start_parquet_sink(agg: DataFrame, sink_path: str, checkpoint: str,
                        available_now: bool = True) -> StreamingQuery:
-    """Append-mode foreachBatch sink: closed windows land as
-    date-partitioned parquet, partitions overwritten per batch so a
-    checkpoint replay cannot double-insert a partition (the K2 blind-append
-    fix)."""
-    def write_batch(batch: DataFrame, _batch_id: int) -> None:
+    """Append-mode foreachBatch sink: closed windows land as parquet
+    partitioned by (batch_id, start_date).
+
+    Idempotency is per BATCH, not per date: after a failure, foreachBatch
+    replays the last uncommitted batch with the same batch_id, and the
+    dynamic overwrite rewrites exactly that batch's partitions — so a
+    replay cannot double-insert (the K2 blind-append fix) and, unlike a
+    date-level overwrite, cannot delete windows that earlier batches
+    emitted for the same date (one date's windows close across many
+    batches; the watermark boundary is never at midnight). Readers see
+    start_date as a normal partition column (second level), so date
+    pruning still works; `batch_id` is physical lineage — drop it on read.
+    """
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
         (
             batch.withColumn("start_date", F.to_date("start_datetime"))
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("start_date")
+            .partitionBy("batch_id", "start_date")
             .parquet(sink_path)
         )
 
