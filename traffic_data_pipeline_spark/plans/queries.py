@@ -423,31 +423,35 @@ _CHANGELOG_ORACLE = f"""
 WITH {_SCD2_SNAPS}
 SELECT '{SCD2_UPDATE_DATE}' AS "Update_Date", 'NEW_DETECTOR' AS "Change",
        n."DETECTOR_NAME",
-       CAST(NULL AS VARCHAR) AS "Old_Value", CAST(NULL AS VARCHAR) AS "New_Value"
+       CAST(NULL AS VARCHAR) AS "Old_Value", n."DETECTOR_NAME" AS "New_Value",
+       CAST(NULL AS VARCHAR) AS "Last_Update_Date"
 FROM snapn n
 WHERE NOT EXISTS (SELECT 1 FROM snapo o WHERE o."DETECTOR_NAME" = n."DETECTOR_NAME")
 UNION ALL
-SELECT '{SCD2_UPDATE_DATE}', 'REMOVE_DETECTOR', o."DETECTOR_NAME", NULL, NULL
+SELECT '{SCD2_UPDATE_DATE}', 'REMOVE_DETECTOR', o."DETECTOR_NAME",
+       o."DETECTOR_NAME", NULL, NULL
 FROM snapo o
 WHERE NOT EXISTS (SELECT 1 FROM snapn n WHERE n."DETECTOR_NAME" = o."DETECTOR_NAME")
 UNION ALL
 SELECT '{SCD2_UPDATE_DATE}', 'DETECTOR_LANE', o."DETECTOR_NAME",
-       CAST(o."DETECTOR_LANE" AS VARCHAR), CAST(n."DETECTOR_LANE" AS VARCHAR)
+       CAST(o."DETECTOR_LANE" AS VARCHAR), CAST(n."DETECTOR_LANE" AS VARCHAR),
+       NULL
 FROM snapo o JOIN snapn n USING ("DETECTOR_NAME")
 WHERE o."DETECTOR_LANE" IS DISTINCT FROM n."DETECTOR_LANE"
 UNION ALL
 SELECT '{SCD2_UPDATE_DATE}', 'DETECTOR_CATEGORY', o."DETECTOR_NAME",
-       o."DETECTOR_CATEGORY", n."DETECTOR_CATEGORY"
+       o."DETECTOR_CATEGORY", n."DETECTOR_CATEGORY", NULL
 FROM snapo o JOIN snapn n USING ("DETECTOR_NAME")
 WHERE o."DETECTOR_CATEGORY" IS DISTINCT FROM n."DETECTOR_CATEGORY"
 UNION ALL
 SELECT '{SCD2_UPDATE_DATE}', 'DETECTOR_FIELD', o."DETECTOR_NAME",
-       CAST(o."DETECTOR_FIELD" AS VARCHAR), CAST(n."DETECTOR_FIELD" AS VARCHAR)
+       CAST(o."DETECTOR_FIELD" AS VARCHAR), CAST(n."DETECTOR_FIELD" AS VARCHAR),
+       NULL
 FROM snapo o JOIN snapn n USING ("DETECTOR_NAME")
 WHERE o."DETECTOR_FIELD" IS DISTINCT FROM n."DETECTOR_FIELD"
 UNION ALL
 SELECT '{SCD2_UPDATE_DATE}', 'DETECTOR_ABANDONED', o."DETECTOR_NAME",
-       o."DETECTOR_ABANDONED", n."DETECTOR_ABANDONED"
+       o."DETECTOR_ABANDONED", n."DETECTOR_ABANDONED", NULL
 FROM snapo o JOIN snapn n USING ("DETECTOR_NAME")
 WHERE o."DETECTOR_ABANDONED" IS DISTINCT FROM n."DETECTOR_ABANDONED"
 """
@@ -455,19 +459,29 @@ WHERE o."DETECTOR_ABANDONED" IS DISTINCT FROM n."DETECTOR_ABANDONED"
 
 @register("config_changelog", _CHANGELOG_ORACLE)
 def q_config_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single delta from the bootstrap state: every Last_Update_Date is
+    NULL here because bootstrap rows carry no change stamp yet — the
+    populated-stamp path is driver-checked by config_changelog_multiday."""
     old = initial_state(config_snapshot(spark, sf_dir, "old"))
     new = config_snapshot(spark, sf_dir, "new")
     _, changelog = scd2_apply(old, new, SCD2_UPDATE_DATE, SCD2_ATTRS)
     return changelog.select(
         F.date_format("Update_Date", "yyyy-MM-dd").alias("Update_Date"),
         "Change", "DETECTOR_NAME", "Old_Value", "New_Value",
+        F.date_format("Last_Update_Date", "yyyy-MM-dd").alias("Last_Update_Date"),
     )
 
+
+_SCD2_ATTR_DIFF = """(o."DETECTOR_LANE" IS DISTINCT FROM n."DETECTOR_LANE"
+         OR o."DETECTOR_CATEGORY" IS DISTINCT FROM n."DETECTOR_CATEGORY"
+         OR o."DETECTOR_FIELD" IS DISTINCT FROM n."DETECTOR_FIELD"
+         OR o."DETECTOR_ABANDONED" IS DISTINCT FROM n."DETECTOR_ABANDONED")"""
 
 _SCD2_STATE_ORACLE = f"""
 WITH {_SCD2_SNAPS}
 SELECT o."DETECTOR_NAME", o."DETECTOR_LANE", o."DETECTOR_CATEGORY",
        o."DETECTOR_FIELD", o."DETECTOR_ABANDONED",
+       CAST(NULL AS VARCHAR) AS "LAST_CHANGE_DATE",
        '1900-01-01' AS "START_DATE", '{SCD2_UPDATE_DATE}' AS "END_DATE",
        TRUE AS "DEACTIVATE"
 FROM snapo o
@@ -475,17 +489,19 @@ WHERE NOT EXISTS (SELECT 1 FROM snapn n WHERE n."DETECTOR_NAME" = o."DETECTOR_NA
 UNION ALL
 SELECT o."DETECTOR_NAME", n."DETECTOR_LANE", n."DETECTOR_CATEGORY",
        n."DETECTOR_FIELD", n."DETECTOR_ABANDONED",
+       CASE WHEN {_SCD2_ATTR_DIFF} THEN '{SCD2_UPDATE_DATE}' END,
        '1900-01-01',
        CASE WHEN o."DETECTOR_ABANDONED" = 'f' AND n."DETECTOR_ABANDONED" = 't'
                  THEN '{SCD2_UPDATE_DATE}'
             WHEN o."DETECTOR_ABANDONED" = 't' AND n."DETECTOR_ABANDONED" = 'f'
                  THEN '2019-07-31'
             ELSE '2100-01-01' END,
-       FALSE
+       o."DETECTOR_ABANDONED" IS DISTINCT FROM n."DETECTOR_ABANDONED"
 FROM snapo o JOIN snapn n USING ("DETECTOR_NAME")
 UNION ALL
 SELECT n."DETECTOR_NAME", n."DETECTOR_LANE", n."DETECTOR_CATEGORY",
        n."DETECTOR_FIELD", n."DETECTOR_ABANDONED",
+       '{SCD2_UPDATE_DATE}',
        '{SCD2_UPDATE_DATE}', '2100-01-01', FALSE
 FROM snapn n
 WHERE NOT EXISTS (SELECT 1 FROM snapo o WHERE o."DETECTOR_NAME" = n."DETECTOR_NAME")
@@ -500,6 +516,193 @@ def q_config_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(
         "DETECTOR_NAME", "DETECTOR_LANE", "DETECTOR_CATEGORY",
         "DETECTOR_FIELD", "DETECTOR_ABANDONED",
+        F.date_format("LAST_CHANGE_DATE", "yyyy-MM-dd").alias("LAST_CHANGE_DATE"),
+        F.date_format("START_DATE", "yyyy-MM-dd").alias("START_DATE"),
+        F.date_format("END_DATE", "yyyy-MM-dd").alias("END_DATE"),
+        "DEACTIVATE",
+    )
+
+
+# --- multi-day SCD-2 replay (bootstrap + two nightly deltas) ---------------
+# Exercises the semantics a single delta can't see: Last_Update_Date
+# populated from the row's previous change stamp, deactivated rows NOT
+# re-inserted (or re-removed) when their detector stays absent, and
+# attribute patches applied to closed rows — the reference compares every
+# delta against the ENTIRE historical table
+# (/root/reference/R/_pull_data.R:149-151,183-184,222-225).
+
+from traffic_data_pipeline_spark.sources.sensor import slice_pred
+
+SCD2_DAY1 = "2024-01-21"
+SCD2_DAY2 = "2024-01-31"
+
+_SCD2_3SNAPS = f"""
+snap1 AS ({snapshot_sql(slice_pred("t1"))}),
+snap2 AS ({snapshot_sql(slice_pred("t2"))}),
+snap3 AS ({snapshot_sql(slice_pred("t3"))})
+"""
+
+
+def _diff_sql(a: str, b: str) -> str:
+    return f"""({a}."DETECTOR_LANE" IS DISTINCT FROM {b}."DETECTOR_LANE"
+       OR {a}."DETECTOR_CATEGORY" IS DISTINCT FROM {b}."DETECTOR_CATEGORY"
+       OR {a}."DETECTOR_FIELD" IS DISTINCT FROM {b}."DETECTOR_FIELD"
+       OR {a}."DETECTOR_ABANDONED" IS DISTINCT FROM {b}."DETECTOR_ABANDONED")"""
+
+
+# state after applying snap2 to bootstrap(snap1) on DAY1 — the SQL mirror
+# of one scd2_apply round, reused by both multi-day oracles
+_STATE1_CTE = f"""
+state1 AS (
+  SELECT COALESCE(o."DETECTOR_NAME", n."DETECTOR_NAME") AS "DETECTOR_NAME",
+         CASE WHEN n."DETECTOR_NAME" IS NULL THEN o."DETECTOR_LANE"
+              ELSE n."DETECTOR_LANE" END      AS "DETECTOR_LANE",
+         CASE WHEN n."DETECTOR_NAME" IS NULL THEN o."DETECTOR_CATEGORY"
+              ELSE n."DETECTOR_CATEGORY" END  AS "DETECTOR_CATEGORY",
+         CASE WHEN n."DETECTOR_NAME" IS NULL THEN o."DETECTOR_FIELD"
+              ELSE n."DETECTOR_FIELD" END     AS "DETECTOR_FIELD",
+         CASE WHEN n."DETECTOR_NAME" IS NULL THEN o."DETECTOR_ABANDONED"
+              ELSE n."DETECTOR_ABANDONED" END AS "DETECTOR_ABANDONED",
+         CASE WHEN n."DETECTOR_NAME" IS NULL THEN CAST(NULL AS DATE)
+              WHEN o."DETECTOR_NAME" IS NULL THEN DATE '{SCD2_DAY1}'
+              WHEN {_diff_sql("o", "n")} THEN DATE '{SCD2_DAY1}'
+         END                                  AS "LAST_CHANGE_DATE",
+         CASE WHEN o."DETECTOR_NAME" IS NULL THEN DATE '{SCD2_DAY1}'
+              ELSE DATE '1900-01-01' END      AS "START_DATE",
+         CASE WHEN n."DETECTOR_NAME" IS NULL THEN DATE '{SCD2_DAY1}'
+              WHEN o."DETECTOR_NAME" IS NULL THEN DATE '2100-01-01'
+              WHEN o."DETECTOR_ABANDONED" = 'f' AND n."DETECTOR_ABANDONED" = 't'
+                   THEN DATE '{SCD2_DAY1}'
+              WHEN o."DETECTOR_ABANDONED" = 't' AND n."DETECTOR_ABANDONED" = 'f'
+                   THEN DATE '2019-07-31'
+              ELSE DATE '2100-01-01' END      AS "END_DATE",
+         CASE WHEN n."DETECTOR_NAME" IS NULL THEN TRUE
+              WHEN o."DETECTOR_NAME" IS NULL THEN FALSE
+              ELSE o."DETECTOR_ABANDONED" IS DISTINCT FROM n."DETECTOR_ABANDONED"
+         END                                  AS "DEACTIVATE"
+  FROM snap1 o FULL JOIN snap2 n ON o."DETECTOR_NAME" = n."DETECTOR_NAME")
+"""
+
+
+def _cell_logs_sql(day: str, old: str, new: str, lcd: str) -> str:
+    """UNION ALL of per-attribute change rows between relations old/new."""
+    parts = []
+    for a in ("DETECTOR_LANE", "DETECTOR_CATEGORY", "DETECTOR_FIELD",
+              "DETECTOR_ABANDONED"):
+        parts.append(f"""
+SELECT '{day}' AS "Update_Date", '{a}' AS "Change",
+       o."DETECTOR_NAME",
+       CAST(o."{a}" AS VARCHAR) AS "Old_Value",
+       CAST(n."{a}" AS VARCHAR) AS "New_Value",
+       {lcd} AS "Last_Update_Date"
+FROM {old} o JOIN {new} n ON o."DETECTOR_NAME" = n."DETECTOR_NAME"
+WHERE o."{a}" IS DISTINCT FROM n."{a}\"""")
+    return "\nUNION ALL".join(parts)
+
+
+_LCD_STR = 'strftime(o."LAST_CHANGE_DATE", \'%Y-%m-%d\')'
+
+_CHANGELOG_MULTIDAY_ORACLE = f"""
+WITH {_SCD2_3SNAPS}, {_STATE1_CTE}
+SELECT '{SCD2_DAY1}' AS "Update_Date", 'NEW_DETECTOR' AS "Change",
+       n."DETECTOR_NAME", CAST(NULL AS VARCHAR) AS "Old_Value",
+       n."DETECTOR_NAME" AS "New_Value", CAST(NULL AS VARCHAR) AS "Last_Update_Date"
+FROM snap2 n
+WHERE NOT EXISTS (SELECT 1 FROM snap1 o WHERE o."DETECTOR_NAME" = n."DETECTOR_NAME")
+UNION ALL
+SELECT '{SCD2_DAY1}', 'REMOVE_DETECTOR', o."DETECTOR_NAME",
+       o."DETECTOR_NAME", NULL, NULL
+FROM snap1 o
+WHERE NOT EXISTS (SELECT 1 FROM snap2 n WHERE n."DETECTOR_NAME" = o."DETECTOR_NAME")
+UNION ALL
+{_cell_logs_sql(SCD2_DAY1, "snap1", "snap2", "CAST(NULL AS VARCHAR)")}
+UNION ALL
+SELECT '{SCD2_DAY2}', 'NEW_DETECTOR', n."DETECTOR_NAME",
+       NULL, n."DETECTOR_NAME", NULL
+FROM snap3 n
+WHERE NOT EXISTS (SELECT 1 FROM state1 s WHERE s."DETECTOR_NAME" = n."DETECTOR_NAME")
+UNION ALL
+SELECT '{SCD2_DAY2}', 'REMOVE_DETECTOR', s."DETECTOR_NAME",
+       s."DETECTOR_NAME", NULL, strftime(s."LAST_CHANGE_DATE", '%Y-%m-%d')
+FROM state1 s
+WHERE NOT s."DEACTIVATE"
+  AND NOT EXISTS (SELECT 1 FROM snap3 n WHERE n."DETECTOR_NAME" = s."DETECTOR_NAME")
+UNION ALL
+{_cell_logs_sql(SCD2_DAY2, "state1", "snap3", _LCD_STR)}
+"""
+
+
+def _scd2_multiday(spark: SparkSession, sf_dir: str):
+    s1 = config_snapshot(spark, sf_dir, "t1")
+    s2 = config_snapshot(spark, sf_dir, "t2")
+    s3 = config_snapshot(spark, sf_dir, "t3")
+    st1, log1 = scd2_apply(initial_state(s1), s2, SCD2_DAY1, SCD2_ATTRS)
+    st2, log2 = scd2_apply(st1, s3, SCD2_DAY2, SCD2_ATTRS)
+    return st2, log1.unionByName(log2)
+
+
+@register("config_changelog_multiday", _CHANGELOG_MULTIDAY_ORACLE)
+def q_config_changelog_multiday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two chained nightly deltas; delta-2 changelog rows carry
+    Last_Update_Date = the detector's delta-1 change stamp (or NULL if it
+    didn't change then), exactly as the reference reads the pre-update
+    LAST_CHANGE_DATE (/root/reference/R/_pull_data.R:207,310)."""
+    _, changelog = _scd2_multiday(spark, sf_dir)
+    return changelog.select(
+        F.date_format("Update_Date", "yyyy-MM-dd").alias("Update_Date"),
+        "Change", "DETECTOR_NAME", "Old_Value", "New_Value",
+        F.date_format("Last_Update_Date", "yyyy-MM-dd").alias("Last_Update_Date"),
+    )
+
+
+_STATE_MULTIDAY_ORACLE = f"""
+WITH {_SCD2_3SNAPS}, {_STATE1_CTE}
+SELECT COALESCE(s."DETECTOR_NAME", n."DETECTOR_NAME") AS "DETECTOR_NAME",
+       CASE WHEN n."DETECTOR_NAME" IS NULL THEN s."DETECTOR_LANE"
+            ELSE n."DETECTOR_LANE" END      AS "DETECTOR_LANE",
+       CASE WHEN n."DETECTOR_NAME" IS NULL THEN s."DETECTOR_CATEGORY"
+            ELSE n."DETECTOR_CATEGORY" END  AS "DETECTOR_CATEGORY",
+       CASE WHEN n."DETECTOR_NAME" IS NULL THEN s."DETECTOR_FIELD"
+            ELSE n."DETECTOR_FIELD" END     AS "DETECTOR_FIELD",
+       CASE WHEN n."DETECTOR_NAME" IS NULL THEN s."DETECTOR_ABANDONED"
+            ELSE n."DETECTOR_ABANDONED" END AS "DETECTOR_ABANDONED",
+       strftime(
+         CASE WHEN n."DETECTOR_NAME" IS NULL THEN s."LAST_CHANGE_DATE"
+              WHEN s."DETECTOR_NAME" IS NULL THEN DATE '{SCD2_DAY2}'
+              WHEN {_diff_sql("s", "n")} THEN DATE '{SCD2_DAY2}'
+              ELSE s."LAST_CHANGE_DATE" END, '%Y-%m-%d') AS "LAST_CHANGE_DATE",
+       strftime(
+         CASE WHEN s."DETECTOR_NAME" IS NULL THEN DATE '{SCD2_DAY2}'
+              ELSE s."START_DATE" END, '%Y-%m-%d')        AS "START_DATE",
+       strftime(
+         CASE WHEN n."DETECTOR_NAME" IS NULL THEN
+                   CASE WHEN s."DEACTIVATE" THEN s."END_DATE"
+                        ELSE DATE '{SCD2_DAY2}' END
+              WHEN s."DETECTOR_NAME" IS NULL THEN DATE '2100-01-01'
+              WHEN s."DETECTOR_ABANDONED" = 'f' AND n."DETECTOR_ABANDONED" = 't'
+                   THEN DATE '{SCD2_DAY2}'
+              WHEN s."DETECTOR_ABANDONED" = 't' AND n."DETECTOR_ABANDONED" = 'f'
+                   THEN DATE '2019-07-31'
+              ELSE s."END_DATE" END, '%Y-%m-%d')          AS "END_DATE",
+       CASE WHEN n."DETECTOR_NAME" IS NULL THEN TRUE
+            WHEN s."DETECTOR_NAME" IS NULL THEN FALSE
+            WHEN s."DETECTOR_ABANDONED" IS DISTINCT FROM n."DETECTOR_ABANDONED"
+                 THEN TRUE
+            ELSE s."DEACTIVATE" END         AS "DEACTIVATE"
+FROM state1 s FULL JOIN snap3 n ON s."DETECTOR_NAME" = n."DETECTOR_NAME"
+"""
+
+
+@register("config_scd2_state_multiday", _STATE_MULTIDAY_ORACLE)
+def q_config_scd2_state_multiday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension state after the two chained deltas — pins re-appearance
+    suppression (a deactivated absent detector stays one untouched row)
+    and stamp propagation across days."""
+    state, _ = _scd2_multiday(spark, sf_dir)
+    return state.select(
+        "DETECTOR_NAME", "DETECTOR_LANE", "DETECTOR_CATEGORY",
+        "DETECTOR_FIELD", "DETECTOR_ABANDONED",
+        F.date_format("LAST_CHANGE_DATE", "yyyy-MM-dd").alias("LAST_CHANGE_DATE"),
         F.date_format("START_DATE", "yyyy-MM-dd").alias("START_DATE"),
         F.date_format("END_DATE", "yyyy-MM-dd").alias("END_DATE"),
         "DEACTIVATE",

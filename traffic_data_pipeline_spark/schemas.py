@@ -67,11 +67,14 @@ CONFIG_SNAPSHOT = T.StructType([
 ])
 
 # SCD-2 dimension RTMC_CONFIG_HISTORICAL — CONFIG_SNAPSHOT minus
-# SNAPSHOT_DATE plus validity interval; sentinels 1900-01-01 / 2100-01-01
-# (/root/reference/R/1) Get-Historical-Configuration-Data-RunOnce.R:23-25).
+# SNAPSHOT_DATE plus change stamp + validity interval; sentinels
+# 1900-01-01 / 2100-01-01
+# (/root/reference/R/1) Get-Historical-Configuration-Data-RunOnce.R:23-25;
+# LAST_CHANGE_DATE mutated per update, R/_pull_data.R:257,273,289).
 CONFIG_HISTORICAL = T.StructType(
     [f for f in CONFIG_SNAPSHOT.fields if f.name != "SNAPSHOT_DATE"]
     + [
+        T.StructField("LAST_CHANGE_DATE", T.DateType(), True),
         T.StructField("START_DATE", T.DateType(), False),
         T.StructField("END_DATE", T.DateType(), False),
         T.StructField("DEACTIVATE", T.BooleanType(), False),

@@ -96,20 +96,45 @@ SNAPSHOT_SPLIT = "2024-01-16 00:00:00"
 SNAPSHOT_OLD_PRED = f"ts < TIMESTAMP '{SNAPSHOT_SPLIT}'"
 SNAPSHOT_NEW_PRED = f"ts >= TIMESTAMP '{SNAPSHOT_SPLIT}'"
 
+# Three-slice variant for the multi-day SCD-2 replay (bootstrap + two
+# nightly deltas): thirds of the Jan 2024 events span.
+SNAPSHOT_CUT_A = "2024-01-11 00:00:00"
+SNAPSHOT_CUT_B = "2024-01-21 00:00:00"
+_SLICE_PREDS = {
+    "t1": f"ts < TIMESTAMP '{SNAPSHOT_CUT_A}'",
+    "t2": (f"ts >= TIMESTAMP '{SNAPSHOT_CUT_A}' AND "
+           f"ts < TIMESTAMP '{SNAPSHOT_CUT_B}'"),
+    "t3": f"ts >= TIMESTAMP '{SNAPSHOT_CUT_B}'",
+    "old": SNAPSHOT_OLD_PRED,
+    "new": SNAPSHOT_NEW_PRED,
+}
+
+
+def slice_pred(half: str) -> str:
+    """SQL predicate for a named snapshot slice (for oracle construction)."""
+    return _SLICE_PREDS[half]
+
 
 def config_snapshot(spark: SparkSession, sf_dir: str, half: str) -> DataFrame:
-    """Flattened config snapshot derived from one half of the events span.
-
-    ``half`` is 'old' (ts < split) or 'new' (ts >= split). Spark twin of
-    ``snapshot_sql``.
+    """Flattened config snapshot derived from a time slice of the events
+    span: 'old'/'new' (halves at SNAPSHOT_SPLIT) or 't1'/'t2'/'t3' (thirds
+    for the multi-day replay). Spark twin of ``snapshot_sql``.
     """
+    if half not in _SLICE_PREDS:
+        raise ValueError(half)
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 150)
     if half == "old":
         ev = ev.filter(F.col("ts") < F.lit(SNAPSHOT_SPLIT).cast("timestamp"))
     elif half == "new":
         ev = ev.filter(F.col("ts") >= F.lit(SNAPSHOT_SPLIT).cast("timestamp"))
+    elif half == "t1":
+        ev = ev.filter(F.col("ts") < F.lit(SNAPSHOT_CUT_A).cast("timestamp"))
+    elif half == "t2":
+        ev = ev.filter(
+            (F.col("ts") >= F.lit(SNAPSHOT_CUT_A).cast("timestamp"))
+            & (F.col("ts") < F.lit(SNAPSHOT_CUT_B).cast("timestamp")))
     else:
-        raise ValueError(half)
+        ev = ev.filter(F.col("ts") >= F.lit(SNAPSHOT_CUT_B).cast("timestamp"))
     cnt = F.count(F.lit(1))
     return ev.groupBy(F.col("user_id").cast("string").alias("DETECTOR_NAME")).agg(
         (cnt % 5).cast("int").alias("DETECTOR_LANE"),
