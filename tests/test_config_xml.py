@@ -112,3 +112,37 @@ def test_roundtrip_into_scd2(spark):
     assert ("REMOVE_DETECTOR", "D101") in events
     assert ("DETECTOR_FIELD", "D100") in events
     assert ("DETECTOR_ABANDONED", "D200") in events
+
+
+def test_corridor_config_frame_matches_driver_build(spark):
+    """The distributed per-corridor document builder yields exactly the
+    rows of the driver-side make_config_xml build over the same config."""
+    from traffic_data_pipeline_spark.sources.config_xml import (
+        corridor_config_frame,
+    )
+
+    cfg = spark.createDataFrame(
+        [("101", 350.0, "node_1", "corr_1"),
+         ("102", 400.0, "node_1", "corr_1"),
+         ("203", 450.0, "node_3", "corr_3"),
+         ("204", 500.0, "node_4", "corr_3")],
+        "sensor string, field_length double, node_name string, "
+        "corridor_route string")
+    docs = corridor_config_frame(cfg)
+    assert docs.count() == 2  # one document per corridor
+    got = flatten_config_xml(docs)
+
+    detectors = [
+        dict(corridor=r.corridor_route, dir="EB", node=r.node_name,
+             lon=0.0, lat=0.0, station=r.node_name, name=r.sensor,
+             label=r.sensor, category="", lane=1,
+             field=float(r.field_length), abandoned="f")
+        for r in cfg.collect()
+    ]
+    url = "http://example.org/iris_xml/metro_config_20230101.xml.gz"
+    want = _flatten(spark, [(url, make_config_xml(detectors))])
+
+    cols = ["DETECTOR_NAME", "DETECTOR_LANE", "DETECTOR_FIELD", "NODE_NAME",
+            "CORRIDOR_ROUTE", "SNAPSHOT_DATE"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == \
+        sorted(map(tuple, want.select(*cols).collect()))

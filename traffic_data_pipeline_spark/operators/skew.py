@@ -30,17 +30,32 @@ def salted_join(big: DataFrame, small: DataFrame, on: list[str],
                 how: str = "inner", salt: int = 16) -> DataFrame:
     """Join `big` to `small` on `on`, spreading each big-side key over
     `salt` buckets. Result rows are exactly those of `big.join(small, on,
-    how)`; only the physical distribution differs."""
+    how)`; only the physical distribution differs.
+
+    Guards: non-key column overlap between the sides would only surface as
+    an ambiguous-reference error downstream of the join, so it is rejected
+    up front; the internal salt column name is chosen to not collide with
+    either side's columns.
+    """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    overlap = (set(big.columns) & set(small.columns)) - set(on)
+    if overlap:
+        raise ValueError(
+            "salted_join: non-key columns present on BOTH sides would be "
+            f"ambiguous after the join: {sorted(overlap)}; rename or drop "
+            "them on one side")
+    salt_col = SALT_COL
+    while salt_col in big.columns or salt_col in small.columns:
+        salt_col = "_" + salt_col
     # content hash over the non-key columns too: rows of the SAME hot key
     # spread uniformly, and the salt is deterministic across task retries
     b = big.withColumn(
-        SALT_COL,
+        salt_col,
         F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
                F.lit(salt)).cast("int"),
     )
     s = small.withColumn(
-        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
-    return b.join(s, [*on, SALT_COL], how).drop(SALT_COL)
+    return b.join(s, [*on, salt_col], how).drop(salt_col)

@@ -1080,24 +1080,21 @@ def q_model_predict_glm_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("config_xml_flatten")
 def q_config_xml_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1-S3/F1-F6/J1-J3: metro_config XML -> flat detector dimension,
-    single-pass xpath + arrays_zip + posexplode (no positional bind, no
-    joins). xpath() has no DuckDB twin, so the driver records a rows-only
-    check; value-level coverage lives in tests/test_config_xml.py."""
+    """S1-S3/F1-F6/J1-J3: metro_config XML -> flat detector dimension via
+    `from_xml` + nested-array explodes (no positional bind, no joins).
+    Document synthesis is distributed — one document per corridor built by
+    aggregation (corridor_config_frame), no driver collect — so the parse
+    stage fans out one task per corridor. from_xml has no DuckDB twin, so
+    the driver records a rows-only check; value-level coverage lives in
+    tests/test_config_xml.py."""
     from traffic_data_pipeline_spark.sources.config_xml import (
-        flatten_config_xml, make_config_xml, snapshot_frame,
+        corridor_config_frame, flatten_config_xml,
     )
-    cfg = detector_config(spark, sf_dir).collect()
-    detectors = [
-        dict(corridor=r.corridor_route, dir="EB", node=r.node_name,
-             lon=0.0, lat=0.0, station=r.node_name,
-             name=r.sensor, label=r.sensor, category="",
-             lane=1, field=float(r.field_length), abandoned="f")
-        for r in cfg
-    ]
-    url = "http://example.org/iris_xml/metro_config_20230101.xml.gz"
-    docs = snapshot_frame(spark, [(url, make_config_xml(detectors))])
-    out = flatten_config_xml(docs)
+    docs = corridor_config_frame(detector_config(spark, sf_dir))
+    # explicit partition count: the docs are few and tiny, so AQE would
+    # coalesce the agg output to one partition and serialize the parse
+    n = spark.sparkContext.defaultParallelism
+    out = flatten_config_xml(docs.repartition(n, F.col("url")))
     return out.select(
         "DETECTOR_NAME", "DETECTOR_LANE", "DETECTOR_FIELD", "NODE_NAME",
         "CORRIDOR_ROUTE", "SNAPSHOT_DATE",

@@ -98,6 +98,68 @@ def flatten_config_xml(snapshots: DataFrame,
     )
 
 
+def corridor_config_frame(cfg: DataFrame,
+                          snapshot_date: str = "20230101") -> DataFrame:
+    """Distributed synthesis of metro_config documents — ONE document per
+    corridor, built entirely with aggregations (no driver collect): detector
+    fragments -> sorted per-node concatenation -> sorted per-corridor
+    concatenation. The downstream `from_xml` parse then fans out one task
+    per corridor document, which is the scale shape of the real feed (a
+    document per snapshot day, parsed independently per day/corridor).
+
+    ``cfg``: (sensor, field_length, node_name, corridor_route) rows.
+    Returns (url, xml) rows consumable by flatten_config_xml; the url
+    embeds ``snapshot_date`` for the F4 date extraction.
+    """
+    det = cfg.select(
+        "corridor_route", "node_name",
+        F.struct(
+            F.col("sensor"),
+            F.format_string(
+                '<detector name="%s" label="%s" category="" lane="1" '
+                'field="%s" abandoned="f"/>',
+                F.col("sensor"), F.col("sensor"), F.col("field_length"),
+            ).alias("frag"),
+        ).alias("d"),
+    )
+    nodes = (
+        det.groupBy("corridor_route", "node_name")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list("d")), lambda x: x["frag"]),
+            "").alias("dets"))
+        .select(
+            "corridor_route",
+            F.struct(
+                "node_name",
+                F.format_string(
+                    '<r_node name="%s" n_type="Station" label="%s-lbl" '
+                    'lon="0.0" lat="0.0" lanes="2" s_limit="55" '
+                    'station_id="%s">%s</r_node>',
+                    F.col("node_name"), F.col("node_name"),
+                    F.col("node_name"), F.col("dets"),
+                ).alias("frag"),
+            ).alias("n"),
+        )
+    )
+    return (
+        nodes.groupBy("corridor_route")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list("n")), lambda x: x["frag"]),
+            "").alias("nodes_xml"))
+        .select(
+            F.format_string(
+                "http://example.org/iris_xml/%s/metro_config_%s.xml.gz",
+                F.col("corridor_route"), F.lit(snapshot_date),
+            ).alias("url"),
+            F.format_string(
+                '<tms_config><corridor route="%s" dir="EB">%s'
+                "</corridor></tms_config>",
+                F.col("corridor_route"), F.col("nodes_xml"),
+            ).alias("xml"),
+        )
+    )
+
+
 def make_config_xml(detectors: list[dict]) -> str:
     """Deterministic metro_config-shaped document builder for tests/demos.
 

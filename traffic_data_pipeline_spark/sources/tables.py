@@ -29,8 +29,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # The flag is captured at relation creation (the returned DataFrame
+        # keeps working after restore), so scope it to this read instead of
+        # mutating the session: otherwise every later parquet read would
+        # silently see TIMESTAMP(NANOS) columns as bigint. Not safe against
+        # concurrent reads in other driver threads during this call.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        try:
+            prev = spark.conf.get(key)
+        except Exception:
+            prev = None
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
         from pyspark.sql import functions as F
 
         return df.withColumn(
