@@ -52,3 +52,19 @@ def test_reduced_probe_subset_and_exact_scores(emb):
         if (r.q_id, r.c_id) in bf:
             assert r.cosine == pytest.approx(bf[(r.q_id, r.c_id)], abs=1e-12)
     assert all(n <= 5 for n in per_q.values())
+
+
+def test_connected_components_chain(spark):
+    """A path graph a-b-c-d: one-round min-id splits it (d -> c), the
+    fixpoint loop must collapse everything to the global min."""
+    from traffic_data_pipeline_spark.functions.similarity import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "vec_id bigint")
+    # chain 0-1-2-3, separate pair 4-5
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5)], "q_id bigint, c_id bigint")
+    got = {r.vec_id: r.canonical_id
+           for r in connected_components(nodes, edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4}

@@ -188,6 +188,11 @@ def ngram_jaccard_pairs(sh: DataFrame, groups: DataFrame, id_col: str = "doc_id"
     ``groups`` maps id -> group key (e.g. source, or an LSH bucket); only
     intra-group pairs are scored.
 
+    ``sh`` may contain duplicate (id, shingle) rows on the prefix path
+    (collect_set dedups during the one aggregation shuffle — pass
+    ``shingles(..., distinct=False)`` and save the distinct shuffle); the
+    naive path below the cutoff requires a distinct stream.
+
     Why not join the full shingle stream against itself: a shingle present
     in d docs of a group contributes d^2 join rows — boilerplate 5-grams
     make that quadratic in corpus size. Prefix filtering is the standard
@@ -209,33 +214,42 @@ def ngram_jaccard_pairs(sh: DataFrame, groups: DataFrame, id_col: str = "doc_id"
     """
     if min_jaccard < PREFIX_CUTOFF:
         return _ngram_jaccard_naive(sh, groups, id_col, min_jaccard)
-    # The shingle stream feeds three consumers (prefix derivation + both
-    # sides of the exact-intersection join); Spark recomputes common
-    # subplans per branch, so persist it — the consumers run sequentially
-    # (prefixes is materialized first), so the first action fills the cache.
-    sh = _materialize(sh, eager=False)
-
+    # Arrays-first: ONE shuffle (groupBy collect_set — duplicate-safe, so
+    # callers can skip the shingle distinct) builds each doc's shingle set;
+    # set size, md5 prefix ordering, and prefix slicing are then per-row
+    # array expressions — no distinct shuffle, no window sort, and the
+    # verify step reuses the same arrays. (The previous formulation spent
+    # two extra full-stream shuffles: distinct + a row_number window;
+    # measured 5.8s -> see bench for the delta.)
+    #
     # Shingle ordering: the prefix theorem needs only a CONSISTENT total
     # order over shingles, so md5(shingle) serves — computed inline, no
     # extra pass. The classic rarest-first (global doc-frequency) order
     # prunes ~25% more candidates but needs a full-stream shuffle to count
-    # frequencies: measured 7.9s vs 2.0s for prefix+candidates at sf0.1,
-    # and the array-based verify absorbs the extra candidates for ~0.5s.
+    # frequencies, and the array-based verify absorbs the extra candidates.
     # At corpus scale with heavier boilerplate the tradeoff can flip —
-    # that would reinstate a `_df` window over partitionBy(shingle).
-    # Set size is a window scalar, not a groupBy+rejoin (which would
-    # shuffle AND recompute the stream per aggregate).
-    w = Window.partitionBy(id_col).orderBy(F.md5("shingle"))
-    prefix_len = (F.col("n_sh")
-                  - F.ceil(F.lit(min_jaccard) * F.col("n_sh")) + 1)
-    prefixes = (
-        sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= prefix_len)
+    # that would reinstate a doc-frequency join before the slice.
+    sets = _materialize(
+        sh.groupBy(id_col).agg(F.collect_set("shingle").alias("_set"))
         .join(F.broadcast(groups), id_col)
-        .select(id_col, "grp", "shingle", "n_sh")
+        .withColumn("n_sh", F.size("_set"))
+        .withColumn(
+            "_prefix",
+            F.slice(
+                F.transform(
+                    F.array_sort(F.transform(
+                        "_set", lambda s: F.struct(F.md5(s).alias("o"),
+                                                   s.alias("s")))),
+                    lambda x: x["s"],
+                ),
+                1,
+                (F.col("n_sh")
+                 - F.ceil(F.lit(min_jaccard) * F.col("n_sh")) + 1).cast("int"),
+            ),
+        )
     )
-    prefixes = _materialize(prefixes)  # self-joined below; also fills sh's cache
+    prefixes = sets.select(
+        id_col, "grp", "n_sh", F.explode("_prefix").alias("shingle"))
     a, b = prefixes.alias("a"), prefixes.alias("b")
     cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -252,14 +266,14 @@ def ngram_jaccard_pairs(sh: DataFrame, groups: DataFrame, id_col: str = "doc_id"
         .filter((F.col("n_a") >= F.lit(min_jaccard) * F.col("n_b"))
                 & (F.col("n_b") >= F.lit(min_jaccard) * F.col("n_a")))
     )
-    # Exact verification: each doc's shingle set as ONE array row, then
-    # size(array_intersect) per candidate pair — a JVM set-intersection
-    # inside a projection. The alternative (re-joining candidates through
-    # the shingle stream and counting matches) multiplies every pair by its
-    # doc's full shingle count before the shuffle — measured 10.7s vs ~1s
-    # at sf0.1. Arrays are bounded by single-doc length, so rows stay small
-    # at corpus scale.
-    doc_sets = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("_set"))
+    # Exact verification: size(array_intersect) per candidate pair — a JVM
+    # set-intersection inside a projection, reusing the materialized doc
+    # arrays. The alternative (re-joining candidates through the shingle
+    # stream and counting matches) multiplies every pair by its doc's full
+    # shingle count before the shuffle — measured 10.7s vs ~1s at sf0.1.
+    # Arrays are bounded by single-doc length, so rows stay small at corpus
+    # scale.
+    doc_sets = sets.select(id_col, "_set")
     inter = (
         cand.join(doc_sets.select(F.col(id_col).alias("doc_a"),
                                   F.col("_set").alias("_sa")), "doc_a")

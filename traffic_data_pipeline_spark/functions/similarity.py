@@ -162,22 +162,77 @@ def ann_lsh_pairs(df: DataFrame, n_planes: int = N_PLANES, min_cosine: float = 0
     )
 
 
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         id_col: str = "vec_id",
+                         max_iters: int = 30) -> DataFrame:
+    """Exact connected components by min-label propagation to fixpoint.
+
+    ``nodes``: one row per id; ``edges``: (q_id, c_id) undirected pairs.
+    Returns (id_col, canonical_id) where canonical_id is the component's
+    minimum id.
+
+    Iterative algorithms are driver-loop-shaped by necessity (GraphX's
+    Pregel runs the same supersteps): each round is one join + min-agg
+    taking every node to min(own label, neighbors' labels), which reaches
+    the component minimum in O(diameter) rounds. Every round
+    localCheckpoints — the plan stays flat instead of growing by one join
+    per round — and the convergence probe is a scalar changed-count, the
+    sanctioned driver-side scalar shape. Near-dup components are shallow
+    (boilerplate clusters), so the loop is short; pointer-jumping (large-
+    star/small-star) would cut rounds to O(log d) if ever needed.
+    """
+    sym = edges.select(F.col("q_id").alias("src"), F.col("c_id").alias("dst"))
+    sym = sym.unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = nodes.select(
+        F.col(id_col).alias("v"), F.col(id_col).alias("lbl")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        nmin = (
+            sym.join(labels.select(F.col("v").alias("dst"), "lbl"), "dst")
+            .groupBy("src").agg(F.min("lbl").alias("nlbl"))
+        )
+        new = (
+            labels.join(nmin.select(F.col("src").alias("v"), "nlbl"),
+                        "v", "left")
+            .select("v",
+                    F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.select("v", F.col("lbl").alias("cur"))
+            .join(labels.select("v", F.col("lbl").alias("prev")), "v")
+            .filter(F.col("cur") != F.col("prev")).count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias(id_col),
+                         F.col("lbl").alias("canonical_id"))
+
+
 def embedding_near_dup(df: DataFrame, threshold: float = 0.85,
                        n_planes: int = N_PLANES,
                        vec_col: str = "embedding",
-                       id_col: str = "vec_id") -> DataFrame:
+                       id_col: str = "vec_id",
+                       exact_components: bool = False) -> DataFrame:
     """Embedding-cosine near-duplicate grouping (driver extension).
 
     Candidates come from the LSH buckets; edges are exact-cosine pairs
-    >= threshold; each vector's canonical id is the minimum id among
-    itself and its direct neighbors — the standard one-round min-id
-    approximation of connected components (full CC would iterate this
-    to fixpoint; one round is the common dedup-pipeline compromise and
-    keeps the operator a bounded three-shuffle plan).
+    >= threshold. With ``exact_components=False`` each vector's canonical
+    id is the minimum id among itself and its direct neighbors — the
+    standard one-round min-id approximation of connected components (the
+    common dedup-pipeline compromise: a bounded three-shuffle plan).
+    ``exact_components=True`` iterates that rule to fixpoint
+    (connected_components), so chains collapse to one canonical id per
+    component.
     Output: one row per vector (id, canonical_id).
     """
     pairs = materialize(ann_lsh_pairs(df, n_planes, threshold, vec_col, id_col)
                         .select("q_id", "c_id"))  # read twice by the union below
+    if exact_components:
+        return connected_components(df.select(id_col), pairs, id_col)
     neigh = pairs.unionByName(
         pairs.select(F.col("c_id").alias("q_id"), F.col("q_id").alias("c_id"))
     ).withColumnRenamed("q_id", id_col)

@@ -239,9 +239,11 @@ WHERE n_inter / (n_a + n_b - n_inter) >= 0.7
 def q_dedup_ngram_jaccard_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """High-threshold exact Jaccard: exercises the prefix-filtered
     (AllPairs) candidate path; the oracle is still the naive full
-    self-join SQL — prefix filtering must be recall-lossless."""
+    self-join SQL — prefix filtering must be recall-lossless. The raw
+    (non-distinct) shingle stream suffices: the path's collect_set dedups
+    in its one aggregation shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs)
+    sh = shingles(docs, distinct=False)
     groups = docs.select("doc_id", F.col("source").alias("grp"))
     return ngram_jaccard_pairs(sh, groups, min_jaccard=0.7)
 
@@ -431,6 +433,56 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= 0.85 -> one-round min-id canonicalization."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup(emb, threshold=0.85, n_planes=8)
+
+
+@register("dedup_embedding_cc", f"""
+WITH RECURSIVE {_EMB_CTES},
+pd AS (
+  SELECT e.vec_id, p.p,
+         CAST(SUM(CAST(e.val * (((p.p * 73856093 + e.pos * 19349663) % 1000003)
+                                / 1000003.0 - 0.5) AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM elems e, (SELECT unnest(generate_series(0, 7)) AS p) p
+  GROUP BY 1, 2),
+codes AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+  FROM pd GROUP BY 1),
+cand AS (
+  SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+  FROM codes a JOIN codes b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+cdots AS (
+  SELECT cd.q_id, cd.c_id,
+         CAST(SUM(CAST(q.val * c.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM cand cd
+  JOIN elems q ON q.vec_id = cd.q_id
+  JOIN elems c ON c.vec_id = cd.c_id AND c.pos = q.pos
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT d.q_id, d.c_id
+  FROM cdots d
+  JOIN norms qn ON qn.vec_id = d.q_id
+  JOIN norms cn ON cn.vec_id = d.c_id
+  WHERE d.dot / (sqrt(qn.norm_sq) * sqrt(cn.norm_sq)) >= 0.85),
+neigh AS (
+  SELECT q_id AS v, c_id AS w FROM pairs
+  UNION ALL
+  SELECT c_id, q_id FROM pairs),
+reach(v, m) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT n.v, r.m FROM neigh n JOIN reach r ON r.v = n.w)
+SELECT v AS vec_id, CAST(MIN(m) AS BIGINT) AS canonical_id
+FROM reach GROUP BY v
+""")
+def q_dedup_embedding_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact connected components over the same near-dup edge set: min-label
+    propagation iterated to fixpoint (functions/similarity.py
+    connected_components). The oracle computes the transitive closure with
+    a recursive CTE — chains that the one-round approximation would split
+    must collapse to one canonical id per component."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, threshold=0.85, n_planes=8,
+                              exact_components=True)
 
 
 # ---------------------------------------------------------------------------

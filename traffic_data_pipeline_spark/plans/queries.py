@@ -457,14 +457,25 @@ WHERE o."DETECTOR_ABANDONED" IS DISTINCT FROM n."DETECTOR_ABANDONED"
 """
 
 
+def _scd2_single(spark: SparkSession, sf_dir: str):
+    """Bootstrap(old) + one delta(new), snapshots materialized once: the
+    apply's union branches each reference both inputs, and without the
+    persist every branch re-runs the events aggregation. Eager: the
+    branches execute concurrently in one job, so a lazy persist would be
+    racing its own fills."""
+    from traffic_data_pipeline_spark.functions.execution import materialize
+
+    old = materialize(initial_state(config_snapshot(spark, sf_dir, "old")))
+    new = materialize(config_snapshot(spark, sf_dir, "new"))
+    return scd2_apply(old, new, SCD2_UPDATE_DATE, SCD2_ATTRS)
+
+
 @register("config_changelog", _CHANGELOG_ORACLE)
 def q_config_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single delta from the bootstrap state: every Last_Update_Date is
     NULL here because bootstrap rows carry no change stamp yet — the
     populated-stamp path is driver-checked by config_changelog_multiday."""
-    old = initial_state(config_snapshot(spark, sf_dir, "old"))
-    new = config_snapshot(spark, sf_dir, "new")
-    _, changelog = scd2_apply(old, new, SCD2_UPDATE_DATE, SCD2_ATTRS)
+    _, changelog = _scd2_single(spark, sf_dir)
     return changelog.select(
         F.date_format("Update_Date", "yyyy-MM-dd").alias("Update_Date"),
         "Change", "DETECTOR_NAME", "Old_Value", "New_Value",
@@ -510,9 +521,7 @@ WHERE NOT EXISTS (SELECT 1 FROM snapo o WHERE o."DETECTOR_NAME" = n."DETECTOR_NA
 
 @register("config_scd2_state", _SCD2_STATE_ORACLE)
 def q_config_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    old = initial_state(config_snapshot(spark, sf_dir, "old"))
-    new = config_snapshot(spark, sf_dir, "new")
-    state, _ = scd2_apply(old, new, SCD2_UPDATE_DATE, SCD2_ATTRS)
+    state, _ = _scd2_single(spark, sf_dir)
     return state.select(
         "DETECTOR_NAME", "DETECTOR_LANE", "DETECTOR_CATEGORY",
         "DETECTOR_FIELD", "DETECTOR_ABANDONED",
@@ -633,10 +642,17 @@ UNION ALL
 
 
 def _scd2_multiday(spark: SparkSession, sf_dir: str):
-    s1 = config_snapshot(spark, sf_dir, "t1")
-    s2 = config_snapshot(spark, sf_dir, "t2")
-    s3 = config_snapshot(spark, sf_dir, "t3")
+    # scd2_apply references its state input from several union branches and
+    # Spark re-derives common subplans per branch — materialize the (small)
+    # snapshots and the intermediate state so each events aggregation runs
+    # once, not once per branch (and per branch-of-branch for st2)
+    from traffic_data_pipeline_spark.functions.execution import materialize
+
+    s1 = materialize(config_snapshot(spark, sf_dir, "t1"))
+    s2 = materialize(config_snapshot(spark, sf_dir, "t2"))
+    s3 = materialize(config_snapshot(spark, sf_dir, "t3"))
     st1, log1 = scd2_apply(initial_state(s1), s2, SCD2_DAY1, SCD2_ATTRS)
+    st1 = materialize(st1)
     st2, log2 = scd2_apply(st1, s3, SCD2_DAY2, SCD2_ATTRS)
     return st2, log1.unionByName(log2)
 
@@ -863,9 +879,7 @@ def q_node_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_node_qaqc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J11 validity join + A4 re-agg + QAQC tests 1-4 + J13 semi-join."""
     roll = two_level_rollup(_node_fact(spark, sf_dir), "hour")
-    old = initial_state(config_snapshot(spark, sf_dir, "old"))
-    new = config_snapshot(spark, sf_dir, "new")
-    state, _ = scd2_apply(old, new, SCD2_UPDATE_DATE, SCD2_ATTRS)
+    state, _ = _scd2_single(spark, sf_dir)
     dim = detectors_per_node(state)
     joined = join_validity(roll, dim)
     passed = qaqc_for_model(joined, QAQC_MEDIAN_MIN, QAQC_SLOTS,

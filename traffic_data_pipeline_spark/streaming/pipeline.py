@@ -89,6 +89,11 @@ def start_parquet_sink(agg: DataFrame, sink_path: str, checkpoint: str,
         (
             batch.withColumn("start_date", F.to_date("start_datetime"))
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            # cluster rows by their target partition first: otherwise every
+            # one of the agg's shuffle partitions writes a sliver into every
+            # date dir (dates x shuffle-partitions small files per batch —
+            # measured ~2x the whole query's cost at sf0.1)
+            .repartition(F.col("start_date"))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id", "start_date")
