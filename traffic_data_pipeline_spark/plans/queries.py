@@ -222,8 +222,21 @@ def q_streaming_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="tdp_stream_ckpt_")
     agg = stream_15min_agg(stream_readings(spark, src),
                            config=detector_config(spark, sf_dir))
-    q = start_parquet_sink(agg, sink, ckpt)
-    if not q.awaitTermination(600):
+    # The stateful stage's partition count is pinned into the checkpoint at
+    # first start and each partition pays per-batch state-store IO
+    # (snapshot + delta files), so it should track STATE size, not the
+    # session's batch shuffle width: 32 -> 8 halves this query at sf0.1
+    # (state is one row per open (sensor, window)). A production stream
+    # sizes this once per deployment the same way.
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try:
+        q = start_parquet_sink(agg, sink, ckpt)
+        ok = q.awaitTermination(600)
+    finally:
+        spark.conf.set(key, prev)
+    if not ok:
         q.stop()
         raise TimeoutError("streaming_15min_agg: availableNow run exceeded 600s")
     return spark.read.parquet(sink).filter(F.col("sensor") != FLUSH_SENSOR).select(
