@@ -552,6 +552,111 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("doc_sample_stratified", """
+SELECT source, doc_id
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 20
+""")
+def q_doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (~20% per doc): the reproducible,
+    engine-agnostic alternative to rand()-based sampling a training-data
+    pipeline needs — the same doc is always in or out, across engines,
+    reruns, and cluster sizes. Narrow (no shuffle); the hash is an md5
+    projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                    16, 10).cast("bigint") % 100
+    return docs.filter(bucket < 20).select("source", "doc_id")
+
+
+@register("doc_quality_filter", f"""
+WITH {_DOC_CTES},
+tok_agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_EN)}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+         CAST(SUM(length(token)) AS BIGINT) AS tok_chars
+  FROM toks GROUP BY 1),
+scored AS (
+  SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS n_chars,
+         COALESCE(t.n_tokens, 0) AS n_tokens,
+         COALESCE(t.n_stop, 0) / NULLIF(COALESCE(t.n_tokens, 0), 0) AS stop_ratio,
+         t.tok_chars / NULLIF(COALESCE(t.n_tokens, 0), 0) AS mean_tok_len
+  FROM documents d LEFT JOIN tok_agg t USING (doc_id))
+SELECT doc_id, n_chars, n_tokens
+FROM scored
+WHERE n_tokens >= 10
+  AND stop_ratio IS NOT NULL AND stop_ratio >= 0.05
+  AND mean_tok_len BETWEEN 2.0 AND 12.0
+""")
+def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pretraining quality gate (Gopher-rule shape): minimum
+    token count, minimum stopword ratio, sane mean token length — the
+    keep-list a corpus-cleaning pass emits. One aggregation over the token
+    stream; thresholds evaluate as a projection filter."""
+    from traffic_data_pipeline_spark.functions.text import text_stats
+    docs = load_table(spark, sf_dir, "documents")
+    s = text_stats(docs)
+    return (
+        s.filter(
+            (F.col("n_tokens") >= 10)
+            & F.col("stopword_ratio").isNotNull()
+            & (F.col("stopword_ratio") >= 0.05)
+            & F.col("mean_token_len").between(2.0, 12.0)
+        )
+        .select("doc_id", "n_chars", "n_tokens")
+    )
+
+
+@register("events_sliding_rate", """
+WITH wins AS (
+  SELECT to_timestamp(FLOOR(epoch(ts) / 900) * 900 - s.k * 900) AS w_start,
+         value
+  FROM events, (SELECT unnest(generate_series(0, 3)) AS k) s)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM wins GROUP BY 1
+""")
+def q_events_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows — 1-hour windows every 15 minutes — a
+    windowing mode the reference lacks outright (SURVEY.md §2.8 'no
+    sliding windows'). Each event lands in exactly 4 windows; the oracle
+    enumerates the same epoch-aligned window starts arithmetically."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+                "n_events", "sum_value")
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+@register("events_pivot", f"""
+SELECT user_id % 10 AS user_bucket,
+       {", ".join(
+         f'''CAST(SUM(CASE WHEN event_type = '{t}'
+                 THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS {t}'''
+         for t in EVENT_TYPES)}
+FROM events GROUP BY 1
+""")
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (no discovery pass — at scale the
+    distinct scan would be its own job); the oracle is the equivalent
+    conditional aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary columns. The synthetic payload formula
 # (doc_id*131 + i*7919 + 13) % 256 and the header metadata derivations
