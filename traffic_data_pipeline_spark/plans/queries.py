@@ -247,6 +247,74 @@ def q_streaming_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GAP_SECONDS = 259200.0  # 3 days — tuned to the sparse per-sensor fixture feed
+
+# DuckDB reads events.ts at its native TIMESTAMP(NANOS) precision while the
+# engine truncates to microseconds on load (sources/tables.py), so the
+# oracle truncates each endpoint to micros FIRST — otherwise the diff is
+# off by one microsecond whenever the two endpoints' sub-micro parts
+# straddle a boundary.
+_GAP_ORACLE = f"""
+WITH readings AS ({SENSOR_VIEW_SQL}),
+us AS (
+  SELECT sensor, epoch_ns(start_datetime) // 1000 AS us FROM readings),
+lagged AS (
+  SELECT sensor,
+         LAG(us) OVER (PARTITION BY sensor ORDER BY us) AS prev_us,
+         us AS cur_us
+  FROM us)
+SELECT sensor,
+       strftime(make_timestamp(prev_us), '%Y-%m-%d %H:%M:%S') AS gap_start,
+       strftime(make_timestamp(cur_us), '%Y-%m-%d %H:%M:%S')  AS gap_end,
+       cur_us - prev_us AS gap_micros
+FROM lagged
+WHERE prev_us IS NOT NULL
+  AND cur_us - prev_us > {int(GAP_SECONDS * 1_000_000)}
+"""
+
+
+@register("streaming_gap_detect", _GAP_ORACLE)
+def q_streaming_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: the custom stateful operator (applyInPandasWithState per-sensor
+    silence detection, streaming/stateful.py) run availableNow over the
+    landing zone. The oracle is the BATCH formulation — a per-sensor LAG
+    diff — so the stateful streaming path is hash-checked against plain
+    window semantics. The gap length is emitted as exact microseconds
+    derived from the boundary timestamps (a float seconds column would be
+    last-ulp unstable across engines)."""
+    import tempfile
+
+    from traffic_data_pipeline_spark.streaming.pipeline import stream_readings
+    from traffic_data_pipeline_spark.streaming.stateful import detect_gaps
+
+    src = stream_source_dir(spark, sf_dir)
+    sink = tempfile.mkdtemp(prefix="tdp_gap_sink_")
+    ckpt = tempfile.mkdtemp(prefix="tdp_gap_ckpt_")
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "8")  # state is one timestamp per sensor
+    try:
+        gaps = detect_gaps(stream_readings(spark, src),
+                           gap_seconds=GAP_SECONDS)
+        q = (gaps.writeStream.outputMode("append")
+             .format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        ok = q.awaitTermination(600)
+    finally:
+        spark.conf.set(key, prev)
+    if not ok:
+        q.stop()
+        raise TimeoutError("streaming_gap_detect: availableNow run exceeded 600s")
+    landed = spark.read.parquet(sink).filter(F.col("sensor") != FLUSH_SENSOR)
+    return landed.select(
+        "sensor",
+        fmt_ts("gap_start").alias("gap_start"),
+        fmt_ts("gap_end").alias("gap_end"),
+        (F.unix_micros("gap_end") - F.unix_micros("gap_start")).alias("gap_micros"),
+    )
+
+
 @register("pricing_summary", """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)       AS sum_qty,

@@ -49,7 +49,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 spark.conf.set(key, prev)
         from pyspark.sql import functions as F
 
+        # integer division: nanosecond epochs exceed 2^53, so a float
+        # division here silently lands ±1 microsecond off
         return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
