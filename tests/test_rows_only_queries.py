@@ -16,7 +16,6 @@ def test_rows_only_set_is_expected():
     """Every query should have an oracle unless it is genuinely
     non-SQL-expressible — keep this list deliberate."""
     assert ROWS_ONLY == [
-        "config_xml_flatten",      # from_xml has no DuckDB twin
         "model_predict_glm",       # iterative IRLS fit
         "model_predict_glm_day",   # iterative IRLS fit (day grain)
     ]

@@ -1173,15 +1173,26 @@ def q_model_predict_glm_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("NODE_NAME", "PREDICT_TIME")
 
 
-@register("config_xml_flatten")
+@register("config_xml_flatten", f"""
+WITH config AS ({CONFIG_VIEW_SQL})
+SELECT sensor                    AS "DETECTOR_NAME",
+       CAST(1 AS INTEGER)        AS "DETECTOR_LANE",
+       field_length              AS "DETECTOR_FIELD",
+       node_name                 AS "NODE_NAME",
+       corridor_route            AS "CORRIDOR_ROUTE",
+       '2023-01-01'              AS "SNAPSHOT_DATE"
+FROM config
+""")
 def q_config_xml_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1-S3/F1-F6/J1-J3: metro_config XML -> flat detector dimension via
     `from_xml` + nested-array explodes (no positional bind, no joins).
     Document synthesis is distributed — one document per corridor built by
     aggregation (corridor_config_frame), no driver collect — so the parse
-    stage fans out one task per corridor. from_xml has no DuckDB twin, so
-    the driver records a rows-only check; value-level coverage lives in
-    tests/test_config_xml.py."""
+    stage fans out one task per corridor. from_xml has no DuckDB twin, but
+    the documents are a deterministic round-trip of the config dimension,
+    so the oracle states the flatten's EXPECTED output directly — any
+    mis-parse (attribute misalignment, wrong parentage, bad casts) breaks
+    the hash. Structural XML edge cases live in tests/test_config_xml.py."""
     from traffic_data_pipeline_spark.sources.config_xml import (
         corridor_config_frame, flatten_config_xml,
     )
@@ -1192,8 +1203,9 @@ def q_config_xml_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = flatten_config_xml(docs.repartition(n, F.col("url")))
     return out.select(
         "DETECTOR_NAME", "DETECTOR_LANE", "DETECTOR_FIELD", "NODE_NAME",
-        "CORRIDOR_ROUTE", "SNAPSHOT_DATE",
-    ).orderBy("DETECTOR_NAME")
+        "CORRIDOR_ROUTE",
+        F.date_format("SNAPSHOT_DATE", "yyyy-MM-dd").alias("SNAPSHOT_DATE"),
+    )
 
 
 # load extension registrations (import at end avoids a circular-import trap:
