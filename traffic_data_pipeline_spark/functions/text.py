@@ -125,3 +125,55 @@ def bpe_token_count(df: DataFrame, text_col: str = "text",
                      lambda t: t != "")
         ).alias("n_ws_tokens"),
     )
+
+
+def token_array(col: Column) -> Column:
+    """Tokenize to an in-row array (the array-based sibling of tokens()):
+    lowercase, split on non-alphanumerics, drop empties. Keeping tokens as
+    a per-row array lets n-gram / chunking / repetition ops run as narrow
+    projections — no explode, no shuffle — which is the whole game at
+    corpus scale."""
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def ngram_array(tok_col: str, n: int) -> Column:
+    """Space-joined token n-grams of an array column, as an array
+    expression (one per start position; empty when the doc has < n
+    tokens). DuckDB twin: ``array_to_string(l[g:g+n-1], ' ')`` over
+    ``generate_series(1, greatest(len(l)-(n-1), 0))``."""
+    c = tok_col
+    return F.expr(
+        f"transform(slice({c}, 1, greatest(size({c}) - {n - 1}, 0)),"
+        f" (x, i) -> concat_ws(' ', slice({c}, i + 1, {n})))"
+    )
+
+
+def chunk_starts(tok_col: str, stride: int) -> Column:
+    """1-based chunk start positions stepping ``stride`` across the token
+    array (always at least one start, so empty docs still emit their empty
+    chunk for the caller to filter). DuckDB twin:
+    ``generate_series(1, greatest(len(l), 1), stride)``."""
+    return F.expr(f"sequence(1, greatest(size({tok_col}), 1), {stride})")
+
+
+# Engine-portable PII patterns (no lookarounds, no \p classes — the subset
+# where Java regex and DuckDB/RE2 agree). Deliberately simple: the point is
+# the redaction *pipeline* shape; production swaps in its own pattern pack.
+PII_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PII_PHONE_RE = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3}-?[0-9]{4}"
+
+
+def pii_redact(col: Column) -> Column:
+    """Replace emails then phone numbers with typed placeholder tags.
+    Order matters: the email pattern can contain digits-and-dots runs the
+    phone pattern would otherwise nibble."""
+    out = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+
+
+def pii_counts(col: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) match counts for audit columns."""
+    return (
+        F.regexp_count(col, F.lit(PII_EMAIL_RE)),
+        F.regexp_count(col, F.lit(PII_PHONE_RE)),
+    )

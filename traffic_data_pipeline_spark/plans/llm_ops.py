@@ -1,0 +1,269 @@
+"""Round-2 training-data-pipeline extensions: as-of join, PII redaction,
+Gopher-style repetition signals, token chunking, benchmark
+decontamination, per-language heavy hitters.
+
+Same registry/oracle contract as plans/extensions.py. Every query here is
+SQL-expressible and carries an exact DuckDB twin; numeric outputs are
+integer counts or exactly-representable divisions, so the driver's
+value-hash is bit-stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from traffic_data_pipeline_spark.functions.text import (
+    PII_EMAIL_RE,
+    PII_PHONE_RE,
+    chunk_starts,
+    ngram_array,
+    pii_counts,
+    pii_redact,
+    token_array,
+)
+from traffic_data_pipeline_spark.operators.asof import asof_join
+from traffic_data_pipeline_spark.plans.queries import fmt_ts, register
+from traffic_data_pipeline_spark.sources.tables import load_table
+
+# DuckDB twin of functions.text.token_array
+_TOK_LIST_CTE = """
+tl AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x != '') AS l
+  FROM documents)
+"""
+
+
+@register("events_asof_join", """
+WITH purchases AS (
+  SELECT user_id, ts, MAX(value) AS last_purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+clicks AS (
+  SELECT event_id, user_id, ts, value
+  FROM events WHERE event_type = 'click')
+SELECT c.event_id, c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       c.value AS click_value,
+       p.last_purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""")
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click is enriched with the user's most recent
+    prior-or-simultaneous purchase value (operators/asof.py — union-tag +
+    single window, ONE shuffle on user_id; never a non-equi join). The
+    oracle is DuckDB's native ASOF LEFT JOIN, which pins the semantics
+    exactly; right-side (user, ts) ties are pre-collapsed with MAX in both
+    engines because ASOF leaves the tie choice unspecified."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts", "value"))
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = asof_join(clicks, purchases, key="user_id",
+                    left_ts="ts", right_ts="ts",
+                    value_col="value", out_col="last_purchase_value")
+    return out.select(
+        "event_id", "user_id", fmt_ts(F.col("ts")).alias("ts"),
+        F.col("value").alias("click_value"), "last_purchase_value",
+    )
+
+
+_PII_ENRICH_SQL = """
+  CASE WHEN doc_id % 3 = 0 THEN text
+       ELSE text || ' contact user' || CAST(doc_id AS VARCHAR)
+            || '@example.com or +1-555-'
+            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+  END
+"""
+
+
+@register("doc_pii_redact", f"""
+WITH enr AS (
+  SELECT doc_id, {_PII_ENRICH_SQL} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS INTEGER) AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5,
+       CAST(length(regexp_replace(regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{PII_PHONE_RE}', '<PHONE>', 'g')) AS INTEGER)
+         AS n_chars_redacted
+FROM enr
+""")
+def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (functions/text.pii_redact): the corpus fixture
+    carries no PII, so 2/3 of docs are deterministically salted with a
+    synthetic email + phone first — the redactor must then strip exactly
+    those and nothing else (md5 of the redacted text is the witness).
+    Narrow projection, zero shuffles; patterns are the engine-portable
+    regex subset (no lookarounds), so Java and RE2 agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = F.when(F.col("doc_id") % 3 == 0, F.col("text")).otherwise(
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"), F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        )
+    )
+    t = docs.select("doc_id", enriched.alias("t"))
+    n_emails, n_phones = pii_counts(F.col("t"))
+    red = pii_redact(F.col("t"))
+    return t.select(
+        "doc_id",
+        n_emails.cast("int").alias("n_emails"),
+        n_phones.cast("int").alias("n_phones"),
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).cast("int").alias("n_chars_redacted"),
+    )
+
+
+@register("doc_repetition", f"""
+WITH {_TOK_LIST_CTE},
+big AS (
+  SELECT doc_id, array_to_string(l[g:g+1], ' ') AS bg
+  FROM tl, unnest(generate_series(1, greatest(len(l) - 1, 0))) s(g)),
+cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       CAST(MAX(c) AS BIGINT) AS top_count,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac
+FROM cnt GROUP BY doc_id
+""")
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: fraction of a doc's bigrams taken
+    by its most frequent bigram (high -> boilerplate/spam). Bigrams are an
+    in-row array expression (functions/text.ngram_array — no token
+    explode-shuffle); the only shuffles are the two doc-keyed aggregates,
+    both with map-side partials. The division is count/count, exactly
+    representable, so the cross-engine hash holds."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigs = (
+        docs.select("doc_id", token_array(F.col("text")).alias("tok"))
+        .select("doc_id", F.explode(ngram_array("tok", 2)).alias("bg"))
+    )
+    cnt = bigs.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_count"),
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias("top_frac"),
+    )
+
+
+@register("doc_chunk", f"""
+WITH {_TOK_LIST_CTE},
+ch AS (
+  SELECT doc_id, (g - 1) // 24 AS chunk_idx, l[g:g+31] AS chunk
+  FROM tl, unnest(generate_series(1, greatest(len(l), 1), 24)) s(g))
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(len(chunk) AS INTEGER) AS n_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_md5
+FROM ch WHERE len(chunk) > 0
+""")
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (32-token chunks, stride 24 -> 8-token
+    overlap): the doc -> training-sample splitter. Tokens stay an in-row
+    array; chunk starts are a sequence() explode, each chunk a slice — a
+    narrow op scaling with output size. md5 of the joined chunk pins exact
+    content equality across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = (
+        docs.select("doc_id", token_array(F.col("text")).alias("tok"))
+        .select("doc_id", "tok",
+                F.explode(chunk_starts("tok", 24)).alias("g"))
+        .select(
+            "doc_id",
+            F.floor((F.col("g") - 1) / 24).cast("int").alias("chunk_idx"),
+            F.slice(F.col("tok"), F.col("g"), 32).alias("chunk"),
+        )
+        .filter(F.size("chunk") > 0)
+    )
+    return ch.select(
+        "doc_id", "chunk_idx",
+        F.size("chunk").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "chunk")).alias("chunk_md5"),
+    )
+
+
+@register("doc_decontaminate", f"""
+WITH {_TOK_LIST_CTE},
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(l[g:g+7], ' ') AS gram
+  FROM tl, unnest(generate_series(1, greatest(len(l) - 7, 0))) s(g)),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST(CASE WHEN SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) > 0
+                 THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+FROM grams g LEFT JOIN bench b USING (gram)
+WHERE g.doc_id % 97 <> 0
+GROUP BY g.doc_id
+""")
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: docs whose 8-gram token shingles overlap
+    a benchmark set (stand-in: doc_id % 97 == 0 docs) get flagged — the
+    pass every pretraining corpus runs against eval suites. The benchmark
+    gram set is small by construction, so it broadcasts: the corpus side
+    is ONE dedup shuffle, and the probe join moves no corpus data. At
+    100 TB the bench side stays driver-bounded (eval suites are MBs);
+    if it ever grew past broadcast range the same plan degrades to a
+    shuffle join without a rewrite."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", token_array(F.col("text")).alias("tok"))
+        .select("doc_id", F.explode(ngram_array("tok", 8)).alias("gram"))
+        .dropDuplicates(["doc_id", "gram"])
+    )
+    bench = (grams.filter(F.col("doc_id") % 97 == 0)
+             .select("gram").distinct()
+             .withColumn("_hit", F.lit(1)))
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_hits",
+            (F.col("n_hits") > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+@register("doc_top_tokens", """
+WITH toks AS (
+  SELECT lang, token FROM (
+    SELECT lang, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+    FROM documents)
+  WHERE token != ''),
+cnt AS (SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+rk AS (SELECT lang, token, n,
+              row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rank
+       FROM cnt)
+SELECT lang, token, n, CAST(rank AS INTEGER) AS rank
+FROM rk WHERE rank <= 10
+""")
+def q_doc_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language heavy hitters: top-10 tokens by count (ties broken
+    lexically, so the ranking is total and engine-stable). Count explodes
+    the token stream once with map-side partials; the rank window runs on
+    the tiny (lang, token) aggregate, not the stream. At corpus scale the
+    exact count is the baseline; a count-min/space-saving sketch slots in
+    where the aggregate itself no longer fits."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(token_array(F.col("text"))).alias("token")
+    )
+    cnt = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("lang", "token", "n", F.col("rank").cast("int").alias("rank"))
+    )

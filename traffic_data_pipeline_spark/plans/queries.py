@@ -1211,4 +1211,5 @@ def q_config_xml_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
 # load extension registrations (import at end avoids a circular-import trap:
 # extensions imports register() from this module)
 from traffic_data_pipeline_spark.plans import extensions  # noqa: E402,F401
+from traffic_data_pipeline_spark.plans import llm_ops  # noqa: E402,F401
 
