@@ -35,6 +35,17 @@ tl AS (
 """
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok) with the corpus rebalanced across cores first: the
+    fixture is one parquet file -> one input partition, and doc-size skew
+    wants the same rebalance at corpus scale (same rationale as
+    functions.text.tokens)."""
+    return docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", token_array(F.col("text")).alias("tok"))
+
+
+
 @register("events_asof_join", """
 WITH purchases AS (
   SELECT user_id, ts, MAX(value) AS last_purchase_value
@@ -139,11 +150,8 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode-shuffle); the only shuffles are the two doc-keyed aggregates,
     both with map-side partials. The division is count/count, exactly
     representable, so the cross-engine hash holds."""
-    docs = load_table(spark, sf_dir, "documents")
-    bigs = (
-        docs.select("doc_id", token_array(F.col("text")).alias("tok"))
-        .select("doc_id", F.explode(ngram_array("tok", 2)).alias("bg"))
-    )
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    bigs = docs.select("doc_id", F.explode(ngram_array("tok", 2)).alias("bg"))
     cnt = bigs.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
     return cnt.groupBy("doc_id").agg(
         F.sum("c").alias("n_bigrams"),
@@ -168,10 +176,9 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     array; chunk starts are a sequence() explode, each chunk a slice — a
     narrow op scaling with output size. md5 of the joined chunk pins exact
     content equality across engines."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     ch = (
-        docs.select("doc_id", token_array(F.col("text")).alias("tok"))
-        .select("doc_id", "tok",
+        docs.select("doc_id", "tok",
                 F.explode(chunk_starts("tok", 24)).alias("g"))
         .select(
             "doc_id",
@@ -212,17 +219,21 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the bench side stays driver-bounded (eval suites are MBs);
     if it ever grew past broadcast range the same plan degrades to a
     shuffle join without a rewrite."""
-    docs = load_table(spark, sf_dir, "documents")
-    grams = (
-        docs.select("doc_id", token_array(F.col("text")).alias("tok"))
-        .select("doc_id", F.explode(ngram_array("tok", 8)).alias("gram"))
-        .dropDuplicates(["doc_id", "gram"])
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id", F.explode(ngram_array("tok", 8)).alias("gram"))
+    # bench side: tiny by construction — dedup its grams ARRAY-side
+    # (array_distinct before the explode), so the corpus gram stream is
+    # never computed twice and the bench build needs no shuffle at all
+    bench = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(F.array_distinct(ngram_array("tok", 8))).alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    bench = (grams.filter(F.col("doc_id") % 97 == 0)
-             .select("gram").distinct()
-             .withColumn("_hit", F.lit(1)))
     return (
         grams.filter(F.col("doc_id") % 97 != 0)
+        .dropDuplicates(["doc_id", "gram"])
         .join(F.broadcast(bench), "gram", "left")
         .groupBy("doc_id")
         .agg(
@@ -267,3 +278,162 @@ def q_doc_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("lang", "token", "n", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-stream analytics: funnel, retention, streaming dedup
+# ---------------------------------------------------------------------------
+
+@register("events_funnel", """
+WITH m AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY 1),
+c2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN m USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= m.t_view GROUP BY 1),
+p2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_buy
+  FROM events e JOIN c2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= c2.t_click GROUP BY 1),
+stages AS (
+  SELECT m.user_id,
+         CASE WHEN m.t_view IS NULL THEN 0
+              WHEN c2.t_click IS NULL THEN 1
+              WHEN p2.t_buy IS NULL THEN 2
+              ELSE 3 END AS stage
+  FROM m LEFT JOIN c2 USING (user_id) LEFT JOIN p2 USING (user_id))
+SELECT CAST(stage AS INTEGER) AS stage, COUNT(*) AS n_users
+FROM stages GROUP BY 1
+""")
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel (view -> click-after-view -> purchase-after-
+    click) per user. The oracle builds each stage with a join back to the
+    previous stage's first-hit time (three passes); the engine computes
+    all three first-hit times as CHAINED WINDOW minima over ONE user_id
+    shuffle — each stage's condition references the previous stage's
+    window result, so the whole funnel is a single sort + projection.
+    That's the formulation that survives a 100x event stream; the join
+    form re-shuffles the full stream per stage."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    t_click = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") >= t_view),
+               F.col("ts"))
+    ).over(w)
+    t_buy = F.min(
+        F.when((F.col("event_type") == "purchase") & (F.col("ts") >= t_click),
+               F.col("ts"))
+    ).over(w)
+    stage = (
+        F.when(t_view.isNull(), 0)
+        .when(t_click.isNull(), 1)
+        .when(t_buy.isNull(), 2)
+        .otherwise(3)
+    )
+    per_user = (
+        ev.select("user_id", stage.alias("stage"))
+        .groupBy("user_id").agg(F.max("stage").alias("stage"))
+    )
+    return (per_user.groupBy(F.col("stage").cast("int").alias("stage"))
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+@register("user_retention", """
+WITH f AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1),
+a AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(datediff('day', cohort_day, active_day) AS INTEGER) AS day_k,
+       COUNT(*) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY cohort_day, day_k
+""")
+def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, counted
+    on each later active day. One shuffle: the cohort day is a window min
+    over the SAME user_id partitioning the activity dedup needs, so
+    Catalyst reuses the exchange instead of join-shuffling the stream
+    twice (the oracle's join form)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    days = ev.select(
+        "user_id",
+        F.to_date("ts").alias("active_day"),
+        F.min(F.to_date("ts")).over(w).alias("cohort_day"),
+    ).dropDuplicates(["user_id", "active_day"])
+    return (
+        days.groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.date_diff("active_day", "cohort_day").cast("int").alias("day_k"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+_DUP_EVENTS_CACHE: dict[str, str] = {}
+
+
+def _dup_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Landing zone simulating at-least-once delivery: every 5th event is
+    delivered twice. Built once per sf_dir per process (ingest-side setup,
+    like queries.stream_source_dir)."""
+    if sf_dir not in _DUP_EVENTS_CACHE:
+        import tempfile
+
+        src = tempfile.mkdtemp(prefix="tdp_dup_events_")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value")
+        ev.unionByName(ev.filter(F.col("event_id") % 5 == 0)) \
+            .write.mode("overwrite").parquet(src)
+        _DUP_EVENTS_CACHE[sf_dir] = src
+    return _DUP_EVENTS_CACHE[sf_dir]
+
+
+@register("streaming_dedup", """
+WITH src AS (
+  SELECT event_id, ts, event_type, value FROM events
+  UNION ALL
+  SELECT event_id, ts, event_type, value FROM events WHERE event_id % 5 = 0)
+SELECT DISTINCT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       event_type, value
+FROM src
+""")
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once restoration over an at-least-once feed:
+    dropDuplicatesWithinWatermark(event_id) on a watermarked stream. The
+    oracle rebuilds the duplicated feed in SQL and takes DISTINCT —
+    streaming==batch equivalence again. Scale shape: dedup state holds
+    only keys younger than the watermark horizon (unbounded-state
+    dropDuplicates is exactly what this API exists to avoid), rows emit
+    in append mode as they arrive, and the sink lands distributed."""
+    import tempfile
+
+    src = _dup_events_dir(spark, sf_dir)
+    sink = tempfile.mkdtemp(prefix="tdp_dedup_sink_")
+    ckpt = tempfile.mkdtemp(prefix="tdp_dedup_ckpt_")
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "8")  # state = one key per event inside the horizon
+    try:
+        stream = (spark.readStream
+                  .schema("event_id long, ts timestamp, event_type string, "
+                          "value double")
+                  .parquet(src))
+        dd = (stream.withWatermark("ts", "1 hour")
+              .dropDuplicatesWithinWatermark(["event_id"]))
+        q = (dd.writeStream.outputMode("append")
+             .format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        ok = q.awaitTermination(600)
+    finally:
+        spark.conf.set(key, prev)
+    if not ok:
+        q.stop()
+        raise TimeoutError("streaming_dedup: availableNow run exceeded 600s")
+    return spark.read.parquet(sink).select(
+        "event_id", fmt_ts(F.col("ts")).alias("ts"), "event_type", "value")
