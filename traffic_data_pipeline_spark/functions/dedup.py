@@ -214,47 +214,63 @@ def ngram_jaccard_pairs(sh: DataFrame, groups: DataFrame, id_col: str = "doc_id"
     """
     if min_jaccard < PREFIX_CUTOFF:
         return _ngram_jaccard_naive(sh, groups, id_col, min_jaccard)
-    # Arrays-first: ONE shuffle (groupBy collect_set — duplicate-safe, so
+    # ONE full-stream shuffle (groupBy collect_set — duplicate-safe, so
     # callers can skip the shingle distinct) builds each doc's shingle set;
-    # set size, md5 prefix ordering, and prefix slicing are then per-row
-    # array expressions — no distinct shuffle, no window sort, and the
-    # verify step reuses the same arrays. (The previous formulation spent
-    # two extra full-stream shuffles: distinct + a row_number window;
-    # measured 5.8s -> see bench for the delta.)
+    # the verify step reuses the same arrays.
     #
-    # Shingle ordering: the prefix theorem needs only a CONSISTENT total
-    # order over shingles, so md5(shingle) serves — computed inline, no
-    # extra pass. The classic rarest-first (global doc-frequency) order
-    # prunes ~25% more candidates but needs a full-stream shuffle to count
-    # frequencies, and the array-based verify absorbs the extra candidates.
-    # At corpus scale with heavier boilerplate the tradeoff can flip —
-    # that would reinstate a doc-frequency join before the slice.
+    # Shingle ordering: rarest-first (global doc-frequency, ties by
+    # shingle). The prefix theorem needs only a CONSISTENT total order,
+    # but on boilerplate-heavy corpora the ORDER CHOICE decides the
+    # candidate join's size: prefixes made of rare shingles join almost
+    # nothing, prefixes made of arbitrary (md5-ordered) shingles join
+    # every doc sharing a common substring. Measured at sf0.1 / t=0.7:
+    # md5 order emits 22.8M join rows -> 273k candidates; df order emits
+    # 2.0M rows — and with the positional filter below 0.4M rows ->
+    # 149k candidates. The frequency table costs one map-side-combined
+    # aggregation whose OUTPUT is the distinct-shingle universe — small
+    # for character n-grams (2k entries here), so it broadcasts; if a
+    # corpus's universe outgrows the broadcast threshold, replace
+    # F.broadcast with a shuffle join (same semantics, one more exchange).
     sets = _materialize(
         sh.groupBy(id_col).agg(F.collect_set("shingle").alias("_set"))
         .join(F.broadcast(groups), id_col)
         .withColumn("n_sh", F.size("_set"))
-        .withColumn(
-            "_prefix",
-            F.slice(
-                F.transform(
-                    F.array_sort(F.transform(
-                        "_set", lambda s: F.struct(F.md5(s).alias("o"),
-                                                   s.alias("s")))),
-                    lambda x: x["s"],
-                ),
-                1,
-                (F.col("n_sh")
-                 - F.ceil(F.lit(min_jaccard) * F.col("n_sh")) + 1).cast("int"),
-            ),
-        )
     )
-    prefixes = sets.select(
-        id_col, "grp", "n_sh", F.explode("_prefix").alias("shingle"))
+    exploded = sets.select(
+        id_col, "grp", "n_sh", F.explode("_set").alias("shingle"))
+    shingle_df = exploded.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("_df"))
+    # rank each doc's shingles rarest-first; keep the |d|-ceil(t|d|)+1
+    # prefix. The rank is a position in the doc's FULL ordered set, so it
+    # doubles as the positional-filter input below.
+    rk = F.row_number().over(
+        Window.partitionBy(id_col).orderBy("_df", "shingle"))
+    prefixes = (
+        exploded.join(F.broadcast(shingle_df), "shingle")
+        .withColumn("_rk", rk)
+        .filter(F.col("_rk") <= (F.col("n_sh")
+                                 - F.ceil(F.lit(min_jaccard) * F.col("n_sh"))
+                                 + 1).cast("int"))
+        .select(id_col, "grp", "n_sh", "shingle", "_rk")
+    )
     a, b = prefixes.alias("a"), prefixes.alias("b")
+    # positional (PPJoin) filter, applied to join OUTPUT rows before the
+    # distinct shuffle: a shingle at rank r of a doc's rarest-first order
+    # caps the intersection at 1 + min(n_a - r_a, n_b - r_b), while
+    # J >= t needs an intersection of at least t/(1+t)*(n_a+n_b).
+    # Lossless: a qualifying pair's FIRST shared shingle in the global
+    # order yields its loosest (valid) bound, and that row passes. The
+    # epsilon absorbs float rounding at exact-integer boundaries — it can
+    # only ADMIT a boundary pair, which the exact verify then scores.
+    need = F.lit(min_jaccard / (1.0 + min_jaccard)) \
+        * (F.col("a.n_sh") + F.col("b.n_sh")) - F.lit(1e-9)
+    ubound = 1 + F.least(F.col("a.n_sh") - F.col("a._rk"),
+                         F.col("b.n_sh") - F.col("b._rk"))
     cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.grp") == F.col("b.grp"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .filter(ubound >= need)
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
