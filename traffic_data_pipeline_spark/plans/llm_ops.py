@@ -437,3 +437,94 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise TimeoutError("streaming_dedup: availableNow run exceeded 600s")
     return spark.read.parquet(sink).select(
         "event_id", fmt_ts(F.col("ts")).alias("ts"), "event_type", "value")
+
+
+@register("doc_pack_sequences", f"""
+WITH {_TOK_LIST_CTE},
+sized AS (
+  SELECT t.doc_id, d.source, CAST(t.doc_id // 1000 AS BIGINT) AS pack_shard,
+         CAST(len(t.l) AS BIGINT) AS n_tok
+  FROM tl t JOIN documents d USING (doc_id)),
+packed AS (
+  SELECT doc_id, source, pack_shard, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source, pack_shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+  FROM sized)
+SELECT doc_id, source, pack_shard,
+       CAST(start_off // 64 AS BIGINT) AS seq_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(start_off % 64 AS BIGINT) AS tok_offset
+FROM packed
+""")
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate each (source, shard)'s token stream in
+    doc_id order and cut it every 64 tokens; a doc's sequence id / offset
+    is where its first token lands. This is the packer that turns variable
+    -length documents into fixed-length training rows without padding
+    waste.
+
+    Scale shape: packing is windowed over (source, pack_shard) — NOT the
+    whole source — so parallelism grows with the corpus (each shard packs
+    independently; training consumes shards independently, so cross-shard
+    sequence continuity buys nothing). One shuffle, integer-only output,
+    exact SQL twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source",
+        F.floor(F.col("doc_id") / 1000).cast("bigint").alias("pack_shard"),
+        F.size(token_array(F.col("text"))).cast("bigint").alias("n_tok"),
+    )
+    w = (Window.partitionBy("source", "pack_shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = sized.withColumn(
+        "start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return packed.select(
+        "doc_id", "source", "pack_shard",
+        F.floor(F.col("start_off") / 64).cast("bigint").alias("seq_id"),
+        "n_tok",
+        (F.col("start_off") % 64).cast("bigint").alias("tok_offset"),
+    )
+
+
+@register("doc_shard_assign", f"""
+WITH {_TOK_LIST_CTE},
+sh AS (
+  SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_tok,
+         LENGTH(d.text) AS n_chars,
+         CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 16 AS shard_id
+  FROM tl t JOIN documents d USING (doc_id))
+SELECT CAST(shard_id AS INTEGER) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM sh GROUP BY 1
+""")
+def q_doc_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable output sharding: every doc hashes to one of 16 training
+    shards via md5(doc_id) — rerunning the pipeline lands each doc in the
+    same shard regardless of cluster size or input order, which is what
+    makes incremental re-publishes and resumable training epochs safe.
+    The summary per shard doubles as the balance check (hash sharding
+    keeps shards within a few percent of each other). A writer pairs this
+    with repartition(16, shard_id) so each shard lands as one file set;
+    the md5-prefix integer is the same cross-engine hash trick the SimHash
+    oracle pins down. One map-side-combined shuffle to 16 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                    16, 10).cast("bigint") % 16).cast("int")
+    sized = docs.select(
+        "doc_id",
+        F.size(token_array(F.col("text"))).cast("bigint").alias("n_tok"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        shard.alias("shard_id"),
+    )
+    return sized.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
