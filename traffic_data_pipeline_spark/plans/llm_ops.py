@@ -528,3 +528,130 @@ def q_doc_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@register("events_json_rescue", """
+WITH feed AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 13 = 0
+              THEN substr(props, 1, LENGTH(props) - 1) ELSE props END AS props
+  FROM events),
+parsed AS (
+  SELECT event_id, event_type,
+         CASE WHEN json_valid(props) THEN CAST(props->>'k' AS BIGINT) END AS k
+  FROM feed)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+       CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS sum_k
+FROM parsed GROUP BY 1
+""")
+def q_events_json_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record routing: parse a JSON feed where some records are
+    corrupt (stand-in: drop the closing brace of every 13th event), route
+    parse failures to a quarantine count instead of failing the job, and
+    aggregate the survivors. get_json_object returns NULL on malformed
+    input — the per-row rescue is a projection, no UDF, no job abort; a
+    production variant writes the quarantined rows to a dead-letter path
+    with the same predicate. The feed synthesis is deterministic so the
+    DuckDB twin (json_valid + ->>) checks the exact routing split."""
+    ev = load_table(spark, sf_dir, "events")
+    feed = ev.select(
+        "event_id", "event_type",
+        F.when(F.col("event_id") % 13 == 0,
+               F.expr("substring(props, 1, length(props) - 1)"))
+        .otherwise(F.col("props")).alias("props"),
+    )
+    parsed = feed.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_quarantined"),
+        F.sum(F.coalesce(F.col("k"), F.lit(0))).alias("sum_k"),
+    )
+
+
+@register("embedding_quantize", """
+WITH scaled AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+  FROM embeddings),
+q AS (
+  SELECT e.vec_id, t.i - 1 AS idx,
+         CASE WHEN s.mx = 0 THEN 0
+              ELSE CAST(FLOOR(CAST(e.embedding[t.i] AS DOUBLE) * (127.0 / s.mx)
+                              + 0.5) AS INTEGER) END AS qval
+  FROM embeddings e JOIN scaled s USING (vec_id),
+       unnest(generate_series(1, len(e.embedding))) t(i))
+SELECT vec_id, CAST(idx AS INTEGER) AS idx, qval
+FROM q
+""")
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    compression step in front of a quantized ANN index (4x smaller than
+    float32, dot products in integer SIMD). scale = 127/max|x| per
+    vector; qval = floor(x*scale + 0.5) — floor(+0.5) instead of round()
+    because the two engines disagree on rounding mode at exact .5 ties,
+    while this formula is pure IEEE double arithmetic and bit-identical.
+    Narrow op: per-row array max + posexplode, no shuffle; output is the
+    long (vec_id, idx, qval) form an index builder consumes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mx = F.array_max(F.transform("embedding",
+                                 lambda x: F.abs(x.cast("double"))))
+    flat = emb.select(
+        "vec_id", mx.alias("mx"),
+        F.posexplode(F.col("embedding")).alias("idx", "val"),
+    )
+    qval = F.when(F.col("mx") == 0, F.lit(0)).otherwise(
+        F.floor(F.col("val").cast("double") * (F.lit(127.0) / F.col("mx"))
+                + F.lit(0.5)).cast("int"))
+    return flat.select("vec_id", "idx", qval.alias("qval"))
+
+
+@register("dedup_keep_best", """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+           AS content_key
+  FROM documents),
+ranked AS (
+  SELECT doc_id, n_chars, content_key,
+         ROW_NUMBER() OVER (PARTITION BY content_key
+                            ORDER BY n_chars DESC, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY content_key) AS n_dups
+  FROM keyed)
+SELECT content_key, doc_id AS kept_doc,
+       CAST(n_chars AS BIGINT) AS kept_chars,
+       CAST(n_dups AS BIGINT) AS n_dups
+FROM ranked WHERE rk = 1
+""")
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of exact dedup: within each content-identical group
+    keep one canonical document — highest quality wins (stand-in score:
+    n_chars; a production pipeline plugs its quality model's score in),
+    doc_id as the deterministic tiebreak. One shuffle on content_key;
+    rank and group size share the same window exchange. Composes
+    functions.dedup.exact_dedup_keys's grouping with a selection policy
+    instead of min-id."""
+    from traffic_data_pipeline_spark.functions.text import normalize
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", "n_chars",
+        F.md5(normalize(F.col("text"))).alias("content_key"),
+    )
+    w = Window.partitionBy("content_key").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id"))
+    ranked = keyed.select(
+        "content_key", "doc_id", "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("content_key")).alias("n_dups"),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        F.col("content_key"),
+        F.col("doc_id").alias("kept_doc"),
+        F.col("n_chars").cast("bigint").alias("kept_chars"),
+        F.col("n_dups").cast("bigint").alias("n_dups"),
+    )
