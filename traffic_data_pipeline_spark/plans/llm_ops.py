@@ -23,7 +23,7 @@ from traffic_data_pipeline_spark.functions.text import (
     token_array,
 )
 from traffic_data_pipeline_spark.operators.asof import asof_join
-from traffic_data_pipeline_spark.plans.queries import fmt_ts, register
+from traffic_data_pipeline_spark.plans.queries import dsum, fmt_ts, register
 from traffic_data_pipeline_spark.sources.tables import load_table
 
 # DuckDB twin of functions.text.token_array
@@ -654,4 +654,131 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("kept_doc"),
         F.col("n_chars").cast("bigint").alias("kept_chars"),
         F.col("n_dups").cast("bigint").alias("n_dups"),
+    )
+
+
+@register("doc_mixture_rebalance", f"""
+WITH {_TOK_LIST_CTE},
+sized AS (
+  SELECT t.doc_id, d.source, CAST(len(t.l) AS BIGINT) AS n_tok
+  FROM tl t JOIN documents d USING (doc_id)),
+budget AS (
+  SELECT MIN(tok) AS m FROM (
+    SELECT source, SUM(n_tok) AS tok FROM sized GROUP BY 1)),
+cum AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS running
+  FROM sized)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_before,
+       CAST(SUM(n_tok) AS BIGINT) AS tok_before,
+       CAST(SUM(CASE WHEN running <= (SELECT m FROM budget)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN running <= (SELECT m FROM budget)
+                     THEN n_tok ELSE 0 END) AS BIGINT) AS tok_kept
+FROM cum GROUP BY 1
+""")
+def q_doc_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing under a token budget: every source contributes
+    at most the smallest source's token total, taken as a deterministic
+    doc_id-ordered prefix (no RNG — reruns keep identical docs). This is
+    the knob that stops one over-crawled source from dominating a
+    training mix. The budget is a scalar broadcast; the prefix test rides
+    the same per-source cumulative-sum window the packer uses. Integer
+    counts only, so the oracle hash is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source",
+        F.size(token_array(F.col("text"))).cast("bigint").alias("n_tok"),
+    )
+    budget = sized.groupBy("source").agg(F.sum("n_tok").alias("tok")) \
+        .agg(F.min("tok").alias("m"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = sized.withColumn("running", F.sum("n_tok").over(w)) \
+        .join(F.broadcast(budget))
+    kept = F.when(F.col("running") <= F.col("m"), 1).otherwise(0)
+    return cum.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.sum("n_tok").alias("tok_before"),
+        F.sum(kept).alias("n_kept"),
+        F.sum(F.when(F.col("running") <= F.col("m"), F.col("n_tok"))
+              .otherwise(0)).alias("tok_kept"),
+    )
+
+
+@register("events_zscore_anomaly", """
+WITH stats AS (
+  SELECT event_type,
+         COUNT(value) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS q
+  FROM events GROUP BY 1)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN (e.value - t.s / t.n) * (e.value - t.s / t.n)
+                          > 9.0 * (t.q / t.n - (t.s / t.n) * (t.s / t.n))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM events e JOIN stats t USING (event_type)
+GROUP BY 1
+""")
+def q_events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outlier flagging per event type. Scale shape: the stats
+    side is a map-side-combined aggregate to ONE row per type, broadcast
+    back over the stream — the fact is never shuffled (a window over
+    5 event types would funnel 100 TB into 5 partitions). Mean/variance
+    derive from exact decimal sums, so both engines compute bit-identical
+    doubles and the strict > flag cannot flip at the boundary."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        dsum(F.col("value")).alias("s"),
+        dsum(F.col("value") * F.col("value")).alias("q"),
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    mean = F.col("s") / F.col("n")
+    var = F.col("q") / F.col("n") - mean * mean
+    dev = F.col("value") - mean
+    flag = F.when(dev * dev > F.lit(9.0) * var, 1).otherwise(0)
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(flag).cast("bigint").alias("n_anomalies"),
+    )
+
+
+@register("top_supplier", """
+WITH rev AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+              AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+""")
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, keep the top
+    one(s). The max is a scalar aggregate broadcast against the revenue
+    frame — not a global window, which would sort every supplier in one
+    partition. Revenue is decimal-exact, so the equality join against the
+    max cannot miss by an ulp and the oracle hash holds. Shipdate filter
+    reaches the parquet scan as a pushed predicate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1996-04-01"))
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(sup, F.col("s_suppkey") == F.col("suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
     )
