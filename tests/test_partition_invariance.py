@@ -1,0 +1,53 @@
+"""Results must not depend on the shuffle width.
+
+A cluster operator retunes spark.sql.shuffle.partitions per deployment
+(and AQE retunes it per stage at runtime); any query whose OUTPUT changes
+under a different partition count has an order-dependence bug — float
+reduction order, a window missing a deterministic sort, a limit without
+an ordering. Run representative queries under two widths and require
+row-identical results.
+
+Queries chosen to cover the shapes where partitioning could leak in:
+the imputation cascade (window frames over a shared sort),
+MinHash+LSH (band self-join + distinct), sequence packing (cumulative
+window), the decimal-exact pricing aggregate, and the QAQC chain
+(chained windows + median).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from traffic_data_pipeline_spark.plans.queries import QUERIES
+
+CASES = [
+    "sensor_impute",
+    "dedup_minhash_lsh",
+    "doc_pack_sequences",
+    "pricing_summary",
+    "node_qaqc",
+]
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    recs = [tuple(str(r[c]) for c in cols) for r in df.collect()]
+    return sorted(recs)
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_partition_invariant(spark, sf_dir, name):
+    from traffic_data_pipeline_spark.functions.execution import release
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "3")
+        narrow = _rows(QUERIES[name](spark, sf_dir))
+        release()
+        spark.conf.set(key, "17")
+        wide = _rows(QUERIES[name](spark, sf_dir))
+        release()
+    finally:
+        spark.conf.set(key, prev)
+    assert narrow == wide, f"{name}: output depends on shuffle width"

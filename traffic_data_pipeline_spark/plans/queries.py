@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from traffic_data_pipeline_spark.operators.aggregate import aggregate_detector
@@ -1206,6 +1206,66 @@ def q_config_xml_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CORRIDOR_ROUTE",
         F.date_format("SNAPSHOT_DATE", "yyyy-MM-dd").alias("SNAPSHOT_DATE"),
     )
+
+
+
+@register("corridor_p85_speed", f"""
+WITH {NODEFACT_CTES},
+spd AS (
+  SELECT corridor_route, speed,
+         ROW_NUMBER() OVER (PARTITION BY corridor_route
+                            ORDER BY speed, sensor, w_start) AS rk,
+         COUNT(*) OVER (PARTITION BY corridor_route) AS n
+  FROM fact WHERE speed IS NOT NULL AND corridor_route IS NOT NULL)
+SELECT corridor_route, CAST(n AS BIGINT) AS n_speeds, speed AS p85_speed
+FROM spd WHERE rk = CAST(CEIL(0.85 * n) AS BIGINT)
+""")
+def q_corridor_p85_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """85th-percentile speed per corridor — the traffic-engineering
+    statistic behind speed-limit setting. Discrete percentile via an
+    explicit rank (value at ceil(0.85*n) in (speed, sensor, w_start)
+    order): both engines compute the identical row, where interpolated
+    percentile implementations differ in their blend formula's last ulp.
+    The rank and count share one corridor-keyed window exchange. At
+    100 TB the same semantics would come from percentile_approx (a
+    mergeable sketch, no per-corridor sort); the exact rank formulation
+    is the oracle-checkable reference its accuracy is judged against."""
+    fact = _node_fact(spark, sf_dir).filter(
+        F.col("speed").isNotNull() & F.col("corridor_route").isNotNull())
+    w = Window.partitionBy("corridor_route")
+    spd = fact.select(
+        "corridor_route", "speed",
+        F.row_number().over(w.orderBy("speed", "sensor", "w_start")).alias("rk"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return spd.filter(
+        F.col("rk") == F.ceil(F.lit(0.85) * F.col("n")).cast("bigint")
+    ).select(
+        "corridor_route", F.col("n").cast("bigint").alias("n_speeds"),
+        F.col("speed").alias("p85_speed"),
+    )
+
+
+@register("corridor_speed_histogram", f"""
+WITH {NODEFACT_CTES}
+SELECT corridor_route,
+       CAST(FLOOR(speed / 10.0) AS INTEGER) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_obs
+FROM fact WHERE speed IS NOT NULL AND corridor_route IS NOT NULL
+GROUP BY 1, 2
+""")
+def q_corridor_speed_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speed distribution per corridor in 10-mph bins — the shape QA
+    check behind the percentile stats (bimodal = congestion regime,
+    heavy low bins = sensor fault). One map-side-combined aggregate;
+    bin edges are exact (speed is rounded to 1dp upstream, so
+    floor(speed/10) cannot straddle engines)."""
+    fact = _node_fact(spark, sf_dir).filter(
+        F.col("speed").isNotNull() & F.col("corridor_route").isNotNull())
+    return fact.groupBy(
+        "corridor_route",
+        F.floor(F.col("speed") / 10.0).cast("int").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
 
 
 # load extension registrations (import at end avoids a circular-import trap:
