@@ -8,6 +8,8 @@ Registered into the same QUERIES/ORACLES dicts as plans/queries.py.
 
 from __future__ import annotations
 
+from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -692,11 +694,9 @@ def media_source_dir(spark: SparkSession, sf_dir: str) -> str:
     columns; queries read that. bench.py pre-builds this in warmup for the
     same reason it pre-builds the streaming landing zone."""
     if sf_dir not in _MEDIA_SRC_CACHE:
-        import tempfile
-
         from traffic_data_pipeline_spark.multimodal.media import attach_media
 
-        src = tempfile.mkdtemp(prefix="tdp_media_src_")
+        src = scratch_dir(prefix="tdp_media_src_")
         attach_media(load_table(spark, sf_dir, "documents")) \
             .write.mode("overwrite").parquet(src)
         _MEDIA_SRC_CACHE[sf_dir] = src

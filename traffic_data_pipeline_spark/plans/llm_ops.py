@@ -10,6 +10,8 @@ value-hash is bit-stable across engines.
 
 from __future__ import annotations
 
+from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -381,9 +383,7 @@ def _dup_events_dir(spark: SparkSession, sf_dir: str) -> str:
     delivered twice. Built once per sf_dir per process (ingest-side setup,
     like queries.stream_source_dir)."""
     if sf_dir not in _DUP_EVENTS_CACHE:
-        import tempfile
-
-        src = tempfile.mkdtemp(prefix="tdp_dup_events_")
+        src = scratch_dir(prefix="tdp_dup_events_")
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "event_type", "value")
         ev.unionByName(ev.filter(F.col("event_id") % 5 == 0)) \
@@ -410,11 +410,9 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only keys younger than the watermark horizon (unbounded-state
     dropDuplicates is exactly what this API exists to avoid), rows emit
     in append mode as they arrive, and the sink lands distributed."""
-    import tempfile
-
     src = _dup_events_dir(spark, sf_dir)
-    sink = tempfile.mkdtemp(prefix="tdp_dedup_sink_")
-    ckpt = tempfile.mkdtemp(prefix="tdp_dedup_ckpt_")
+    sink = scratch_dir(prefix="tdp_dedup_sink_")
+    ckpt = scratch_dir(prefix="tdp_dedup_ckpt_")
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     spark.conf.set(key, "8")  # state = one key per event inside the horizon

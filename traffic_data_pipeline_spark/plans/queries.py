@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -179,9 +181,7 @@ def stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
     sentinel file. Building it is ingest-side setup, not streaming work,
     so bench warmup pre-builds it."""
     if sf_dir not in _STREAM_SRC_CACHE:
-        import tempfile
-
-        src = tempfile.mkdtemp(prefix="tdp_stream_src_")
+        src = scratch_dir(prefix="tdp_stream_src_")
         readings = (sensor_readings(spark, sf_dir)
                     .select("sensor", "start_datetime", "volume", "occupancy"))
         readings.write.mode("overwrite").parquet(src)
@@ -209,8 +209,6 @@ def q_streaming_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect to the driver each trigger) this exercises watermark
     finalization and scales: state holds only open windows and each batch
     lands distributed."""
-    import tempfile
-
     from traffic_data_pipeline_spark.streaming.pipeline import (
         start_parquet_sink,
         stream_15min_agg,
@@ -218,8 +216,8 @@ def q_streaming_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = stream_source_dir(spark, sf_dir)
-    sink = tempfile.mkdtemp(prefix="tdp_stream_sink_")
-    ckpt = tempfile.mkdtemp(prefix="tdp_stream_ckpt_")
+    sink = scratch_dir(prefix="tdp_stream_sink_")
+    ckpt = scratch_dir(prefix="tdp_stream_ckpt_")
     agg = stream_15min_agg(stream_readings(spark, src),
                            config=detector_config(spark, sf_dir))
     # The stateful stage's partition count is pinned into the checkpoint at
@@ -282,14 +280,12 @@ def q_streaming_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     window semantics. The gap length is emitted as exact microseconds
     derived from the boundary timestamps (a float seconds column would be
     last-ulp unstable across engines)."""
-    import tempfile
-
     from traffic_data_pipeline_spark.streaming.pipeline import stream_readings
     from traffic_data_pipeline_spark.streaming.stateful import detect_gaps
 
     src = stream_source_dir(spark, sf_dir)
-    sink = tempfile.mkdtemp(prefix="tdp_gap_sink_")
-    ckpt = tempfile.mkdtemp(prefix="tdp_gap_ckpt_")
+    sink = scratch_dir(prefix="tdp_gap_sink_")
+    ckpt = scratch_dir(prefix="tdp_gap_ckpt_")
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     spark.conf.set(key, "8")  # state is one timestamp per sensor
