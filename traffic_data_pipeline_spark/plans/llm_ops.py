@@ -780,3 +780,69 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sup, F.col("s_suppkey") == F.col("suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+_VOCAB_CTE = _TOK_LIST_CTE + """,
+tok AS (SELECT doc_id, unnest(l) AS token FROM tl),
+vocab AS (
+  SELECT token, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS df
+  FROM tok GROUP BY 1 HAVING COUNT(*) >= 5)
+"""
+
+
+@register("vocab_build", f"""
+WITH {_VOCAB_CTE}
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_total DESC, token) AS BIGINT)
+         AS token_id,
+       token, CAST(n_total AS BIGINT) AS n_total, CAST(df AS BIGINT) AS df
+FROM vocab
+""")
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary: corpus token counts, a min-count cutoff
+    (>= 5), and dense ids by (frequency desc, token). The count aggregate
+    is the only full-stream shuffle (map-side combined); the id window
+    sorts just the CUTOFF vocabulary — a dimension, not the stream — and
+    this is the one shape where a single-partition sort is correct at
+    100 TB too, because a vocabulary that doesn't fit one task isn't a
+    usable vocabulary. OOV scoring (doc_oov_rate) broadcasts the result
+    back against the stream."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode("tok").alias("token"))
+    vocab = (tok.groupBy("token")
+             .agg(F.count(F.lit(1)).alias("n_total"),
+                  F.countDistinct("doc_id").alias("df"))
+             .filter(F.col("n_total") >= 5))
+    w = Window.orderBy(F.col("n_total").desc(), "token")
+    return vocab.select(
+        F.row_number().over(w).cast("bigint").alias("token_id"),
+        "token", F.col("n_total").cast("bigint").alias("n_total"),
+        F.col("df").cast("bigint").alias("df"),
+    )
+
+
+@register("doc_oov_rate", f"""
+WITH {_VOCAB_CTE}
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tok,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov
+FROM tok t LEFT JOIN vocab v USING (token)
+GROUP BY 1
+""")
+def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary counts per document against the min-count-5
+    vocabulary — the coverage check run before committing to a tokenizer.
+    The vocab is broadcast (it is a cutoff dimension); the token stream
+    aggregates per doc with map-side partials, so the only full-stream
+    shuffle is the final doc_id group-by."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode("tok").alias("token"))
+    vocab = (tok.groupBy("token")
+             .agg(F.count(F.lit(1)).alias("n_total"))
+             .filter(F.col("n_total") >= 5)
+             .select("token", F.lit(1).alias("_in")))
+    return (tok.join(F.broadcast(vocab), "token", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tok"),
+                 F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+                 .alias("n_oov")))
