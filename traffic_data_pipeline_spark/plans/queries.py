@@ -1264,6 +1264,67 @@ def q_corridor_speed_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_obs"))
 
 
+
+@register("streaming_sliding_volume", f"""
+WITH readings AS ({SENSOR_VIEW_SQL}),
+win AS (
+  SELECT r.sensor, r.volume,
+         to_timestamp(FLOOR(epoch(r.start_datetime) / 900) * 900
+                      - t.k * 900) AS w_start
+  FROM readings r, (SELECT unnest([0, 1]) AS k) t)
+SELECT sensor, strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+       CAST(SUM(volume) AS BIGINT) AS volume_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_obs
+FROM win GROUP BY 1, 2
+""")
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 streaming face: OVERLAPPING 30-minute windows sliding every
+    15 minutes over the sensor stream — each reading lands in two
+    windows, so state holds two open windows per sensor instead of one
+    and append emission still finalizes per window as the watermark
+    passes. The oracle expands each reading to its two window starts in
+    SQL (sliding windows are a static cross join against k slide
+    offsets); integer sums keep the hash exact. Same landing zone,
+    sentinel flush, and state-sized shuffle width as the tumbling query.
+    """
+    from traffic_data_pipeline_spark.streaming.pipeline import stream_readings
+
+    src = stream_source_dir(spark, sf_dir)
+    sink = scratch_dir(prefix="tdp_slide_sink_")
+    ckpt = scratch_dir(prefix="tdp_slide_ckpt_")
+    agg = (
+        stream_readings(spark, src)
+        .withWatermark("start_datetime", "3 days")
+        .groupBy(
+            "sensor",
+            F.window("start_datetime", "30 minutes", "15 minutes"),
+        )
+        .agg(F.sum("volume").alias("volume_sum"),
+             F.count(F.lit(1)).alias("n_obs"))
+        .select("sensor", F.col("window.start").alias("w_start"),
+                "volume_sum", "n_obs")
+    )
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try:
+        q = (agg.writeStream.outputMode("append")
+             .format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        ok = q.awaitTermination(600)
+    finally:
+        spark.conf.set(key, prev)
+    if not ok:
+        q.stop()
+        raise TimeoutError("streaming_sliding_volume: availableNow run exceeded 600s")
+    return spark.read.parquet(sink).filter(F.col("sensor") != FLUSH_SENSOR).select(
+        "sensor", fmt_ts("w_start").alias("w_start"),
+        F.col("volume_sum").cast("bigint").alias("volume_sum"),
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+    )
+
+
 # load extension registrations (import at end avoids a circular-import trap:
 # extensions imports register() from this module)
 from traffic_data_pipeline_spark.plans import extensions  # noqa: E402,F401
