@@ -791,3 +791,57 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(4).alias("out_w"), F.lit(3).alias("out_h"),
         F.length("content").alias("n_bytes"),
     )
+
+
+@register("embedding_kmeans_step", f"""
+WITH {_EMB_CTES},
+cent AS (SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT 8),
+cdot AS (
+  SELECT v.vec_id, c.vec_id AS cid,
+         CAST(SUM(CAST(v.val * c.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM elems v JOIN elems c ON v.pos = c.pos
+  WHERE c.vec_id IN (SELECT cid FROM cent)
+  GROUP BY 1, 2),
+scored AS (
+  SELECT d.vec_id, d.cid,
+         d.dot / (sqrt(vn.norm_sq) * sqrt(cn.norm_sq)) AS cos
+  FROM cdot d
+  JOIN norms vn ON vn.vec_id = d.vec_id
+  JOIN norms cn ON cn.vec_id = d.cid),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+    FROM scored) WHERE rk = 1)
+SELECT a.cid AS centroid_id, CAST(e.pos AS INTEGER) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CAST(e.val AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*)
+         AS mean_val
+FROM elems e JOIN assign a USING (vec_id)
+GROUP BY 1, 2
+""")
+def q_embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means refinement step for the IVF coarse quantizer: assign
+    every vector to its nearest seed centroid (cosine, ties to the lower
+    id — the same ivf_assign the index uses), then emit the new centroid
+    as per-dimension means in long form. Iterating this to convergence is
+    a driver loop over the same two shuffles per round (assignment argmax
+    + mean aggregate) — the shape Lloyd's algorithm always has on Spark;
+    dots and sums are decimal-exact so assignment ties and means are
+    bit-stable across engines and partitionings."""
+    from traffic_data_pipeline_spark.functions.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.orderBy("vec_id").limit(8)
+    assign = ivf_assign(emb, centroids).withColumnRenamed(
+        "centroid_id", "cid")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val"))
+    return (
+        flat.join(assign, "vec_id")
+        .groupBy(F.col("cid").alias("centroid_id"),
+                 (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(F.count(F.lit(1)).alias("n_members"),
+             (F.sum(F.col("val").cast("double").cast("decimal(30,12)"))
+              .cast("double") / F.count(F.lit(1))).alias("mean_val"))
+    )
