@@ -20,20 +20,32 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one fixture table under ``sf_dir``.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as nanos-since-epoch longs
-    (``spark.sql.legacy.parquet.nanosAsLong``) and convert to a
-    microsecond TimestampType here, so every consumer sees a plain
-    timestamp column.
+    ``events.ts`` has been written by different fixture generations as
+    parquet TIMESTAMP(NANOS) (which Spark's vectorized reader rejects
+    outright) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark
+    reads as TIMESTAMP_NTZ). Normalize both to a plain session-zone
+    TimestampType so every consumer — batch, streaming, and the DuckDB
+    oracles, which all treat the column as naive-UTC — sees one type.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # The flag is captured at relation creation (the returned DataFrame
-        # keeps working after restore), so scope it to this read instead of
-        # mutating the session: otherwise every later parquet read would
-        # silently see TIMESTAMP(NANOS) columns as bigint. Not safe against
-        # concurrent reads in other driver threads during this call.
+        return _load_events(spark, f"{sf_dir}/{name}.parquet")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # TIMESTAMP(NANOS) fixtures: re-read with the nanos-as-long escape
+        # hatch. The flag is captured at relation creation (the returned
+        # DataFrame keeps working after restore), so scope it to this read
+        # instead of mutating the session: otherwise every later parquet
+        # read would silently see TIMESTAMP(NANOS) columns as bigint.
         key = "spark.sql.legacy.parquet.nanosAsLong"
         try:
             prev = spark.conf.get(key)
@@ -41,17 +53,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             prev = None
         spark.conf.set(key, "true")
         try:
-            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            df = spark.read.parquet(path)
         finally:
             if prev is None:
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, prev)
-        from pyspark.sql import functions as F
-
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
         # integer division: nanosecond epochs exceed 2^53, so a float
         # division here silently lands ±1 microsecond off
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        # wall-clock values carry over unchanged: the session zone is UTC
+        # (session.get_spark pins it) and the fixture stamps are naive-UTC
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
