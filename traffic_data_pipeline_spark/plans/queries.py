@@ -1329,4 +1329,5 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # extensions imports register() from this module)
 from traffic_data_pipeline_spark.plans import extensions  # noqa: E402,F401
 from traffic_data_pipeline_spark.plans import llm_ops  # noqa: E402,F401
+from traffic_data_pipeline_spark.plans import search_ops  # noqa: E402,F401
 

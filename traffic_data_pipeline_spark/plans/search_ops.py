@@ -1,0 +1,344 @@
+"""Search & linkage queries: BM25 ranking, edit-distance record linkage,
+and two analytic shapes (priced-order top-k, grouped exact quantiles).
+
+These extend the engine past the reference's aggregation surface into the
+retrieval/linkage operations a training-data pipeline runs next to dedup:
+score documents against a term query (corpus triage, boilerplate hunting),
+link near-identical catalog names (entity resolution before joining
+vendor feeds), and profile value distributions exactly.
+
+Scale notes (audited in PLANS.md):
+
+- BM25 keeps term frequencies inside per-row array HOFs (``F.filter`` over
+  the token array) — the token stream is never exploded, so the only data
+  movement is a one-row global-stats broadcast and the final top-k
+  (``TakeOrderedAndProject``, no global sort).
+- The linkage join blocks on symmetric-delete keys (SymSpell): edit
+  distance ≤ 2 between two strings implies some ≤2-deletion variant of one
+  equals a ≤2-deletion variant of the other, so an equi-join on variant
+  keys is recall-COMPLETE — unlike q-gram count filters, which lose recall
+  below ~(q·d + q - 1) chars, i.e. for exactly the short catalog names this
+  operates on. Variants are O(len²) per distinct name; the join runs on the
+  distinct-name vocabulary (dedup before the quadratic step), not the row
+  stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from traffic_data_pipeline_spark.functions.text import token_array
+from traffic_data_pipeline_spark.plans.queries import dsum, register
+from traffic_data_pipeline_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("spark", "join", "vector", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+_BM25_BASE_SQL = """
+tl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents),
+base AS (
+  SELECT doc_id, len(l) AS doclen,
+         {tf_cols}
+  FROM tl),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(doclen) AS DOUBLE) / COUNT(*) AS avgdl,
+         {df_cols}
+  FROM base)
+"""
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(l, x -> x = '{t}')) AS tf_{t}" for t in BM25_TERMS
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    # identical term order + operation order to the Spark expression so the
+    # float arithmetic is bit-reproducible across engines
+    score = " + ".join(
+        f"ln((n - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0)"
+        f" * ((tf_{t} * {BM25_K1 + 1.0}) / (tf_{t} + {BM25_K1}"
+        f" * (1.0 - {BM25_B} + {BM25_B} * (doclen / avgdl))))"
+        for t in BM25_TERMS
+    )
+    base = _BM25_BASE_SQL.format(tf_cols=tf_cols, df_cols=df_cols)
+    tf_out = ", ".join(f"CAST(tf_{t} AS INTEGER) AS tf_{t}" for t in BM25_TERMS)
+    return f"""
+WITH {base}
+SELECT doc_id, CAST(doclen AS INTEGER) AS doclen, {tf_out},
+       ROUND({score}, 4) AS bm25
+FROM base, stats
+ORDER BY {score} DESC, doc_id
+LIMIT {BM25_TOP_K}
+"""
+
+
+@register("doc_bm25_search", _bm25_oracle())
+def q_doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking of the corpus against a fixed term query, top-20.
+
+    Term frequencies are array HOFs over the per-row token array — the
+    token stream never explodes, so the per-doc pass is narrow. Corpus
+    stats (N, avgdl, per-term df) aggregate map-side to ONE row and
+    broadcast back; the ranking is a top-k (TakeOrderedAndProject), not a
+    global sort. The score polynomial is evaluated in a fixed term order
+    with the same association as the DuckDB oracle, so the doubles match
+    bit-for-bit and ROUND(...,4) is stable cross-engine.
+    """
+    def tf(term):
+        # NOTE: the lambda must take exactly ONE parameter — a two-arg
+        # lambda makes pyspark's filter() pass (element, index) instead
+        return F.array_size(
+            F.filter(token_array(F.col("text")), lambda x: x == F.lit(term))
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.array_size(token_array(F.col("text"))).alias("doclen"),
+        *[tf(t).alias(f"tf_{t}") for t in BM25_TERMS],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("doclen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    score = None
+    for t in BM25_TERMS:
+        idf = F.log(
+            (F.col("n") - F.col(f"df_{t}") + F.lit(0.5))
+            / (F.col(f"df_{t}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        tf = F.col(f"tf_{t}")
+        w = (tf * F.lit(BM25_K1 + 1.0)) / (
+            tf
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0)
+                - F.lit(BM25_B)
+                + F.lit(BM25_B) * (F.col("doclen") / F.col("avgdl"))
+            )
+        )
+        term = idf * w
+        score = term if score is None else score + term
+    ranked = j.select(
+        "doc_id",
+        F.col("doclen").cast("int").alias("doclen"),
+        *[F.col(f"tf_{t}").cast("int").alias(f"tf_{t}") for t in BM25_TERMS],
+        F.round(score, 4).alias("bm25"),
+        score.alias("_raw"),
+    )
+    return (
+        ranked.orderBy(F.col("_raw").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+        .drop("_raw")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance record linkage (symmetric-delete blocking)
+# ---------------------------------------------------------------------------
+
+_LINKAGE_ORACLE = """
+WITH names AS (
+  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts FROM part GROUP BY 1)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM names a JOIN names b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+def _deletion_keys(col):
+    """All strings reachable from ``col`` by deleting ≤2 characters, as a
+    deduplicated array expression (SymSpell key set, d=2). O(len²) keys
+    per value — bounded by name length, independent of table size."""
+    del1 = lambda s: F.transform(  # noqa: E731
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            F.substring(s, F.lit(1), i - 1),
+            F.substring(s, i + 1, F.length(s)),
+        ),
+    )
+    one = del1(col)
+    two = F.flatten(F.transform(one, lambda v: del1(v)))
+    return F.array_distinct(F.concat(F.array(col), one, two))
+
+
+@register("part_name_linkage", _LINKAGE_ORACLE)
+def q_part_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage: distinct part names within Levenshtein
+    distance 2 of each other, with per-name row counts — the entity-
+    resolution step run before joining noisy catalog feeds.
+
+    The pair search runs on the DISTINCT-name vocabulary (dedup before the
+    quadratic step: the vocabulary grows with the name domain, not the row
+    count). Blocking is symmetric-delete (SymSpell): ed(s,t) ≤ 2 implies a
+    ≤2-deletion variant of s equals a ≤2-deletion variant of t, so the
+    variant-key equi-join is recall-complete — q-gram count filters are NOT
+    for strings this short (the count bound max(|s|,|t|)−q+1−q·d goes
+    non-positive under ~11 chars at q=3, d=2). Candidates then verify with
+    one native ``levenshtein`` call per pair. The oracle is the brute-force
+    all-pairs join — feasible at oracle scale, and exactly what the
+    blocking must reproduce.
+    """
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    keyed = names.select(
+        "p_name", "n_parts", F.explode(_deletion_keys(F.col("p_name"))).alias("k")
+    )
+    a = keyed.select(
+        F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_parts_a"), "k"
+    )
+    b = keyed.select(
+        F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_parts_b"), "k"
+    )
+    cand = (
+        a.join(b, "k")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .drop("k")
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        cand.withColumn("dist", dist.cast("int"))
+        .filter(F.col("dist") <= 2)
+        .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Priced-order top-k (TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+
+_Q3_DATE = "1998-07-01"
+_Q3_SEGMENT = "BUILDING"
+
+_Q3_ORACLE = f"""
+SELECT o.o_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{_Q3_SEGMENT}'
+  AND o.o_orderdate < DATE '{_Q3_DATE}'
+  AND l.l_shipdate > DATE '{_Q3_DATE}'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+"""
+
+
+@register("shipping_priority", _Q3_ORACLE)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top unshipped-revenue orders for one market
+    segment. The segment filter reduces customer to a broadcast side; the
+    only shuffle moving fact data is the orderkey aggregation, and the
+    final ranking is a top-k (TakeOrderedAndProject), never a global sort.
+    Revenue is decimal-exact, so the top-10 cutoff and tie-order are
+    bit-identical cross-engine. Both date filters push to the parquet
+    scans.
+    """
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == _Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < _Q3_DATE)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > _Q3_DATE)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped exact quantiles
+# ---------------------------------------------------------------------------
+
+_QUANTILES_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("lineitem_quantiles", _QUANTILES_ORACLE)
+def q_lineitem_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped EXACT quantiles of the price distribution — the
+    distribution-profiling pass run before choosing outlier thresholds.
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` both implement
+    linear interpolation at rank p·(n−1) over the sorted values, so the
+    doubles agree bit-for-bit (same two order statistics, same lerp).
+    At 100 TB the same query swaps ``percentile`` → ``percentile_approx``
+    (t-digest sketch, map-side mergeable, no per-group sort) — documented
+    rather than registered because the sketch's answers are
+    engine-specific; the exact form is the oracle-checkable one.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = lambda p: F.round(  # noqa: E731
+        F.expr(f"percentile(l_extendedprice, {p})"), 6
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        pct(0.25).alias("p25"),
+        pct(0.50).alias("p50"),
+        pct(0.75).alias("p75"),
+        pct(0.95).alias("p95"),
+    )
