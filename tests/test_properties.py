@@ -127,12 +127,12 @@ doc_texts = st.lists(
 @given(texts=doc_texts, threshold=st.sampled_from([0.5, 0.7, 0.9]))
 def test_prefix_jaccard_matches_naive(spark, texts, threshold):
     from traffic_data_pipeline_spark.functions.dedup import (
-        _ngram_jaccard_naive, ngram_jaccard_pairs, shingles)
+        _ngram_jaccard_naive, ngram_jaccard_pairs, shingle_sets)
 
     docs = spark.createDataFrame(
         [(f"d{i}", boiler + tail) for i, (boiler, tail) in enumerate(texts)],
         "doc_id string, text string")
-    sh = shingles(docs)
+    sh = shingle_sets(docs)
     groups = docs.select("doc_id", F.lit("g").alias("grp"))
 
     assert threshold >= 0.5  # the prefix path, not the naive dispatch

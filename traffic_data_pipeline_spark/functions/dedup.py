@@ -1,19 +1,20 @@
 """Deduplication operators for the training-data pipeline
 (driver extension surface): exact, MinHash+LSH, SimHash, n-gram Jaccard.
 
-Everything is built-in DataFrame ops — shingling is explode over a
-sequence, hashing is md5 (engine-agnostic, unlike murmur3), min-hash is a
-conditional-min aggregate, banding is a concat+md5, candidate pairing is a
-self-equi-join on band keys.
+Everything is built-in DataFrame ops — shingle sets are per-row regexp
+arrays, hashing is md5 (engine-agnostic, unlike murmur3), min-hash is an
+array_min over a per-row transform, banding is a concat+md5, candidate
+pairing is a self-equi-join on band keys.
 
 Scale notes (100 TB corpus):
 - exact dedup: one shuffle on the md5 key; map-side combine collapses
   duplicates before the shuffle.
-- MinHash+LSH: the shingle explosion is narrow; the per-doc signature is
-  one shuffle on doc_id; candidate generation joins on band keys only —
-  never the O(n^2) pair space. Band-key hot buckets (boilerplate docs) are
-  the skew risk: AQE skew-join handles moderate cases, and a bucket-size
-  cap (filter HAVING count < N before pairing) bounds the worst case.
+- MinHash+LSH: shingle sets AND the per-doc signature are narrow
+  projections (zero shuffles before banding); candidate generation joins
+  on band keys only — never the O(n^2) pair space. Band-key hot buckets
+  (boilerplate docs) are the skew risk: AQE skew-join handles moderate
+  cases, and a bucket-size cap (filter HAVING count < N before pairing)
+  bounds the worst case.
 - SimHash: signature is an agg over (doc, bit) partial sums; pairing at
   fixture scale is a bounded self-join, at corpus scale band the signature
   bytes the same way as MinHash.
@@ -45,39 +46,53 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text",
     )
 
 
-def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-             k: int = SHINGLE_LEN, distinct: bool = True) -> DataFrame:
-    """Character k-gram shingles of the normalized text.
+def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 k: int = SHINGLE_LEN) -> DataFrame:
+    """Per-doc character k-gram shingle SET as an in-row array column.
 
-    ``distinct=True`` dedupes (id, shingle) — required where shingle-set
-    cardinality matters (Jaccard). MinHash callers pass False: MIN is
-    duplicate-insensitive, and the dedup would cost a full shuffle of the
-    exploded shingle stream for nothing.
+    The array form keeps shingling entirely narrow: no explode, no
+    distinct/collect_set shuffle — the only data movement is the small
+    pre-projection repartition that spreads docs across tasks (a
+    single-file fixture scan is one partition, and doc-size skew at
+    corpus scale wants the same rebalance; explicit count, because AQE
+    would coalesce a small shuffle back to one partition). Replaces the
+    exploded-stream formulation, whose collect_set/distinct cost a
+    full-shingle-stream shuffle before any candidate generation began.
+    Downstream consumers explode the array only where the algorithm needs
+    the stream (doc-frequency counting, prefix joins) — from a frame that
+    is ~docs-sized, not shingles-sized.
     """
     norm = normalize(F.col(text_col))
-    out = (
-        # spread docs across tasks BEFORE the ~300x explode: a single-file
-        # fixture scan is one partition, and doc-size skew at corpus scale
-        # wants the same rebalance. Explicit count — AQE would coalesce a
-        # small pre-explode shuffle back to one partition, defeating it.
+    # Overlapping k-grams via a regexp lookahead capture, not
+    # transform(sequence, g -> substring): lambda higher-order functions
+    # are interpreted expressions (no codegen), and filter pushdown
+    # duplicates the array build into the single-task parquet scan —
+    # measured 22s vs 0.7s for this projection at sf0.1. The lookahead
+    # matches every position with k chars remaining, so the gram set is
+    # identical to the positional-substring formulation; texts shorter
+    # than k keep their whole normalized string as the one shingle,
+    # matching substr(norm, 1, k) semantics (and the DuckDB oracle).
+    return (
         df.repartition(df.sparkSession.sparkContext.defaultParallelism,
                        F.col(id_col))
         .select(F.col(id_col), norm.alias("_norm"))
         .select(
             id_col,
-            F.explode(
-                F.sequence(F.lit(1), F.greatest(F.length("_norm") - (k - 1), F.lit(1)))
-            ).alias("_pos"),
-            "_norm",
+            F.expr(
+                f"case when length(_norm) < {k} then array(_norm) "
+                f"else array_distinct("
+                f"regexp_extract_all(_norm, '(?=(.{{{k}}}))', 1)) end"
+            ).alias("_set"),
         )
-        .select(id_col, F.expr(f"substring(_norm, _pos, {k})").alias("shingle"))
     )
-    return out.distinct() if distinct else out
 
 
-def minhash_signatures(sh: DataFrame, id_col: str = "doc_id",
+def minhash_signatures(sets: DataFrame, id_col: str = "doc_id",
                        n_hashes: int = N_MINHASH) -> DataFrame:
-    """Per-doc MinHash signature: h_i = MIN(md5(i || ':' || shingle)).
+    """Per-doc MinHash signature: h_i = min(md5(i || ':' || shingle)) —
+    array_min over a per-row transform of the shingle-set array, so the
+    whole signature is a narrow projection (the former exploded-stream
+    groupBy/min shuffled the full shingle stream to produce it).
 
     md5 is order-free (MIN over a set) and identical across engines —
     murmur3/xxhash would be faster but engine-specific, and digest cost is
@@ -85,13 +100,13 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id",
     into four 32-bit hashes saved nothing and degraded hash independence).
     Output: id, h0..h{n-1}.
     """
-    hashed = sh.select(
+    return sets.select(
         F.col(id_col),
-        *[F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"_mh{i}")
-          for i in range(n_hashes)],
-    )
-    return hashed.groupBy(id_col).agg(
-        *[F.min(f"_mh{i}").alias(f"h{i}") for i in range(n_hashes)]
+        *[
+            F.expr(f"array_min(transform(_set, s -> md5(concat('{i}:', s))))")
+            .alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
     )
 
 
@@ -147,19 +162,27 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
 PREFIX_CUTOFF = 0.5  # below this threshold prefixes barely prune; go naive
 
 
-def _ngram_jaccard_naive(sh: DataFrame, groups: DataFrame, id_col: str,
+def _ngram_jaccard_naive(sets: DataFrame, groups: DataFrame, id_col: str,
                          min_jaccard: float) -> DataFrame:
     """Full shingle self-join — optimal for LOW thresholds where prefix
     filtering cannot prune (see ngram_jaccard_pairs docstring)."""
-    # n_sh as a window scalar over the doc partition (not a groupBy+rejoin,
-    # which would recompute the shingle explode per branch), and the joined
-    # stream persisted so the self-join's two sides read one materialization
-    # instead of re-deriving the explode each.
+    # n_sh is size(_set) — a projection, where the exploded formulation
+    # needed a window count over the shingle stream. The exploded stream
+    # (built narrowly from the per-row sets) is persisted so the
+    # self-join's two sides read one materialization instead of
+    # re-deriving the explode each.
     sh_g = _materialize(
-        sh.join(F.broadcast(groups), id_col)
-        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        sets.join(F.broadcast(groups), id_col)
+        .withColumn("n_sh", F.size("_set"))
+        .select(id_col, "grp", "n_sh", F.explode("_set").alias("shingle"))
     )
-    a, b = sh_g.alias("a"), sh_g.alias("b")
+    # MERGE hint: the cached exploded stream's in-memory stats read small
+    # enough that AQE picks a broadcast build of the WHOLE shingle stream
+    # (a driver-side hash relation of every shingle row — measured 26s vs
+    # 4s at sf0.1, and a guaranteed OOM at corpus scale). Pin the
+    # shuffle-on-(shingle, grp) sort-merge plan the operator is designed
+    # around.
+    a, b = sh_g.alias("a"), sh_g.hint("merge").alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.grp") == F.col("b.grp"))
@@ -180,18 +203,14 @@ def _ngram_jaccard_naive(sh: DataFrame, groups: DataFrame, id_col: str,
     )
 
 
-def ngram_jaccard_pairs(sh: DataFrame, groups: DataFrame, id_col: str = "doc_id",
+def ngram_jaccard_pairs(sets: DataFrame, groups: DataFrame, id_col: str = "doc_id",
                         min_jaccard: float = 0.3) -> DataFrame:
     """Exact Jaccard over shingle sets, with prefix-filtered candidate
     generation (AllPairs/PPJoin family — recall-lossless for a threshold).
 
+    ``sets`` is the per-row array frame from ``shingle_sets`` (id, _set);
     ``groups`` maps id -> group key (e.g. source, or an LSH bucket); only
     intra-group pairs are scored.
-
-    ``sh`` may contain duplicate (id, shingle) rows on the prefix path
-    (collect_set dedups during the one aggregation shuffle — pass
-    ``shingles(..., distinct=False)`` and save the distinct shuffle); the
-    naive path below the cutoff requires a distinct stream.
 
     Why not join the full shingle stream against itself: a shingle present
     in d docs of a group contributes d^2 join rows — boilerplate 5-grams
@@ -213,9 +232,8 @@ def ngram_jaccard_pairs(sh: DataFrame, groups: DataFrame, id_col: str = "doc_id"
     the same rows.
     """
     if min_jaccard < PREFIX_CUTOFF:
-        return _ngram_jaccard_naive(sh, groups, id_col, min_jaccard)
-    # ONE full-stream shuffle (groupBy collect_set — duplicate-safe, so
-    # callers can skip the shingle distinct) builds each doc's shingle set;
+        return _ngram_jaccard_naive(sets, groups, id_col, min_jaccard)
+    # The per-row set arrays arrive shuffle-free; materialize them once —
     # the verify step reuses the same arrays.
     #
     # Shingle ordering: rarest-first (global doc-frequency, ties by
@@ -232,8 +250,7 @@ def ngram_jaccard_pairs(sh: DataFrame, groups: DataFrame, id_col: str = "doc_id"
     # corpus's universe outgrows the broadcast threshold, replace
     # F.broadcast with a shuffle join (same semantics, one more exchange).
     sets = _materialize(
-        sh.groupBy(id_col).agg(F.collect_set("shingle").alias("_set"))
-        .join(F.broadcast(groups), id_col)
+        sets.join(F.broadcast(groups), id_col)
         .withColumn("n_sh", F.size("_set"))
     )
     exploded = sets.select(

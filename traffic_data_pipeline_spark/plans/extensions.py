@@ -18,7 +18,7 @@ from traffic_data_pipeline_spark.functions.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
-    shingles,
+    shingle_sets,
     simhash,
     simhash_near_pairs,
 )
@@ -191,7 +191,7 @@ WHERE (e0 + e1 + e2 + e3 + e4 + e5 + e6 + e7) / 8.0 >= 0.5
 """)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(shingles(docs, distinct=False))
+    sig = minhash_signatures(shingle_sets(docs))
     return lsh_candidate_pairs(sig, min_sim=0.5)
 
 
@@ -215,9 +215,8 @@ WHERE n_inter / (n_a + n_b - n_inter) >= 0.25
 """)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs)
     groups = docs.select("doc_id", F.col("source").alias("grp"))
-    return ngram_jaccard_pairs(sh, groups, min_jaccard=0.25)
+    return ngram_jaccard_pairs(shingle_sets(docs), groups, min_jaccard=0.25)
 
 
 @register("dedup_ngram_jaccard_hi", f"""
@@ -245,9 +244,8 @@ def q_dedup_ngram_jaccard_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (non-distinct) shingle stream suffices: the path's collect_set dedups
     in its one aggregation shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs, distinct=False)
     groups = docs.select("doc_id", F.col("source").alias("grp"))
-    return ngram_jaccard_pairs(sh, groups, min_jaccard=0.7)
+    return ngram_jaccard_pairs(shingle_sets(docs), groups, min_jaccard=0.7)
 
 
 _SIMHASH_CTES = _DOC_CTES + """,
