@@ -76,3 +76,34 @@ def test_bm25_ranking_structure(spark):
     # every returned doc matched at least one query term
     assert all(r.tf_spark + r.tf_join + r.tf_vector + r.tf_stream > 0
                for r in out)
+
+
+def test_sketch_profile_tracks_exact_answers(spark):
+    """The rows-only sketch query has no DuckDB oracle (sketch estimates
+    are engine-specific); pin its accuracy against the exact answers."""
+    import duckdb
+
+    from traffic_data_pipeline_spark.plans.search_ops import (
+        q_doc_sketch_profile,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = {r.source: r for r in q_doc_sketch_profile(spark, sf).collect()}
+    exact = duckdb.sql(f"""
+        WITH toks AS (
+          SELECT source, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+          FROM read_parquet('{sf}/documents.parquet'))
+        SELECT source, COUNT(DISTINCT t) AS d
+        FROM toks WHERE t <> '' GROUP BY 1
+    """).fetchall()
+    meds = duckdb.sql(f"""
+        SELECT source, median(n_chars), quantile_cont(n_chars, 0.95)
+        FROM read_parquet('{sf}/documents.parquet') GROUP BY 1
+    """).fetchall()
+    for source, d in exact:
+        est = got[source].approx_distinct_tokens
+        assert abs(est - d) <= max(2, 0.05 * d), (source, est, d)
+    for source, p50, p95 in meds:
+        # percentile_approx returns a member of the set near the quantile
+        assert abs(got[source].p50_chars - p50) <= 0.05 * p50, source
+        assert abs(got[source].p95_chars - p95) <= 0.05 * p95, source

@@ -342,3 +342,129 @@ def q_lineitem_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct(0.75).alias("p75"),
         pct(0.95).alias("p95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user event-time rolling window (RANGE frame)
+# ---------------------------------------------------------------------------
+
+_ROLLING_ORACLE = """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_value_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("events_rolling_24h", _ROLLING_ORACLE)
+def q_events_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-24-hour rolling count/sum at every event — the
+    event-TIME range frame (every event sees exactly the events within
+    24h of ITS timestamp), not the bucketed approximation a hopping
+    window gives. One shuffle on user_id + one sort carries both
+    aggregates; the frame bound is on unix microseconds so Spark's
+    rangeBetween and DuckDB's RANGE BETWEEN agree exactly. Sum is
+    decimal-exact (frame content is deterministic, but pre-aggregation
+    within the frame is not ordered). At corpus scale the partition key
+    is the user — no global sort anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+        .cast("double")
+        .alias("sum_value_24h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Late-shipment counts by priority (TPC-H Q12 shape)
+# ---------------------------------------------------------------------------
+
+_LATE_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS late_ratio
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
+@register("late_shipments", _LATE_ORACLE)
+def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape on this schema: per order priority, how many line
+    items shipped more than 90 days after the order date. The orderkey
+    join is the only fact shuffle; the conditional counts combine
+    map-side into 5 rows. The ratio is one double division of two exact
+    integers — deterministic cross-engine."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = F.when(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90), 1
+    ).otherwise(0)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(late).cast("bigint").alias("n_late"),
+            (F.sum(late).cast("double") / F.count(F.lit(1))).alias("late_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch profile (HLL + t-digest) — genuinely engine-specific, rows-only
+# ---------------------------------------------------------------------------
+
+
+@register("doc_sketch_profile")  # no oracle: sketch outputs are engine-specific
+def q_doc_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sketch profile: HyperLogLog++ distinct-token estimate
+    and t-digest char-length quantiles — the constant-memory profiling
+    pass that replaces exact distinct/percentile at 100 TB (both sketches
+    are map-side mergeable, so the plan is one map-side-combined shuffle
+    to |sources| rows; the exact forms need the full stream). No DuckDB
+    oracle BY DESIGN: sketch estimates are algorithm-specific — DuckDB's
+    approx_count_distinct gives a different estimate for the same set.
+    Accuracy is test-gated instead: tests/test_search_ops.py pins both
+    estimates within 5% of the exact answers at sf0.01."""
+    from traffic_data_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(docs).join(docs.select("doc_id", "source"), "doc_id")
+    tok_est = tok.groupBy("source").agg(
+        F.approx_count_distinct("token", 0.02).alias("approx_distinct_tokens")
+    )
+    len_sketch = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile_approx("n_chars", F.array(F.lit(0.5), F.lit(0.95)), 10_000)
+        .alias("_q"),
+    )
+    return (
+        len_sketch.join(tok_est, "source")
+        .select(
+            "source",
+            "n_docs",
+            "approx_distinct_tokens",
+            F.col("_q")[0].cast("double").alias("p50_chars"),
+            F.col("_q")[1].cast("double").alias("p95_chars"),
+        )
+    )
