@@ -332,15 +332,23 @@ def q_lineitem_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific; the exact form is the oracle-checkable one.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    pct = lambda p: F.round(  # noqa: E731
-        F.expr(f"percentile(l_extendedprice, {p})"), 6
-    )
-    return li.groupBy("l_returnflag").agg(
+    # ONE percentile(col, array(...)) call: each percentile() aggregate
+    # keeps its own value->count map as aggregation state, so four scalar
+    # calls quadruple the per-partition state and the merge work (measured
+    # 3.5s -> 1.5s at sf0.1 on a ~600k-distinct-value column)
+    qs = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        pct(0.25).alias("p25"),
-        pct(0.50).alias("p50"),
-        pct(0.75).alias("p75"),
-        pct(0.95).alias("p95"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D, 0.95D))"
+        ).alias("_q"),
+    )
+    return qs.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("_q")[0], 6).alias("p25"),
+        F.round(F.col("_q")[1], 6).alias("p50"),
+        F.round(F.col("_q")[2], 6).alias("p75"),
+        F.round(F.col("_q")[3], 6).alias("p95"),
     )
 
 
