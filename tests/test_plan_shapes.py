@@ -29,6 +29,12 @@ CAPS = {
     "doc_pack_sequences": (2, 0),  # pack-shard window + nothing else
     "doc_oov_rate": (3, 1),        # spread + token agg + doc agg; vocab broadcast
     "calendar_spine": (1, 0),      # spine generation + one window/agg at most
+    "doc_bm25_search": (0, 1),     # tf/stats narrow; one-row stats broadcast
+    "shipping_priority": (1, 1),   # orderkey agg only; segment dim broadcast
+    "late_shipments": (2, 0),      # orderkey join + priority agg (AQE may bc)
+    "lineitem_quantiles": (1, 0),  # one shared-state percentile agg
+    "events_rolling_24h": (1, 0),  # one user_id window carries both aggs
+    "doc_sample_quota": (1, 0),    # one source window
 }
 
 

@@ -476,3 +476,47 @@ def q_doc_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_q")[1].cast("double").alias("p95_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-stratum exact-quota sampling
+# ---------------------------------------------------------------------------
+
+_QUOTA = 10
+
+_QUOTA_ORACLE = f"""
+SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM documents)
+WHERE rk <= {_QUOTA}
+"""
+
+
+@register("doc_sample_quota", _QUOTA_ORACLE)
+def q_doc_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample (eval-set construction):
+    rank docs inside each source by md5(doc_id) — a stable pseudo-random
+    order every engine reproduces — and keep the first k. Complements the
+    hash-Bernoulli sampler (`doc_sample_stratified`), which gives an
+    EXPECTED rate, not an exact count. One shuffle on source; the window
+    sort is per-stratum. At corpus scale a stratum is one partition's
+    worth of keys — if strata are huge, pre-filter with the Bernoulli
+    sampler at ~2-3x the quota rate first, then rank the survivors (the
+    ranks of the k smallest hashes are unchanged: ranking by hash and
+    subsetting by hash-threshold commute when the threshold keeps > k
+    rows per stratum — make the slack generous and assert the per-stratum
+    count)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _QUOTA)
+        .select("source", "doc_id", F.col("rk").cast("bigint").alias("rk"))
+    )
