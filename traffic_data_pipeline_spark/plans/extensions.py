@@ -195,6 +195,69 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sig, min_sim=0.5)
 
 
+@register("dedup_minhash_canonical", f"""
+WITH RECURSIVE {_MINHASH_CTES},
+mpairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(a.h0 = b.h0 AS INTEGER) + CAST(a.h1 = b.h1 AS INTEGER) +
+         CAST(a.h2 = b.h2 AS INTEGER) + CAST(a.h3 = b.h3 AS INTEGER) +
+         CAST(a.h4 = b.h4 AS INTEGER) + CAST(a.h5 = b.h5 AS INTEGER) +
+         CAST(a.h6 = b.h6 AS INTEGER) + CAST(a.h7 = b.h7 AS INTEGER) AS agree
+  FROM band_long a JOIN band_long b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+edges AS (
+  SELECT doc_a AS v, doc_b AS w FROM mpairs WHERE agree / 8.0 >= 0.5
+  UNION ALL
+  SELECT doc_b, doc_a FROM mpairs WHERE agree / 8.0 >= 0.5),
+reach(v, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, r.m FROM edges e JOIN reach r ON r.v = e.w),
+lbl AS (SELECT v AS doc_id, MIN(m) AS canonical_id FROM reach GROUP BY v)
+SELECT l.canonical_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(d.n_chars) AS BIGINT) AS n_chars_total,
+       CAST(SUM(CASE WHEN l.doc_id <> l.canonical_id THEN d.n_chars
+                     ELSE 0 END) AS BIGINT) AS n_chars_dropped
+FROM lbl l JOIN documents d ON d.doc_id = l.doc_id
+GROUP BY 1
+""")
+def q_dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MinHash dedup pipeline as one query: signatures -> LSH
+    band pairing -> EXACT connected components -> one survivor per
+    component with member/byte-savings accounting — what a corpus dedup
+    job actually emits (keep-list + how much it saved), not just the pair
+    stream. Component labels iterate min-label propagation to fixpoint
+    (functions/similarity.connected_components: per-round one join + one
+    min-agg, plan kept flat by localCheckpoint); the oracle computes the
+    same transitive closure with a recursive CTE, so chain-shaped
+    clusters that a one-round approximation would split must agree too.
+    """
+    from traffic_data_pipeline_spark.functions.similarity import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(shingle_sets(docs))
+    pairs = (
+        lsh_candidate_pairs(sig, min_sim=0.5)
+        .select(F.col("doc_a").alias("q_id"), F.col("doc_b").alias("c_id"))
+    )
+    comp = connected_components(docs.select("doc_id"), pairs, "doc_id")
+    return (
+        comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("canonical_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("canonical_id"),
+                       F.col("n_chars")).otherwise(0)
+            ).cast("bigint").alias("n_chars_dropped"),
+        )
+    )
+
+
 @register("dedup_ngram_jaccard", f"""
 WITH {_DOC_CTES},
 groups AS (SELECT doc_id, source AS grp FROM documents),
