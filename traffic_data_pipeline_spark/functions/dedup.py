@@ -110,14 +110,13 @@ def minhash_signatures(sets: DataFrame, id_col: str = "doc_id",
     )
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
-                        n_hashes: int = N_MINHASH, n_bands: int = N_BANDS,
-                        min_sim: float = 0.5) -> DataFrame:
-    """Band the signature, pair docs sharing any band bucket, then estimate
-    similarity as the fraction of agreeing minhashes; keep pairs >= min_sim.
-
-    The join is on band keys — the O(n^2) pair space is never materialized.
-    """
+def minhash_bands(sig: DataFrame, id_col: str = "doc_id",
+                  n_hashes: int = N_MINHASH,
+                  n_bands: int = N_BANDS) -> DataFrame:
+    """Long-form banding of a MinHash signature: one (id, h0..h{n-1},
+    band_key) row per band. The shared index shape for LSH pairing — both
+    the corpus self-join and the incremental new-batch-vs-index join
+    equi-join on ``band_key``."""
     rows_per_band = n_hashes // n_bands
     bands = sig.select(
         F.col(id_col),
@@ -129,16 +128,26 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
             for b in range(n_bands)
         ],
     )
-    band_long = bands.selectExpr(
+    return bands.selectExpr(
         id_col,
         *[f"h{i}" for i in range(n_hashes)],
         f"stack({n_bands}, "
         + ", ".join(f"band{b}" for b in range(n_bands))
         + ") AS band_key",
     )
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
+                        n_hashes: int = N_MINHASH, n_bands: int = N_BANDS,
+                        min_sim: float = 0.5) -> DataFrame:
+    """Band the signature, pair docs sharing any band bucket, then estimate
+    similarity as the fraction of agreeing minhashes; keep pairs >= min_sim.
+
+    The join is on band keys — the O(n^2) pair space is never materialized.
+    """
     # docs × n_bands rows; the self-join below would otherwise recompute
     # the full shingle-hash signature aggregation per side
-    band_long = _materialize(band_long)
+    band_long = _materialize(minhash_bands(sig, id_col, n_hashes, n_bands))
     a, b = band_long.alias("a"), band_long.alias("b")
     est = sum(
         (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int")

@@ -16,12 +16,14 @@ from pyspark.sql import functions as F
 from traffic_data_pipeline_spark.functions.dedup import (
     exact_dedup_groups,
     lsh_candidate_pairs,
+    minhash_bands,
     minhash_signatures,
     ngram_jaccard_pairs,
     shingle_sets,
     simhash,
     simhash_near_pairs,
 )
+from traffic_data_pipeline_spark.functions.execution import materialize
 from traffic_data_pipeline_spark.functions.similarity import (
     ann_lsh_pairs,
     embedding_near_dup,
@@ -254,6 +256,94 @@ def q_dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("doc_id") != F.col("canonical_id"),
                        F.col("n_chars")).otherwise(0)
             ).cast("bigint").alias("n_chars_dropped"),
+        )
+    )
+
+
+_INCR_EQ = " + ".join(
+    f"CAST(n.h{i} = i.h{i} AS INTEGER)" for i in range(8)
+)
+
+
+@register("dedup_incremental", f"""
+WITH {_MINHASH_CTES},
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id,
+         ({_INCR_EQ}) / 8.0 AS est
+  FROM band_long n JOIN band_long i ON n.band_key = i.band_key
+  WHERE n.doc_id % 5 = 4 AND i.doc_id % 5 <> 4),
+flt AS (SELECT * FROM cand WHERE est >= 0.5),
+agg AS (
+  SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_index_matches,
+         MAX(est) AS best_est
+  FROM flt GROUP BY 1),
+best AS (
+  SELECT f.new_id, CAST(MIN(f.idx_id) AS BIGINT) AS best_match_id
+  FROM flt f JOIN agg a ON a.new_id = f.new_id AND f.est = a.best_est
+  GROUP BY 1)
+SELECT d.doc_id, COALESCE(a.n_index_matches, 0) AS n_index_matches,
+       b.best_match_id, a.best_est,
+       CASE WHEN a.new_id IS NULL THEN 'keep' ELSE 'drop' END AS verdict
+FROM documents d
+LEFT JOIN agg a ON a.new_id = d.doc_id
+LEFT JOIN best b ON b.new_id = d.doc_id
+WHERE d.doc_id % 5 = 4
+""")
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-vs-index) near-dedup — the shape a production
+    pipeline actually runs nightly: band the NEW batch's signatures and
+    equi-join them against the persisted corpus band INDEX, never
+    re-pairing the corpus with itself. Here the split is deterministic
+    (doc_id % 5 = 4 is 'today's crawl', the rest is the index); in
+    production the index side is the bucketed signature table the
+    previous runs wrote, so the join cost scales with |delta| x bucket
+    hit-rate, not |corpus|². Each new doc gets a keep/drop verdict, its
+    match count, and its best-matching index doc (max est_sim, ties to
+    the smallest id — est values are exact k/8 doubles, so the tie join
+    is deterministic cross-engine).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(shingle_sets(docs))
+    bl = materialize(minhash_bands(sig))
+    new_b = bl.filter(F.col("doc_id") % 5 == 4)
+    idx_b = bl.filter(F.col("doc_id") % 5 != 4)
+    n, i = new_b.alias("n"), idx_b.alias("i")
+    est = sum(
+        (F.col(f"n.h{k}") == F.col(f"i.h{k}")).cast("int") for k in range(8)
+    ) / 8.0
+    flt = (
+        n.join(i, F.col("n.band_key") == F.col("i.band_key"))
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("i.doc_id").alias("idx_id"),
+            est.alias("est"),
+        )
+        .filter(F.col("est") >= 0.5)
+        .distinct()
+    )
+    agg = flt.groupBy("new_id").agg(
+        F.count(F.lit(1)).alias("n_index_matches"),
+        F.max("est").alias("best_est"),
+    )
+    best = (
+        flt.join(agg.select("new_id", "best_est"), "new_id")
+        .filter(F.col("est") == F.col("best_est"))
+        .groupBy("new_id")
+        .agg(F.min("idx_id").cast("bigint").alias("best_match_id"))
+    )
+    new_docs = docs.filter(F.col("doc_id") % 5 == 4).select("doc_id")
+    agg_r = agg.withColumnRenamed("new_id", "_aid")
+    best_r = best.withColumnRenamed("new_id", "_bid")
+    return (
+        new_docs.join(agg_r, new_docs.doc_id == agg_r._aid, "left")
+        .join(best_r, new_docs.doc_id == best_r._bid, "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_index_matches", F.lit(0)).alias("n_index_matches"),
+            "best_match_id",
+            "best_est",
+            F.when(F.col("_aid").isNull(), "keep").otherwise("drop")
+            .alias("verdict"),
         )
     )
 
