@@ -31,3 +31,14 @@ def test_nightly_writes_fact(spark, sf_dir, capsys):
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["rows_written"] > 0
     assert spark.read.parquet(res["fact_path"]).count() == res["rows_written"]
+
+
+def test_sql_adhoc(spark, sf_dir, capsys):
+    assert main(["sql",
+                 "SELECT l_returnflag, COUNT(*) AS n FROM lineitem "
+                 "GROUP BY 1 ORDER BY 1",
+                 "--sf-dir", sf_dir]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    rows = [json.loads(line) for line in out]
+    assert {r["l_returnflag"] for r in rows} == {"A", "N", "R"}
+    assert all(r["n"] > 0 for r in rows)

@@ -11,6 +11,10 @@ Subcommands:
                                  — the incremental ingest runner
                                    (pipeline.run_nightly_ingest) against a
                                    local fact directory
+- ``sql "SELECT ..." [--sf-dir D] [--limit N] [--explain]``
+                                 — ad-hoc Spark SQL over the fixture
+                                   tables (registered as temp views), rows
+                                   as JSON lines
 
 The reference drives everything from hand-edited R scripts; this is the
 equivalent surface as a CLI so the repo is usable without writing code.
@@ -50,6 +54,13 @@ def main(argv: list[str] | None = None) -> int:
     nightly.add_argument("--out", default=None,
                          help="fact directory (default: scratch)")
 
+    sqlp = sub.add_parser("sql", help="ad-hoc SQL over the fixture tables")
+    sqlp.add_argument("query")
+    sqlp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sqlp.add_argument("--limit", type=int, default=20)
+    sqlp.add_argument("--explain", action="store_true",
+                      help="print the physical plan to stderr")
+
     args = ap.parse_args(argv)
 
     from traffic_data_pipeline_spark.plans.queries import QUERIES
@@ -71,6 +82,23 @@ def main(argv: list[str] | None = None) -> int:
         for r in rows:
             print(json.dumps(r.asDict(), default=str))
         print(f"# {args.name}: showed {len(rows)} row(s) (limit {args.limit})",
+              file=sys.stderr)
+        return 0
+
+    if args.cmd == "sql":
+        from traffic_data_pipeline_spark.sources.tables import TABLES, load_table
+
+        spark = _spark()
+        for t in TABLES:
+            load_table(spark, args.sf_dir, t).createOrReplaceTempView(t)
+        df = spark.sql(args.query)
+        if args.explain:
+            print(df._jdf.queryExecution().executedPlan().toString(),
+                  file=sys.stderr)
+        rows = df.limit(args.limit).collect()
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+        print(f"# sql: showed {len(rows)} row(s) (limit {args.limit})",
               file=sys.stderr)
         return 0
 
