@@ -520,3 +520,64 @@ def q_doc_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _QUOTA)
         .select("source", "doc_id", F.col("rk").cast("bigint").alias("rk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# One-stop corpus report
+# ---------------------------------------------------------------------------
+
+_REPORT_ORACLE = """
+WITH s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_sources,
+         CAST(COUNT(*) - COUNT(DISTINCT md5(trim(regexp_replace(
+              lower(text), '[^a-z0-9]+', ' ', 'g')))) AS DOUBLE)
+           AS exact_dup_docs,
+         CAST(SUM(len(list_filter(string_split_regex(lower(text),
+              '[^a-z0-9]+'), t -> t <> ''))) AS DOUBLE) AS total_ws_tokens,
+         CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS pct_en
+  FROM documents)
+SELECT 'exact_dup_docs' AS metric, exact_dup_docs AS value FROM s
+UNION ALL SELECT 'mean_chars', mean_chars FROM s
+UNION ALL SELECT 'n_docs', n_docs FROM s
+UNION ALL SELECT 'n_sources', n_sources FROM s
+UNION ALL SELECT 'pct_en', pct_en FROM s
+UNION ALL SELECT 'total_ws_tokens', total_ws_tokens FROM s
+"""
+
+
+@register("corpus_report", _REPORT_ORACLE)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus health report a pipeline owner checks first: doc and
+    source counts, exact-dup count, token total, mean length, language
+    mix — ONE aggregation pass over the table (the two count-distincts
+    share it via Catalyst's expand), unpivoted with stack() to
+    (metric, value) rows. All six metrics are exact integer counts or a
+    single double division, so the cross-engine hash is stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    from traffic_data_pipeline_spark.functions.text import normalize, token_array
+
+    s = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.countDistinct("source").cast("double").alias("n_sources"),
+        (F.count(F.lit(1))
+         - F.countDistinct(F.md5(normalize(F.col("text")))))
+        .cast("double").alias("exact_dup_docs"),
+        F.sum(F.array_size(token_array(F.col("text"))))
+        .cast("double").alias("total_ws_tokens"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1)))
+        .alias("mean_chars"),
+        (F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
+         / F.count(F.lit(1))).alias("pct_en"),
+    )
+    return s.selectExpr(
+        "stack(6, "
+        "'exact_dup_docs', exact_dup_docs, "
+        "'mean_chars', mean_chars, "
+        "'n_docs', n_docs, "
+        "'n_sources', n_sources, "
+        "'pct_en', pct_en, "
+        "'total_ws_tokens', total_ws_tokens) AS (metric, value)"
+    )
