@@ -581,3 +581,63 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'pct_en', pct_en, "
         "'total_ws_tokens', total_ws_tokens) AS (metric, value)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batch assignment (inference serving prep)
+# ---------------------------------------------------------------------------
+
+_BATCH_BUCKET = 64   # token-length bucket width
+_BATCH_SIZE = 32     # docs per inference batch
+
+_BATCH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+bucketed AS (
+  SELECT doc_id, n_tokens,
+         CAST(n_tokens // {_BATCH_BUCKET} AS BIGINT) AS bucket,
+         ROW_NUMBER() OVER (PARTITION BY n_tokens // {_BATCH_BUCKET}
+                            ORDER BY n_tokens, doc_id) AS rk
+  FROM toks)
+SELECT doc_id, n_tokens, bucket,
+       CAST((rk - 1) // {_BATCH_SIZE} AS BIGINT) AS batch_id,
+       CAST(MAX(n_tokens) OVER (PARTITION BY bucket, (rk - 1) // {_BATCH_SIZE})
+            - n_tokens AS BIGINT) AS pad_tokens
+FROM bucketed
+"""
+
+
+@register("doc_batch_by_length", _BATCH_ORACLE)
+def q_doc_batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batching: group docs into fixed-size
+    batches of similar token length so padding-to-batch-max wastes the
+    fewest tokens — the standard serving/embedding-job prep. Docs are
+    bucketed by token count, ranked within the bucket (by length then id,
+    so batches are deterministic), cut into fixed batches, and each
+    row reports its padding cost against the batch max. One shuffle on
+    the bucket key carries the rank and both windows. At corpus scale the
+    bucket count is bounded (max_len / width), so add a salt to the rank
+    partition if a single bucket outgrows one task's sort."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.array_size(token_array(F.col("text"))).cast("bigint")
+        .alias("n_tokens"),
+    )
+    bucket = (F.col("n_tokens") / _BATCH_BUCKET).cast("bigint")
+    wrk = Window.partitionBy("bucket").orderBy("n_tokens", "doc_id")
+    b = toks.withColumn("bucket", bucket).withColumn(
+        "batch_id",
+        ((F.row_number().over(wrk) - 1) / _BATCH_SIZE).cast("bigint"),
+    )
+    wb = Window.partitionBy("bucket", "batch_id")
+    return b.select(
+        "doc_id", "n_tokens", "bucket", "batch_id",
+        (F.max("n_tokens").over(wb) - F.col("n_tokens")).cast("bigint")
+        .alias("pad_tokens"),
+    )
