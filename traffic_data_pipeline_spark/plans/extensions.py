@@ -482,6 +482,69 @@ def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bruteforce(emb, KNN_QUERY_IDS, k=5)
 
 
+@register("embedding_hard_negatives", f"""
+WITH {_EMB_CTES},
+q AS (SELECT * FROM elems WHERE vec_id IN ({", ".join(map(str, KNN_QUERY_IDS))})),
+dots AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         CAST(SUM(CAST(q.val * c.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM q JOIN elems c ON q.pos = c.pos
+  GROUP BY 1, 2),
+cos AS (
+  SELECT d.q_id, d.c_id,
+         d.dot / (sqrt(qn.norm_sq) * sqrt(cn.norm_sq)) AS cosine
+  FROM dots d
+  JOIN norms qn ON qn.vec_id = d.q_id
+  JOIN norms cn ON cn.vec_id = d.c_id
+  JOIN embeddings qe ON qe.vec_id = d.q_id
+  JOIN embeddings ce ON ce.vec_id = d.c_id
+  WHERE d.q_id != d.c_id AND qe.label != ce.label),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INTEGER) AS rank
+  FROM cos)
+SELECT q_id, c_id, cosine, rank FROM ranked WHERE rank <= 5
+""")
+def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the top-k most-similar vectors with a DIFFERENT label — the negatives
+    that actually teach the model. Same broadcast-anchors + narrow
+    decimal-dot scoring as embedding_knn, with the label-mismatch filter
+    applied before ranking; the only shuffle is the per-anchor top-k
+    window. At corpus scale the anchor set is the batch being trained on,
+    and the candidate side swaps in the IVF/LSH index path unchanged."""
+    from traffic_data_pipeline_spark.functions.similarity import (
+        dot_product, norm_sq,
+    )
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_norm = emb.repartition(
+        spark.sparkContext.defaultParallelism, F.col("vec_id")
+    ).select("vec_id", "embedding", "label",
+             norm_sq(F.col("embedding")).alias("_n2"))
+    q = with_norm.filter(F.col("vec_id").isin(KNN_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("_qv"),
+        F.col("label").alias("_ql"), F.col("_n2").alias("_qn"))
+    c = with_norm.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("_cv"),
+        F.col("label").alias("_cl"), F.col("_n2").alias("_cn"))
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter((F.col("q_id") != F.col("c_id"))
+                & (F.col("_ql") != F.col("_cl")))
+        .select("q_id", "c_id",
+                (dot_product(F.col("_qv"), F.col("_cv"))
+                 / (F.sqrt("_qn") * F.sqrt("_cn"))).alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "c_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "c_id", "cosine",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
 @register("embedding_knn_ivf", f"""
 WITH {_EMB_CTES},
 q AS (SELECT * FROM elems WHERE vec_id IN ({", ".join(map(str, KNN_QUERY_IDS))})),
