@@ -295,11 +295,19 @@ def ngram_jaccard_pairs(sets: DataFrame, groups: DataFrame, id_col: str = "doc_i
         * (F.col("a.n_sh") + F.col("b.n_sh")) - F.lit(1e-9)
     ubound = 1 + F.least(F.col("a.n_sh") - F.col("a._rk"),
                          F.col("b.n_sh") - F.col("b._rk"))
+    # length filter (also lossless): J >= t forces t*|larger| <= |smaller|.
+    # Applied WITH the positional filter on join-output rows, BEFORE the
+    # distinct — rejected candidates die in the join projection instead of
+    # riding the dedup shuffle (same move as the LSH est_sim filter).
+    len_ok = (
+        (F.col("a.n_sh") >= F.lit(min_jaccard) * F.col("b.n_sh"))
+        & (F.col("b.n_sh") >= F.lit(min_jaccard) * F.col("a.n_sh"))
+    )
     cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.grp") == F.col("b.grp"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .filter(ubound >= need)
+        .filter((ubound >= need) & len_ok)
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
@@ -307,9 +315,6 @@ def ngram_jaccard_pairs(sets: DataFrame, groups: DataFrame, id_col: str = "doc_i
             F.col("b.n_sh").alias("n_b"),
         )
         .distinct()
-        # length filter (also lossless): J >= t forces t*|larger| <= |smaller|
-        .filter((F.col("n_a") >= F.lit(min_jaccard) * F.col("n_b"))
-                & (F.col("n_b") >= F.lit(min_jaccard) * F.col("n_a")))
     )
     # Exact verification: size(array_intersect) per candidate pair — a JVM
     # set-intersection inside a projection, reusing the materialized doc
