@@ -641,3 +641,61 @@ def q_doc_batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("n_tokens").over(wb) - F.col("n_tokens")).cast("bigint")
         .alias("pad_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality tiers via broadcast quantile thresholds
+# ---------------------------------------------------------------------------
+
+_TIERS_ORACLE = """
+WITH q AS (
+  SELECT quantile_cont(n_chars, 0.25) AS q1,
+         quantile_cont(n_chars, 0.50) AS q2,
+         quantile_cont(n_chars, 0.75) AS q3
+  FROM documents)
+SELECT CAST(CAST(d.n_chars > q.q1 AS INTEGER)
+            + CAST(d.n_chars > q.q2 AS INTEGER)
+            + CAST(d.n_chars > q.q3 AS INTEGER) AS BIGINT) AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(d.n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(d.n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(len(list_filter(string_split_regex(lower(d.text),
+            '[^a-z0-9]+'), t -> t <> ''))) AS BIGINT) AS total_tokens
+FROM documents d, q
+GROUP BY 1
+"""
+
+
+@register("doc_quality_tiers", _TIERS_ORACLE)
+def q_doc_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile tiering without a global sort: `ntile()` would funnel the
+    whole corpus through ONE ordered partition, so instead the three
+    quartile thresholds aggregate to a single broadcast row and each doc
+    buckets itself with three comparisons — the discretization pattern
+    that survives 100 TB. Per-tier doc counts, char range, and token
+    totals come from one map-side-combined aggregate. Spark `percentile`
+    and DuckDB `quantile_cont` interpolate identically, so the tier
+    boundaries are bit-equal cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.agg(
+        F.expr("percentile(n_chars, 0.25)").alias("q1"),
+        F.expr("percentile(n_chars, 0.50)").alias("q2"),
+        F.expr("percentile(n_chars, 0.75)").alias("q3"),
+    )
+    tier = (
+        (F.col("n_chars") > F.col("q1")).cast("int")
+        + (F.col("n_chars") > F.col("q2")).cast("int")
+        + (F.col("n_chars") > F.col("q3")).cast("int")
+    ).cast("bigint")
+    return (
+        docs.crossJoin(F.broadcast(q))
+        .select(tier.alias("tier"), "n_chars",
+                F.array_size(token_array(F.col("text"))).alias("_nt"))
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.sum("_nt").cast("bigint").alias("total_tokens"),
+        )
+    )
