@@ -40,3 +40,19 @@ def test_bench_emits_json_line():
     assert payload["value"] > 0
     assert len(payload["queries"]) == len(entry_mod.queries())
     assert all(v >= 0 for v in payload["queries"].values())
+
+
+def test_events_ts_normalized_across_fixture_generations(spark):
+    """The fixture generator has shipped events.ts as TIMESTAMP(NANOS)
+    and TIMESTAMP(MICROS, NTZ) across refreshes; load_table must present
+    a plain session-zone TimestampType either way or every event query
+    breaks on the next regeneration."""
+    from pyspark.sql.types import TimestampType
+
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        df = load_table(spark, sf, "events")
+        assert isinstance(df.schema["ts"].dataType, TimestampType), sf
+        assert df.select("ts").first()[0] is not None
