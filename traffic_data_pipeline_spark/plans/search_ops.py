@@ -699,3 +699,84 @@ def q_doc_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_nt").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast revenue delta (TPC-H Q6 shape) and large-volume customers (Q18)
+# ---------------------------------------------------------------------------
+
+
+@register("forecast_revenue", """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue_delta,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: what revenue would an across-the-board discount
+    change have moved. Pure scan-filter-aggregate — every predicate
+    (date range, discount band, quantity cap) reaches the parquet scan
+    as a pushed filter, and the decimal-exact sum collapses map-side to
+    one row. The canonical 'is pushdown working' probe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"))
+            .alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_Q18_MIN_QTY = 250
+
+_Q18_ORACLE = f"""
+WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > {_Q18_MIN_QTY})
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(b.total_qty AS DOUBLE) AS total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+@register("large_volume_customers", _Q18_ORACLE)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind outsized orders. The quantity
+    roll-up happens FIRST (map-side-combined, one shuffle on orderkey)
+    and the HAVING filter shrinks it to the handful of big orders before
+    any join — so the orders/customer joins broadcast the filtered side
+    instead of shuffling the fact twice. l_quantity sums as integers in
+    this fixture but is typed double for cross-engine stability."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > _Q18_MIN_QTY)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "total_qty",
+        )
+    )
