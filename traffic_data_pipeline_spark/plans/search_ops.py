@@ -780,3 +780,78 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-detector lag-1 autocorrelation (time-series diagnostics)
+# ---------------------------------------------------------------------------
+
+
+def _autocorr_oracle() -> str:
+    from traffic_data_pipeline_spark.plans.queries import AGG15_CTES
+
+    return f"""
+WITH {AGG15_CTES},
+lagged AS (
+  SELECT sensor, volume_sum AS x,
+         LAG(volume_sum) OVER (PARTITION BY sensor ORDER BY w_start) AS y
+  FROM agg15),
+sums AS (
+  SELECT sensor, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM lagged WHERE y IS NOT NULL GROUP BY 1)
+SELECT sensor, n AS n_pairs,
+       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+            THEN ROUND((n * sxy - sx * sy)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+       END AS autocorr_lag1
+FROM sums
+"""
+
+
+@register("sensor_autocorr", _autocorr_oracle())
+def q_sensor_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-detector lag-1 autocorrelation of the 15-minute volume series —
+    the smoothness diagnostic run before choosing imputation windows
+    (high r1 justifies neighbor-based infill; see operators/impute.py).
+    One sensor-partitioned window provides the lag; every accumulator is
+    an exact INTEGER sum (volume_sum is int), so the Pearson ratio is one
+    deterministic double expression per sensor and the oracle hash is
+    exact. Zero-variance series (constant volume) yield NULL rather than
+    a 0/0."""
+    from traffic_data_pipeline_spark.operators.aggregate import (
+        aggregate_detector,
+    )
+    from traffic_data_pipeline_spark.plans.queries import sensor_readings
+    from pyspark.sql import Window
+
+    agg = aggregate_detector(sensor_readings(spark, sf_dir))
+    w = Window.partitionBy("sensor").orderBy("start_datetime")
+    lagged = agg.select(
+        "sensor",
+        F.col("volume_sum").alias("x"),
+        F.lag("volume_sum").over(w).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    s = lagged.groupBy("sensor").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r = F.round(
+        cov / F.sqrt(var_x.cast("double") * var_y.cast("double")), 6
+    )
+    return s.select(
+        "sensor",
+        F.col("n").alias("n_pairs"),
+        F.when(var_x * var_y > 0, r).alias("autocorr_lag1"),
+    )
