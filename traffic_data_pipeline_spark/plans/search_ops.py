@@ -855,3 +855,62 @@ def q_sensor_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_pairs"),
         F.when(var_x * var_y > 0, r).alias("autocorr_lag1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corridor peak hour (argmax over the hour-of-day profile)
+# ---------------------------------------------------------------------------
+
+
+def _peak_oracle() -> str:
+    from traffic_data_pipeline_spark.plans.queries import NODEFACT_CTES
+
+    return f"""
+WITH {NODEFACT_CTES},
+byhour AS (
+  SELECT corridor_route, CAST(hour(ts) AS INTEGER) AS hour_of_day,
+         CAST(SUM(volume_sum) AS BIGINT) AS total_volume
+  FROM lvl2 WHERE corridor_route IS NOT NULL
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY corridor_route
+                               ORDER BY total_volume DESC, hour_of_day) AS rk
+  FROM byhour)
+SELECT corridor_route, hour_of_day AS peak_hour, total_volume AS peak_volume
+FROM ranked WHERE rk = 1
+"""
+
+
+@register("corridor_peak_hour", _peak_oracle())
+def q_corridor_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-corridor peak hour: the hour-of-day with the highest summed
+    volume across the month — the argmax every traffic report leads
+    with. The hour-of-day profile is a 24-row-per-corridor aggregate
+    (map-side combined), so the argmax window ranks a tiny frame; volume
+    sums are exact integers and ties break to the earlier hour, making
+    the argmax deterministic cross-engine (max_by() is not, on ties)."""
+    from traffic_data_pipeline_spark.operators.rollup import two_level_rollup
+    from traffic_data_pipeline_spark.plans.queries import _node_fact
+    from pyspark.sql import Window
+
+    roll = two_level_rollup(_node_fact(spark, sf_dir), "hour")
+    byhour = (
+        roll.filter(F.col("corridor_route").isNotNull())
+        .groupBy(
+            "corridor_route",
+            F.hour("ts").cast("int").alias("hour_of_day"),
+        )
+        .agg(F.sum("volume_sum").cast("bigint").alias("total_volume"))
+    )
+    w = Window.partitionBy("corridor_route").orderBy(
+        F.col("total_volume").desc(), "hour_of_day"
+    )
+    return (
+        byhour.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "corridor_route",
+            F.col("hour_of_day").alias("peak_hour"),
+            F.col("total_volume").alias("peak_volume"),
+        )
+    )
