@@ -35,6 +35,11 @@ CAPS = {
     "lineitem_quantiles": (1, 0),  # one shared-state percentile agg
     "events_rolling_24h": (1, 0),  # one user_id window carries both aggs
     "doc_sample_quota": (1, 0),    # one source window
+    "forecast_revenue": (1, 0),    # scan-filter-agg to one row
+    "corpus_report": (1, 0),       # one pass, stack unpivot
+    "doc_quality_tiers": (2, 1),   # threshold agg broadcast + tier agg
+    "doc_batch_by_length": (1, 0), # one bucket exchange, two windows
+    "large_volume_customers": (3, 1),  # qty agg + joins; big side broadcast
 }
 
 
