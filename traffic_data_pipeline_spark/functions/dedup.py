@@ -277,8 +277,12 @@ def ngram_jaccard_pairs(sets: DataFrame, groups: DataFrame, id_col: str = "doc_i
     prefixes = (
         exploded.join(F.broadcast(shingle_df), "shingle")
         .withColumn("_rk", rk)
+        # the 1e-9 epsilon keeps ceil exact at t*n integer boundaries
+        # (0.55*100 floats to 55.000000000000007 -> ceil 56 would shorten
+        # the prefix by one and silently lose qualifying pairs)
         .filter(F.col("_rk") <= (F.col("n_sh")
-                                 - F.ceil(F.lit(min_jaccard) * F.col("n_sh"))
+                                 - F.ceil(F.lit(min_jaccard) * F.col("n_sh")
+                                          - F.lit(1e-9))
                                  + 1).cast("int"))
         .select(id_col, "grp", "n_sh", "shingle", "_rk")
     )
@@ -299,9 +303,12 @@ def ngram_jaccard_pairs(sets: DataFrame, groups: DataFrame, id_col: str = "doc_i
     # Applied WITH the positional filter on join-output rows, BEFORE the
     # distinct — rejected candidates die in the join projection instead of
     # riding the dedup shuffle (same move as the LSH est_sim filter).
+    # epsilon: at J exactly t the float product can land one ulp above
+    # the integer bound and reject a qualifying pair (admitting a
+    # boundary pair is safe — the exact verify scores it)
     len_ok = (
-        (F.col("a.n_sh") >= F.lit(min_jaccard) * F.col("b.n_sh"))
-        & (F.col("b.n_sh") >= F.lit(min_jaccard) * F.col("a.n_sh"))
+        (F.col("a.n_sh") >= F.lit(min_jaccard) * F.col("b.n_sh") - F.lit(1e-9))
+        & (F.col("b.n_sh") >= F.lit(min_jaccard) * F.col("a.n_sh") - F.lit(1e-9))
     )
     cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))

@@ -55,12 +55,23 @@ def norm_sq(a: Column) -> Column:
 
 def _plane_dot(vec: Column, p: int) -> Column:
     """Dot of a vector with deterministic pseudo-noise plane ``p``."""
+    # pos must widen to bigint BEFORE the multiply: int*19349663 overflows
+    # 32-bit at position >= 111 (ANSI mode throws), i.e. on any embedding
+    # wider than 110 dims — the fixtures' 64 dims masked it
     weights = lambda v, pos: (  # noqa: E731
         v.cast("double")
-        * (((F.lit(p).cast("bigint") * 73856093 + pos * 19349663) % 1000003)
+        * (((F.lit(p).cast("bigint") * 73856093
+             + pos.cast("bigint") * 19349663) % 1000003)
            / 1000003.0 - 0.5)
     ).cast(DOT_DECIMAL)
     return _dec_sum(F.zip_with(vec, F.sequence(F.lit(1), F.size(vec)), weights))
+
+
+def _cosine(dot: Column, n2a: Column, n2b: Column) -> Column:
+    """Cosine with a zero-norm guard: an all-zero vector scores NULL
+    (dropped by every >= threshold filter) instead of raising
+    DIVIDE_BY_ZERO under Spark 4's default ANSI mode."""
+    return F.when((n2a > 0) & (n2b > 0), dot / (F.sqrt(n2a) * F.sqrt(n2b)))
 
 
 def bucket_code(vec: Column, n_planes: int = N_PLANES) -> Column:
@@ -112,8 +123,8 @@ def knn_bruteforce(df: DataFrame, query_ids, k: int = 5,
         .filter(F.col("q_id") != F.col("c_id"))
         .select(
             "q_id", "c_id",
-            (dot_product(F.col("_qv"), F.col("_cv"))
-             / (F.sqrt("_qn") * F.sqrt("_cn"))).alias("cosine"),
+            _cosine(dot_product(F.col("_qv"), F.col("_cv")),
+                    F.col("_qn"), F.col("_cn")).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
@@ -155,8 +166,8 @@ def ann_lsh_pairs(df: DataFrame, n_planes: int = N_PLANES, min_cosine: float = 0
         .filter(F.col("q_id") < F.col("c_id"))
         .select(
             "q_id", "c_id",
-            (dot_product(F.col("_qv"), F.col("_cv"))
-             / (F.sqrt("_qn") * F.sqrt("_cn"))).alias("cosine"),
+            _cosine(dot_product(F.col("_qv"), F.col("_cv")),
+                    F.col("_qn"), F.col("_cn")).alias("cosine"),
         )
         .filter(F.col("cosine") >= min_cosine)
     )
@@ -219,6 +230,10 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             .localCheckpoint()
         )
         changed = new.agg(F.sum("_chg")).collect()[0][0]
+        # rebinding drops the previous round's checkpoint reference; its
+        # blocks are reclaimed by the ContextCleaner once the proxy GCs.
+        # For very long loops over large label tables, an explicit
+        # persist/unpersist pair would bound peak storage deterministically
         labels = new.select("v", "lbl")
         if not changed:
             break
@@ -263,22 +278,29 @@ def embedding_near_dup(df: DataFrame, threshold: float = 0.85,
 
 
 def ivf_assign(df: DataFrame, centroids: DataFrame,
-               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               with_norm: DataFrame | None = None) -> DataFrame:
     """IVF inverted-list assignment: each vector -> its nearest centroid by
     cosine (ties to the smaller centroid id). Centroids broadcast; the only
-    shuffle is the per-vector argmax (K rows per vector, K small)."""
+    shuffle is the per-vector argmax (K rows per vector, K small).
+    ``with_norm`` (id, vec, _n2) lets callers that already computed the
+    corpus norm projection pass it in instead of re-running the decimal
+    HOF pass over the whole corpus — the module's dominant cost."""
     c = centroids.select(
         F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"),
         norm_sq(F.col(vec_col)).alias("_cn"),
     )
-    # corpus x K centroid dots are the cost; spread a single-file scan
-    v = df.repartition(df.sparkSession.sparkContext.defaultParallelism,
-                       F.col(id_col)).select(
-        F.col(id_col), F.col(vec_col), norm_sq(F.col(vec_col)).alias("_n2"))
+    if with_norm is None:
+        # corpus x K centroid dots are the cost; spread a single-file scan
+        with_norm = df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        ).select(F.col(id_col), F.col(vec_col),
+                 norm_sq(F.col(vec_col)).alias("_n2"))
+    v = with_norm
     scored = (
         v.crossJoin(F.broadcast(c))
-        .withColumn("_cos", dot_product(F.col(vec_col), F.col("_cvec"))
-                    / (F.sqrt("_n2") * F.sqrt("_cn")))
+        .withColumn("_cos", _cosine(dot_product(F.col(vec_col), F.col("_cvec")),
+                                    F.col("_n2"), F.col("_cn")))
     )
     return scored.groupBy(id_col).agg(
         F.max_by("_cid", F.struct(F.col("_cos"), (-F.col("_cid")).alias("_nid")))
@@ -306,12 +328,14 @@ def knn_ivf(df: DataFrame, query_ids, k: int = 5,
     from pyspark.sql import Window
 
     centroids = df.orderBy(id_col).limit(n_centroids)
-    assign = ivf_assign(df, centroids, vec_col, id_col)
-
-    with_norm = df.repartition(
+    # ONE corpus norm projection feeds assignment, queries, and members —
+    # materialized because three consumers otherwise re-run the decimal
+    # HOF pass (the query's dominant compute) once each
+    with_norm = materialize(df.repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     ).select(F.col(id_col), F.col(vec_col),
-             norm_sq(F.col(vec_col)).alias("_n2"))
+             norm_sq(F.col(vec_col)).alias("_n2")))
+    assign = ivf_assign(df, centroids, vec_col, id_col, with_norm=with_norm)
     q = with_norm.filter(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"),
         F.col("_n2").alias("_qn"),
@@ -324,8 +348,8 @@ def knn_ivf(df: DataFrame, query_ids, k: int = 5,
         F.col("_ccos").desc(), F.col("_cid"))
     probes = (
         q.crossJoin(F.broadcast(c))
-        .withColumn("_ccos", dot_product(F.col("_qv"), F.col("_cvec"))
-                    / (F.sqrt("_qn") * F.sqrt("_cn")))
+        .withColumn("_ccos", _cosine(dot_product(F.col("_qv"), F.col("_cvec")),
+                                     F.col("_qn"), F.col("_cn")))
         .withColumn("_r", F.row_number().over(wq))
         .filter(F.col("_r") <= n_probe)
         .select("q_id", "_qv", "_qn", F.col("_cid").alias("centroid_id"))
@@ -340,8 +364,8 @@ def knn_ivf(df: DataFrame, query_ids, k: int = 5,
         F.col("q_id") != F.col("c_id")
     ).select(
         "q_id", "c_id",
-        (dot_product(F.col("_qv"), F.col("_cv"))
-         / (F.sqrt("_qn") * F.sqrt("_cn2"))).alias("cosine"),
+        _cosine(dot_product(F.col("_qv"), F.col("_cv")),
+                F.col("_qn"), F.col("_cn2")).alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (

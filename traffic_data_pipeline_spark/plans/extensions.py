@@ -513,7 +513,7 @@ def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     window. At corpus scale the anchor set is the batch being trained on,
     and the candidate side swaps in the IVF/LSH index path unchanged."""
     from traffic_data_pipeline_spark.functions.similarity import (
-        dot_product, norm_sq,
+        _cosine as _sim_cosine, dot_product, norm_sq,
     )
     from pyspark.sql import Window
 
@@ -533,8 +533,8 @@ def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("q_id") != F.col("c_id"))
                 & (F.col("_ql") != F.col("_cl")))
         .select("q_id", "c_id",
-                (dot_product(F.col("_qv"), F.col("_cv"))
-                 / (F.sqrt("_qn") * F.sqrt("_cn"))).alias("cosine"))
+                _sim_cosine(dot_product(F.col("_qv"), F.col("_cv")),
+                            F.col("_qn"), F.col("_cn")).alias("cosine"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "c_id")
     return (

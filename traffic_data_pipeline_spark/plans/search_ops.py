@@ -466,12 +466,15 @@ def q_doc_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("n_chars", F.array(F.lit(0.5), F.lit(0.95)), 10_000)
         .alias("_q"),
     )
+    # LEFT join: a source whose docs produce zero tokens must still
+    # appear in the profile (with 0 distinct tokens), not vanish
     return (
-        len_sketch.join(tok_est, "source")
+        len_sketch.join(tok_est, "source", "left")
         .select(
             "source",
             "n_docs",
-            "approx_distinct_tokens",
+            F.coalesce("approx_distinct_tokens", F.lit(0))
+            .alias("approx_distinct_tokens"),
             F.col("_q")[0].cast("double").alias("p50_chars"),
             F.col("_q")[1].cast("double").alias("p95_chars"),
         )
@@ -557,7 +560,7 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (metric, value) rows. All six metrics are exact integer counts or a
     single double division, so the cross-engine hash is stable."""
     docs = load_table(spark, sf_dir, "documents")
-    from traffic_data_pipeline_spark.functions.text import normalize, token_array
+    from traffic_data_pipeline_spark.functions.text import normalize
 
     s = docs.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -804,7 +807,7 @@ sums AS (
          CAST(SUM(y * y) AS BIGINT) AS syy
   FROM lagged WHERE y IS NOT NULL GROUP BY 1)
 SELECT sensor, n AS n_pairs,
-       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
             THEN ROUND((n * sxy - sx * sy)
                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
                         * CAST(n * syy - sy * sy AS DOUBLE)), 6)
@@ -853,7 +856,9 @@ def q_sensor_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "sensor",
         F.col("n").alias("n_pairs"),
-        F.when(var_x * var_y > 0, r).alias("autocorr_lag1"),
+        # two comparisons, not a product: var_x*var_y overflows BIGINT at
+        # realistic series magnitudes (~1e13 per side) in both engines
+        F.when((var_x > 0) & (var_y > 0), r).alias("autocorr_lag1"),
     )
 
 

@@ -40,7 +40,13 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
 
     try:
         df = spark.read.parquet(path)
-    except Exception:
+    except Exception as exc:
+        # Only the TIMESTAMP(NANOS) schema rejection gets the legacy-flag
+        # retry; anything else (missing path, corrupt footer) re-raises as
+        # itself instead of surfacing a confusing second error from the
+        # fallback read
+        if "NANOS" not in str(exc):
+            raise
         # TIMESTAMP(NANOS) fixtures: re-read with the nanos-as-long escape
         # hatch. The flag is captured at relation creation (the returned
         # DataFrame keeps working after restore), so scope it to this read
