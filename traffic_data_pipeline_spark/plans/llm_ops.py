@@ -846,3 +846,90 @@ def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_tok"),
                  F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
                  .alias("n_oov")))
+
+
+_EVENTS_STREAM_CACHE: dict[str, str] = {}
+
+
+def _events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Plain events landing zone for stream-stream queries (ingest-side
+    setup, memoized per sf_dir like _dup_events_dir)."""
+    if sf_dir not in _EVENTS_STREAM_CACHE:
+        src = scratch_dir(prefix="tdp_events_stream_")
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ).write.mode("overwrite").parquet(src)
+        _EVENTS_STREAM_CACHE[sf_dir] = src
+    return _EVENTS_STREAM_CACHE[sf_dir]
+
+
+@register("streaming_click_purchase", """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       p.value AS purchase_value
+FROM events c JOIN events p
+  ON c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""")
+def q_streaming_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join — the attribution query (purchases
+    within 30 minutes of a click, per user) run as two watermarked
+    streams joined on user + a time-range predicate. The event-time
+    constraint is what makes the state bounded: each side holds only rows
+    inside watermark + range, evicting as the watermark advances — an
+    unconstrained stream join would buffer both streams forever. Inner
+    joins emit eagerly on match, so the availableNow run reproduces the
+    batch self-join exactly and the oracle hash-checks streaming==batch,
+    like the aggregation and dedup streaming queries."""
+    src = _events_stream_dir(spark, sf_dir)
+    sink = scratch_dir(prefix="tdp_ssj_sink_")
+    ckpt = scratch_dir(prefix="tdp_ssj_ckpt_")
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "8")  # state tracks the watermark horizon, not batch width
+    try:
+        schema = "event_id long, ts timestamp, user_id long, " \
+                 "event_type string, value double"
+        clicks = (
+            spark.readStream.schema(schema).parquet(src)
+            .filter(F.col("event_type") == "click")
+            .select(F.col("event_id").alias("click_id"),
+                    F.col("ts").alias("click_ts"), "user_id")
+            .withWatermark("click_ts", "1 hour")
+        )
+        purchases = (
+            spark.readStream.schema(schema).parquet(src)
+            .filter(F.col("event_type") == "purchase")
+            .select(F.col("event_id").alias("purchase_id"),
+                    F.col("ts").alias("purchase_ts"),
+                    F.col("user_id").alias("p_user_id"),
+                    F.col("value").alias("purchase_value"))
+            .withWatermark("purchase_ts", "1 hour")
+        )
+        joined = clicks.join(
+            purchases,
+            F.expr("user_id = p_user_id AND "
+                   "purchase_ts >= click_ts AND "
+                   "purchase_ts <= click_ts + interval 30 minutes"),
+        )
+        q = (joined.writeStream.outputMode("append")
+             .format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        ok = q.awaitTermination(600)
+    finally:
+        spark.conf.set(key, prev)
+    if not ok:
+        q.stop()
+        raise TimeoutError("streaming_click_purchase: availableNow run "
+                           "exceeded 600s")
+    return spark.read.parquet(sink).select(
+        "user_id", "click_id", "purchase_id",
+        fmt_ts(F.col("click_ts")).alias("click_ts"),
+        fmt_ts(F.col("purchase_ts")).alias("purchase_ts"),
+        "purchase_value",
+    )
