@@ -919,3 +919,60 @@ def q_corridor_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_volume").alias("peak_volume"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Raw-feed scrub (U3) over a doubled delivery
+# ---------------------------------------------------------------------------
+
+
+def _scrub_oracle() -> str:
+    from traffic_data_pipeline_spark.sources.sensor import SENSOR_VIEW_SQL
+
+    return f"""
+WITH readings AS ({SENSOR_VIEW_SQL}),
+doubled AS (
+  SELECT * FROM readings
+  UNION ALL
+  SELECT * FROM readings WHERE CAST(sensor AS BIGINT) % 7 = 0),
+raw AS (
+  SELECT sensor, CAST(COUNT(*) AS BIGINT) AS raw_rows
+  FROM doubled GROUP BY 1),
+scrubbed AS (
+  SELECT sensor, CAST(COUNT(*) AS BIGINT) AS scrubbed_rows FROM (
+    SELECT DISTINCT sensor, start_datetime FROM doubled)
+  GROUP BY 1)
+SELECT r.sensor, r.raw_rows, s.scrubbed_rows,
+       r.raw_rows - s.scrubbed_rows AS dupes_removed
+FROM raw r JOIN scrubbed s USING (sensor)
+"""
+
+
+@register("sensor_scrub", _scrub_oracle())
+def q_sensor_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 (scrub_sensor) as a registered query: double-deliver a subset
+    of the raw feed (API-retry simulation, the situation the reference
+    calls scrub for at R/_pull_data.R:436), dedupe on the
+    (sensor, reading-time) key, and report per-sensor raw/scrubbed/dupe
+    counts. The scrub is one shuffle on the key with map-side combine;
+    the count join is sensor-sized."""
+    from traffic_data_pipeline_spark.operators.aggregate import scrub_sensor
+    from traffic_data_pipeline_spark.plans.queries import sensor_readings
+
+    r = sensor_readings(spark, sf_dir)
+    doubled = r.unionByName(
+        r.filter(F.col("sensor").cast("bigint") % 7 == 0)
+    )
+    raw = doubled.groupBy("sensor").agg(F.count(F.lit(1)).alias("raw_rows"))
+    scrubbed = (
+        scrub_sensor(doubled)
+        .groupBy("sensor")
+        .agg(F.count(F.lit(1)).alias("scrubbed_rows"))
+    )
+    return (
+        raw.join(scrubbed, "sensor")
+        .select(
+            "sensor", "raw_rows", "scrubbed_rows",
+            (F.col("raw_rows") - F.col("scrubbed_rows")).alias("dupes_removed"),
+        )
+    )
