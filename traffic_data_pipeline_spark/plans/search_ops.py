@@ -976,3 +976,46 @@ def q_sensor_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("raw_rows") - F.col("scrubbed_rows")).alias("dupes_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hot-key join through explicit salting (driver-visible skew tooling)
+# ---------------------------------------------------------------------------
+
+
+@register("events_salted_enrich", """
+WITH dim AS (
+  SELECT event_type,
+         CAST(1.0 + (length(event_type) % 3) * 0.25 AS DOUBLE) AS weight
+  FROM (SELECT DISTINCT event_type FROM events))
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value * d.weight AS DECIMAL(18,6))) AS DOUBLE)
+         AS weighted_value
+FROM events e JOIN dim d USING (event_type)
+GROUP BY 1
+""")
+def q_events_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew shape AQE cannot fix, run through the explicit salt: five
+    event types over the whole fact means every key is a hot key — a
+    plain shuffle join lands the stream on 5 reducers regardless of
+    cluster width. salted_join spreads each key over 16 deterministic
+    buckets (small side replicated 16x — the price), and the result is
+    row-identical to the plain join, which is exactly what the DuckDB
+    oracle checks. The weight dim derives deterministically from the type
+    name so the query needs no side input."""
+    from traffic_data_pipeline_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    dim = (
+        ev.select("event_type").distinct()
+        .select(
+            "event_type",
+            (1.0 + (F.length("event_type") % 3) * 0.25).alias("weight"),
+        )
+    )
+    j = salted_join(ev, dim, ["event_type"], salt=16)
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value") * F.col("weight")).alias("weighted_value"),
+    )
