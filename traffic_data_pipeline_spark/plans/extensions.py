@@ -348,6 +348,58 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLIT_CASE = """CASE WHEN CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 100 < 80 THEN 'train'
+             WHEN CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 100 < 90 THEN 'val'
+             ELSE 'test' END"""
+
+
+@register("split_leakage_neardup", f"""
+WITH {_MINHASH_CTES},
+mh_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         (CAST(a.h0 = b.h0 AS INTEGER) + CAST(a.h1 = b.h1 AS INTEGER) +
+          CAST(a.h2 = b.h2 AS INTEGER) + CAST(a.h3 = b.h3 AS INTEGER) +
+          CAST(a.h4 = b.h4 AS INTEGER) + CAST(a.h5 = b.h5 AS INTEGER) +
+          CAST(a.h6 = b.h6 AS INTEGER) + CAST(a.h7 = b.h7 AS INTEGER)) / 8.0
+           AS est
+  FROM band_long a JOIN band_long b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+tagged AS (
+  SELECT {_SPLIT_CASE.format(col='doc_a')} AS split_a,
+         {_SPLIT_CASE.format(col='doc_b')} AS split_b
+  FROM mh_pairs WHERE est >= 0.5)
+SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM tagged GROUP BY 1, 2
+""")
+def q_split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate leakage across a deterministic 80/10/10 hash split:
+    MinHash near-dup pairs tagged with each side's split, counted per
+    (split_a, split_b) cell — off-diagonal cells are eval contamination
+    the exact-key audit (split_leakage_audit) cannot see. The pair stream
+    is the already-bounded LSH candidate set; the split tag is a
+    projection, so the audit costs one extra map-side-combined aggregate
+    on top of the dedup pass a pipeline already runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(shingle_sets(docs))
+    pairs = lsh_candidate_pairs(sig, min_sim=0.5)
+
+    def split_of(col):
+        bucket = F.conv(
+            F.substring(F.md5(col.cast("string")), 1, 8), 16, 10
+        ).cast("bigint") % 100
+        return (F.when(bucket < 80, "train")
+                .when(bucket < 90, "val").otherwise("test"))
+
+    return (
+        pairs.select(split_of(F.col("doc_a")).alias("split_a"),
+                     split_of(F.col("doc_b")).alias("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 @register("dedup_ngram_jaccard", f"""
 WITH {_DOC_CTES},
 groups AS (SELECT doc_id, source AS grp FROM documents),

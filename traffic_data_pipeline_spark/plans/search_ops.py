@@ -1019,3 +1019,64 @@ def q_events_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("value") * F.col("weight")).alias("weighted_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test split leakage audit
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+WITH assigned AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+           AS content_key,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 100 < 80 THEN 'train'
+              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents),
+leaks AS (
+  SELECT content_key,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+         CAST(MIN(doc_id) AS BIGINT) AS example_doc
+  FROM assigned GROUP BY 1 HAVING COUNT(DISTINCT split) > 1)
+SELECT * FROM leaks
+"""
+
+
+@register("split_leakage_audit", _SPLIT_ORACLE)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test leakage audit: after a deterministic hash split
+    (80/10/10 on md5(doc_id), the same reproducible assignment
+    doc_sample_stratified uses), find content groups whose exact
+    duplicates land in MORE THAN ONE split — the eval-contamination bug
+    every training pipeline must check before it trusts a benchmark
+    number. One aggregation on the content key (map-side combined); the
+    HAVING filter returns only the offending groups. Near-dup leakage is
+    the same query over dedup_minhash_canonical's components instead of
+    the exact key."""
+    from traffic_data_pipeline_spark.functions.text import normalize
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    assigned = docs.select(
+        "doc_id",
+        F.md5(normalize(F.col("text"))).alias("content_key"),
+        split.alias("split"),
+    )
+    return (
+        assigned.groupBy("content_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("split").alias("n_splits"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )
