@@ -1080,3 +1080,141 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_splits") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users (DAU/WAU)
+# ---------------------------------------------------------------------------
+
+
+@register("events_rolling_wau", """
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+spread AS (
+  SELECT user_id, d + CAST(k.k AS INTEGER) AS window_day
+  FROM user_days, (SELECT unnest(generate_series(0, 6)) AS k) k),
+counts AS (
+  SELECT strftime(window_day, '%Y-%m-%d') AS window_day,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM spread GROUP BY 1),
+dau AS (
+  SELECT strftime(d, '%Y-%m-%d') AS window_day,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM user_days GROUP BY 1)
+SELECT c.window_day, COALESCE(a.dau, 0) AS dau, c.wau
+FROM counts c LEFT JOIN dau a USING (window_day)
+""")
+def q_events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day (WAU) next to same-day DAU.
+    Rolling COUNT DISTINCT is not expressible as a window frame (distinct
+    aggregates are unsupported in frames, and summing daily distincts
+    overcounts) — the scalable formulation dedupes to user-DAYS first
+    (the only full-cardinality shuffle), then each user-day replicates
+    into the 7 trailing windows it serves and a plain count-distinct per
+    window finishes. Replication is 7x the user-day table, not 7x the
+    event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    spread = user_days.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+        "d",
+    ).select("user_id", F.date_add("d", F.col("k")).alias("window_day"))
+    counts = spread.groupBy("window_day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    dau = user_days.groupBy(F.col("d").alias("window_day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    return (
+        counts.join(dau, "window_day", "left")
+        .select(
+            F.date_format("window_day", "yyyy-MM-dd").alias("window_day"),
+            F.coalesce("dau", F.lit(0)).alias("dau"),
+            "wau",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer scoring (broadcast-threshold quintiles)
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH base AS (
+  SELECT o.o_custkey AS custkey,
+         date_diff('day', MAX(o.o_orderdate),
+                   (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+           AS monetary
+  FROM orders o GROUP BY 1),
+q AS (
+  SELECT quantile_cont(frequency, 0.5) AS f_med,
+         quantile_cont(monetary, 0.5) AS m_med,
+         quantile_cont(recency_days, 0.5) AS r_med
+  FROM base)
+SELECT b.custkey, CAST(b.recency_days AS BIGINT) AS recency_days,
+       b.frequency, b.monetary,
+       CASE WHEN b.recency_days <= q.r_med AND b.frequency > q.f_med
+                 AND b.monetary > q.m_med THEN 'champion'
+            WHEN b.recency_days <= q.r_med THEN 'recent'
+            WHEN b.frequency > q.f_med OR b.monetary > q.m_med
+              THEN 'lapsing_valuable'
+            ELSE 'hibernating' END AS segment
+FROM base b, q
+"""
+
+
+@register("customer_rfm", _RFM_ORACLE)
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (days since last order,
+    against the global max date), frequency, and decimal-exact monetary
+    total, segmented against median thresholds. Both scalars — the
+    global max date and the three medians — aggregate to one broadcast
+    row each, so the fact shuffles exactly once (the customer roll-up);
+    no global sort, no window over the whole table. Threshold comparisons
+    against exact medians of integer-ish values are deterministic
+    cross-engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("_maxd"))
+    base = (
+        orders.crossJoin(F.broadcast(maxd))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(F.first("_maxd"), F.max("o_orderdate"))
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum(F.col("o_totalprice")).alias("monetary"),
+        )
+    )
+    q = base.agg(
+        F.expr("percentile(frequency, 0.5)").alias("f_med"),
+        F.expr("percentile(monetary, 0.5)").alias("m_med"),
+        F.expr("percentile(recency_days, 0.5)").alias("r_med"),
+    )
+    j = base.crossJoin(F.broadcast(q))
+    seg = (
+        F.when(
+            (F.col("recency_days") <= F.col("r_med"))
+            & (F.col("frequency") > F.col("f_med"))
+            & (F.col("monetary") > F.col("m_med")),
+            "champion",
+        )
+        .when(F.col("recency_days") <= F.col("r_med"), "recent")
+        .when(
+            (F.col("frequency") > F.col("f_med"))
+            | (F.col("monetary") > F.col("m_med")),
+            "lapsing_valuable",
+        )
+        .otherwise("hibernating")
+    )
+    return j.select(
+        "custkey",
+        F.col("recency_days").cast("bigint").alias("recency_days"),
+        "frequency",
+        "monetary",
+        seg.alias("segment"),
+    )
