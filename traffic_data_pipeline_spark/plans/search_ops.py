@@ -1218,3 +1218,48 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "monetary",
         seg.alias("segment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Journey mining: most common 3-step event paths
+# ---------------------------------------------------------------------------
+
+
+@register("events_top_paths", """
+WITH seq AS (
+  SELECT user_id, event_type AS s1,
+         LEAD(event_type, 1) OVER w AS s2,
+         LEAD(event_type, 2) OVER w AS s3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+paths AS (
+  SELECT s1 || '>' || s2 || '>' || s3 AS path,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE s3 IS NOT NULL GROUP BY 1)
+SELECT path, n FROM paths ORDER BY n DESC, path LIMIT 10
+""")
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey mining: the 10 most common 3-step event-type paths across
+    users. Two LEADs over one user-partitioned sort produce every
+    consecutive triple without self-joins (a 3-way join on adjacency
+    would shuffle the stream three times); the count combines map-side to
+    |type|^3 <= 125 rows and the top-10 is a TakeOrderedAndProject.
+    Tie-break on the path string keeps the cutoff deterministic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    ).filter(F.col("s3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "s1", "s2", "s3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )
