@@ -1263,3 +1263,110 @@ def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Imputation quality report and corridor speed reliability
+# ---------------------------------------------------------------------------
+
+
+def _impute_report_oracle() -> str:
+    from traffic_data_pipeline_spark.plans.queries import IMPUTE_CTES
+
+    return f"""
+WITH {IMPUTE_CTES}
+SELECT sensor,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN volume_pct_null > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_degraded,
+       CAST(SUM(CASE WHEN volume_sum_impute IS DISTINCT FROM volume_sum
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+       CAST(SUM(CASE WHEN volume_sum_impute IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unrecoverable,
+       CAST(SUM(CAST(COALESCE(volume_sum_impute, 0)
+                     - COALESCE(volume_sum, 0) AS BIGINT)) AS BIGINT)
+         AS volume_added
+FROM s3 GROUP BY 1
+"""
+
+
+@register("impute_quality_report", _impute_report_oracle())
+def q_impute_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Imputation accounting per sensor: how many 15-min windows were
+    degraded (any nulls), how many the cascade changed, how many stayed
+    unrecoverable after all three stages, and the net volume the
+    imputation added — the report that tells an operator whether the
+    cascade is filling honest gaps or inventing traffic. One aggregation
+    over the already-computed impute output; every measure is an exact
+    integer."""
+    from traffic_data_pipeline_spark.operators.aggregate import (
+        aggregate_detector,
+    )
+    from traffic_data_pipeline_spark.operators.impute import impute
+    from traffic_data_pipeline_spark.plans.queries import sensor_readings
+
+    agg = aggregate_detector(sensor_readings(spark, sf_dir))
+    imp = impute(agg.select("sensor", "start_datetime",
+                            "volume_sum", "volume_pct_null",
+                            "occupancy_sum", "occupancy_pct_null"))
+    changed = ~F.col("volume_sum_impute").eqNullSafe(F.col("volume_sum"))
+    return imp.groupBy("sensor").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.when(F.col("volume_pct_null") > 0, 1).otherwise(0))
+        .cast("bigint").alias("n_degraded"),
+        F.sum(F.when(changed, 1).otherwise(0)).cast("bigint")
+        .alias("n_imputed"),
+        F.sum(F.when(F.col("volume_sum_impute").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_unrecoverable"),
+        F.sum(
+            F.coalesce("volume_sum_impute", F.lit(0)).cast("bigint")
+            - F.coalesce("volume_sum", F.lit(0)).cast("bigint")
+        ).cast("bigint").alias("volume_added"),
+    )
+
+
+def _reliability_oracle() -> str:
+    from traffic_data_pipeline_spark.plans.queries import NODEFACT_CTES
+
+    return f"""
+WITH {NODEFACT_CTES}
+SELECT corridor_route,
+       CAST(COUNT(speed) AS BIGINT) AS n_obs,
+       ROUND(quantile_cont(speed, 0.50), 6) AS p50_speed,
+       ROUND(quantile_cont(speed, 0.05), 6) AS p05_speed,
+       ROUND(quantile_cont(speed, 0.50) / quantile_cont(speed, 0.05), 6)
+         AS reliability_ratio
+FROM lvl2
+WHERE corridor_route IS NOT NULL AND speed IS NOT NULL
+GROUP BY 1
+"""
+
+
+@register("corridor_reliability", _reliability_oracle())
+def q_corridor_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corridor travel reliability: median over 5th-percentile speed —
+    the planning-time index shape (how much worse the worst hours are
+    than a typical hour). Exact grouped percentiles in ONE shared-state
+    percentile call per group; the ratio is a single double division of
+    two interpolated order statistics, bit-equal across engines. At
+    100 TB the same query swaps in percentile_approx."""
+    from traffic_data_pipeline_spark.operators.rollup import two_level_rollup
+    from traffic_data_pipeline_spark.plans.queries import _node_fact
+
+    roll = two_level_rollup(_node_fact(spark, sf_dir), "hour")
+    qs = (
+        roll.filter(F.col("corridor_route").isNotNull()
+                    & F.col("speed").isNotNull())
+        .groupBy("corridor_route")
+        .agg(
+            F.count("speed").alias("n_obs"),
+            F.expr("percentile(speed, array(0.50D, 0.05D))").alias("_q"),
+        )
+    )
+    return qs.select(
+        "corridor_route",
+        "n_obs",
+        F.round(F.col("_q")[0], 6).alias("p50_speed"),
+        F.round(F.col("_q")[1], 6).alias("p05_speed"),
+        F.round(F.col("_q")[0] / F.col("_q")[1], 6).alias("reliability_ratio"),
+    )
