@@ -1370,3 +1370,51 @@ def q_corridor_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("_q")[1], 6).alias("p05_speed"),
         F.round(F.col("_q")[0] / F.col("_q")[1], 6).alias("reliability_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Monthly order trend with month-over-month deltas
+# ---------------------------------------------------------------------------
+
+
+@register("orders_monthly_trend", """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1, 2)
+SELECT strftime(month, '%Y-%m-%d') AS month, o_orderpriority, n_orders,
+       revenue,
+       n_orders - LAG(n_orders) OVER (PARTITION BY o_orderpriority
+                                      ORDER BY month) AS mom_orders_delta
+FROM monthly
+""")
+def q_orders_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order counts and decimal-exact revenue per priority, with
+    the month-over-month delta as a LAG over the AGGREGATED frame — the
+    reporting shape where the window runs on |months|x|priorities| rows
+    (hundreds), not the fact: aggregate first, window later. The fact
+    shuffles once for the roll-up; the trend window sorts the tiny
+    result."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    monthly = (
+        o.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    return monthly.select(
+        F.date_format("month", "yyyy-MM-dd").alias("month"),
+        "o_orderpriority",
+        "n_orders",
+        "revenue",
+        (F.col("n_orders") - F.lag("n_orders").over(w))
+        .alias("mom_orders_delta"),
+    )
