@@ -124,7 +124,10 @@ doc_texts = st.lists(
 
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
-@given(texts=doc_texts, threshold=st.sampled_from([0.5, 0.7, 0.9]))
+# 0.55 and 0.6 sit on ceil(t*n) float boundaries (0.55*100 ->
+# 55.000000000000007): the prefix-length epsilon guard is what keeps these
+# recall-lossless — they regressed silently before it existed
+@given(texts=doc_texts, threshold=st.sampled_from([0.5, 0.55, 0.6, 0.7, 0.9]))
 def test_prefix_jaccard_matches_naive(spark, texts, threshold):
     from traffic_data_pipeline_spark.functions.dedup import (
         _ngram_jaccard_naive, ngram_jaccard_pairs, shingle_sets)
