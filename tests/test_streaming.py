@@ -187,3 +187,59 @@ def test_late_beyond_watermark_dropped(spark, tmp_path):
     assert ("s1", "2023-01-01 00:00:00", 5) in rows
     assert ("s1", "2023-01-01 00:00:00", 14) not in rows
     assert len(first) >= 1
+
+
+def test_stream_join_state_survives_restart(spark, tmp_path):
+    """Stream-stream join state recovery: clicks arriving in run 1 must
+    still match purchases that only arrive in run 2 (same checkpoint) —
+    the buffered-side state has to survive the stop/start boundary."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [(1, "2024-01-01 10:00:00", 7, "click", 1.0)]
+    rows2 = [(2, "2024-01-01 10:10:00", 7, "purchase", 9.99),
+             (3, "2024-01-01 12:00:00", 7, "click", 1.0)]
+    schema = "event_id long, ts timestamp, user_id long, " \
+             "event_type string, value double"
+
+    def write_batch(rows, part):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, "
+            "event_type string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp")) \
+         .coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        clicks = (spark.readStream.schema(schema).parquet(src)
+                  .filter(F.col("event_type") == "click")
+                  .select(F.col("event_id").alias("click_id"),
+                          F.col("ts").alias("click_ts"), "user_id")
+                  .withWatermark("click_ts", "1 hour"))
+        purchases = (spark.readStream.schema(schema).parquet(src)
+                     .filter(F.col("event_type") == "purchase")
+                     .select(F.col("event_id").alias("purchase_id"),
+                             F.col("ts").alias("purchase_ts"),
+                             F.col("user_id").alias("p_user_id"))
+                     .withWatermark("purchase_ts", "1 hour"))
+        j = clicks.join(
+            purchases,
+            F.expr("user_id = p_user_id AND "
+                   "purchase_ts >= click_ts AND "
+                   "purchase_ts <= click_ts + interval 30 minutes"))
+        q = (j.writeStream.outputMode("append").format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(300)
+
+    write_batch(rows1, 1)
+    run_once()          # click 1 buffers in state; no purchase yet
+    write_batch(rows2, 2)
+    run_once()          # purchase 2 arrives AFTER the restart
+    got = {(r.click_id, r.purchase_id)
+           for r in spark.read.parquet(sink).collect()}
+    # the cross-restart match exists; the later click (outside the 30-min
+    # range) matched nothing
+    assert got == {(1, 2)}
