@@ -63,6 +63,12 @@ def main() -> None:
     stream_source_dir(spark, sf_dir)
     from traffic_data_pipeline_spark.plans.extensions import media_source_dir
     media_source_dir(spark, sf_dir)
+    from traffic_data_pipeline_spark.plans.llm_ops import (
+        _dup_events_dir,
+        _events_stream_dir,
+    )
+    _dup_events_dir(spark, sf_dir)
+    _events_stream_dir(spark, sf_dir)
 
     from traffic_data_pipeline_spark.functions.execution import release
 
