@@ -1455,3 +1455,80 @@ def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("_k").cast("bigint").alias("max_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Outage report: gaps-and-islands over the 15-min series
+# ---------------------------------------------------------------------------
+
+
+def _uptime_oracle() -> str:
+    from traffic_data_pipeline_spark.plans.queries import AGG15_CTES
+
+    return f"""
+WITH {AGG15_CTES},
+marked AS (
+  SELECT sensor, w_start,
+         CASE WHEN epoch(w_start)
+                   - LAG(epoch(w_start)) OVER (PARTITION BY sensor
+                                               ORDER BY w_start) = 900
+              THEN 0 ELSE 1 END AS new_island
+  FROM agg15),
+islands AS (
+  SELECT sensor, w_start,
+         SUM(new_island) OVER (PARTITION BY sensor ORDER BY w_start
+                               ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM marked),
+sized AS (
+  SELECT sensor, island_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         strftime(MIN(w_start), '%Y-%m-%d %H:%M:%S') AS island_start
+  FROM islands GROUP BY 1, 2)
+SELECT sensor,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(MAX(n_windows) AS BIGINT) AS longest_island,
+       MIN(island_start) AS first_seen
+FROM sized GROUP BY 1
+"""
+
+
+@register("sensor_uptime_islands", _uptime_oracle())
+def q_sensor_uptime_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outage reporting as gaps-and-islands: consecutive 15-min windows
+    (exactly 900s apart) form islands via the classic lag-diff + running
+    cumsum, then per-sensor island counts and the longest unbroken run.
+    The lag, the cumsum, and the island roll-up all ride ONE sensor
+    exchange + sort; complements the streaming gap detector
+    (streaming/stateful.py), which finds the same boundaries
+    incrementally with per-key state."""
+    from traffic_data_pipeline_spark.operators.aggregate import (
+        aggregate_detector,
+    )
+    from traffic_data_pipeline_spark.plans.queries import sensor_readings
+    from pyspark.sql import Window
+
+    agg = aggregate_detector(sensor_readings(spark, sf_dir)).select(
+        "sensor", F.col("start_datetime").alias("w_start")
+    )
+    wo = Window.partitionBy("sensor").orderBy("w_start")
+    marked = agg.select(
+        "sensor", "w_start",
+        F.when(
+            F.unix_timestamp("w_start")
+            - F.lag(F.unix_timestamp("w_start")).over(wo) == 900,
+            0,
+        ).otherwise(1).alias("new_island"),
+    )
+    islands = marked.withColumn(
+        "island_id",
+        F.sum("new_island").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sized = islands.groupBy("sensor", "island_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.date_format(F.min("w_start"), "yyyy-MM-dd HH:mm:ss")
+        .alias("island_start"),
+    )
+    return sized.groupBy("sensor").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("n_windows").cast("bigint").alias("longest_island"),
+        F.min("island_start").alias("first_seen"),
+    )
