@@ -90,7 +90,21 @@ def main() -> None:
         "n_queries": len(timings),
         "sf": sf,
     }
+    # The per-query map is ~4 KB at 100+ queries and can overflow a
+    # log-tail capture mid-line (BENCH_r02 recorded "parsed": null).
+    # Emit the detailed line first, persist it to a file for humans, and
+    # END with a compact summary line so the tail of stdout always holds
+    # one complete JSON object.
     print(json.dumps(out))
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: the stdout lines above still carry it
+    compact = {k: v for k, v in out.items() if k != "queries"}
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -33,13 +33,40 @@ def test_bench_emits_json_line():
         env=env, cwd=os.path.dirname(os.path.dirname(__file__)), timeout=560,
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    line = out.stdout.strip().splitlines()[-1]
-    payload = json.loads(line)
-    assert payload["unit"] == "sec"
-    assert payload["sf"] == 0.001
-    assert payload["value"] > 0
-    assert len(payload["queries"]) == len(entry_mod.queries())
-    assert all(v >= 0 for v in payload["queries"].values())
+    lines = out.stdout.strip().splitlines()
+    # the FINAL line is the compact summary (a log-tail capture must always
+    # land on one complete JSON object — BENCH_r02 recorded parsed:null when
+    # the 102-query detail line overflowed the tail window); the detail line
+    # with the per-query map precedes it
+    compact = json.loads(lines[-1])
+    assert compact["unit"] == "sec"
+    assert compact["sf"] == 0.001
+    assert compact["value"] > 0
+    assert "queries" not in compact
+    assert compact["n_queries"] == len(entry_mod.queries())
+    assert len(lines[-1]) < 512          # fits any sane tail capture
+    detail = json.loads(lines[-2])
+    assert len(detail["queries"]) == len(entry_mod.queries())
+    assert all(v >= 0 for v in detail["queries"].values())
+    assert detail["value"] == compact["value"]
+
+
+def test_queries_rotation_fronts_never_driver_checked():
+    """The driver's CORRECTNESS pass covers a bounded prefix of the
+    queries() order (50 in rounds 1-2). queries() must front names with no
+    CORRECTNESS_r*.json row yet so every query eventually gets a
+    driver-side green row, while keeping the name->callable mapping
+    identical to the registry."""
+    from traffic_data_pipeline_spark.plans.queries import QUERIES
+
+    qs = entry_mod.queries()
+    assert qs == QUERIES                      # same mapping...
+    seen = entry_mod._previously_checked()
+    names = list(qs)
+    if seen and len(names) > len(seen):       # ...rotated order
+        first_checked = min(i for i, n in enumerate(names) if n in seen)
+        assert all(n in seen for n in names[first_checked:]), (
+            "never-checked queries must all precede previously-checked ones")
 
 
 def test_events_ts_normalized_across_fixture_generations(spark):
@@ -56,3 +83,35 @@ def test_events_ts_normalized_across_fixture_generations(spark):
         df = load_table(spark, sf, "events")
         assert isinstance(df.schema["ts"].dataType, TimestampType), sf
         assert df.select("ts").first()[0] is not None
+
+
+def test_events_ts_instants_are_zone_independent(spark):
+    """The external driver imports __spark_entry__ under a vanilla session
+    whose zone is the host JVM default. load_table pins the session zone to
+    UTC (the engine's semantics are naive-UTC end to end), so the events.ts
+    INSTANTS must come out identical no matter what zone the session was in
+    when the query was built — an unpinned NTZ->timestamp cast would shift
+    every instant by the zone offset."""
+    from pyspark.sql import functions as F
+
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    key = "spark.sql.session.timeZone"
+    sf = "/root/testdata/sf0.001"
+    try:
+        spark.conf.set(key, "America/New_York")   # odd-offset, DST zone
+        df_ny = load_table(spark, sf, "events")
+        assert spark.conf.get(key) == "UTC"       # load_table pinned it back
+        got = df_ny.select(F.unix_micros(F.min("ts")).alias("m")).first()["m"]
+    finally:
+        spark.conf.set(key, "UTC")
+    exp = (load_table(spark, sf, "events")
+           .select(F.unix_micros(F.min("ts")).alias("m")).first()["m"])
+    assert got == exp
+    # and the naive-UTC reading matches DuckDB's view of the same parquet
+    import duckdb
+
+    oracle = duckdb.sql(
+        f"SELECT epoch_us(MIN(ts)) FROM '{sf}/events.parquet'"
+    ).fetchone()[0]
+    assert got == oracle

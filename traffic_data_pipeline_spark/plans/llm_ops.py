@@ -884,7 +884,18 @@ def q_streaming_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     unconstrained stream join would buffer both streams forever. Inner
     joins emit eagerly on match, so the availableNow run reproduces the
     batch self-join exactly and the oracle hash-checks streaming==batch,
-    like the aggregation and dedup streaming queries."""
+    like the aggregation and dedup streaming queries.
+
+    streaming==batch holds only while the landing zone fits one
+    micro-batch: parquet file order is not time order, so if the file
+    source split the feed (maxFilesPerTrigger, a larger fixture), files
+    landing in batch 2 with event times behind batch 1's watermark
+    (max ts - 1h) would be dropped pre-join and matches silently lost.
+    The run asserts single-input-batch execution below rather than
+    widening the watermark — the 1-hour state horizon IS the semantics
+    under test; a restart mid-feed is the legitimate multi-batch path and
+    is covered by the kill-and-resume test, which replays from the
+    checkpoint in file-arrival order."""
     src = _events_stream_dir(spark, sf_dir)
     sink = scratch_dir(prefix="tdp_ssj_sink_")
     ckpt = scratch_dir(prefix="tdp_ssj_ckpt_")
@@ -927,6 +938,14 @@ def q_streaming_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("streaming_click_purchase: availableNow run "
                            "exceeded 600s")
+    data_batches = sum(
+        1 for p in q.recentProgress if (p["numInputRows"] or 0) > 0)
+    if data_batches > 1:
+        raise AssertionError(
+            f"streaming_click_purchase: landing zone split across "
+            f"{data_batches} micro-batches — out-of-time-order files behind "
+            f"the watermark can drop matches, so streaming==batch no longer "
+            f"holds (see docstring)")
     return spark.read.parquet(sink).select(
         "user_id", "click_id", "purchase_id",
         fmt_ts(F.col("click_ts")).alias("click_ts"),

@@ -1334,8 +1334,9 @@ SELECT corridor_route,
        CAST(COUNT(speed) AS BIGINT) AS n_obs,
        ROUND(quantile_cont(speed, 0.50), 6) AS p50_speed,
        ROUND(quantile_cont(speed, 0.05), 6) AS p05_speed,
-       ROUND(quantile_cont(speed, 0.50) / quantile_cont(speed, 0.05), 6)
-         AS reliability_ratio
+       CASE WHEN quantile_cont(speed, 0.05) > 0 THEN
+         ROUND(quantile_cont(speed, 0.50) / quantile_cont(speed, 0.05), 6)
+       END AS reliability_ratio
 FROM lvl2
 WHERE corridor_route IS NOT NULL AND speed IS NOT NULL
 GROUP BY 1
@@ -1368,7 +1369,13 @@ def q_corridor_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_obs",
         F.round(F.col("_q")[0], 6).alias("p50_speed"),
         F.round(F.col("_q")[1], 6).alias("p05_speed"),
-        F.round(F.col("_q")[0] / F.col("_q")[1], 6).alias("reliability_ratio"),
+        # a fully-congested corridor (p05 == 0) gets NULL, not Inf: Spark
+        # and DuckDB disagree on double x/0 (NULL vs error), so the guard
+        # lives in BOTH formulations — same move as the autocorr variance
+        # and cosine-norm guards
+        F.when(F.col("_q")[1] > 0,
+               F.round(F.col("_q")[0] / F.col("_q")[1], 6))
+        .alias("reliability_ratio"),
     )
 
 

@@ -29,6 +29,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # The engine's timestamp semantics are naive-UTC end to end: fixture
+    # stamps are naive-UTC wall clocks and the DuckDB oracles treat them the
+    # same. Every session-zone-aware expression (the NTZ cast below,
+    # date_trunc/window bucketing, formatted output) captures the zone at
+    # ANALYSIS time, and the external driver imports this module under a
+    # vanilla SparkSession whose zone is the JVM default — on a non-UTC host
+    # every events.ts instant would shift by the zone offset. load_table is
+    # the one choke point every query passes through before analysis, so pin
+    # the runtime conf here (the driver contract: engine confs are set inside
+    # load_table, not assumed from the session builder).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _load_events(spark, f"{sf_dir}/{name}.parquet")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -71,7 +82,8 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
         # division here silently lands ±1 microsecond off
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if isinstance(ts_type, T.TimestampNTZType):
-        # wall-clock values carry over unchanged: the session zone is UTC
-        # (session.get_spark pins it) and the fixture stamps are naive-UTC
+        # wall-clock values carry over unchanged: load_table pinned the
+        # session zone to UTC before this cast was analyzed, so the naive-UTC
+        # fixture stamps become the matching UTC instants on any host JVM
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
