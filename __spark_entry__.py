@@ -42,11 +42,23 @@ def _previously_checked() -> set[str]:
     return seen
 
 
+# Queries registered in the CURRENT round: also unchecked, but they queue
+# BEHIND queries that have already waited a round for a driver row — the
+# backlog drains oldest-first instead of newest registrations jumping it.
+_DEFER_NEW = {
+    "dedup_minhash_lsh_capped",
+    "dedup_lsh_band_overflow",
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     seen = _previously_checked()
     ordered = dict()
     for name, fn in QUERIES.items():
-        if name not in seen:
+        if name not in seen and name not in _DEFER_NEW:
+            ordered[name] = fn
+    for name, fn in QUERIES.items():
+        if name not in seen and name in _DEFER_NEW:
             ordered[name] = fn
     for name, fn in QUERIES.items():
         if name in seen:

@@ -56,6 +56,11 @@ def main() -> None:
     # own work, not the shared table build
     from traffic_data_pipeline_spark.operators.ingest import build_rtmc_15min
     build_rtmc_15min(spark, sf_dir).count()
+    # ... and the session dedup index (the in-process stand-in for the
+    # persisted signature/band table nightly dedup runs read — see
+    # plans/extensions.doc_band_index), shared by the whole dedup family
+    from traffic_data_pipeline_spark.plans.extensions import doc_band_index
+    doc_band_index(spark, sf_dir).count()
     # pre-build the streaming query's file-source landing zone and the
     # parquet media table (ingest-side setup — the measurements should time
     # the streaming job / the media transforms, not input synthesis)

@@ -13,8 +13,10 @@ Scale notes (100 TB corpus):
   projections (zero shuffles before banding); candidate generation joins
   on band keys only — never the O(n^2) pair space. Band-key hot buckets
   (boilerplate docs) are the skew risk: AQE skew-join handles moderate
-  cases, and a bucket-size cap (filter HAVING count < N before pairing)
-  bounds the worst case.
+  cases, and the ``max_bucket`` cap in ``lsh_pairs_from_bands`` bounds
+  the worst case (broadcast anti-join on the provably-small hot-key
+  list), with ``lsh_hot_band_overflow`` putting what it skipped on
+  record.
 - SimHash: signature is an agg over (doc, bit) partial sums; pairing at
   fixture scale is a bounded self-join, at corpus scale band the signature
   bytes the same way as MinHash.
@@ -139,7 +141,8 @@ def minhash_bands(sig: DataFrame, id_col: str = "doc_id",
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
                         n_hashes: int = N_MINHASH, n_bands: int = N_BANDS,
-                        min_sim: float = 0.5) -> DataFrame:
+                        min_sim: float = 0.5,
+                        max_bucket: int | None = None) -> DataFrame:
     """Band the signature, pair docs sharing any band bucket, then estimate
     similarity as the fraction of agreeing minhashes; keep pairs >= min_sim.
 
@@ -148,6 +151,39 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
     # docs × n_bands rows; the self-join below would otherwise recompute
     # the full shingle-hash signature aggregation per side
     band_long = _materialize(minhash_bands(sig, id_col, n_hashes, n_bands))
+    return lsh_pairs_from_bands(band_long, id_col, n_hashes, min_sim,
+                                max_bucket)
+
+
+def lsh_pairs_from_bands(band_long: DataFrame, id_col: str = "doc_id",
+                         n_hashes: int = N_MINHASH, min_sim: float = 0.5,
+                         max_bucket: int | None = None) -> DataFrame:
+    """LSH pairing from an already-banded (and typically persisted) index
+    frame — the shape nightly dedup jobs run against the signature table
+    previous runs wrote, and what lets one materialization serve the whole
+    dedup family (corpus self-pairing, incremental delta-vs-index, leakage
+    audits) instead of each rebuilding shingles+signatures+bands.
+
+    ``max_bucket`` is the hot-band cap: a band key shared by d docs emits
+    d(d-1)/2 candidate rows, so one degenerate band (empty strings,
+    template boilerplate) makes the join quadratic in corpus size. Capping
+    drops band keys with more than ``max_bucket`` members BEFORE pairing,
+    bounding any band's contribution at C(max_bucket, 2). Recall loss is
+    confined to pairs whose EVERY shared band is hot; near-identical docs
+    agree on several bands, and genuinely-identical boilerplate belongs to
+    exact dedup (one hash shuffle) anyway. lsh_hot_band_overflow reports
+    what the cap skipped.
+    """
+    if max_bucket is not None:
+        # band keys with > max_bucket members: at most |band_rows|/max_bucket
+        # of them exist by construction, so the hot-key list is always
+        # broadcast-sized no matter how skewed the corpus — the anti-join
+        # never shuffles the index
+        hot = (band_long.groupBy("band_key")
+               .agg(F.count(F.lit(1)).alias("_bn"))
+               .filter(F.col("_bn") > max_bucket)
+               .select("band_key"))
+        band_long = band_long.join(F.broadcast(hot), "band_key", "left_anti")
     a, b = band_long.alias("a"), band_long.alias("b")
     est = sum(
         (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int")
@@ -169,6 +205,44 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
         .filter(F.col("est_sim") >= min_sim)
         .distinct()
     )
+
+
+def lsh_hot_band_overflow(band_long: DataFrame, max_bucket: int,
+                          id_col: str = "doc_id",
+                          n_bands: int = N_BANDS) -> DataFrame:
+    """One-row accounting of what a ``max_bucket`` hot-band cap skips:
+    how many band keys are hot, how many index rows they carry, how many
+    docs lose at least one band, and how many lose ALL bands (those are
+    invisible to the capped pairing — the real recall exposure). A dedup
+    run with a cap should always emit this next to its pair stream, so
+    'the join stayed bounded' and 'what it cost' are both on record.
+
+    Cost: one map-side-combined count per band key plus one aggregation of
+    the (broadcast-small, <= |rows|/max_bucket keys) hot subset's member
+    rows — nothing here scales with the pair space.
+    """
+    hot = (band_long.groupBy("band_key")
+           .agg(F.count(F.lit(1)).alias("_bn"))
+           .filter(F.col("_bn") > max_bucket))
+    band_stats = hot.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hot_bands"),
+        F.coalesce(F.sum("_bn"), F.lit(0)).cast("bigint")
+        .alias("n_band_rows_skipped"),
+    )
+    # every doc owns exactly n_bands index rows, so a doc losing n_bands of
+    # them is fully blind to the capped pairing
+    doc_stats = (
+        band_long.join(F.broadcast(hot.select("band_key")), "band_key")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_lost"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_capped"),
+            F.coalesce(
+                F.sum((F.col("_lost") == n_bands).cast("int")), F.lit(0)
+            ).cast("bigint").alias("n_docs_blinded"),
+        )
+    )
+    return band_stats.crossJoin(doc_stats)  # two one-row frames
 
 
 PREFIX_CUTOFF = 0.5  # below this threshold prefixes barely prune; go naive
