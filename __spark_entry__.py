@@ -48,6 +48,8 @@ def _previously_checked() -> set[str]:
 _DEFER_NEW = {
     "dedup_minhash_lsh_capped",
     "dedup_lsh_band_overflow",
+    "corridor_p85_speed_approx",
+    "lineitem_quantiles_approx",
 }
 
 

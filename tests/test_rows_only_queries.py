@@ -16,9 +16,14 @@ def test_rows_only_set_is_expected():
     """Every query should have an oracle unless it is genuinely
     non-SQL-expressible — keep this list deliberate."""
     assert ROWS_ONLY == [
+        "corridor_p85_speed_approx",   # GK sketch; accuracy pinned vs the
+                                       # exact twin in
+                                       # tests/test_approx_percentiles.py
         "doc_sketch_profile",      # HLL/t-digest estimates are
                                    # engine-specific; accuracy is pinned
                                    # vs exact in tests/test_search_ops.py
+        "lineitem_quantiles_approx",   # GK sketch; accuracy pinned vs the
+                                       # exact twin
         "model_predict_glm",       # iterative IRLS fit
         "model_predict_glm_day",   # iterative IRLS fit (day grain)
     ]

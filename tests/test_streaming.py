@@ -243,3 +243,62 @@ def test_stream_join_state_survives_restart(spark, tmp_path):
     # the cross-restart match exists; the later click (outside the 30-min
     # range) matched nothing
     assert got == {(1, 2)}
+
+
+def test_stream_join_no_duplicate_attributions_on_resume(spark, tmp_path):
+    """The other half of restart safety: a match already EMITTED before
+    the stop must not be re-emitted when the query resumes on the same
+    checkpoint and new files arrive — replay has to be exactly-once from
+    the sink's point of view, with each attribution appearing exactly
+    once across the restart boundary."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts timestamp, user_id long, " \
+             "event_type string, value double"
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, "
+            "event_type string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp")) \
+         .coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        clicks = (spark.readStream.schema(schema).parquet(src)
+                  .filter(F.col("event_type") == "click")
+                  .select(F.col("event_id").alias("click_id"),
+                          F.col("ts").alias("click_ts"), "user_id")
+                  .withWatermark("click_ts", "1 hour"))
+        purchases = (spark.readStream.schema(schema).parquet(src)
+                     .filter(F.col("event_type") == "purchase")
+                     .select(F.col("event_id").alias("purchase_id"),
+                             F.col("ts").alias("purchase_ts"),
+                             F.col("user_id").alias("p_user_id"))
+                     .withWatermark("purchase_ts", "1 hour"))
+        j = clicks.join(
+            purchases,
+            F.expr("user_id = p_user_id AND "
+                   "purchase_ts >= click_ts AND "
+                   "purchase_ts <= click_ts + interval 30 minutes"))
+        q = (j.writeStream.outputMode("append").format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(300)
+
+    # run 1 emits the (1, 2) attribution and buffers click 3
+    write_batch([(1, "2024-01-01 10:00:00", 7, "click", 1.0),
+                 (2, "2024-01-01 10:10:00", 7, "purchase", 9.99),
+                 (3, "2024-01-01 10:20:00", 8, "click", 1.0)])
+    run_once()
+    # run 2: a purchase for the buffered click, and a second purchase for
+    # click 1 (still in range) — both NEW matches; (1, 2) must not re-emit
+    write_batch([(4, "2024-01-01 10:25:00", 8, "purchase", 5.00),
+                 (5, "2024-01-01 10:28:00", 7, "purchase", 1.50)])
+    run_once()
+    rows = [(r.click_id, r.purchase_id)
+            for r in spark.read.parquet(sink).collect()]
+    assert sorted(rows) == [(1, 2), (1, 5), (3, 4)]  # exactly once each

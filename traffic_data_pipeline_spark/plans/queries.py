@@ -1242,6 +1242,26 @@ def q_corridor_p85_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("corridor_p85_speed_approx")
+def q_corridor_p85_speed_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The p85 formulation that survives 100x: ``percentile_approx``
+    (Greenwald-Khanna summary — map-side mergeable, bounded memory, no
+    per-corridor sort partition). The exact rank query keeps the oracle;
+    this twin exists so the scale-safe form is itself registered and its
+    accuracy pinned against the exact answer
+    (tests/test_approx_percentiles.py) instead of living as a comment.
+    Rank error is <= n/accuracy, i.e. <=0.01% of each corridor's rows at
+    accuracy=10000. Rows-only by design: the sketch's tie-breaking is
+    engine-specific, so there is no DuckDB hash parity to check."""
+    fact = _node_fact(spark, sf_dir).filter(
+        F.col("speed").isNotNull() & F.col("corridor_route").isNotNull())
+    return fact.groupBy("corridor_route").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_speeds"),
+        F.percentile_approx("speed", F.lit(0.85), F.lit(10000))
+        .alias("p85_speed"),
+    )
+
+
 @register("corridor_speed_histogram", f"""
 WITH {NODEFACT_CTES}
 SELECT corridor_route,

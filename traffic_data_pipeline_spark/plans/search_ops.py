@@ -352,6 +352,34 @@ def q_lineitem_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("lineitem_quantiles_approx")
+def q_lineitem_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile-profiling pass in its at-scale form: one
+    ``percentile_approx`` sketch per group instead of the exact
+    value->count map whose state grows with distinct values (~600k here).
+    Same output shape as lineitem_quantiles; accuracy pinned against the
+    exact twin in tests/test_approx_percentiles.py (rank error
+    <= n/accuracy). Rows-only by design — sketch answers are
+    engine-specific, the exact form keeps the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx(
+            "l_extendedprice",
+            F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75), F.lit(0.95)),
+            F.lit(10000),
+        ).alias("_q"),
+    )
+    return qs.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("_q")[0], 6).alias("p25"),
+        F.round(F.col("_q")[1], 6).alias("p50"),
+        F.round(F.col("_q")[2], 6).alias("p75"),
+        F.round(F.col("_q")[3], 6).alias("p95"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Per-user event-time rolling window (RANGE frame)
 # ---------------------------------------------------------------------------
