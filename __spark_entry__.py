@@ -50,6 +50,8 @@ _DEFER_NEW = {
     "dedup_lsh_band_overflow",
     "corridor_p85_speed_approx",
     "lineitem_quantiles_approx",
+    "doc_lm_score",
+    "events_type_hour_cube",
 }
 
 

@@ -245,17 +245,19 @@ def embedding_near_dup(df: DataFrame, threshold: float = 0.85,
                        n_planes: int = N_PLANES,
                        vec_col: str = "embedding",
                        id_col: str = "vec_id",
-                       exact_components: bool = False) -> DataFrame:
+                       exact_components: bool = True) -> DataFrame:
     """Embedding-cosine near-duplicate grouping (driver extension).
 
     Candidates come from the LSH buckets; edges are exact-cosine pairs
-    >= threshold. With ``exact_components=False`` each vector's canonical
-    id is the minimum id among itself and its direct neighbors — the
-    standard one-round min-id approximation of connected components (the
-    common dedup-pipeline compromise: a bounded three-shuffle plan).
-    ``exact_components=True`` iterates that rule to fixpoint
-    (connected_components), so chains collapse to one canonical id per
-    component.
+    >= threshold. The default iterates min-id label propagation to
+    fixpoint (connected_components), so chains collapse to one canonical
+    id per component — exact semantics at similar measured cost to the
+    approximation (2.5s vs 1.6s at sf0.1; the CC loop converges in a few
+    rounds because near-dup graphs are shallow). ``exact_components=
+    False`` stops after the first round — each vector's canonical id is
+    the minimum among itself and its DIRECT neighbors, the bounded
+    three-shuffle compromise some pipelines prefer when any iteration is
+    off the table; it splits chains (a~b~c with a!~c gets two labels).
     Output: one row per vector (id, canonical_id).
     """
     pairs = materialize(ann_lsh_pairs(df, n_planes, threshold, vec_col, id_col)

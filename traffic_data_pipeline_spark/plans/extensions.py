@@ -793,10 +793,13 @@ FROM embeddings e LEFT JOIN neigh n USING (vec_id)
 GROUP BY e.vec_id
 """)
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: LSH candidates -> exact cosine edges
-    >= 0.85 -> one-round min-id canonicalization."""
+    """Embedding-cosine near-dup with ONE-ROUND min-id canonicalization —
+    registered explicitly as the bounded-plan approximation (its oracle
+    reproduces the one-round rule); the library default and
+    dedup_embedding_cc are the exact-CC path."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup(emb, threshold=0.85, n_planes=8)
+    return embedding_near_dup(emb, threshold=0.85, n_planes=8,
+                              exact_components=False)
 
 
 @register("dedup_embedding_cc", f"""
@@ -845,8 +848,7 @@ def q_dedup_embedding_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     a recursive CTE — chains that the one-round approximation would split
     must collapse to one canonical id per component."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup(emb, threshold=0.85, n_planes=8,
-                              exact_components=True)
+    return embedding_near_dup(emb, threshold=0.85, n_planes=8)
 
 
 # ---------------------------------------------------------------------------

@@ -162,6 +162,82 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("doc_lm_score", f"""
+WITH {_TOK_LIST_CTE},
+big AS (
+  SELECT doc_id, array_to_string(l[g:g+1], ' ') AS bigram
+  FROM tl, unnest(generate_series(1, greatest(len(l) - 1, 0))) s(g)),
+bgc AS (SELECT bigram, COUNT(*) AS c_bg FROM big GROUP BY 1),
+pre AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, CAST(SUM(c_bg) AS BIGINT) AS c_pre
+  FROM bgc GROUP BY 1),
+vocab AS (
+  SELECT CAST(COUNT(DISTINCT u.token) AS BIGINT) AS v
+  FROM (SELECT unnest(l) AS token FROM tl) u),
+probs AS (
+  SELECT b.bigram, ln((b.c_bg + 1.0) / (p.c_pre + v.v)) AS logp
+  FROM bgc b
+  JOIN pre p ON p.w1 = split_part(b.bigram, ' ', 1)
+  CROSS JOIN vocab v)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(pr.logp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS lm_score
+FROM big g JOIN probs pr ON pr.bigram = g.bigram
+GROUP BY 1
+""")
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram language-model quality score: train add-one-
+    smoothed bigram probabilities on the corpus itself, score each doc by
+    its mean token log-probability — low scores flag gibberish/boilerplate
+    for filtering, the classic LM-perplexity signal next to the heuristic
+    quality stats. In-corpus training means every doc bigram hits the
+    model table (inner join is lossless).
+
+    Scale shape: bigrams are in-row array projections (no token-stream
+    shuffle before counting); the model build is two map-side-combined
+    aggregates (bigram, then prefix w1); the vocabulary size is ONE
+    broadcast scalar row; scoring joins the bigram stream to the model
+    table once, keyed on the bigram — every shuffle is on a
+    grouping/join key, nothing is quadratic. Cross-engine float parity:
+    identical ln arguments (integer-derived doubles), per-row DECIMAL
+    rounding before the order-independent sum (the dsum pattern).
+    """
+    from traffic_data_pipeline_spark.functions.execution import materialize
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    # the bigram stream feeds both the model build and the scoring join
+    stream = materialize(
+        docs.select("doc_id", F.explode(ngram_array("tok", 2)).alias("bigram")))
+    bgc = materialize(
+        stream.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bg")))
+    pre = (bgc.groupBy(F.substring_index("bigram", " ", 1).alias("w1"))
+           .agg(F.sum("c_bg").alias("c_pre")))
+    vocab = (docs.select(F.explode("tok").alias("token"))
+             .agg(F.count_distinct("token").alias("v")))
+    probs = (
+        bgc.withColumn("w1", F.substring_index("bigram", " ", 1))
+        .join(pre, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bigram",
+            F.log((F.col("c_bg") + F.lit(1.0))
+                  / (F.col("c_pre") + F.col("v"))).alias("logp"),
+        )
+    )
+    return (
+        stream.join(probs, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("logp").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)), 6,
+            ).alias("lm_score"),
+        )
+    )
+
+
 @register("doc_chunk", f"""
 WITH {_TOK_LIST_CTE},
 ch AS (

@@ -1407,6 +1407,41 @@ def q_corridor_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("events_type_hour_cube", """
+WITH e AS (
+  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod, value FROM events)
+SELECT event_type, hod,
+       CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+       CAST(GROUPING(hod) AS INTEGER) AS g_hod,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM e GROUP BY CUBE (event_type, hod)
+""")
+def q_events_type_hour_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (grouping sets) over the event stream: counts and
+    decimal-exact value sums at (type x hour-of-day), per-type, per-hour,
+    and grand-total grains in ONE pass — the OLAP primitive behind
+    dashboard rollups. Spark plans an Expand (4 grouping-set rows per
+    input row) feeding a single map-side-combined aggregate: one shuffle
+    total, where four separate GROUP BYs would scan and shuffle four
+    times. grouping() flags disambiguate subtotal NULLs from data NULLs
+    (event_type/hod are non-null here, but the flags are part of the
+    operator's contract)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("int").alias("hod"), "value")
+    return (
+        e.cube("event_type", "hod")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("hod").cast("int").alias("g_hod"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select("event_type", "hod", "g_type", "g_hod",
+                "n_events", "sum_value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Monthly order trend with month-over-month deltas
 # ---------------------------------------------------------------------------
