@@ -12,8 +12,6 @@ never adds one).
 
 from __future__ import annotations
 
-import re
-
 import pytest
 
 from traffic_data_pipeline_spark.plans.queries import QUERIES
@@ -40,39 +38,52 @@ CAPS = {
     "doc_quality_tiers": (2, 1),   # threshold agg broadcast + tier agg
     "doc_batch_by_length": (1, 0), # one bucket exchange, two windows
     "large_volume_customers": (3, 1),  # qty agg + joins; big side broadcast
+    "events_type_hour_cube": (1, 0),   # Expand + ONE grouping-set aggregate
+    "doc_lm_score": (6, 1),        # model aggs + scoring join over cached
+                                   # streams; vocab scalar always broadcast
+    "dedup_minhash_lsh_capped": (4, 1),  # count agg + pair join + distinct
+                                         # over the cached index; hot-key
+                                         # anti-join always broadcast
+    "dedup_lsh_band_overflow": (3, 1),   # band count + hot-member doc agg;
+                                         # hot list always broadcast
 }
 
 
-def _live_plan(df) -> str:
-    """Plan text with cached-lineage subtrees removed: an
-    InMemoryRelation prints the plan that BUILT the cache under it, but
-    those exchanges never re-execute — only nodes above the cached scan
-    are live cost (PLANS.md notes the same for the fact cache)."""
-    lines = df._jdf.queryExecution().executedPlan().toString().splitlines()
-    out, cut = [], None
+def _count_live(df) -> tuple[int, int]:
+    """(hash exchanges, broadcast exchanges) in the LIVE plan only.
 
-    def depth(line: str) -> int:
-        return len(line) - len(line.lstrip(" :+-"))
+    Counted by walking the physical-plan tree instead of parsing its
+    string: an InMemoryTableScan prints the plan that BUILT the cache
+    nested under it (as innerChildren — under AQE even with its own
+    `== Final Plan ==` blocks, at indent depths that defeat text
+    cutting), but in the tree those builds are not children — the cached
+    scan is a leaf, so traversal naturally counts only exchanges that
+    re-execute. AdaptiveSparkPlanExec is also leaf-shaped; its
+    current (pre-execution) plan is exposed via executedPlan()."""
+    def walk(node) -> tuple[int, int]:
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            return walk(node.executedPlan())
+        exch = bcast = 0
+        if name == "ShuffleExchangeExec" and \
+                "hashpartitioning" in str(node.outputPartitioning()):
+            exch = 1
+        elif name == "BroadcastExchangeExec":
+            bcast = 1
+        ch = node.children()
+        for i in range(ch.size()):
+            e, b = walk(ch.apply(i))
+            exch += e
+            bcast += b
+        return exch, bcast
 
-    for line in lines:
-        d = depth(line)
-        if cut is not None:
-            if d > cut:
-                continue
-            cut = None
-        if "InMemoryRelation" in line:
-            cut = d
-            continue
-        out.append(line)
-    return "\n".join(out)
+    return walk(df._jdf.queryExecution().executedPlan())
 
 
 @pytest.mark.parametrize("name", sorted(CAPS))
 def test_exchange_budget(spark, sf_dir, name):
     max_exch, min_bcast = CAPS[name]
-    p = _live_plan(QUERIES[name](spark, sf_dir))
-    exch = len(re.findall(r"Exchange hashpartitioning", p))
-    bcast = len(re.findall(r"BroadcastExchange", p))
+    exch, bcast = _count_live(QUERIES[name](spark, sf_dir))
     assert exch <= max_exch, (
         f"{name}: {exch} hash exchanges (cap {max_exch}) — a shuffle was "
         f"added; re-audit against PLANS.md before raising the cap")
