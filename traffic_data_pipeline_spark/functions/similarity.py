@@ -180,7 +180,10 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
 
     ``nodes``: one row per id; ``edges``: (q_id, c_id) undirected pairs.
     Returns (id_col, canonical_id) where canonical_id is the component's
-    minimum id.
+    minimum id. The fixpoint loop runs on the edge-induced subgraph only
+    (isolated nodes are their own canonical id by definition and rejoin
+    after convergence) — on a sparse near-dup graph that keeps each
+    round's frames |V_edges|-sized, not corpus-sized.
 
     Iterative algorithms are driver-loop-shaped by necessity (GraphX's
     Pregel runs the same supersteps): each round is one join + min-agg
@@ -200,8 +203,14 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     sym = sym.unionByName(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    labels = nodes.select(
-        F.col(id_col).alias("v"), F.col(id_col).alias("lbl")
+    # Iterate over edge-touched nodes ONLY: near-dup graphs are sparse, so
+    # most of a corpus is isolated vertices whose label can never change —
+    # carrying them through every round's joins multiplies each iteration
+    # by |V|/|V_edges| for nothing (at 100 TB that ratio is enormous; the
+    # fixture corpus is ~60% isolated). Isolated nodes rejoin as
+    # label-self rows at the end.
+    labels = sym.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("lbl")
     ).localCheckpoint()
     for _ in range(max_iters):
         nmin = (
@@ -237,8 +246,14 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         labels = new.select("v", "lbl")
         if not changed:
             break
-    return labels.select(F.col("v").alias(id_col),
-                         F.col("lbl").alias("canonical_id"))
+    return (
+        nodes.select(F.col(id_col).alias("v"))
+        .join(labels, "v", "left")
+        .select(
+            F.col("v").alias(id_col),
+            F.coalesce("lbl", F.col("v")).alias("canonical_id"),
+        )
+    )
 
 
 def embedding_near_dup(df: DataFrame, threshold: float = 0.85,
