@@ -30,15 +30,25 @@ def _previously_checked() -> set[str]:
     round. The driver's per-round pass covers a bounded prefix of the
     registration order, so ``queries()`` rotates never-checked names to
     the front — every query keeps its identical local oracle gate
-    (tests/test_queries_oracle.py) regardless of position."""
+    (tests/test_queries_oracle.py) regardless of position.
+
+    A row that errored or value-mismatched does NOT count as checked, so
+    a failed query re-fronts every round until a clean row lands
+    (hash-green, or recorded rows-only for the deliberate no-oracle set).
+    """
     seen: set[str] = set()
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
-                seen.update(json.load(fh))
+                rows = json.load(fh)
         except (OSError, ValueError):
             continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                seen.add(name)          # unknown shape: assume recorded
+            elif row.get("hash_match") is True or row.get("err") == "no_oracle":
+                seen.add(name)
     return seen
 
 

@@ -101,9 +101,12 @@ def main() -> None:
     # END with a compact summary line so the tail of stdout always holds
     # one complete JSON object.
     print(json.dumps(out))
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"))
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json"), "w") as fh:
+        with open(detail_path, "w") as fh:
             json.dump(out, fh, indent=1)
             fh.write("\n")
     except OSError:

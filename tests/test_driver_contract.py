@@ -24,10 +24,13 @@ def test_entry_module_contract():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
 
 
-def test_bench_emits_json_line():
+def test_bench_emits_json_line(tmp_path):
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
-               SPARK_GRAFT_CPUS="8")
+               SPARK_GRAFT_CPUS="8",
+               # don't clobber the committed sf0.1 snapshot with this
+               # small-SF run
+               SPARK_GRAFT_BENCH_DETAIL=str(tmp_path / "detail.json"))
     out = subprocess.run(
         [sys.executable, "bench.py"], capture_output=True, text=True,
         env=env, cwd=os.path.dirname(os.path.dirname(__file__)), timeout=560,
