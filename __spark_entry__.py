@@ -62,6 +62,8 @@ _DEFER_NEW = {
     "lineitem_quantiles_approx",
     "doc_lm_score",
     "events_type_hour_cube",
+    "dedup_substring_spans",
+    "dedup_semantic",
 }
 
 

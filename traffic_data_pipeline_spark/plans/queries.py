@@ -1350,4 +1350,5 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 from traffic_data_pipeline_spark.plans import extensions  # noqa: E402,F401
 from traffic_data_pipeline_spark.plans import llm_ops  # noqa: E402,F401
 from traffic_data_pipeline_spark.plans import search_ops  # noqa: E402,F401
+from traffic_data_pipeline_spark.plans import mining_ops  # noqa: E402,F401
 
