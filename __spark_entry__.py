@@ -64,6 +64,9 @@ _DEFER_NEW = {
     "events_type_hour_cube",
     "dedup_substring_spans",
     "dedup_semantic",
+    "events_pagerank",
+    "doc_tfidf_knn",
+    "doc_ngram_containment",
 }
 
 

@@ -1,0 +1,141 @@
+"""Independent-reimplementation checks for the round-3 mining operators
+(plans/mining_ops.py): pure-Python recomputation of substring-span stats,
+containment pairs, and TF-IDF rankings; structural invariants for the
+planted semantic near-dups and the fixed-point PageRank mass."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from traffic_data_pipeline_spark.plans.mining_ops import (
+    CONTAIN_NGRAM,
+    CONTAIN_TAU,
+    N_SEM_DUPED,
+    PR_ITERS,
+    PR_SCALE,
+    SEM_ID_OFFSET,
+    SEMANTIC_TAU,
+    SPAN_TOKENS,
+    TFIDF_K,
+    TFIDF_QUERY_IDS,
+)
+from traffic_data_pipeline_spark.plans.queries import QUERIES
+from traffic_data_pipeline_spark.sources.tables import load_table
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _doc_tokens(spark, sf_dir) -> dict[int, list[str]]:
+    return {
+        r.doc_id: _toks(r.text)
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+
+
+def test_substring_spans_matches_python(spark, sf_dir):
+    docs = _doc_tokens(spark, sf_dir)
+    spans = {
+        d: {" ".join(t[i:i + SPAN_TOKENS]) for i in range(len(t) - SPAN_TOKENS + 1)}
+        for d, t in docs.items()
+    }
+    freq = Counter(s for ss in spans.values() for s in ss)
+    got = {r.doc_id: r for r in QUERIES["dedup_substring_spans"](spark, sf_dir).collect()}
+    assert set(got) == set(docs)
+    for d, ss in spans.items():
+        n_dup = sum(1 for s in ss if freq[s] >= 2)
+        assert got[d].n_spans == len(ss), d
+        assert got[d].n_dup_spans == n_dup, d
+
+
+def test_containment_matches_python(spark, sf_dir):
+    docs = _doc_tokens(spark, sf_dir)
+    sets = {
+        d: {" ".join(t[i:i + CONTAIN_NGRAM]) for i in range(len(t) - CONTAIN_NGRAM + 1)}
+        for d, t in docs.items()
+    }
+    postings = defaultdict(set)
+    for d, ss in sets.items():
+        for s in ss:
+            postings[s].add(d)
+    inter: Counter = Counter()
+    for s, ds in postings.items():
+        ds = sorted(ds)
+        for a in ds:
+            for b in ds:
+                if a != b:
+                    inter[(a, b)] += 1
+    expected = {
+        (a, b): ix
+        for (a, b), ix in inter.items()
+        if sets[a] and ix / len(sets[a]) >= CONTAIN_TAU
+    }
+    got = {
+        (r.a_id, r.b_id): r.n_inter
+        for r in QUERIES["doc_ngram_containment"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert expected, "fixture should contain at least one containment pair"
+
+
+def test_semantic_planted_copies_dropped(spark, sf_dir):
+    rows = QUERIES["dedup_semantic"](spark, sf_dir).collect()
+    originals = [r for r in rows if r.vec_id < SEM_ID_OFFSET]
+    copies = [r for r in rows if r.vec_id >= SEM_ID_OFFSET]
+    assert len(copies) == N_SEM_DUPED
+    # the raw corpus has no near-dups, so no original may be pruned
+    assert all(r.is_kept for r in originals)
+    dropped = [r for r in copies if not r.is_kept]
+    # a copy survives only if the perturbation pushed it across a cluster
+    # boundary away from its source — rare by construction
+    assert len(dropped) >= 0.8 * len(copies)
+    assert all(r.max_dup_cos >= SEMANTIC_TAU - 1e-6 for r in dropped)
+
+
+def test_pagerank_mass_conserved(spark, sf_dir):
+    rows = QUERIES["events_pagerank"](spark, sf_dir).collect()
+    n_types = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type").distinct().count()
+    )
+    assert len(rows) == n_types
+    total = sum(r.pr_scaled for r in rows)
+    # floor division only ever LOSES mass, bounded by ~1 unit (1e-12) per
+    # node/edge arithmetic op per round — total drift stays microscopic
+    assert total <= PR_SCALE
+    assert PR_SCALE - total < 10_000 * PR_ITERS
+    assert all(r.pr_scaled > 0 for r in rows)
+
+
+def test_tfidf_knn_matches_python(spark, sf_dir):
+    docs = _doc_tokens(spark, sf_dir)
+    n = len(docs)
+    tf = {d: Counter(t) for d, t in docs.items()}
+    dfreq = Counter(tok for c in tf.values() for tok in c)
+    w = {
+        d: {tok: cnt * ((n - dfreq[tok] + 0.5) / (dfreq[tok] + 0.5))
+            for tok, cnt in c.items()}
+        for d, c in tf.items()
+    }
+    norms = {d: sum(x * x for x in ws.values()) for d, ws in w.items()}
+    got = defaultdict(list)
+    for r in QUERIES["doc_tfidf_knn"](spark, sf_dir).collect():
+        got[r.q_id].append((r.rk, r.neighbor_id, r.cosine))
+    for q in TFIDF_QUERY_IDS:
+        scored = []
+        for d in docs:
+            if d == q or norms[d] == 0 or norms[q] == 0:
+                continue
+            dot = sum(wq * w[d][tok] for tok, wq in w[q].items() if tok in w[d])
+            if dot:
+                scored.append((dot / (norms[q] ** 0.5 * norms[d] ** 0.5), d))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        exp = scored[:TFIDF_K]
+        rows = sorted(got[q])
+        assert [nb for _, nb, _ in rows] == [d for _, d in exp], q
+        for (rk, nb, cos), (ecos, _) in zip(rows, exp):
+            assert abs(cos - ecos) < 1e-6, (q, nb)

@@ -46,6 +46,17 @@ CAPS = {
                                          # anti-join always broadcast
     "dedup_lsh_band_overflow": (3, 1),   # band count + hot-member doc agg;
                                          # hot list always broadcast
+    "dedup_substring_spans": (4, 0),     # span distinct + key freq agg +
+                                         # per-doc agg + doc join-back
+    "dedup_semantic": (3, 1),            # assign argmax + cluster self-join
+                                         # + dup agg; centroids broadcast
+    "doc_tfidf_knn": (1, 2),             # postings move once; query postings
+                                         # and query norms broadcast
+    "doc_ngram_containment": (2, 1),     # candidate distinct + verify joins
+                                         # over cached sets; freq broadcast
+    "events_pagerank": (1, 0),           # final read over the cached round-3
+                                         # rank vector; per-round cost is one
+                                         # groupBy(dst) at materialize time
 }
 
 

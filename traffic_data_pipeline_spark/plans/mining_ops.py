@@ -242,3 +242,302 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("_max_cos", 6).alias("max_dup_cos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the event-transition graph (events)
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 10**12       # fixed-point unit: 1.0 == 10^12
+PR_ITERS = 3
+
+
+def _pr_iter_sql(i: int) -> str:
+    """One unrolled PageRank round as oracle CTE text (DuckDB `//` is
+    floor division == Spark `div` for the all-positive values here)."""
+    p = f"pr{i - 1}"
+    return f"""
+contrib{i} AS (
+  SELECT e.dst AS node, SUM((p.pr * e.cnt) // e.outdeg) AS c
+  FROM edges_n e JOIN {p} p ON p.node = e.src GROUP BY 1),
+dang{i} AS (
+  SELECT COALESCE(SUM(p.pr), 0) AS d FROM {p} p
+  WHERE p.node NOT IN (SELECT DISTINCT src FROM edges_n)),
+pr{i} AS (
+  SELECT n.node,
+         (15 * {PR_SCALE}) // (100 * s.n)
+         + (85 * (COALESCE(c.c, 0) + d.d // s.n)) // 100 AS pr
+  FROM nodes n CROSS JOIN nstats s CROSS JOIN dang{i} d
+  LEFT JOIN contrib{i} c ON c.node = n.node),"""
+
+
+_PR_ORACLE = f"""
+WITH trans AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events),
+edges AS (
+  SELECT src, dst, COUNT(*) AS cnt FROM trans WHERE dst IS NOT NULL GROUP BY 1, 2),
+outdeg AS (SELECT src, SUM(cnt) AS outdeg FROM edges GROUP BY 1),
+edges_n AS (SELECT e.src, e.dst, e.cnt, o.outdeg FROM edges e JOIN outdeg o USING (src)),
+nodes AS (SELECT DISTINCT event_type AS node FROM events),
+nstats AS (SELECT COUNT(*) AS n FROM nodes),
+pr0 AS (SELECT node, {PR_SCALE} // s.n AS pr FROM nodes CROSS JOIN nstats s),
+{"".join(_pr_iter_sql(i) for i in range(1, PR_ITERS + 1))}
+fin AS (SELECT node, pr FROM pr{PR_ITERS})
+SELECT node, CAST(pr AS BIGINT) AS pr_scaled,
+       CAST(pr AS DOUBLE) / {PR_SCALE} AS pagerank
+FROM fin
+"""
+
+
+@register("events_pagerank", _PR_ORACLE)
+def q_events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, {PR_ITERS} unrolled rounds, dangling mass
+    redistributed uniformly) over the weighted event-type transition graph:
+    an edge src->dst for each consecutive event pair within a user's
+    timeline, weighted by transition count.
+
+    The iterative fixpoint is computed in FIXED-POINT INTEGER arithmetic
+    (unit = 1e-12): every per-edge contribution, dangling share, and
+    damping step is a bigint multiply + floor division, so three rounds of
+    accumulated arithmetic are bit-identical across Spark and DuckDB — the
+    trick that makes an iterative graph algorithm hash-checkable where
+    double arithmetic would drift in the last ulp per round. At corpus
+    scale the bigint products swap to DECIMAL(38,0) (same exact
+    semantics); the plan keeps the classic Spark PageRank shape — the rank
+    vector is broadcast V-rows, the edge list is the only big frame, one
+    groupBy(dst) shuffle per round.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    edges = trans.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+    outdeg = edges.groupBy("src").agg(F.sum("cnt").alias("outdeg"))
+    edges_n = materialize(edges.join(outdeg, "src"))  # re-read every round
+    nodes = materialize(ev.select(F.col("event_type").alias("node")).distinct())
+    nstats = nodes.agg(F.count(F.lit(1)).alias("n"))
+    pr = nodes.crossJoin(F.broadcast(nstats)).select(
+        "node", F.expr(f"{PR_SCALE} div n").alias("pr"))
+    srcs = edges_n.select("src").distinct()
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges_n.join(F.broadcast(pr.withColumnRenamed("node", "src")), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("(pr * cnt) div outdeg")).alias("c"))
+        )
+        dang = (
+            pr.join(srcs.withColumnRenamed("src", "node"), "node", "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0).cast("bigint")).alias("d"))
+        )
+        # materialize each round's V-row rank vector: without it the next
+        # round's plan re-executes every prior round (lineage doubles per
+        # iteration) — the CC-loop rule from functions/similarity applied
+        # here
+        pr = materialize(
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(nstats))
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                F.expr(f"(15 * {PR_SCALE}) div (100 * n)"
+                       f" + (85 * (coalesce(c, 0) + d div n)) div 100").alias("pr"),
+            )
+        )
+    return pr.select(
+        "node", F.col("pr").alias("pr_scaled"),
+        (F.col("pr").cast("double") / PR_SCALE).alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF sparse-vector similarity search (documents)
+# ---------------------------------------------------------------------------
+
+TFIDF_QUERY_IDS = [0, 1, 2, 3]
+TFIDF_K = 3
+
+
+@register("doc_tfidf_knn", f"""
+WITH toks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+    FROM documents)
+  WHERE token != ''),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+w AS (
+  SELECT doc_id, token,
+         tf * ((nn.n - df + 0.5) / (df + 0.5)) AS w
+  FROM tf JOIN dfreq USING (token) CROSS JOIN nn),
+norms AS (
+  SELECT doc_id, CAST(SUM(CAST(w * w AS DECIMAL(30,12))) AS DOUBLE) AS n2
+  FROM w GROUP BY 1),
+q AS (SELECT doc_id AS q_id, token, w AS wq FROM w
+      WHERE doc_id IN ({", ".join(map(str, TFIDF_QUERY_IDS))})),
+dots AS (
+  SELECT q.q_id, w.doc_id,
+         CAST(SUM(CAST(q.wq * w.w AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM w JOIN q USING (token)
+  WHERE w.doc_id <> q.q_id
+  GROUP BY 1, 2),
+scored AS (
+  SELECT d.q_id, d.doc_id, d.dot / (sqrt(nq.n2) * sqrt(nd.n2)) AS cos
+  FROM dots d
+  JOIN norms nq ON nq.doc_id = d.q_id
+  JOIN norms nd ON nd.doc_id = d.doc_id
+  WHERE nq.n2 > 0 AND nd.n2 > 0)
+SELECT q_id, doc_id AS neighbor_id, CAST(rk AS INTEGER) AS rk,
+       ROUND(cos, 6) AS cosine
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rk
+      FROM scored)
+WHERE rk <= {TFIDF_K}
+""")
+def q_doc_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine top-k document search — the sparse-vector sibling of
+    embedding_knn: weights are tf * idf with the BM25-style rational idf
+    (N - df + 0.5)/(df + 0.5) (no transcendentals, so both engines compute
+    bit-identical weights), dot products run through the INVERTED INDEX —
+    the corpus weight table joined to the broadcast query postings on
+    token, so each query touches only documents sharing a term, never the
+    full corpus. Products accumulate as DECIMAL (order-independent).
+
+    Scale shape: the weight table is the corpus-sized frame and moves
+    once (token-keyed join); queries broadcast. Hot tokens (stopwords)
+    are naturally down-weighted but still fan out — production caps
+    postings at a df ceiling (drop tokens in > x% of docs), the same
+    hot-key bound as the LSH band cap.
+    """
+    from traffic_data_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (tokens(docs).groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    nn = docs.agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(nn))
+        .select("doc_id", "token",
+                (F.col("tf") * ((F.col("n") - F.col("df") + F.lit(0.5))
+                                / (F.col("df") + F.lit(0.5)))).alias("w"))
+    )
+    w = materialize(w)  # norms, queries, and the dot join all read it
+    dec = lambda c: F.sum(c.cast("decimal(30,12)")).cast("double")  # noqa: E731
+    norms = w.groupBy("doc_id").agg(dec(F.col("w") * F.col("w")).alias("n2"))
+    q = w.filter(F.col("doc_id").isin(TFIDF_QUERY_IDS)).select(
+        F.col("doc_id").alias("q_id"), "token", F.col("w").alias("wq"))
+    dots = (
+        w.join(F.broadcast(q), "token")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(dec(F.col("wq") * F.col("w")).alias("dot"))
+    )
+    nq = norms.select(F.col("doc_id").alias("q_id"), F.col("n2").alias("_nq"))
+    scored = (
+        dots.join(F.broadcast(nq), "q_id")
+        .join(norms, "doc_id")
+        .filter((F.col("_nq") > 0) & (F.col("n2") > 0))
+        .withColumn("cos", F.col("dot") / (F.sqrt("_nq") * F.sqrt("n2")))
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= TFIDF_K)
+        .select("q_id", F.col("doc_id").alias("neighbor_id"),
+                F.col("rk").cast("int").alias("rk"),
+                F.round("cos", 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric n-gram containment (documents)
+# ---------------------------------------------------------------------------
+
+CONTAIN_TAU = 0.8
+CONTAIN_NGRAM = 3
+
+
+@register("doc_ngram_containment", f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents),
+sp AS (
+  SELECT DISTINCT doc_id, array_to_string(l[g:g+{CONTAIN_NGRAM - 1}], ' ') AS sh
+  FROM toks, unnest(generate_series(1, greatest(len(l) - {CONTAIN_NGRAM - 1}, 0))) t(g)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sp GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+  FROM sp a JOIN sp b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT i.a_id, i.b_id,
+       CAST(sa.n AS INTEGER) AS n_a,
+       CAST(i.n_inter AS INTEGER) AS n_inter,
+       ROUND(CAST(i.n_inter AS DOUBLE) / sa.n, 6) AS containment
+FROM inter i JOIN sz sa ON sa.doc_id = i.a_id
+WHERE CAST(i.n_inter AS DOUBLE) / sa.n >= {CONTAIN_TAU}
+""")
+def q_doc_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment C(A->B) = |sh(A) n sh(B)| / |sh(A)| over word
+    3-gram sets — the ASYMMETRIC sibling of dedup_ngram_jaccard: a short
+    document quoted wholesale inside a long one scores ~1.0 here while its
+    Jaccard stays near |A|/|B| and never trips the symmetric filter.
+
+    Candidate generation is the one-sided prefix filter (recall-lossless):
+    rank each doc's shingles rarest-first (global doc-frequency, ties by
+    shingle) and join only the first floor(n_a*(1-t))+1 of A's shingles —
+    its PREFIX — against the full posting lists; if B misses ALL of A's
+    prefix, the intersection is at most n_a - prefix_len < t*n_a, so no
+    qualifying pair is lost. Prefixes are rare shingles, so their postings
+    are short — the join never touches the boilerplate-shingle quadratic
+    blowup. Verify is per-candidate array_intersect on the in-row set
+    arrays. The oracle keeps the naive full self-join SQL and must emit
+    identical rows — the standard proof the pruned path is lossless.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", token_array(F.col("text")).alias("toks"))
+    sets = materialize(
+        toks.select(
+            "doc_id",
+            F.array_distinct(ngram_array("toks", CONTAIN_NGRAM)).alias("_set"))
+        .withColumn("n_sh", F.size("_set"))
+        .filter(F.col("n_sh") > 0)
+    )
+    exploded = sets.select("doc_id", "n_sh", F.explode("_set").alias("sh"))
+    freq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    rk = F.row_number().over(Window.partitionBy("doc_id").orderBy("_df", "sh"))
+    # prefix length n - ceil(t*n - eps) + 1; eps keeps ceil exact at t*n
+    # integer boundaries (same guard as ngram_jaccard_pairs)
+    prefix = (
+        exploded.join(F.broadcast(freq), "sh")
+        .withColumn("_rk", rk)
+        .filter(F.col("_rk") <= (F.col("n_sh")
+                                 - F.ceil(F.lit(CONTAIN_TAU) * F.col("n_sh")
+                                          - F.lit(1e-9)) + 1).cast("int"))
+        .select(F.col("doc_id").alias("a_id"), "sh")
+    )
+    cand = (
+        prefix.join(exploded.select(F.col("doc_id").alias("b_id"), "sh"), "sh")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("a_id"),
+                     F.col("_set").alias("_set_a"), F.col("n_sh").alias("n_a"))
+    sb = sets.select(F.col("doc_id").alias("b_id"),
+                     F.col("_set").alias("_set_b"))
+    return (
+        cand.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("n_inter", F.size(F.array_intersect("_set_a", "_set_b")))
+        .withColumn("containment",
+                    F.col("n_inter").cast("double") / F.col("n_a"))
+        .filter(F.col("containment") >= CONTAIN_TAU)
+        .select("a_id", "b_id", F.col("n_a").cast("int").alias("n_a"),
+                F.col("n_inter").cast("int").alias("n_inter"),
+                F.round("containment", 6).alias("containment"))
+    )
