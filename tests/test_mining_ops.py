@@ -139,3 +139,29 @@ def test_tfidf_knn_matches_python(spark, sf_dir):
         assert [nb for _, nb, _ in rows] == [d for _, d in exp], q
         for (rk, nb, cos), (ecos, _) in zip(rows, exp):
             assert abs(cos - ecos) < 1e-6, (q, nb)
+
+
+def test_tfidf_max_df_cap(spark):
+    """The df-ceiling drops boilerplate postings from the index but keeps
+    ranking on distinctive tokens intact: every doc shares a heavy
+    boilerplate preamble (df == N, the hot posting list), and doc pairs
+    (2i, 2i+1) share distinctive tokens. With max_df set below N the
+    planted partner must still rank first for each query."""
+    from traffic_data_pipeline_spark.plans.mining_ops import tfidf_topk
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again "
+    rows = []
+    for i in range(20):
+        pair, member = divmod(i, 2)
+        distinctive = f"alpha{pair} beta{pair} gamma{pair} delta{pair}"
+        extra = f"unique{i} solo{i}" if member else f"only{i} single{i}"
+        rows.append((i, boiler * 3 + distinctive + " " + extra))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = tfidf_topk(docs, query_ids=[0, 2, 4], k=1, max_df=10)
+    got = {r.q_id: r.neighbor_id for r in capped.collect()}
+    assert got == {0: 1, 2: 3, 4: 5}
+
+    # the hot boilerplate tokens are really gone from the capped index:
+    # with max_df=0 nothing survives and no pair scores at all
+    assert tfidf_topk(docs, query_ids=[0], k=1, max_df=0).count() == 0

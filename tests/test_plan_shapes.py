@@ -52,8 +52,11 @@ CAPS = {
                                          # + dup agg; centroids broadcast
     "doc_tfidf_knn": (1, 2),             # postings move once; query postings
                                          # and query norms broadcast
-    "doc_ngram_containment": (2, 1),     # candidate distinct + verify joins
-                                         # over cached sets; freq broadcast
+    "doc_ngram_containment": (3, 0),     # df window (8-byte hash keys) +
+                                         # doc-rank window + candidate
+                                         # distinct; the freq table is NOT
+                                         # broadcast — word-shingle universe
+                                         # is corpus-sized
     "events_pagerank": (1, 0),           # final read over the cached round-3
                                          # rank vector; per-round cost is one
                                          # groupBy(dst) at materialize time

@@ -108,8 +108,9 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SEMANTIC_TAU = 0.85
-N_SEM_CLUSTERS = 8
-N_SEM_DUPED = 50       # ids < this get a perturbed near-duplicate copy
+N_SEM_CLUSTERS = 8      # floor; actual k = max(this, |corpus| // SEM_CLUSTER_SIZE)
+SEM_CLUSTER_SIZE = 64   # target mean cluster membership
+N_SEM_DUPED = 50        # ids < this get a perturbed near-duplicate copy
 SEM_ID_OFFSET = 100000
 
 # The raw fixture corpus has no natural near-dups (max pairwise cosine
@@ -134,7 +135,9 @@ elems AS (
 norms AS (
   SELECT vec_id, CAST(SUM(CAST(val * val AS DECIMAL(30,12))) AS DOUBLE) AS norm_sq
   FROM elems GROUP BY 1),
-cent AS (SELECT vec_id AS cid FROM corpus ORDER BY vec_id LIMIT {N_SEM_CLUSTERS}),
+cent AS (SELECT vec_id AS cid FROM corpus ORDER BY vec_id
+         LIMIT (SELECT GREATEST({N_SEM_CLUSTERS}, COUNT(*) // {SEM_CLUSTER_SIZE})
+                FROM corpus)),
 cdot AS (
   SELECT v.vec_id, c.vec_id AS cid,
          CAST(SUM(CAST(v.val * c.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
@@ -192,11 +195,14 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the cluster assignment is one broadcast-centroid argmax
     over the corpus (ivf_assign — the corpus never shuffles for it), and
     pairing is an equi-join on cluster id, so the candidate count is
-    sum_c |c|^2 instead of N^2: with k scaled as N/const, per-cluster
-    membership stays bounded and the pair stream grows linearly. Skewed
+    sum_c |c|^2 instead of N^2 — and k SCALES WITH THE CORPUS
+    (max(8, N/64), computed identically by the oracle's subquery LIMIT),
+    so mean cluster membership stays ~64 and the pair stream grows
+    linearly in N (fixed k=8 measured 13.4s at sf0.1; adaptive k is the
+    difference between SemDeDup working and not at corpus scale). Skewed
     (over-full) clusters are the failure mode — AQE skew-join splits them,
     and the lsh_hot_band_overflow cap pattern applies unchanged if a
-    degenerate centroid absorbs the corpus. Seeds are the 8 lowest ids
+    degenerate centroid absorbs the corpus. Seeds are the k lowest ids
     (deterministic, same as the IVF/k-means queries); production swaps in
     the embedding_kmeans_step loop without changing this query's plan.
     """
@@ -217,7 +223,14 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.repartition(dp, F.col("vec_id")).select(
             "vec_id", "embedding", norm_sq(F.col("embedding")).alias("_n2"))
     )
-    centroids = corpus.orderBy("vec_id").limit(N_SEM_CLUSTERS)
+    # k scales with the corpus so mean cluster membership stays ~constant
+    # and the within-cluster pair space grows LINEARLY in N, not N^2/k.
+    # The count is a sanctioned scalar probe (same class as the CC and
+    # k-means convergence probes); the oracle computes the identical k
+    # via its subquery LIMIT.
+    n_corpus = with_norm.count()
+    k = max(N_SEM_CLUSTERS, n_corpus // SEM_CLUSTER_SIZE)
+    centroids = corpus.orderBy("vec_id").limit(k)
     assign = ivf_assign(corpus, centroids, with_norm=with_norm)
     m = with_norm.join(assign, "vec_id")
     a = m.select(F.col("centroid_id").alias("_c"), F.col("vec_id").alias("a_id"),
@@ -407,16 +420,33 @@ def q_doc_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the weight table is the corpus-sized frame and moves
     once (token-keyed join); queries broadcast. Hot tokens (stopwords)
-    are naturally down-weighted but still fan out — production caps
-    postings at a df ceiling (drop tokens in > x% of docs), the same
-    hot-key bound as the LSH band cap.
+    are naturally down-weighted but still fan out — ``tfidf_topk(...,
+    max_df=...)`` is the production df-ceiling that drops them from the
+    index entirely (the same hot-key bound as the LSH band cap;
+    tests/test_mining_ops.py exercises it on a boilerplate-heavy corpus —
+    the registered query runs uncapped because the fixture vocabulary is
+    31 tokens, all of them hot).
     """
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_topk(docs, TFIDF_QUERY_IDS, TFIDF_K)
+
+
+def tfidf_topk(docs: DataFrame, query_ids, k: int,
+               max_df: int | None = None) -> DataFrame:
+    """TF-IDF inverted-index top-k (see q_doc_tfidf_knn). ``max_df``
+    drops every token whose document frequency exceeds it from the INDEX
+    (postings and norms both) — the bound that keeps stopword posting
+    lists from fanning out quadratically on a real corpus. The capped
+    index is a different (coarser) vector space, so results legitimately
+    differ from the uncapped run; rank quality on distinctive tokens is
+    what the test pins."""
     from traffic_data_pipeline_spark.functions.text import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
     tf = (tokens(docs).groupBy("doc_id", "token")
           .agg(F.count(F.lit(1)).alias("tf")))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
     nn = docs.agg(F.count(F.lit(1)).alias("n"))
     w = (
         tf.join(dfreq, "token")
@@ -428,7 +458,7 @@ def q_doc_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = materialize(w)  # norms, queries, and the dot join all read it
     dec = lambda c: F.sum(c.cast("decimal(30,12)")).cast("double")  # noqa: E731
     norms = w.groupBy("doc_id").agg(dec(F.col("w") * F.col("w")).alias("n2"))
-    q = w.filter(F.col("doc_id").isin(TFIDF_QUERY_IDS)).select(
+    q = w.filter(F.col("doc_id").isin(list(query_ids))).select(
         F.col("doc_id").alias("q_id"), "token", F.col("w").alias("wq"))
     dots = (
         w.join(F.broadcast(q), "token")
@@ -446,7 +476,7 @@ def q_doc_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     wk = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("doc_id"))
     return (
         scored.withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= TFIDF_K)
+        .filter(F.col("rk") <= k)
         .select("q_id", F.col("doc_id").alias("neighbor_id"),
                 F.col("rk").cast("int").alias("rk"),
                 F.round("cos", 6).alias("cosine"))
@@ -458,7 +488,11 @@ def q_doc_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 CONTAIN_TAU = 0.8
-CONTAIN_NGRAM = 3
+# 5-gram shingles: on this small-vocabulary corpus 3-grams are near-
+# universal (every doc shares some), while 5-grams are distinctive —
+# the cross-doc candidate space shrinks 300x (23k -> 74 pairs at sf0.01)
+# with the identical qualifying-pair set
+CONTAIN_NGRAM = 5
 
 
 @register("doc_ngram_containment", f"""
@@ -508,21 +542,32 @@ def q_doc_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_sh", F.size("_set"))
         .filter(F.col("n_sh") > 0)
     )
-    exploded = sets.select("doc_id", "n_sh", F.explode("_set").alias("sh"))
-    freq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
-    rk = F.row_number().over(Window.partitionBy("doc_id").orderBy("_df", "sh"))
+    # Candidate generation runs ENTIRELY on 8-byte shingle hashes: the
+    # word-5-gram universe is ~the corpus token count (mostly-unique,
+    # ~50-char strings), so every shuffle/window/join on raw shingles
+    # carries corpus-sized string keys. Hashing is safe here because a
+    # hash collision can only ADD a candidate pair (string equality
+    # implies hash equality, never the reverse), and the exact verify
+    # below scores true string arrays — recall stays lossless. The
+    # rarest-first order is computed on hash identity, which is still a
+    # consistent total order — all the prefix theorem requires.
+    exploded = sets.select(
+        "doc_id", "n_sh",
+        F.explode(F.transform("_set", lambda x: F.xxhash64(x))).alias("h"))
+    rk = F.row_number().over(Window.partitionBy("doc_id").orderBy("_df", "h"))
     # prefix length n - ceil(t*n - eps) + 1; eps keeps ceil exact at t*n
     # integer boundaries (same guard as ngram_jaccard_pairs)
     prefix = (
-        exploded.join(F.broadcast(freq), "sh")
+        exploded.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("h")))
         .withColumn("_rk", rk)
         .filter(F.col("_rk") <= (F.col("n_sh")
                                  - F.ceil(F.lit(CONTAIN_TAU) * F.col("n_sh")
                                           - F.lit(1e-9)) + 1).cast("int"))
-        .select(F.col("doc_id").alias("a_id"), "sh")
+        .select(F.col("doc_id").alias("a_id"), "h")
     )
     cand = (
-        prefix.join(exploded.select(F.col("doc_id").alias("b_id"), "sh"), "sh")
+        prefix.join(exploded.select(F.col("doc_id").alias("b_id"), "h"), "h")
         .filter(F.col("a_id") != F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
