@@ -67,6 +67,7 @@ _DEFER_NEW = {
     "events_pagerank",
     "doc_tfidf_knn",
     "doc_ngram_containment",
+    "doc_cdc_chunks",
 }
 
 

@@ -165,3 +165,50 @@ def test_tfidf_max_df_cap(spark):
     # the hot boilerplate tokens are really gone from the capped index:
     # with max_df=0 nothing survives and no pair scores at all
     assert tfidf_topk(docs, query_ids=[0], k=1, max_df=0).count() == 0
+
+
+def _cdc_chunks(toks: list[str]) -> list[str]:
+    import hashlib
+
+    w = 4
+    cuts = [
+        g + w - 1
+        for g in range(1, max(len(toks) - w + 1, 0) + 1)
+        if hashlib.md5(" ".join(toks[g - 1:g - 1 + w]).encode()).hexdigest()[0] == "0"
+    ]
+    bounds = [0] + cuts + [len(toks)]
+    out = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        c = " ".join(toks[lo:hi])
+        if c:
+            out.append(c)
+    return out
+
+
+def test_cdc_chunks_matches_python(spark, sf_dir):
+    docs = _doc_tokens(spark, sf_dir)
+    chunks = {d: set(_cdc_chunks(t)) for d, t in docs.items()}
+    freq = Counter(c for cs in chunks.values() for c in cs)
+    got = {r.doc_id: r for r in QUERIES["doc_cdc_chunks"](spark, sf_dir).collect()}
+    assert set(got) == set(docs)
+    for d, cs in chunks.items():
+        assert got[d].n_chunks == len(cs), d
+        assert got[d].n_dup_chunks == sum(1 for c in cs if freq[c] >= 2), d
+
+
+def test_cdc_chunking_shift_robust():
+    """The CDC selling point: prepending tokens shifts every fixed-stride
+    span but leaves all chunks after the first content-defined boundary
+    intact. (Pure-Python statement of the operator's boundary rule —
+    test_cdc_chunks_matches_python ties that rule to the Spark query.)"""
+    base = [f"tok{i}" for i in range(400)]
+    shifted = ["inserted", "preamble"] + base
+    a, b = _cdc_chunks(base), _cdc_chunks(shifted)
+    shared = set(a) & set(b)
+    # all but the chunk(s) touching the insertion point re-align
+    assert len(shared) >= len(a) - 2
+    assert len(a) > 10  # enough boundaries for the claim to mean something
+    # fixed-stride spans, by contrast, all shift: no 8-token span survives
+    spans_a = {" ".join(base[i:i + 8]) for i in range(0, len(base) - 7, 8)}
+    spans_b = {" ".join(shifted[i:i + 8]) for i in range(0, len(shifted) - 7, 8)}
+    assert not (spans_a & spans_b)

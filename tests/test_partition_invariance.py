@@ -26,6 +26,12 @@ CASES = [
     "doc_pack_sequences",
     "pricing_summary",
     "node_qaqc",
+    # round-3 mining ops: fixed-point iteration (pagerank), decimal dot
+    # accumulation under a cluster self-join (semantic), hashed-prefix
+    # candidate generation (containment)
+    "events_pagerank",
+    "dedup_semantic",
+    "doc_ngram_containment",
 ]
 
 

@@ -60,6 +60,9 @@ CAPS = {
     "events_pagerank": (1, 0),           # final read over the cached round-3
                                          # rank vector; per-round cost is one
                                          # groupBy(dst) at materialize time
+    "doc_cdc_chunks": (4, 0),            # chunking is all in-row arrays;
+                                         # fp distinct + freq agg + doc agg
+                                         # + doc join-back (span-query plan)
 }
 
 

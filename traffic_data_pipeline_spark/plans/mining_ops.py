@@ -586,3 +586,111 @@ def q_doc_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_inter").cast("int").alias("n_inter"),
                 F.round("containment", 6).alias("containment"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (documents)
+# ---------------------------------------------------------------------------
+
+CDC_WINDOW = 4        # rolling-window width in tokens
+CDC_BOUNDARY_HEX = 1  # boundary when the first hex char is '0' (p = 1/16)
+
+
+@register("doc_cdc_chunks", f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents),
+cu AS (
+  SELECT doc_id, l,
+         list_filter(list_transform(generate_series(1, greatest(len(l) - {CDC_WINDOW - 1}, 0)),
+            g -> CASE WHEN substr(md5(array_to_string(l[g:g+{CDC_WINDOW - 1}], ' ')), 1, 1) = '0'
+                      THEN g + {CDC_WINDOW - 1} ELSE -1 END), x -> x > 0) AS cuts
+  FROM toks),
+ch AS (
+  SELECT doc_id,
+         list_filter(list_transform(generate_series(1, len(bounds) - 1),
+            i -> array_to_string(l[bounds[i]+1:bounds[i+1]], ' ')), x -> x <> '') AS chunks
+  FROM (SELECT doc_id, l, ([0] || cuts || [len(l)]) AS bounds FROM cu)),
+fp AS (SELECT DISTINCT doc_id, md5(c) AS fp FROM ch, unnest(chunks) t(c)),
+cnt AS (SELECT fp, COUNT(*) AS nd FROM fp GROUP BY 1),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_chunks,
+         CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+  FROM fp JOIN cnt USING (fp) GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_chunks, 0) AS BIGINT)     AS n_chunks,
+       CAST(COALESCE(a.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+       CASE WHEN a.n_chunks > 0
+            THEN ROUND(CAST(a.n_dup_chunks AS DOUBLE) / a.n_chunks, 6)
+       END AS dup_chunk_ratio
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""")
+def q_doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup: cut each document into chunks at
+    ROLLING-HASH boundaries (a cut after token g+3 wherever the 4-token
+    window at g hashes into the boundary class, p=1/16 -> ~16-token mean
+    chunks), fingerprint each chunk, and count chunks shared verbatim with
+    other documents. Unlike the fixed-stride dedup_substring_spans, CDC
+    boundaries are SHIFT-ROBUST: inserting one token early in a document
+    only perturbs chunks up to the next boundary — every later chunk
+    re-aligns and still matches its twin (the property storage dedup and
+    incremental corpus refresh depend on; tested in
+    tests/test_mining_ops.py::test_cdc_chunking_shift_robust).
+
+    Scale shape: boundary detection, chunk assembly, and fingerprinting
+    are all in-row array projections — no shuffle until the distinct on
+    16-byte chunk fingerprints; then the same frequency-aggregate +
+    co-keyed join-back plan as the span query. md5 keeps both engines'
+    hashes identical; xxhash64 is the at-scale swap.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = CDC_WINDOW
+    chunks = docs.select(
+        "doc_id",
+        token_array(F.col("text")).alias("toks"),
+    ).select(
+        "doc_id",
+        F.expr(f"""
+          CASE WHEN size(toks) < {w} THEN array()
+               ELSE filter(transform(sequence(1, size(toks) - {w - 1}),
+                  g -> CASE WHEN substring(md5(concat_ws(' ', slice(toks, g, {w}))), 1, 1) = '0'
+                            THEN g + {w - 1} ELSE -1 END), x -> x > 0)
+          END""").alias("cuts"),
+        F.col("toks"),
+    ).select(
+        "doc_id", "toks",
+        F.concat(F.array(F.lit(0)), F.col("cuts"),
+                 F.array(F.size("toks"))).alias("bounds"),
+    ).select(
+        "doc_id",
+        F.expr("""
+          filter(transform(sequence(1, size(bounds) - 1),
+             i -> concat_ws(' ', slice(toks, element_at(bounds, i) + 1,
+                                       element_at(bounds, i + 1) - element_at(bounds, i)))),
+             x -> x != '')""").alias("chunks"),
+    )
+    fp = (chunks.select("doc_id", F.explode("chunks").alias("c"))
+          .select("doc_id", F.md5("c").alias("fp"))
+          .distinct())
+    cnt = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("nd"))
+    agg = (
+        fp.join(cnt, "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"),
+             F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup_chunks"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0)).alias("n_dup_chunks"),
+            F.when(
+                F.col("n_chunks") > 0,
+                F.round(F.col("n_dup_chunks").cast("double") / F.col("n_chunks"), 6),
+            ).alias("dup_chunk_ratio"),
+        )
+    )
