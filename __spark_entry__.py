@@ -68,6 +68,7 @@ _DEFER_NEW = {
     "doc_tfidf_knn",
     "doc_ngram_containment",
     "doc_cdc_chunks",
+    "doc_priority_sample",
 }
 
 

@@ -212,3 +212,23 @@ def test_cdc_chunking_shift_robust():
     spans_a = {" ".join(base[i:i + 8]) for i in range(0, len(base) - 7, 8)}
     spans_b = {" ".join(shifted[i:i + 8]) for i in range(0, len(shifted) - 7, 8)}
     assert not (spans_a & spans_b)
+
+
+def test_priority_sample_estimator(spark, sf_dir):
+    """Priority-sampling invariants: ranks are dense 1..k, priorities are
+    at or above the implied threshold (est_weight >= weight with equality
+    exactly when weight >= tau), and the Horvitz-Thompson-style total
+    estimate sum(est_weight) lands within the ~1/sqrt(k) band of the true
+    population total."""
+    from traffic_data_pipeline_spark.plans.mining_ops import PRIO_K
+
+    rows = QUERIES["doc_priority_sample"](spark, sf_dir).collect()
+    assert sorted(r.rk for r in rows) == list(range(1, PRIO_K + 1))
+    assert all(r.est_weight >= r.weight for r in rows)
+    total = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .agg(F.sum("n_chars")).collect()[0][0]
+    )
+    est = sum(r.est_weight for r in rows)
+    assert abs(est - total) / total < 0.5, (est, total)

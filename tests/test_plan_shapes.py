@@ -63,6 +63,9 @@ CAPS = {
     "doc_cdc_chunks": (4, 0),            # chunking is all in-row arrays;
                                          # fp distinct + freq agg + doc agg
                                          # + doc join-back (span-query plan)
+    "doc_priority_sample": (0, 1),       # priorities are a projection,
+                                         # top-(k+1) is TakeOrdered, tau is
+                                         # a broadcast one-row scalar
 }
 
 

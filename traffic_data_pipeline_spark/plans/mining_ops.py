@@ -694,3 +694,71 @@ def q_doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_chunk_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic priority sampling (documents)
+# ---------------------------------------------------------------------------
+
+PRIO_K = 64
+PRIO_U_DENOM = 4294967296.0  # 2^32
+
+
+@register("doc_priority_sample", f"""
+WITH pri AS (
+  SELECT doc_id, n_chars AS weight,
+         n_chars / ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1)
+                    / {PRIO_U_DENOM}) AS p
+  FROM documents WHERE n_chars > 0),
+rk AS (
+  SELECT doc_id, weight, p,
+         ROW_NUMBER() OVER (ORDER BY p DESC, doc_id) AS r
+  FROM pri),
+tau AS (SELECT p AS tau FROM rk WHERE r = {PRIO_K + 1})
+SELECT rk.doc_id, rk.weight,
+       CAST(rk.r AS INTEGER) AS rk,
+       ROUND(rk.p, 6) AS priority,
+       ROUND(GREATEST(CAST(rk.weight AS DOUBLE), tau.tau), 6) AS est_weight
+FROM rk CROSS JOIN tau
+WHERE rk.r <= {PRIO_K}
+""")
+def q_doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample via PRIORITY SAMPLING (Duffield, Lund
+    & Thorup, JACM 2007): each row draws u in (0,1] from an md5 of its own
+    key (seedless, reproducible — the property a rerun-able corpus
+    pipeline needs), gets priority w/u, and the k highest-priority rows
+    form the sample. With threshold tau = the (k+1)-th priority, the
+    estimator max(w, tau) is unbiased for any subset-sum over the
+    population — subsampled corpus statistics stay honest. The arithmetic
+    is hash + two IEEE divisions (correctly rounded, so both engines
+    compute bit-identical priorities — no transcendentals, no RNG state).
+
+    Scale shape: priorities are a pure projection; the top-(k+1) is
+    TakeOrdered (per-partition heaps merged at the driver, k rows — never
+    a global sort), and tau broadcasts back as a one-row scalar.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pri = docs.filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        F.col("n_chars").alias("weight"),
+        (F.col("n_chars")
+         / ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                    16, 10).cast("bigint") + 1) / F.lit(PRIO_U_DENOM))
+         ).alias("p"),
+    )
+    top = materialize(
+        pri.orderBy(F.col("p").desc(), "doc_id").limit(PRIO_K + 1)
+        .withColumn("r", F.row_number().over(
+            Window.orderBy(F.col("p").desc(), "doc_id"))))
+    tau = top.filter(F.col("r") == PRIO_K + 1).select(F.col("p").alias("tau"))
+    return (
+        top.filter(F.col("r") <= PRIO_K)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "doc_id", "weight",
+            F.col("r").cast("int").alias("rk"),
+            F.round("p", 6).alias("priority"),
+            F.round(F.greatest(F.col("weight").cast("double"), F.col("tau")), 6)
+            .alias("est_weight"),
+        )
+    )
