@@ -60,9 +60,11 @@ CAPS = {
     "events_pagerank": (1, 0),           # final read over the cached round-3
                                          # rank vector; per-round cost is one
                                          # groupBy(dst) at materialize time
-    "doc_cdc_chunks": (4, 0),            # chunking is all in-row arrays;
-                                         # fp distinct + freq agg + doc agg
-                                         # + doc join-back (span-query plan)
+    "doc_cdc_chunks": (4, 0),            # spread repartition feeds the
+                                         # rolling-hash projection (one-file
+                                         # corpus = one task otherwise); fp
+                                         # distinct + freq agg + doc agg +
+                                         # join-back share the budget
     "doc_priority_sample": (0, 1),       # priorities are a projection,
                                          # top-(k+1) is TakeOrdered, tau is
                                          # a broadcast one-row scalar

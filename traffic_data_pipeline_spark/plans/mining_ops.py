@@ -647,7 +647,15 @@ def q_doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     w = CDC_WINDOW
-    chunks = docs.select(
+    # spread the single-file scan BEFORE the boundary projection: the
+    # rolling md5 over every 4-token window is the query's compute, and a
+    # one-file corpus otherwise runs it all in one task (measured 77s at
+    # sf0.1 single-task vs ~3s spread); the exchange also stops
+    # CollapseProject from inlining the cuts expression into every
+    # bounds/chunk reference
+    chunks = docs.repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    ).select(
         "doc_id",
         token_array(F.col("text")).alias("toks"),
     ).select(
@@ -671,6 +679,13 @@ def q_doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        element_at(bounds, i + 1) - element_at(bounds, i)))),
              x -> x != '')""").alias("chunks"),
     )
+    # materialize BEFORE fan-out: CollapseProject otherwise inlines the
+    # bounds expression (which itself inlines the full rolling-md5 cuts
+    # transform) into every element_at reference INSIDE the chunk lambda —
+    # the boundary scan re-runs per chunk element per consumer, turning a
+    # linear pipeline quadratic (measured 59s vs 0.8s for the fingerprint
+    # stage at sf0.1). The cached frame is one small row per doc.
+    chunks = materialize(chunks)
     fp = (chunks.select("doc_id", F.explode("chunks").alias("c"))
           .select("doc_id", F.md5("c").alias("fp"))
           .distinct())
