@@ -1,10 +1,17 @@
 """Round-3 corpus-mining extension queries (driver-mandated first-class
 surface): substring-level exact dedup (RefinedWeb-style duplicated-span
 accounting), semantic dedup (SemDeDup-style cluster-then-prune over
-embeddings), TF-IDF sparse-vector similarity search, and fixed-point
-PageRank over the event-transition graph — each with a DuckDB oracle.
+embeddings), fixed-point PageRank over the event-transition graph,
+TF-IDF sparse-vector similarity search with an optional df-ceiling,
+asymmetric n-gram containment (quote/subset detection), content-defined
+chunking (shift-robust rolling-hash chunk dedup), and deterministic
+priority sampling (Duffield-Lund-Thorup) — each with a DuckDB oracle.
 
 Registered into the same QUERIES/ORACLES dicts as plans/queries.py.
+Cross-engine exactness tactics used here: md5 keys where both engines
+must group identically; decimal accumulation for dot products; integer
+fixed-point arithmetic for the iterative fixpoint; rational idf and
+hash-seeded uniforms so no transcendental or RNG enters a compared value.
 """
 
 from __future__ import annotations
