@@ -69,6 +69,7 @@ _DEFER_NEW = {
     "doc_ngram_containment",
     "doc_cdc_chunks",
     "doc_priority_sample",
+    "doc_collocations",
 }
 
 

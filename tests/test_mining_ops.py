@@ -232,3 +232,30 @@ def test_priority_sample_estimator(spark, sf_dir):
     )
     est = sum(r.est_weight for r in rows)
     assert abs(est - total) / total < 0.5, (est, total)
+
+
+def test_collocations_match_python(spark, sf_dir):
+    from traffic_data_pipeline_spark.plans.mining_ops import (
+        COLLOC_K,
+        COLLOC_MIN_COUNT,
+    )
+
+    docs = _doc_tokens(spark, sf_dir)
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for t in docs.values():
+        uni.update(t)
+        bi.update(zip(t, t[1:]))
+    t1, t2 = sum(uni.values()), sum(bi.values())
+    scored = sorted(
+        ((c2 * t1 * t1) / (t2 * uni[w1] * uni[w2]), w1, w2, c2)
+        for (w1, w2), c2 in bi.items() if c2 >= COLLOC_MIN_COUNT
+    )
+    scored.sort(key=lambda r: (-r[0], r[1], r[2]))
+    exp = scored[:COLLOC_K]
+    got = sorted(QUERIES["doc_collocations"](spark, sf_dir).collect(),
+                 key=lambda r: r.rk)
+    assert [(r.w1, r.w2, r.pair_count) for r in got] == \
+        [(w1, w2, c2) for _, w1, w2, c2 in exp]
+    for r, (lift, *_) in zip(got, exp):
+        assert abs(r.lift - lift) < 1e-6

@@ -68,6 +68,9 @@ CAPS = {
     "doc_priority_sample": (0, 1),       # priorities are a projection,
                                          # top-(k+1) is TakeOrdered, tau is
                                          # a broadcast one-row scalar
+    "doc_collocations": (1, 3),          # live plan reads the two cached
+                                         # count tables; unigrams + totals
+                                         # broadcast, top-k TakeOrdered
 }
 
 

@@ -784,3 +784,98 @@ def q_doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining (documents)
+# ---------------------------------------------------------------------------
+
+COLLOC_MIN_COUNT = 5
+COLLOC_K = 20
+
+
+@register("doc_collocations", f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents),
+uni AS (
+  SELECT t.w, COUNT(*) AS c1
+  FROM toks, unnest(l) t(w) GROUP BY 1),
+bi AS (
+  SELECT l[g] AS w1, l[g+1] AS w2, COUNT(*) AS c2
+  FROM toks, unnest(generate_series(1, greatest(len(l) - 1, 0))) t(g)
+  GROUP BY 1, 2),
+tot AS (
+  SELECT (SELECT SUM(c1) FROM uni) AS t1,
+         (SELECT SUM(c2) FROM bi) AS t2),
+scored AS (
+  SELECT b.w1, b.w2, b.c2,
+         CAST(b.c2 * t.t1 * t.t1 AS DOUBLE)
+           / CAST(t.t2 * u1.c1 * u2.c1 AS DOUBLE) AS lift
+  FROM bi b
+  JOIN uni u1 ON u1.w = b.w1
+  JOIN uni u2 ON u2.w = b.w2
+  CROSS JOIN tot t
+  WHERE b.c2 >= {COLLOC_MIN_COUNT})
+SELECT w1, w2, CAST(c2 AS BIGINT) AS pair_count,
+       CAST(rk AS INTEGER) AS rk, ROUND(lift, 6) AS lift
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, w1, w2) AS rk
+      FROM scored)
+WHERE rk <= {COLLOC_K}
+""")
+def q_doc_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the top-k token bigrams by LIFT — the
+    PMI-without-the-log association score P(xy)/(P(x)P(y)) =
+    c2*T1^2/(T2*c1(x)*c1(y)) — over a minimum pair count. The signal
+    tokenizer/vocab work uses to find multiword units worth merging.
+    Kept as an exact rational of bigint counts (one double division, no
+    log), so both engines score and rank identically; at corpus scale the
+    products move to DECIMAL(38,0) before the divide (counts beyond 2^53
+    would round in double).
+
+    Scale shape: unigram and bigram counts are map-side-combined
+    aggregates; the unigram table is VOCABULARY-sized, so it broadcasts
+    into the bigram stream twice (w1, w2) with the one-row totals — the
+    bigram stream, the only corpus-sized frame, moves once; top-k is
+    TakeOrdered over the min-count survivors.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    ).select("doc_id", token_array(F.col("text")).alias("toks"))
+    # both count tables are read twice (scores + totals) — materialize so
+    # the corpus explode+aggregate runs once each, not once per consumer
+    uni = materialize(toks.select(F.explode("toks").alias("w"))
+                      .groupBy("w").agg(F.count(F.lit(1)).alias("c1")))
+    bi = materialize(
+        toks.select(F.explode(ngram_array("toks", 2)).alias("bg"))
+        .select(F.split("bg", " ")[0].alias("w1"),
+                F.split("bg", " ")[1].alias("w2"))
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    )
+    tot = uni.agg(F.sum("c1").alias("t1")).crossJoin(
+        bi.agg(F.sum("c2").alias("t2")))
+    scored = (
+        bi.filter(F.col("c2") >= COLLOC_MIN_COUNT)
+        .join(F.broadcast(uni.select(F.col("w").alias("w1"),
+                                     F.col("c1").alias("_c1a"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"),
+                                     F.col("c1").alias("_c1b"))), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "c2",
+            ((F.col("c2") * F.col("t1") * F.col("t1")).cast("double")
+             / (F.col("t2") * F.col("_c1a") * F.col("_c1b")).cast("double"))
+            .alias("lift"),
+        )
+    )
+    wk = Window.orderBy(F.col("lift").desc(), "w1", "w2")
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= COLLOC_K)
+        .select("w1", "w2", F.col("c2").alias("pair_count"),
+                F.col("rk").cast("int").alias("rk"),
+                F.round("lift", 6).alias("lift"))
+    )
