@@ -259,3 +259,24 @@ def test_collocations_match_python(spark, sf_dir):
         [(w1, w2, c2) for _, w1, w2, c2 in exp]
     for r, (lift, *_) in zip(got, exp):
         assert abs(r.lift - lift) < 1e-6
+
+
+def test_cdc_chunks_partition_tokens():
+    """Property: chunks are a partition of the token stream — they
+    concatenate back to the original document in order, and every chunk
+    is non-empty. (Hypothesis over small random vocabularies so repeated
+    tokens, the md5-boundary edge cases, and sub-window docs all get
+    hit.)"""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.sampled_from([f"w{i}" for i in range(9)]),
+                    max_size=120))
+    def check(toks):
+        chunks = _cdc_chunks(toks)
+        assert all(c for c in chunks)
+        joined = " ".join(chunks).split(" ") if chunks else []
+        assert joined == toks or (not toks and not joined)
+
+    check()
