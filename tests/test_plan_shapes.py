@@ -48,8 +48,11 @@ CAPS = {
                                          # hot list always broadcast
     "dedup_substring_spans": (4, 0),     # span distinct + key freq agg +
                                          # per-doc agg + doc join-back
-    "dedup_semantic": (3, 1),            # assign argmax + cluster self-join
-                                         # + dup agg; centroids broadcast
+    "dedup_semantic": (4, 1),            # assign argmax + cluster self-join
+                                         # + dup agg + the sqrt(N)-row
+                                         # centroid TakeOrdered (V-row side
+                                         # frames, never the corpus);
+                                         # centroids broadcast
     "doc_tfidf_knn": (1, 2),             # postings move once; query postings
                                          # and query norms broadcast
     "doc_ngram_containment": (3, 0),     # df window (8-byte hash keys) +

@@ -115,8 +115,7 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SEMANTIC_TAU = 0.85
-N_SEM_CLUSTERS = 8      # floor; actual k = max(this, |corpus| // SEM_CLUSTER_SIZE)
-SEM_CLUSTER_SIZE = 64   # target mean cluster membership
+N_SEM_CLUSTERS = 8      # floor; actual k = max(this, floor(sqrt(|corpus|)))
 N_SEM_DUPED = 50        # ids < this get a perturbed near-duplicate copy
 SEM_ID_OFFSET = 100000
 
@@ -143,7 +142,8 @@ norms AS (
   SELECT vec_id, CAST(SUM(CAST(val * val AS DECIMAL(30,12))) AS DOUBLE) AS norm_sq
   FROM elems GROUP BY 1),
 cent AS (SELECT vec_id AS cid FROM corpus ORDER BY vec_id
-         LIMIT (SELECT GREATEST({N_SEM_CLUSTERS}, COUNT(*) // {SEM_CLUSTER_SIZE})
+         LIMIT (SELECT GREATEST({N_SEM_CLUSTERS},
+                                CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))
                 FROM corpus)),
 cdot AS (
   SELECT v.vec_id, c.vec_id AS cid,
@@ -202,11 +202,16 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the cluster assignment is one broadcast-centroid argmax
     over the corpus (ivf_assign — the corpus never shuffles for it), and
     pairing is an equi-join on cluster id, so the candidate count is
-    sum_c |c|^2 instead of N^2 — and k SCALES WITH THE CORPUS
-    (max(8, N/64), computed identically by the oracle's subquery LIMIT),
-    so mean cluster membership stays ~64 and the pair stream grows
-    linearly in N (fixed k=8 measured 13.4s at sf0.1; adaptive k is the
-    difference between SemDeDup working and not at corpus scale). Skewed
+    sum_c |c|^2 instead of N^2 — and k SCALES WITH THE CORPUS as
+    max(8, floor(sqrt(N))) (computed identically by the oracle's subquery
+    LIMIT). sqrt is the balance point for flat cluster-then-prune:
+    assignment costs N*k dots and pairing costs ~N^2/k, so k ~ sqrt(N)
+    makes BOTH stages N^1.5 — k/64-style linear scaling quietly turns
+    assignment quadratic, and fixed k=8 measured 13.4s vs ~2s at sf0.1 by
+    making pairing quadratic. (Real systems beat N^1.5 by replacing the
+    flat argmax with a k-means tree / HNSW quantizer; the Spark plan
+    shape — broadcast quantizer, cluster-key equi-join — is unchanged by
+    that swap.) Skewed
     (over-full) clusters are the failure mode — AQE skew-join splits them,
     and the lsh_hot_band_overflow cap pattern applies unchanged if a
     degenerate centroid absorbs the corpus. Seeds are the k lowest ids
@@ -230,13 +235,15 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.repartition(dp, F.col("vec_id")).select(
             "vec_id", "embedding", norm_sq(F.col("embedding")).alias("_n2"))
     )
-    # k scales with the corpus so mean cluster membership stays ~constant
-    # and the within-cluster pair space grows LINEARLY in N, not N^2/k.
-    # The count is a sanctioned scalar probe (same class as the CC and
-    # k-means convergence probes); the oracle computes the identical k
-    # via its subquery LIMIT.
+    # k ~ sqrt(N): see docstring. The count is a sanctioned scalar probe
+    # (same class as the CC and k-means convergence probes); the oracle
+    # computes the identical k via its subquery LIMIT — floor(sqrt()) on
+    # an exact small integer is bit-identical across engines (IEEE sqrt
+    # is correctly rounded).
+    import math
+
     n_corpus = with_norm.count()
-    k = max(N_SEM_CLUSTERS, n_corpus // SEM_CLUSTER_SIZE)
+    k = max(N_SEM_CLUSTERS, int(math.floor(math.sqrt(n_corpus))))
     centroids = corpus.orderBy("vec_id").limit(k)
     assign = ivf_assign(corpus, centroids, with_norm=with_norm)
     m = with_norm.join(assign, "vec_id")
