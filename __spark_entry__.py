@@ -70,6 +70,7 @@ _DEFER_NEW = {
     "doc_cdc_chunks",
     "doc_priority_sample",
     "doc_collocations",
+    "events_heavy_hitters",
 }
 
 

@@ -280,3 +280,24 @@ def test_cdc_chunks_partition_tokens():
         assert joined == toks or (not toks and not joined)
 
     check()
+
+
+def test_heavy_hitters_exact_and_no_false_negatives(spark, sf_dir):
+    """The two-phase result must EQUAL the naive full GROUP BY (Misra-
+    Gries candidates are a superset of true hitters, recount is exact),
+    and stay correct under a different partitioning of the input."""
+    from traffic_data_pipeline_spark.plans.mining_ops import HH_K
+
+    ev = load_table(spark, sf_dir, "events")
+    naive = {
+        (r.bucket, r.n_events)
+        for r in ev.selectExpr("length(bin(user_id + 1)) - 1 AS bucket")
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(ev.agg(F.count(F.lit(1)).alias("n")))
+        .filter(F.col("n_events") * HH_K > F.col("n"))
+        .select("bucket", "n_events").collect()
+    }
+    got = {(r.bucket, r.n_events)
+           for r in QUERIES["events_heavy_hitters"](spark, sf_dir).collect()}
+    assert got == naive
+    assert naive, "fixture should produce at least one heavy hitter"

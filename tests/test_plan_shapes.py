@@ -74,6 +74,10 @@ CAPS = {
     "doc_collocations": (1, 3),          # live plan reads the two cached
                                          # count tables; unigrams + totals
                                          # broadcast, top-k TakeOrdered
+    "events_heavy_hitters": (2, 2),      # candidate distinct + recount agg;
+                                         # candidate list and the N scalar
+                                         # broadcast — no full-cardinality
+                                         # count table is ever built
 }
 
 

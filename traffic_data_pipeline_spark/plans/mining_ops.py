@@ -4,8 +4,10 @@ accounting), semantic dedup (SemDeDup-style cluster-then-prune over
 embeddings), fixed-point PageRank over the event-transition graph,
 TF-IDF sparse-vector similarity search with an optional df-ceiling,
 asymmetric n-gram containment (quote/subset detection), content-defined
-chunking (shift-robust rolling-hash chunk dedup), and deterministic
-priority sampling (Duffield-Lund-Thorup) — each with a DuckDB oracle.
+chunking (shift-robust rolling-hash chunk dedup), deterministic
+priority sampling (Duffield-Lund-Thorup), collocation mining (top-k
+bigrams by exact-rational lift), and exact heavy hitters (per-partition
+Misra-Gries candidates + broadcast recount) — each with a DuckDB oracle.
 
 Registered into the same QUERIES/ORACLES dicts as plans/queries.py.
 Cross-engine exactness tactics used here: md5 keys where both engines
@@ -885,4 +887,70 @@ def q_doc_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", F.col("c2").alias("pair_count"),
                 F.col("rk").cast("int").alias("rk"),
                 F.round("lift", 6).alias("lift"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters via per-partition Misra-Gries (events)
+# ---------------------------------------------------------------------------
+
+HH_K = 8  # heavy = frequency > N/HH_K; MG summaries keep HH_K-1 counters
+
+
+@register("events_heavy_hitters", f"""
+WITH b AS (SELECT length(bin(user_id + 1)) - 1 AS bucket FROM events),
+c AS (SELECT bucket, COUNT(*) AS cnt FROM b GROUP BY 1),
+t AS (SELECT COUNT(*) AS n FROM events)
+SELECT bucket, CAST(cnt AS BIGINT) AS n_events
+FROM c CROSS JOIN t WHERE cnt * {HH_K} > n
+""")
+def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (frequency > N/{HH_K}) in two phases: a
+    per-partition MISRA-GRIES sketch (Arrow mapInPandas — each task
+    streams its partition through at most {HH_K}-1 counters, constant
+    memory regardless of key cardinality) proposes candidates, then one
+    filtered recount verifies them exactly. Misra-Gries cannot miss: if a
+    key's global count exceeds N/k, its count in at least one partition
+    exceeds that partition's share (pigeonhole), and MG(k) retains every
+    key above N_p/k — so the candidate union is a superset and the
+    recount output EQUALS the naive full GROUP BY, which is exactly what
+    the oracle runs (the pruned-path-vs-naive proof pattern again).
+
+    The key is a deterministic power-of-two user bucket
+    (length(bin(user_id+1))-1 — exact integer ops in both engines),
+    standing in for the skewed entity column the uniform fixture lacks:
+    the top bucket always holds ~half the users, so hitters exist at
+    every sf. Scale shape: phase 1 is embarrassingly parallel with
+    k-sized output per task; phase 2 recounts ONLY keys in the broadcast
+    candidate list — the full-cardinality count table is never built.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        (F.length(F.bin(F.col("user_id") + 1)) - 1).alias("bucket"))
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            for key, cnt in pdf["bucket"].value_counts().items():
+                counters[key] = counters.get(key, 0) + int(cnt)
+                # reduce to HH_K-1 counters: subtract the minimum from all
+                # (the mergeable-summaries generalization of MG's
+                # decrement; error stays bounded by the mass removed)
+                while len(counters) > HH_K - 1:
+                    m = min(counters.values())
+                    counters = {k: v - m for k, v in counters.items()
+                                if v > m}
+        yield pd.DataFrame({"bucket": list(counters.keys())})
+
+    cand = keyed.mapInPandas(mg_partition, "bucket long").distinct()
+    nn = ev.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        keyed.join(F.broadcast(cand), "bucket")   # leftsemi by key list
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(F.broadcast(nn))
+        .filter(F.col("n_events") * HH_K > F.col("n"))
+        .select("bucket", "n_events")
     )
