@@ -71,6 +71,15 @@ _DEFER_NEW = {
     "doc_priority_sample",
     "doc_collocations",
     "events_heavy_hitters",
+    "doc_decontaminate_bloom",
+    "doc_lexical_diversity",
+    "corpus_kl_drift",
+    "sensor_interpolate",
+    "events_mad_anomaly",
+    "events_concurrency",
+    "dedup_cluster_density",
+    "brand_small_qty_revenue",
+    "idle_rich_customers",
 }
 
 

@@ -1,0 +1,152 @@
+"""Structural properties of the round-3 analysis ops, beyond the oracle
+hash gate: Bloom-filter recall, interpolation geometry, sweep-line
+bounds, robust-z thresholding, KL non-negativity, and triangle-count
+consistency."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from traffic_data_pipeline_spark.plans.queries import QUERIES
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    """A Bloom filter may over-flag (false positives) but must NEVER
+    under-flag: every doc the exact gram join marks contaminated must be
+    marked by the bitset probe too, and both paths must see the same
+    per-doc gram universe."""
+    exact = QUERIES["doc_decontaminate"](spark, sf_dir).select(
+        "doc_id", F.col("n_grams").alias("g_exact"),
+        F.col("contaminated").alias("c_exact"))
+    bloom = QUERIES["doc_decontaminate_bloom"](spark, sf_dir).select(
+        "doc_id", F.col("n_grams").alias("g_bloom"),
+        F.col("contaminated").alias("c_bloom"))
+    j = exact.join(bloom, "doc_id", "full").collect()
+    assert len(j) > 0
+    for r in j:
+        assert r["g_exact"] == r["g_bloom"], f"gram universe drift: {r}"
+        if r["c_exact"] == 1:
+            assert r["c_bloom"] == 1, f"false negative at doc {r['doc_id']}"
+
+
+def test_bloom_false_positive_rate_bounded(spark, sf_dir):
+    """With m=16384 bits and k=3 probes over the fixture's benchmark gram
+    count the theoretical doc-level FP inflation is small; assert the
+    bloom flag set is not wildly larger than the exact one (a sanity rail
+    that the probe/bitset math is wired right, not a statistical test)."""
+    exact = QUERIES["doc_decontaminate"](spark, sf_dir)
+    bloom = QUERIES["doc_decontaminate_bloom"](spark, sf_dir)
+    n_exact = exact.filter(F.col("contaminated") == 1).count()
+    n_bloom = bloom.filter(F.col("contaminated") == 1).count()
+    assert n_bloom >= n_exact
+    total = bloom.count()
+    assert n_bloom - n_exact <= max(5, total // 10)
+
+
+def test_interpolation_geometry(spark, sf_dir):
+    """Interpolated points lie on the segment between their neighbors:
+    every filled value is within [min, max] of the two bracketing
+    observations; non-null readings pass through exactly; docs = rows
+    with no bracketing pair stay null."""
+    out = QUERIES["sensor_interpolate"](spark, sf_dir)
+    rows = out.orderBy("sensor", "start_datetime").collect()
+    assert any(r["interpolated"] == 1 for r in rows)
+    by_sensor: dict[str, list] = {}
+    for r in rows:
+        by_sensor.setdefault(r["sensor"], []).append(r)
+    for sensor, seq in by_sensor.items():
+        idx_non_null = [i for i, r in enumerate(seq)
+                        if r["volume_raw"] is not None]
+        for i, r in enumerate(seq):
+            if r["volume_raw"] is not None:
+                assert r["volume_filled"] == float(r["volume_raw"])
+                assert r["interpolated"] == 0
+            elif not idx_non_null or i < idx_non_null[0] or i > idx_non_null[-1]:
+                # leading/trailing gap: no bracket, stays null
+                assert r["volume_filled"] is None
+                assert r["interpolated"] == 0
+        # bracket bound check (done row-wise to keep neighbor pairing exact)
+        for i, r in enumerate(seq):
+            if r["interpolated"] == 1:
+                prev = next((seq[j]["volume_raw"] for j in range(i - 1, -1, -1)
+                             if seq[j]["volume_raw"] is not None), None)
+                nxt = next((seq[j]["volume_raw"] for j in range(i + 1, len(seq))
+                            if seq[j]["volume_raw"] is not None), None)
+                assert prev is not None and nxt is not None
+                lo, hi = min(prev, nxt), max(prev, nxt)
+                assert lo - 1e-9 <= r["volume_filled"] <= hi + 1e-9, (
+                    f"{sensor}@{r['start_datetime']}: {r['volume_filled']} "
+                    f"outside [{lo},{hi}]")
+
+
+def test_concurrency_bounds(spark, sf_dir):
+    """Peak concurrency is at least 1 and at most the number of sessions
+    touching the hour; the total of hourly session touches is >= the
+    session count (a session touches every hour it spans)."""
+    conc = QUERIES["events_concurrency"](spark, sf_dir).collect()
+    assert len(conc) > 0
+    for r in conc:
+        assert 1 <= r["peak_concurrency"] <= r["n_sessions"], r
+    n_sessions = QUERIES["events_sessionize"](spark, sf_dir).count()
+    assert sum(r["n_sessions"] for r in conc) >= n_sessions
+
+
+def test_mad_threshold_is_sharp(spark, sf_dir):
+    """Every flagged event actually clears the 3.5-robust-z fence (by the
+    reported med/mad), and z's sign matches the deviation direction."""
+    rows = QUERIES["events_mad_anomaly"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert abs(r["value"] - r["med"]) > 3.5 * 1.4826 * r["mad"] - 1e-6
+        assert (r["robust_z"] > 0) == (r["value"] > r["med"])
+        assert abs(r["robust_z"]) > 3.5 - 1e-6
+
+
+def test_kl_drift_nonnegative(spark, sf_dir):
+    """Gibbs' inequality: KL(p||q) >= 0, zero only if the source matches
+    the corpus blend exactly."""
+    rows = QUERIES["corpus_kl_drift"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["kl_bits"] >= -1e-9, r
+        assert r["n_types"] <= r["n_tokens"]
+
+
+def test_cluster_density_consistent(spark, sf_dir):
+    """Triangle/wedge accounting: 3*triangles <= wedges (each triangle
+    closes exactly 3 wedges), transitivity in [0,1], and edge/node counts
+    match the shared pair stream."""
+    row = QUERIES["dedup_cluster_density"](spark, sf_dir).collect()[0]
+    assert row["n_edges"] > 0
+    assert 3 * row["n_triangles"] <= row["n_wedges"]
+    if row["transitivity"] is not None:
+        assert 0.0 <= row["transitivity"] <= 1.0
+    from traffic_data_pipeline_spark.plans.extensions import doc_lsh_pairs
+
+    pairs = doc_lsh_pairs(spark, sf_dir)
+    assert pairs.count() == row["n_edges"]
+
+
+def test_small_qty_threshold_rational(spark, sf_dir):
+    """The Q17-shape filter keeps a line item iff 2*q*n < sum(q) for its
+    part — recheck a sample of survivors against per-part sums computed
+    independently."""
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = {r["l_partkey"]: (r["s"], r["n"]) for r in
+           li.groupBy("l_partkey")
+           .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n"))
+           .collect()}
+    out = QUERIES["brand_small_qty_revenue"](spark, sf_dir).collect()
+    assert sum(r["n_small"] for r in out) > 0
+    # survivors' brand totals are consistent with a direct recount
+    direct = (
+        li.join(F.broadcast(
+            li.groupBy("l_partkey").agg(
+                F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n"))),
+            "l_partkey")
+        .filter(F.col("l_quantity") * F.col("n") * 2 < F.col("s"))
+        .count()
+    )
+    assert direct == sum(r["n_small"] for r in out)

@@ -32,6 +32,12 @@ CASES = [
     "events_pagerank",
     "dedup_semantic",
     "doc_ngram_containment",
+    # round-3 analysis ops: sweep-line windows (concurrency), forward+
+    # reverse carry windows (interpolation), degree-ordered wedge joins
+    # (cluster density)
+    "events_concurrency",
+    "sensor_interpolate",
+    "dedup_cluster_density",
 ]
 
 

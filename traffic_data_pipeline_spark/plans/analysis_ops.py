@@ -1,0 +1,813 @@
+"""Round-3 continuation: distribution analytics and robust-statistics
+extension queries (driver-mandated first-class surface) — Bloom-filter
+decontamination (the broadcast-bitset scale path of doc_decontaminate),
+lexical-diversity profiling (token entropy + type/token ratio),
+per-source KL-divergence corpus drift, time-weighted linear
+interpolation of sensor gaps, MAD-based robust anomaly detection,
+sweep-line session concurrency, degree-ordered triangle counting over
+the LSH duplicate graph, and two adversarial join shapes from the
+decision-support canon (small-quantity revenue, idle-rich-customer
+anti-join) — each with a DuckDB oracle.
+
+Registered into the same QUERIES/ORACLES dicts as plans/queries.py.
+Cross-engine exactness tactics (same playbook as plans/mining_ops.py):
+md5-prefix integers wherever both engines must hash identically (the
+Bloom positions are fully deterministic, so even the false-positive set
+is oracle-checked); rational comparisons instead of AVG thresholds
+(2·q·n < Σ, never q < Σ/n); decimal accumulation for money; log2 only
+in final rounded projections (the BM25 precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from traffic_data_pipeline_spark.functions.text import ngram_array, token_array
+from traffic_data_pipeline_spark.plans.queries import register
+from traffic_data_pipeline_spark.sources.tables import load_table
+
+_TOK_CTE = """
+toks AS (
+  SELECT doc_id, source, token FROM (
+    SELECT doc_id, source,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+    FROM documents)
+  WHERE token != '')
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (broadcast-bitset scale path)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 16384   # bits in the filter (256 64-bit words)
+BLOOM_K = 3       # hash probes per gram
+
+
+def _bloom_pos(gram, i: int):
+    """Probe i's bit position for a gram: first 8 hex chars of
+    md5(i|gram) as a 32-bit integer, mod the filter width. Deterministic
+    and engine-agnostic (the SimHash/shard-assign md5-prefix trick), so
+    the oracle reproduces the exact bitset — false positives included."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}|"), gram)), 1, 8), 16, 10)
+        .cast("bigint") % BLOOM_M
+    )
+
+
+@register("doc_decontaminate_bloom", f"""
+WITH tl AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x != '') AS l
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(l[g:g+7], ' ') AS gram
+  FROM tl, unnest(generate_series(1, greatest(len(l) - 7, 0))) s(g)),
+bpos AS (
+  SELECT DISTINCT
+         CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || gram), 1, 8)
+              AS BIGINT) % {BLOOM_M} AS p
+  FROM (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+       unnest(generate_series(0, {BLOOM_K - 1})) t(i)),
+words AS (
+  SELECT p // 32 AS w, bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS mask
+  FROM bpos GROUP BY 1),
+cpos AS (
+  SELECT doc_id, gram,
+         CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || gram), 1, 8)
+              AS BIGINT) % {BLOOM_M} AS p
+  FROM grams, unnest(generate_series(0, {BLOOM_K - 1})) t(i)
+  WHERE doc_id % 97 <> 0),
+ghit AS (
+  SELECT doc_id, gram,
+         CASE WHEN SUM(CASE WHEN (mask >> CAST(p % 32 AS INTEGER)) & 1 = 1
+                            THEN 1 ELSE 0 END) = {BLOOM_K}
+              THEN 1 ELSE 0 END AS hit
+  FROM cpos LEFT JOIN words ON w = p // 32
+  GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(hit) AS BIGINT) AS n_bloom_hits,
+       CAST(CASE WHEN SUM(hit) > 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS contaminated
+FROM ghit GROUP BY 1
+""")
+def q_doc_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: the scale path of doc_decontaminate.
+    The benchmark side (doc_id % 97 == 0) is folded into a 16384-bit
+    Bloom bitset (3 md5-derived probes per 8-gram) packed as 64-bit
+    words; the corpus side probes the bitset instead of joining the gram
+    strings. Same flag semantics as the exact join up to Bloom false
+    positives — and because the probe hashes are engine-agnostic md5
+    prefixes, the oracle replays the exact bitset, so even the FP set is
+    value-checked (tests pin no-false-negatives vs doc_decontaminate).
+
+    Scale shape: the exact join ships the benchmark GRAM STRINGS to every
+    probe task; here the broadcast is a constant-size bitset (2 KiB at
+    m=16384, a few MiB at eval-suite scale with m sized for FP<1e-6) that
+    never grows with gram length. The corpus side is one per-doc gram
+    dedup shuffle, then a narrow ×k position explode and a broadcast
+    equi-join on the word index — no corpus data moves. This is the same
+    shape Spark's own runtime bloom-filter join pushes into scans
+    (spark.sql.optimizer.runtime.bloomFilter.enabled), applied at the
+    application level where the "build side" is a benchmark corpus."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", token_array(F.col("text")).alias("tok"))
+    grams = (
+        docs.select("doc_id", F.explode(ngram_array("tok", 8)).alias("gram"))
+        .dropDuplicates(["doc_id", "gram"])
+    )
+    bench_pos = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(F.array_distinct(ngram_array("tok", 8))).alias("gram"))
+        .distinct()
+    )
+    # build the bitset: k probe positions per gram -> 512 (word, mask) rows.
+    # 32-bit words, never 64: a shift of exactly 63 wraps to Long.MIN in
+    # the JVM but is a checked overflow error in DuckDB — capping the
+    # shift at 31 keeps the packing on both engines' safe path
+    probes = F.explode(
+        F.array(*[_bloom_pos(F.col("gram"), i) for i in range(BLOOM_K)])
+    ).alias("p")
+    words = (
+        bench_pos.select(probes)
+        .distinct()
+        .groupBy((F.col("p") / 32).cast("bigint").alias("w"))
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), "
+                    "CAST(p % 32 AS INT)))").alias("mask"))
+    )
+    cpos = grams.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", "gram", probes
+    )
+    ghit = (
+        cpos.join(F.broadcast(words),
+                  (F.col("p") / 32).cast("bigint") == F.col("w"), "left")
+        .groupBy("doc_id", "gram")
+        .agg(
+            (F.sum(
+                F.when(
+                    F.expr("(mask >> CAST(p % 32 AS INT)) & 1") == 1, 1
+                ).otherwise(0)
+            ) == BLOOM_K).cast("int").alias("hit")
+        )
+    )
+    return ghit.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("hit").cast("bigint").alias("n_bloom_hits"),
+        (F.sum("hit") > 0).cast("int").alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity (token entropy + type/token ratio)
+# ---------------------------------------------------------------------------
+
+@register("doc_lexical_diversity", f"""
+WITH {_TOK_CTE},
+cnt AS (SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         SUM(c * log2(CAST(c AS DOUBLE))) AS clogc
+  FROM cnt GROUP BY 1)
+SELECT doc_id, n_tokens, n_types,
+       ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
+       ROUND(log2(CAST(n_tokens AS DOUBLE)) - clogc / n_tokens, 6)
+         AS token_entropy_bits
+FROM agg
+""")
+def q_doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signals: per-doc Shannon entropy of the
+    token distribution (H = log2 n − Σc·log2 c / n — one pass over token
+    counts, no per-token probability row) and the type/token ratio.
+    Low-entropy docs are template/boilerplate (the signal Gopher's
+    repetition filters approximate); the entropy form keeps log2 in the
+    final rounded projection only, the BM25 precedent for transcendentals
+    in compared values.
+
+    Scale shape: one (doc_id, token) count shuffle with map-side combine,
+    then a per-doc re-aggregate on the same key prefix — the second agg
+    reuses the first shuffle's partitioning, so the fact moves once.
+    Tokens never leave their row as a list; the count stream carries
+    16-byte-ish tokens, not documents."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    cnt = (
+        docs.select("doc_id", F.explode(token_array(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.col("c") * F.log2(F.col("c").cast("double"))).alias("clogc"),
+    )
+    return agg.select(
+        "doc_id", "n_tokens", "n_types",
+        F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6)
+        .alias("type_token_ratio"),
+        F.round(
+            F.log2(F.col("n_tokens").cast("double"))
+            - F.col("clogc") / F.col("n_tokens"), 6
+        ).alias("token_entropy_bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source KL-divergence corpus drift
+# ---------------------------------------------------------------------------
+
+@register("corpus_kl_drift", f"""
+WITH {_TOK_CTE},
+sc AS (SELECT source, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+gl AS (SELECT token, CAST(SUM(c) AS BIGINT) AS g FROM sc GROUP BY 1),
+tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM sc GROUP BY 1),
+big AS (SELECT CAST(SUM(c) AS BIGINT) AS big_n FROM sc)
+SELECT s.source,
+       t.n AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(SUM((CAST(s.c AS DOUBLE) / t.n)
+                 * log2((CAST(s.c AS DOUBLE) / t.n)
+                        / (CAST(g.g AS DOUBLE) / b.big_n))), 6) AS kl_bits
+FROM sc s
+JOIN gl g USING (token)
+JOIN tot t USING (source)
+CROSS JOIN big b
+GROUP BY s.source, t.n
+""")
+def q_corpus_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-drift profiling: KL(source ‖ corpus) over token unigram
+    distributions, per source — the statistic a data-mixture rebalancer
+    watches to catch one feed drifting away from the blend (and the
+    direction of doc_mixture_rebalance's correction). Every source token
+    also appears in the global distribution, so q > 0 and the sum is
+    total; log2 stays in the final rounded projection.
+
+    Scale shape: one (source, token) count shuffle (map-side combined);
+    the global token marginal re-aggregates that small count stream
+    co-keyed on token, so the token-join is a shuffle of counts — never
+    raw tokens; per-source totals and the grand total are a handful of
+    rows broadcast onto the stream. Sources are few -> the final agg is
+    tiny; skew in one giant source stays in the count domain."""
+    from traffic_data_pipeline_spark.functions.execution import materialize
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    # four consumers (global marginal, per-source totals, grand total, the
+    # final join) read the count stream: materialize it once
+    sc = materialize(
+        docs.select("source", F.explode(token_array(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    gl = sc.groupBy("token").agg(F.sum("c").cast("bigint").alias("g"))
+    tot = sc.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    big = sc.agg(F.sum("c").cast("bigint").alias("big_n"))
+    p = F.col("c").cast("double") / F.col("n")
+    q = F.col("g").cast("double") / F.col("big_n")
+    return (
+        sc.join(gl, "token")
+        .join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(big))
+        .groupBy("source", "n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.round(F.sum(p * F.log2(p / q)), 6).alias("kl_bits"),
+        )
+        .select(F.col("source"), F.col("n").alias("n_tokens"),
+                "n_types", "kl_bits")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted linear interpolation of sensor gaps
+# ---------------------------------------------------------------------------
+
+@register("sensor_interpolate", """
+WITH base AS (
+  SELECT CAST(user_id AS VARCHAR) AS sensor, ts AS start_datetime,
+         MAX(CASE WHEN event_type = 'error' THEN NULL
+                  ELSE CAST(FLOOR(value) % 25 AS INTEGER) END) AS volume
+  FROM events GROUP BY 1, 2),
+marked AS (
+  SELECT sensor, start_datetime, volume,
+         COUNT(volume) OVER (PARTITION BY sensor ORDER BY start_datetime
+                             ROWS UNBOUNDED PRECEDING) AS g_prev,
+         COUNT(volume) OVER (PARTITION BY sensor ORDER BY start_datetime DESC
+                             ROWS UNBOUNDED PRECEDING) AS g_next
+  FROM base),
+prev AS (
+  SELECT sensor, g_prev,
+         MAX(CASE WHEN volume IS NOT NULL THEN start_datetime END) AS t0,
+         MAX(CASE WHEN volume IS NOT NULL THEN volume END) AS v0
+  FROM marked GROUP BY 1, 2),
+nxt AS (
+  SELECT sensor, g_next,
+         MAX(CASE WHEN volume IS NOT NULL THEN start_datetime END) AS t1,
+         MAX(CASE WHEN volume IS NOT NULL THEN volume END) AS v1
+  FROM marked GROUP BY 1, 2)
+SELECT m.sensor, m.start_datetime,
+       m.volume AS volume_raw,
+       ROUND(CASE
+         WHEN m.volume IS NOT NULL THEN CAST(m.volume AS DOUBLE)
+         WHEN p.t0 IS NOT NULL AND n.t1 IS NOT NULL THEN
+           v0 + (v1 - v0)
+                * CAST(epoch_us(m.start_datetime) - epoch_us(p.t0) AS DOUBLE)
+                / CAST(epoch_us(n.t1) - epoch_us(p.t0) AS DOUBLE)
+       END, 6) AS volume_filled,
+       CAST(CASE WHEN m.volume IS NULL AND p.t0 IS NOT NULL
+                  AND n.t1 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS interpolated
+FROM marked m
+JOIN prev p USING (sensor, g_prev)
+JOIN nxt n USING (sensor, g_next)
+""")
+def q_sensor_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted linear interpolation of missing detector volumes —
+    the gap-fill mode the reference's scaling imputation (F13,
+    operators/impute.py) doesn't cover: each NULL reading takes the value
+    on the straight line between its nearest non-NULL neighbors in time
+    within the same sensor, leading/trailing gaps stay NULL. Readings are
+    first collapsed to one row per (sensor, ts) so neighbor order is
+    total and engine-independent.
+
+    Scale shape: ONE hash shuffle on sensor, then two sorted window
+    passes over the same partitioning (forward and reverse cumulative
+    non-NULL counts + last-non-NULL carries — the gaps-and-islands
+    rewrite of IGNORE NULLS, which Spark evaluates as `last(col, TRUE)`
+    without re-shuffling). No self-join on time ranges, no per-gap
+    explode; cost is two in-partition sorts regardless of gap length."""
+    ev = load_table(spark, sf_dir, "events")
+    base = (
+        ev.groupBy(
+            F.col("user_id").cast("string").alias("sensor"),
+            F.col("ts").alias("start_datetime"),
+        )
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "error", F.lit(None))
+                .otherwise((F.floor("value") % 25).cast("int"))
+            ).alias("volume")
+        )
+    )
+    fwd = (
+        Window.partitionBy("sensor").orderBy("start_datetime")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy("sensor").orderBy(F.col("start_datetime").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = base.select(
+        "sensor", "start_datetime", F.col("volume").alias("volume_raw"),
+        F.last("volume", ignorenulls=True).over(fwd).alias("v0"),
+        F.last(F.when(F.col("volume").isNotNull(), F.col("start_datetime")),
+               ignorenulls=True).over(fwd).alias("t0"),
+        F.last("volume", ignorenulls=True).over(bwd).alias("v1"),
+        F.last(F.when(F.col("volume").isNotNull(), F.col("start_datetime")),
+               ignorenulls=True).over(bwd).alias("t1"),
+    )
+    # timestamps carry microseconds: unix_micros <-> epoch_us keeps the
+    # interpolation weights integer-exact in BOTH engines (unix_timestamp/
+    # epoch would truncate vs keep the fraction and diverge)
+    ep = lambda c: F.unix_micros(F.col(c))  # noqa: E731
+    return carried.select(
+        "sensor", "start_datetime", "volume_raw",
+        F.round(
+            F.when(F.col("volume_raw").isNotNull(),
+                   F.col("volume_raw").cast("double"))
+            .when(
+                F.col("t0").isNotNull() & F.col("t1").isNotNull(),
+                F.col("v0")
+                + (F.col("v1") - F.col("v0"))
+                * (ep("start_datetime") - ep("t0")).cast("double")
+                / (ep("t1") - ep("t0")).cast("double"),
+            ), 6
+        ).alias("volume_filled"),
+        (
+            F.col("volume_raw").isNull()
+            & F.col("t0").isNotNull() & F.col("t1").isNotNull()
+        ).cast("int").alias("interpolated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD-based robust anomaly detection
+# ---------------------------------------------------------------------------
+
+@register("events_mad_anomaly", """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1),
+mad AS (
+  SELECT e.event_type, m.med,
+         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY 1, 2)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND(m.med, 6) AS med,
+       ROUND(m.mad, 6) AS mad,
+       ROUND((e.value - m.med) / (1.4826 * m.mad), 6) AS robust_z
+FROM events e JOIN mad m USING (event_type)
+WHERE m.mad > 0 AND abs(e.value - m.med) > 3.5 * 1.4826 * m.mad
+""")
+def q_events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: flag events whose value sits more than
+    3.5 robust standard deviations (MAD · 1.4826) from the per-type
+    median — the estimator that doesn't move when the outliers themselves
+    inflate the variance, unlike events_zscore_anomaly's mean/stddev.
+    Exact medians via the shared-state percentile aggregate; both engines
+    interpolate order statistics identically, and the z-ratio is a single
+    rounded double projection.
+
+    Scale shape: two grouped exact-percentile passes (median, then median
+    absolute deviation) produce a per-type frame of a few rows that
+    broadcasts back onto the fact — the fact itself never shuffles, it is
+    scanned twice and filtered on a broadcast predicate. At 100 TB the
+    two exact percentiles swap to percentile_approx one-pass sketches
+    (the corridor_p85_speed_approx precedent), same join shape."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5D)").alias("mad"))
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .filter(
+            (F.col("mad") > 0)
+            & (F.abs(F.col("value") - F.col("med"))
+               > 3.5 * 1.4826 * F.col("mad"))
+        )
+        .select(
+            "event_id", "event_type", "value",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.round((F.col("value") - F.col("med"))
+                    / (1.4826 * F.col("mad")), 6).alias("robust_z"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line session concurrency
+# ---------------------------------------------------------------------------
+
+@register("events_concurrency", """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+               OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid,
+         ts
+  FROM ordered),
+spans AS (
+  SELECT MIN(ts) AS s_start, MAX(ts) + INTERVAL 30 MINUTE AS s_end
+  FROM sess GROUP BY user_id, sid),
+hourly AS (
+  SELECT unnest(generate_series(date_trunc('hour', s_start),
+                                date_trunc('hour', s_end),
+                                INTERVAL 1 HOUR)) AS hour,
+         s_start, s_end
+  FROM spans),
+deltas AS (
+  SELECT hour, greatest(s_start, hour) AS t, 1 AS delta
+  FROM hourly WHERE hour < s_end
+  UNION ALL
+  SELECT hour, least(s_end, hour + INTERVAL 1 HOUR) AS t, -1 AS delta
+  FROM hourly WHERE hour < s_end),
+running AS (
+  SELECT hour, delta,
+         SUM(delta) OVER (PARTITION BY hour ORDER BY t, delta
+                          ROWS UNBOUNDED PRECEDING) AS conc
+  FROM deltas)
+SELECT hour,
+       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions,
+       CAST(MAX(conc) AS INTEGER) AS peak_concurrency
+FROM running GROUP BY 1
+""")
+def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per hour — the capacity-planning statistic
+    (how many users are on AT ONCE, not how many events) — by sweep line:
+    each 30-min-gap session (the events_sessionize frame) emits +1 at its
+    start and −1 at its end, a running sum inside each hour gives the
+    instantaneous concurrency, and the hour keeps its max. Sessions
+    spanning hours are exploded onto the hour spine first with their
+    endpoints clamped, so every hour's sweep is self-contained: ends sort
+    before starts at the same instant (delta ascending), making
+    back-to-back sessions non-concurrent; the running max is invariant
+    to any remaining tie order.
+
+    Scale shape: the global ORDER BY that makes naive sweep lines
+    single-partition is gone — clamping to the hour spine turns it into a
+    per-hour partitioned window, so the sort parallelism is the number of
+    hours × AQE coalescing, and no interval self-join (the
+    windows-over-union move from the as-of join) appears anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.lit(1).alias("_one"))
+        .select(F.col("w.start").alias("s_start"), F.col("w.end").alias("s_end"))
+    )
+    hourly = spans.select(
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s_start"),
+                F.date_trunc("hour", "s_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour"),
+        "s_start", "s_end",
+    ).filter(F.col("hour") < F.col("s_end"))
+    deltas = hourly.select(
+        "hour",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.greatest("s_start", "hour").alias("t"),
+                    F.lit(1).alias("delta"),
+                ),
+                F.struct(
+                    F.least(
+                        F.col("s_end"),
+                        F.col("hour") + F.expr("INTERVAL 1 HOUR"),
+                    ).alias("t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("e"),
+    ).select("hour", F.col("e.t").alias("t"), F.col("e.delta").alias("delta"))
+    sweep = (
+        Window.partitionBy("hour").orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        deltas.withColumn("conc", F.sum("delta").over(sweep))
+        .groupBy("hour")
+        .agg(
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("bigint").alias("n_sessions"),
+            F.max("conc").cast("int").alias("peak_concurrency"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree-ordered triangle counting over the LSH duplicate graph
+# ---------------------------------------------------------------------------
+
+@register("dedup_cluster_density", None)  # oracle attached below (needs CTEs)
+def q_dedup_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering structure of the near-duplicate graph: triangle count,
+    wedge count, and global transitivity over the LSH candidate pairs
+    (est_sim ≥ 0.5) — high transitivity means the duplicate relation is
+    clique-like (template families, safe to collapse to one canonical);
+    low means chains of borderline pairs where a single canonical would
+    over-merge. Consumes the session-cached pair stream the whole dedup
+    family shares (plans/extensions.doc_lsh_pairs).
+
+    Scale shape: the textbook wedge explosion (a k-clique contributes
+    O(k³) wedges through its hottest vertex) is bounded by DEGREE
+    ORDERING — every edge is oriented from its (degree, id)-smaller to
+    its larger endpoint, wedges form only at the smaller endpoint, so a
+    star's hub never centers a wedge and per-vertex work is O(min-deg²).
+    Orientation needs one count shuffle for degrees + a broadcast of the
+    degree table onto the edge stream; the wedge join and the closing
+    edge semi-join are co-keyed equi-joins. Wedge totals come from the
+    degree frame arithmetically (Σ d(d−1)/2), not from materializing
+    wedges twice."""
+    from traffic_data_pipeline_spark.plans.extensions import doc_lsh_pairs
+
+    pairs = doc_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    deg = (
+        pairs.select(F.col("doc_a").alias("v"))
+        .unionAll(pairs.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient each edge low->high by (degree, id); both endpoints' degrees
+    # arrive via broadcast (the dedup graph's vertex set is tiny next to
+    # the corpus; at 100 TB this becomes a co-keyed join, same plan)
+    e = (
+        pairs.join(F.broadcast(deg.withColumnRenamed("v", "doc_a")
+                               .withColumnRenamed("d", "da")), "doc_a")
+        .join(F.broadcast(deg.withColumnRenamed("v", "doc_b")
+                          .withColumnRenamed("d", "db")), "doc_b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db"))
+                   & (F.col("doc_a") < F.col("doc_b"))),
+                F.struct(F.col("doc_a").alias("lo"), F.col("doc_b").alias("hi")),
+            ).otherwise(
+                F.struct(F.col("doc_b").alias("lo"), F.col("doc_a").alias("hi"))
+            ).alias("o")
+        )
+        .select("o.lo", "o.hi")
+    )
+    wedges = (
+        e.alias("x")
+        .join(e.alias("y"),
+              (F.col("x.lo") == F.col("y.lo")) & (F.col("x.hi") < F.col("y.hi")))
+        .select(F.col("x.hi").alias("a"), F.col("y.hi").alias("b"))
+    )
+    # wedge endpoints already sorted (a < b by doc id) and the pair stream
+    # is canonical doc_a < doc_b, so closing is ONE equi semi-join — an OR
+    # of both orientations would fall off the hash-join path entirely
+    closed = wedges.join(
+        pairs,
+        (F.col("a") == F.col("doc_a")) & (F.col("b") == F.col("doc_b")),
+        "left_semi",
+    )
+    tri = closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("bigint")
+        .alias("n_wedges"),
+    )
+    edges = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes", "n_edges", "n_wedges", "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6),
+            ).alias("transitivity"),
+        )
+    )
+
+
+def _cluster_density_oracle() -> str:
+    from traffic_data_pipeline_spark.plans.extensions import _MINHASH_CTES
+
+    return f"""
+WITH {_MINHASH_CTES},
+apairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(a.h0 = b.h0 AS INTEGER) + CAST(a.h1 = b.h1 AS INTEGER) +
+         CAST(a.h2 = b.h2 AS INTEGER) + CAST(a.h3 = b.h3 AS INTEGER) +
+         CAST(a.h4 = b.h4 AS INTEGER) + CAST(a.h5 = b.h5 AS INTEGER) +
+         CAST(a.h6 = b.h6 AS INTEGER) + CAST(a.h7 = b.h7 AS INTEGER) AS agree
+  FROM band_long a JOIN band_long b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+edges AS (SELECT doc_a, doc_b FROM apairs WHERE agree / 8.0 >= 0.5),
+und AS (
+  SELECT doc_a AS v FROM edges UNION ALL SELECT doc_b FROM edges),
+deg AS (SELECT v, COUNT(*) AS d FROM und GROUP BY 1),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.doc_a = e1.doc_b
+  JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d * (d - 1)) // 2 AS BIGINT) AS n_wedges
+  FROM deg),
+ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+SELECT st.n_nodes, ec.n_edges, st.n_wedges,
+       CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+       CASE WHEN st.n_wedges > 0 THEN
+         ROUND(3.0 * tri.n_triangles / st.n_wedges, 6)
+       END AS transitivity
+FROM st CROSS JOIN ec CROSS JOIN tri
+"""
+
+
+# ---------------------------------------------------------------------------
+# Decision-support join shapes (small-quantity revenue, idle-rich anti-join)
+# ---------------------------------------------------------------------------
+
+@register("brand_small_qty_revenue", """
+WITH pq AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6))
+           AS sum_qty,
+         CAST(COUNT(*) AS BIGINT) AS n_li
+  FROM lineitem GROUP BY 1)
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_small,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS small_revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pq ON pq.l_partkey = l.l_partkey
+WHERE CAST(l.l_quantity AS DECIMAL(18,6)) * pq.n_li * 2 < pq.sum_qty
+GROUP BY 1
+""")
+def q_brand_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity revenue per brand (the TPC-H Q17 shape): revenue
+    from line items ordering less than half their part's average
+    quantity. The correlated AVG subquery is decorrelated into one
+    per-part aggregate joined back, and the threshold is the RATIONAL
+    comparison 2·q·n < Σq in exact decimals — never q < Σ/n, whose
+    double-division boundary can disagree across engines for rows
+    sitting exactly on the average.
+
+    Scale shape: the per-part aggregate is a map-side-combined shuffle of
+    (partkey, qty) pairs co-keyed with the fact join that follows, so
+    AQE plans agg+join on one exchange; the part dimension broadcasts.
+    The fact is scanned once, projected to 4 columns (ReadSchema-pruned),
+    and only survivors reach the final brand aggregate (tiny)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pq = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .cast("decimal(38,6)").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    return (
+        li.join(pq, "l_partkey")
+        .filter(
+            F.col("l_quantity").cast("decimal(18,6)") * F.col("n_li") * 2
+            < F.col("sum_qty")
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_small"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double").alias("small_revenue"),
+        )
+    )
+
+
+LAPSE_CUTOFF = "2001-01-01"  # orders end 2001-08-01: ~7 idle months
+
+
+@register("idle_rich_customers", f"""
+WITH bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6))
+           AS sum_bal,
+         CAST(COUNT(*) AS BIGINT) AS n_pos
+  FROM customer WHERE c_acctbal > 0)
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+FROM customer c CROSS JOIN bal
+WHERE CAST(c.c_acctbal AS DECIMAL(18,6)) * bal.n_pos > bal.sum_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= DATE '{LAPSE_CUTOFF}')
+GROUP BY 1
+""")
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idle rich customers per market segment (the TPC-H Q22 shape):
+    customers whose balance beats the average positive balance but who
+    have placed no order since the cutoff — the lapsed-high-value cohort
+    a win-back campaign targets. The scalar AVG threshold is again the
+    rational form bal·n > Σ in exact decimals; the 'no recent order'
+    predicate is a null-safe ANTI join, not NOT IN (whose three-valued
+    NULL semantics silently empty the result if a custkey is NULL).
+
+    Scale shape: the global (Σ, n) pair is a one-row broadcast
+    cross-join onto the customer scan (the sanctioned broadcast-scalar
+    pattern); the anti join ships only recent o_custkey — the date
+    predicate pushes into the orders scan, so at this dimension ratio
+    Spark broadcasts the filtered customer side, and at 100 TB AQE flips
+    it to a shuffle anti join on the same plan."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+        .cast("decimal(38,6)").alias("sum_bal"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    return (
+        cust.crossJoin(F.broadcast(bal))
+        .filter(
+            F.col("c_acctbal").cast("decimal(18,6)") * F.col("n_pos")
+            > F.col("sum_bal")
+        )
+        .join(
+            orders.filter(F.col("o_orderdate") >= F.lit(LAPSE_CUTOFF).cast("date"))
+            .select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey", "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+            .cast("double").alias("totacctbal"),
+        )
+    )
+
+
+# attach the cluster-density oracle after both CTE sources are importable
+from traffic_data_pipeline_spark.plans.queries import ORACLES  # noqa: E402
+
+ORACLES["dedup_cluster_density"] = _cluster_density_oracle()
