@@ -80,6 +80,8 @@ _DEFER_NEW = {
     "dedup_cluster_density",
     "brand_small_qty_revenue",
     "idle_rich_customers",
+    "source_overlap_matrix",
+    "streaming_sessionize",
 }
 
 

@@ -302,3 +302,92 @@ def test_stream_join_no_duplicate_attributions_on_resume(spark, tmp_path):
     rows = [(r.click_id, r.purchase_id)
             for r in spark.read.parquet(sink).collect()]
     assert sorted(rows) == [(1, 2), (1, 5), (3, 4)]  # exactly once each
+
+
+def test_session_window_state_survives_restart(spark, tmp_path):
+    """Session-state recovery: a session whose events straddle a
+    stop/start boundary must come out as ONE merged session — the
+    session-store state (open session per user) has to survive the
+    checkpoint restart, and a later event inside the gap must EXTEND the
+    recovered session, not open a second one."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp, value double"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "user_id long, ts string, value double") \
+            .withColumn("ts", F.col("ts").cast("timestamp")) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (stream.withWatermark("ts", "1 hour")
+               .groupBy("user_id",
+                        F.session_window("ts", "30 minutes").alias("w"))
+               .agg(F.count(F.lit(1)).alias("n_events"))
+               .select("user_id", F.col("w.start").alias("s_start"),
+                       F.col("w.end").alias("s_end"), "n_events"))
+        q = (agg.writeStream.outputMode("append").format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(300)
+
+    # run 1: two events of an open session; watermark stays at 09:10,
+    # so nothing finalizes
+    write_batch([(7, "2024-01-01 10:00:00", 1.0),
+                 (7, "2024-01-01 10:10:00", 1.0)])
+    run_once()
+    # run 2 (fresh query on the same checkpoint): a third event INSIDE
+    # the recovered session's gap extends it; the flush row finalizes it
+    write_batch([(7, "2024-01-01 10:20:00", 1.0),
+                 (99, "2024-01-01 20:00:00", 0.0)])
+    run_once()
+    rows = [(r.user_id, str(r.s_start), str(r.s_end), r.n_events)
+            for r in spark.read.parquet(sink)
+            .filter(F.col("user_id") == 7).collect()]
+    assert rows == [(7, "2024-01-01 10:00:00", "2024-01-01 10:50:00", 3)]
+
+
+def test_session_window_no_reemit_on_resume(spark, tmp_path):
+    """A session already FINALIZED and emitted before the stop must not
+    re-emit when the query resumes on the same checkpoint — append-mode
+    session output has to stay exactly-once across restarts."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp, value double"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "user_id long, ts string, value double") \
+            .withColumn("ts", F.col("ts").cast("timestamp")) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (stream.withWatermark("ts", "1 hour")
+               .groupBy("user_id",
+                        F.session_window("ts", "30 minutes").alias("w"))
+               .agg(F.count(F.lit(1)).alias("n_events"))
+               .select("user_id", F.col("w.start").alias("s_start"), "n_events"))
+        q = (agg.writeStream.outputMode("append").format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(300)
+
+    # run 1: u8's session finalizes (watermark reaches 14:00 > 10:30)
+    write_batch([(8, "2024-01-01 10:00:00", 1.0),
+                 (99, "2024-01-01 15:00:00", 0.0)])
+    run_once()
+    # run 2: a NEW user's session finalizes; u8 must not re-emit
+    write_batch([(9, "2024-01-01 16:00:00", 1.0),
+                 (99, "2024-01-01 20:00:00", 0.0)])
+    run_once()
+    rows = sorted((r.user_id, r.n_events)
+                  for r in spark.read.parquet(sink)
+                  .filter(F.col("user_id").isin(8, 9)).collect())
+    assert rows == [(8, 1), (9, 1)]

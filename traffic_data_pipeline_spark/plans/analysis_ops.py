@@ -588,6 +588,7 @@ def q_dedup_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge semi-join are co-keyed equi-joins. Wedge totals come from the
     degree frame arithmetically (Σ d(d−1)/2), not from materializing
     wedges twice."""
+    from traffic_data_pipeline_spark.functions.execution import materialize
     from traffic_data_pipeline_spark.plans.extensions import doc_lsh_pairs
 
     pairs = doc_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
@@ -599,8 +600,10 @@ def q_dedup_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # orient each edge low->high by (degree, id); both endpoints' degrees
     # arrive via broadcast (the dedup graph's vertex set is tiny next to
-    # the corpus; at 100 TB this becomes a co-keyed join, same plan)
-    e = (
+    # the corpus; at 100 TB this becomes a co-keyed join, same plan).
+    # The oriented list feeds BOTH sides of the wedge join: materialize
+    # it, or each side replays the degree aggregate + two joins
+    e = materialize(
         pairs.join(F.broadcast(deg.withColumnRenamed("v", "doc_a")
                                .withColumnRenamed("d", "da")), "doc_a")
         .join(F.broadcast(deg.withColumnRenamed("v", "doc_b")
@@ -617,9 +620,12 @@ def q_dedup_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o.lo", "o.hi")
     )
+    # edge-list-sized build side -> broadcast keeps wedge enumeration
+    # shuffle-free; past broadcast range it degrades to a co-keyed
+    # sort-merge self-join on lo (same plan, Spark flips on stats)
     wedges = (
         e.alias("x")
-        .join(e.alias("y"),
+        .join(F.broadcast(e.alias("y")),
               (F.col("x.lo") == F.col("y.lo")) & (F.col("x.hi") < F.col("y.hi")))
         .select(F.col("x.hi").alias("a"), F.col("y.hi").alias("b"))
     )
@@ -652,7 +658,7 @@ def q_dedup_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cluster_density_oracle() -> str:
-    from traffic_data_pipeline_spark.plans.extensions import _MINHASH_CTES
+    from traffic_data_pipeline_spark.plans.oracle_ctes import _MINHASH_CTES
 
     return f"""
 WITH {_MINHASH_CTES},
@@ -807,7 +813,191 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# attach the cluster-density oracle after both CTE sources are importable
+# ---------------------------------------------------------------------------
+# Cross-source duplicate-rate matrix
+# ---------------------------------------------------------------------------
+
+@register("source_overlap_matrix", None)  # oracle attached below (needs CTEs)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which feeds copy each other: the near-duplicate pair stream
+    aggregated into an unordered source×source matrix (n_pairs + mean
+    estimated similarity). A heavy off-diagonal cell means two ingest
+    feeds overlap (mirror sites, syndication) and one of them should be
+    dropped before dedup spends compute rediscovering it pair by pair;
+    the diagonal is each feed's internal redundancy.
+
+    Scale shape: consumes the session-cached LSH pair stream (the
+    family's shared artifact — nothing here re-shingles); the
+    (doc_id → source) lookup is a two-column projection joined twice,
+    broadcast at fixture scale and a co-keyed shuffle join at corpus
+    scale (same plan, Spark flips the strategy on size stats). est_sim
+    values are multiples of 1/8, so the double sum is EXACT regardless
+    of reduction order — the mean needs no decimal detour."""
+    from traffic_data_pipeline_spark.plans.extensions import doc_lsh_pairs
+
+    pairs = doc_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b", "est_sim")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    tagged = (
+        pairs.join(F.broadcast(src.withColumnRenamed("doc_id", "doc_a")
+                               .withColumnRenamed("source", "src_a")), "doc_a")
+        .join(F.broadcast(src.withColumnRenamed("doc_id", "doc_b")
+                          .withColumnRenamed("source", "src_b")), "doc_b")
+    )
+    return (
+        tagged.select(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+            "est_sim",
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.sum("est_sim") / F.count(F.lit(1)), 6)
+            .alias("mean_est_sim"),
+        )
+    )
+
+
+def _source_overlap_oracle() -> str:
+    from traffic_data_pipeline_spark.plans.oracle_ctes import _MINHASH_CTES
+
+    return f"""
+WITH {_MINHASH_CTES},
+opairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         (CAST(a.h0 = b.h0 AS INTEGER) + CAST(a.h1 = b.h1 AS INTEGER) +
+          CAST(a.h2 = b.h2 AS INTEGER) + CAST(a.h3 = b.h3 AS INTEGER) +
+          CAST(a.h4 = b.h4 AS INTEGER) + CAST(a.h5 = b.h5 AS INTEGER) +
+          CAST(a.h6 = b.h6 AS INTEGER) + CAST(a.h7 = b.h7 AS INTEGER)) / 8.0
+           AS est_sim
+  FROM band_long a JOIN band_long b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+kept AS (SELECT * FROM opairs WHERE est_sim >= 0.5),
+tagged AS (
+  SELECT least(da.source, db.source) AS source_lo,
+         greatest(da.source, db.source) AS source_hi,
+         k.est_sim
+  FROM kept k
+  JOIN documents da ON da.doc_id = k.doc_a
+  JOIN documents db ON db.doc_id = k.doc_b)
+SELECT source_lo, source_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(SUM(est_sim) / COUNT(*), 6) AS mean_est_sim
+FROM tagged GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming sessionization (session_window + watermark, append mode)
+# ---------------------------------------------------------------------------
+
+_SESS_SRC_CACHE: dict[str, str] = {}
+FLUSH_USER = -999999  # sentinel advancing the watermark past every session
+
+
+def _session_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Events landing zone with one far-future flush event appended, so an
+    availableNow run's watermark passes every real session's end and
+    append mode emits ALL of them (the FLUSH_SENSOR pattern from
+    queries.stream_source_dir). Built once per sf_dir per process."""
+    from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
+
+    if sf_dir not in _SESS_SRC_CACHE:
+        src = scratch_dir(prefix="tdp_sess_events_")
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "value")
+        flush = ev.agg(F.max("ts").alias("m")).select(
+            F.lit(FLUSH_USER).cast("long").alias("user_id"),
+            (F.col("m") + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+        ev.unionByName(flush).write.mode("overwrite").parquet(src)
+        _SESS_SRC_CACHE[sf_dir] = src
+    return _SESS_SRC_CACHE[sf_dir]
+
+
+@register("streaming_sessionize", """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+               OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, sid
+""")
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/T4 streaming face of events_sessionize: session_window on a
+    watermarked stream in APPEND mode — the stateful-merging window
+    (sessions have no fixed boundaries; late events can MERGE two open
+    sessions into one, which is why this needs the session-state store,
+    not tumbling-window state). A session only finalizes when the
+    watermark passes its close; the landing zone's far-future flush
+    event advances it past every real session, so the availableNow run
+    emits exactly the batch answer and the batch oracle hash-checks it
+    — streaming==batch equivalence, same gate as streaming_15min_agg.
+
+    Scale shape: state is one open session per active user inside the
+    watermark horizon (bounded by activity, not history); emission is
+    append-only to a distributed sink; shuffle width pinned while the
+    checkpoint exists (a checkpointed stream's state width is forever).
+    """
+    from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
+    from traffic_data_pipeline_spark.plans.queries import fmt_ts
+
+    src = _session_events_dir(spark, sf_dir)
+    sink = scratch_dir(prefix="tdp_sess_sink_")
+    ckpt = scratch_dir(prefix="tdp_sess_ckpt_")
+    stream = (
+        spark.readStream
+        .schema("user_id long, ts timestamp, value double")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+        .select("user_id", F.col("w.start").alias("s_start"),
+                F.col("w.end").alias("s_end"), "n_events", "sum_value")
+    )
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "8")  # state width: one open session per active user
+    try:
+        q = (agg.writeStream.outputMode("append")
+             .format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        ok = q.awaitTermination(600)
+    finally:
+        spark.conf.set(key, prev)
+    if not ok:
+        q.stop()
+        raise TimeoutError("streaming_sessionize: availableNow run exceeded 600s")
+    return spark.read.parquet(sink).filter(F.col("user_id") != FLUSH_USER).select(
+        "user_id",
+        fmt_ts(F.col("s_start")).alias("session_start"),
+        fmt_ts(F.col("s_end")).alias("session_end"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+# attach oracles that need CTE strings from extensions (importable only
+# after plans.extensions finished registering)
 from traffic_data_pipeline_spark.plans.queries import ORACLES  # noqa: E402
 
 ORACLES["dedup_cluster_density"] = _cluster_density_oracle()
+ORACLES["source_overlap_matrix"] = _source_overlap_oracle()

@@ -1,0 +1,43 @@
+"""Shared DuckDB-oracle CTE strings over `documents`, in a module with
+NO plans-package imports: both plans/extensions.py and
+plans/analysis_ops.py compose oracles from these, and keeping them here
+makes the strings importable regardless of which plans module the
+interpreter happens to load first (plans/queries.py's tail imports every
+registration module, so a user importing plans.extensions directly would
+otherwise hit a partially-initialized sibling)."""
+
+_DOC_CTES = """
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents),
+toks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+    FROM documents)
+  WHERE token != ''),
+sh AS (
+  SELECT DISTINCT doc_id, substr(norm, g, 5) AS shingle
+  FROM norm, unnest(generate_series(1, greatest(length(norm) - 4, 1))) t(g))
+"""
+
+_MINHASH_CTES = _DOC_CTES + """,
+sigs AS (
+  SELECT doc_id, s.i,
+         MIN(md5(CAST(s.i AS VARCHAR) || ':' || shingle)) AS h
+  FROM sh, (SELECT unnest(generate_series(0, 7)) AS i) s
+  GROUP BY 1, 2),
+wide AS (
+  SELECT doc_id,
+         MIN(CASE WHEN i = 0 THEN h END) AS h0, MIN(CASE WHEN i = 1 THEN h END) AS h1,
+         MIN(CASE WHEN i = 2 THEN h END) AS h2, MIN(CASE WHEN i = 3 THEN h END) AS h3,
+         MIN(CASE WHEN i = 4 THEN h END) AS h4, MIN(CASE WHEN i = 5 THEN h END) AS h5,
+         MIN(CASE WHEN i = 6 THEN h END) AS h6, MIN(CASE WHEN i = 7 THEN h END) AS h7
+  FROM sigs GROUP BY 1),
+band_long AS (
+  SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7,
+         unnest([md5(concat_ws('|', 'b0', h0, h1)),
+                 md5(concat_ws('|', 'b1', h2, h3)),
+                 md5(concat_ws('|', 'b2', h4, h5)),
+                 md5(concat_ws('|', 'b3', h6, h7))]) AS band_key
+  FROM wide)
+"""
