@@ -82,6 +82,8 @@ _DEFER_NEW = {
     "idle_rich_customers",
     "source_overlap_matrix",
     "streaming_sessionize",
+    "basket_part_pairs",
+    "source_keywords_chi2",
 }
 
 

@@ -150,3 +150,46 @@ def test_small_qty_threshold_rational(spark, sf_dir):
         .count()
     )
     assert direct == sum(r["n_small"] for r in out)
+
+def test_basket_pairs_lift_recount(spark, sf_dir):
+    """Top basket pairs: recount n_orders_both for the returned pairs
+    directly from the fact and recheck the lift arithmetic."""
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    out = QUERIES["basket_part_pairs"](spark, sf_dir).collect()
+    assert len(out) == 10
+    assert [r["rk"] for r in out] == list(range(1, 11))
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    orders = {r["l_orderkey"]: set() for r in items.collect()}
+    for r in items.collect():
+        orders[r["l_orderkey"]].add(r["l_partkey"])
+    t = len(orders)
+    for r in out[:3]:
+        both = sum(1 for parts in orders.values()
+                   if r["part_a"] in parts and r["part_b"] in parts)
+        n_a = sum(1 for parts in orders.values() if r["part_a"] in parts)
+        n_b = sum(1 for parts in orders.values() if r["part_b"] in parts)
+        assert both == r["n_orders_both"]
+        assert abs(r["lift"] - round(both * t / (n_a * n_b), 6)) < 1e-9
+
+
+def test_chi2_keywords_overrepresented(spark, sf_dir):
+    """Every reported keyword is actually OVER-represented in its source
+    (P(t|s) > P(t)) and the per-source rank sequence is dense."""
+    rows = QUERIES["source_keywords_chi2"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    n_s = {r["source"]: r["c"] for r in
+           docs.groupBy("source").agg(F.count(F.lit(1)).alias("c")).collect()}
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+        assert r["df_in_source"] * n > r["df_total"] * n_s[r["source"]], r
+        assert r["chi2"] > 0
+    for src, rs in by_src.items():
+        assert [x["rk"] for x in sorted(rs, key=lambda x: x["rk"])] == \
+            list(range(1, len(rs) + 1))

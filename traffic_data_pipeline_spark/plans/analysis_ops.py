@@ -995,6 +995,199 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Market-basket pair lift (collocations on the order fact)
+# ---------------------------------------------------------------------------
+
+BASKET_MIN_COUNT = 2
+BASKET_K = 10
+
+
+@register("basket_part_pairs", f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+c1 AS (SELECT l_partkey, COUNT(*) AS n1 FROM items GROUP BY 1),
+tot AS (SELECT COUNT(DISTINCT l_orderkey) AS t FROM items),
+c2 AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n2
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+scored AS (
+  SELECT c2.part_a, c2.part_b, c2.n2,
+         CAST(c2.n2 * t.t AS DOUBLE) / CAST(ca.n1 * cb.n1 AS DOUBLE) AS lift
+  FROM c2
+  JOIN c1 ca ON ca.l_partkey = c2.part_a
+  JOIN c1 cb ON cb.l_partkey = c2.part_b
+  CROSS JOIN tot t
+  WHERE c2.n2 >= {BASKET_MIN_COUNT})
+SELECT part_a, part_b, CAST(n2 AS BIGINT) AS n_orders_both,
+       CAST(rk AS INTEGER) AS rk, ROUND(lift, 6) AS lift
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, part_a, part_b) AS rk
+      FROM scored)
+WHERE rk <= {BASKET_K}
+""")
+def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining: the top-k part pairs by LIFT
+    P(ab)/(P(a)P(b)) = n2·T/(n1(a)·n1(b)) over orders containing both —
+    doc_collocations' exact-rational scoring applied to the transaction
+    fact (one double division of integer counts, so both engines score
+    and rank identically; DECIMAL(38,0) products past 2^53).
+
+    Scale shape: the within-order self-join is co-keyed on l_orderkey
+    and its fan-out is C(basket,2) — bounded by basket SIZE (single
+    digits), not corpus size, which is what makes apriori-style pair
+    counting tractable where a part×part join never would be. Item→
+    order dedup and the pair count are map-side-combined shuffles; part
+    supports are a vocabulary-sized broadcast; T is a one-row scalar;
+    top-k is TakeOrderedAndProject over the min-support survivors."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        li.select("l_orderkey", "l_partkey").distinct()
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+    )
+    from traffic_data_pipeline_spark.functions.execution import materialize
+
+    items = materialize(items)  # three consumers: both join sides + c1/T
+    c1 = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n1"))
+    tot = items.agg(F.countDistinct("l_orderkey").alias("t"))
+    a = items.select(F.col("l_orderkey").alias("o"),
+                     F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("o"),
+                     F.col("l_partkey").alias("part_b"))
+    c2 = (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n2"))
+        .filter(F.col("n2") >= BASKET_MIN_COUNT)
+    )
+    scored = (
+        c2.join(F.broadcast(c1.select(F.col("l_partkey").alias("part_a"),
+                                      F.col("n1").alias("_n1a"))), "part_a")
+        .join(F.broadcast(c1.select(F.col("l_partkey").alias("part_b"),
+                                    F.col("n1").alias("_n1b"))), "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a", "part_b", "n2",
+            ((F.col("n2") * F.col("t")).cast("double")
+             / (F.col("_n1a") * F.col("_n1b")).cast("double")).alias("lift"),
+        )
+    )
+    wk = Window.orderBy(F.col("lift").desc(), "part_a", "part_b")
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= BASKET_K)
+        .select("part_a", "part_b", F.col("n2").alias("n_orders_both"),
+                F.col("rk").cast("int").alias("rk"),
+                F.round("lift", 6).alias("lift"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square distinctive keywords per source
+# ---------------------------------------------------------------------------
+
+CHI2_MIN_DF = 5
+CHI2_K = 5
+
+
+@register("source_keywords_chi2", f"""
+WITH dt AS (
+  SELECT DISTINCT d.doc_id, d.source, t.token
+  FROM documents d,
+       unnest(list_filter(string_split_regex(lower(d.text), '[^a-z0-9]+'),
+                          x -> x != '')) t(token)),
+df_st AS (SELECT source, token, COUNT(*) AS a FROM dt GROUP BY 1, 2),
+df_t AS (SELECT token, CAST(SUM(a) AS BIGINT) AS dft FROM df_st GROUP BY 1),
+ns AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1),
+big AS (SELECT COUNT(*) AS n FROM documents),
+pre AS (
+  SELECT s.source, s.token, s.a, t.dft, ns.n_s, b.n,
+         s.a * (b.n - ns.n_s - t.dft + s.a)
+           - (ns.n_s - s.a) * (t.dft - s.a) AS adbc
+  FROM df_st s
+  JOIN df_t t USING (token)
+  JOIN ns USING (source)
+  CROSS JOIN big b
+  WHERE t.dft >= {CHI2_MIN_DF} AND t.dft < b.n
+    AND s.a * b.n > t.dft * ns.n_s),
+scored AS (
+  SELECT source, token, a, dft,
+         CAST(n * adbc * adbc AS DOUBLE)
+           / CAST(n_s * (n - n_s) * dft * (n - dft) AS DOUBLE) AS chi2
+  FROM pre)
+SELECT source, token,
+       CAST(a AS BIGINT) AS df_in_source,
+       dft AS df_total,
+       CAST(rk AS INTEGER) AS rk,
+       ROUND(chi2, 6) AS chi2
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY chi2 DESC, token) AS rk
+      FROM scored)
+WHERE rk <= {CHI2_K}
+""")
+def q_source_keywords_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per feed: for each source, the top-k tokens
+    most over-represented by the chi-square statistic on the 2×2
+    document-frequency table (χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d))) —
+    the feature-selection view of the corpus that tells you WHAT a feed
+    is about (and catches boilerplate: a navigation token chi²-bound to
+    one source). Numerator and denominator are exact integer products
+    with ONE double division at the end, so both engines score and rank
+    identically; at corpus scale the products move to DECIMAL(38,0)
+    (N⁴ passes 2^63 near N≈55k docs).
+
+    Scale shape: the (doc, token) presence dedup is the only corpus-
+    sized shuffle; per-(source, token) and per-token document
+    frequencies are map-side-combined count streams joined co-keyed on
+    token; source sizes and the grand total broadcast as a handful of
+    rows. The rank window partitions by source over the min-df surviving
+    vocabulary — never over documents."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    dt = (
+        docs.select("doc_id", "source",
+                    F.explode(token_array(F.col("text"))).alias("token"))
+        .dropDuplicates(["doc_id", "token"])
+    )
+    df_st = dt.groupBy("source", "token").agg(F.count(F.lit(1)).alias("a"))
+    df_t = df_st.groupBy("token").agg(F.sum("a").cast("bigint").alias("dft"))
+    ns = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    big = docs.agg(F.count(F.lit(1)).alias("n"))
+    ad_bc = (
+        F.col("a") * (F.col("n") - F.col("n_s") - F.col("dft") + F.col("a"))
+        - (F.col("n_s") - F.col("a")) * (F.col("dft") - F.col("a"))
+    )
+    scored = (
+        df_st.join(df_t, "token")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(big))
+        .filter(
+            (F.col("dft") >= CHI2_MIN_DF) & (F.col("dft") < F.col("n"))
+            & (F.col("a") * F.col("n") > F.col("dft") * F.col("n_s"))
+        )
+        .select(
+            "source", "token", "a", "dft",
+            ((F.col("n") * ad_bc * ad_bc).cast("double")
+             / (F.col("n_s") * (F.col("n") - F.col("n_s"))
+                * F.col("dft") * (F.col("n") - F.col("dft"))).cast("double"))
+            .alias("chi2"),
+        )
+    )
+    wk = Window.partitionBy("source").orderBy(F.col("chi2").desc(), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= CHI2_K)
+        .select("source", "token",
+                F.col("a").cast("bigint").alias("df_in_source"),
+                F.col("dft").alias("df_total"),
+                F.col("rk").cast("int").alias("rk"),
+                F.round("chi2", 6).alias("chi2"))
+    )
+
+
 # attach oracles that need CTE strings from extensions (importable only
 # after plans.extensions finished registering)
 from traffic_data_pipeline_spark.plans.queries import ORACLES  # noqa: E402
