@@ -84,6 +84,7 @@ _DEFER_NEW = {
     "streaming_sessionize",
     "basket_part_pairs",
     "source_keywords_chi2",
+    "label_centroid_similarity",
 }
 
 

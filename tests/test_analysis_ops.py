@@ -193,3 +193,21 @@ def test_chi2_keywords_overrepresented(spark, sf_dir):
     for src, rs in by_src.items():
         assert [x["rk"] for x in sorted(rs, key=lambda x: x["rk"])] == \
             list(range(1, len(rs) + 1))
+
+
+def test_label_centroid_similarity_bounds(spark, sf_dir):
+    """Cosine bounds and pair completeness: every value in [-1, 1], one
+    row per unordered label pair, and n_a/n_b match the label sizes."""
+    rows = QUERIES["label_centroid_similarity"](spark, sf_dir).collect()
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    labels = {r["label"]: r["c"] for r in
+              load_table(spark, sf_dir, "embeddings")
+              .groupBy("label").agg(F.count(F.lit(1)).alias("c")).collect()}
+    k = len(labels)
+    assert len(rows) == k * (k - 1) // 2
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["centroid_cosine"] <= 1.0 + 1e-9
+        assert r["label_a"] < r["label_b"]
+        assert r["n_a"] == labels[r["label_a"]]
+        assert r["n_b"] == labels[r["label_b"]]

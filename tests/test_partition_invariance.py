@@ -38,6 +38,7 @@ CASES = [
     "events_concurrency",
     "sensor_interpolate",
     "dedup_cluster_density",
+    "label_centroid_similarity",
 ]
 
 

@@ -1188,6 +1188,105 @@ def q_source_keywords_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Label-centroid cosine similarity (embeddings)
+# ---------------------------------------------------------------------------
+
+@register("label_centroid_similarity", """
+WITH e AS (
+  SELECT label, g AS pos,
+         CAST(CAST(embedding[g] AS DOUBLE) AS DECIMAL(18,6)) AS v
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) t(g)),
+cs AS (
+  SELECT label, pos, CAST(SUM(v) AS DECIMAL(18,6)) AS s
+  FROM e GROUP BY 1, 2),
+nrm AS (
+  SELECT label, SUM(CAST(s * s AS DECIMAL(38,12))) AS n2
+  FROM cs GROUP BY 1),
+cnt AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY 1),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         SUM(CAST(a.s * b.s AS DECIMAL(38,12))) AS dot
+  FROM cs a JOIN cs b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY 1, 2)
+SELECT d.label_a, d.label_b, na.n AS n_a, nb.n AS n_b,
+       ROUND(CAST(d.dot AS DOUBLE)
+             / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE)), 6)
+         AS centroid_cosine
+FROM dots d
+JOIN nrm x ON x.label = d.label_a
+JOIN nrm y ON y.label = d.label_b
+JOIN cnt na ON na.label = d.label_a
+JOIN cnt nb ON nb.label = d.label_b
+WHERE x.n2 > 0 AND y.n2 > 0
+""")
+def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-level semantic geometry: pairwise cosine between per-label
+    embedding CENTROIDS — the collapse detector (two labels whose
+    centroids read >0.95 are one concept wearing two names; near-zero
+    off-diagonals mean the label space is healthy). Cosine is invariant
+    to scaling, so the centroid mean is never divided: cos(Σa/n_a, Σb/n_b)
+    = cos(Σa, Σb), and every product stays an EXACT decimal (component
+    sums are order-free decimal(18,6), pairwise products decimal(38,12))
+    with one double division + sqrt in the final rounded projection —
+    no cross-engine decimal-division rounding to disagree on. (Float
+    components must widen to DOUBLE before the decimal cast on BOTH
+    engines: DuckDB's direct FLOAT→DECIMAL scales in float precision
+    and drifts a ulp — the same gotcha the similarity oracles pin with
+    CAST(embedding[i] AS DOUBLE).)
+
+    Scale shape: the only corpus-sized op is the (label, dim) component
+    sum — a posexplode fan-out of dims that aggregates map-side
+    (|labels|·|dims| output rows); everything after runs on the
+    centroid matrix, which is broadcast-tiny at any corpus size. This
+    is the same reduction a distributed k-means E-step uses."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cs = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.sum(F.col("v").cast("double").cast("decimal(18,6)"))
+             .cast("decimal(18,6)").alias("s"))
+    )
+    from traffic_data_pipeline_spark.functions.execution import materialize
+
+    cs = materialize(cs)  # feeds norms + both dot sides
+    nrm = cs.groupBy("label").agg(
+        F.sum((F.col("s") * F.col("s")).cast("decimal(38,12)")).alias("n2"))
+    cnt = emb.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = cs.select(F.col("label").alias("label_a"), "pos",
+                  F.col("s").alias("sa"))
+    b = cs.select(F.col("label").alias("label_b"),
+                  F.col("pos").alias("pos_b"), F.col("s").alias("sb"))
+    dots = (
+        a.join(F.broadcast(b),
+               (F.col("pos") == F.col("pos_b"))
+               & (F.col("label_a") < F.col("label_b")))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum((F.col("sa") * F.col("sb")).cast("decimal(38,12)"))
+             .alias("dot"))
+    )
+    return (
+        dots.join(F.broadcast(nrm.select(F.col("label").alias("label_a"),
+                                         F.col("n2").alias("_n2a"))), "label_a")
+        .join(F.broadcast(nrm.select(F.col("label").alias("label_b"),
+                                     F.col("n2").alias("_n2b"))), "label_b")
+        .join(F.broadcast(cnt.select(F.col("label").alias("label_a"),
+                                     F.col("n").alias("n_a"))), "label_a")
+        .join(F.broadcast(cnt.select(F.col("label").alias("label_b"),
+                                     F.col("n").alias("n_b"))), "label_b")
+        .filter((F.col("_n2a") > 0) & (F.col("_n2b") > 0))
+        .select(
+            "label_a", "label_b", "n_a", "n_b",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("_n2a").cast("double")
+                         * F.col("_n2b").cast("double")), 6
+            ).alias("centroid_cosine"),
+        )
+    )
+
+
 # attach oracles that need CTE strings from extensions (importable only
 # after plans.extensions finished registering)
 from traffic_data_pipeline_spark.plans.queries import ORACLES  # noqa: E402
