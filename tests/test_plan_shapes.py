@@ -78,6 +78,43 @@ CAPS = {
                                          # candidate list and the N scalar
                                          # broadcast — no full-cardinality
                                          # count table is ever built
+    "doc_decontaminate_bloom": (4, 1),   # spread + gram dedup + per-gram
+                                         # probe agg + doc agg; the BITSET
+                                         # words always broadcast — no gram
+                                         # strings ever ship
+    "doc_lexical_diversity": (2, 0),     # one (doc, token) count shuffle;
+                                         # the doc re-agg rides the prefix
+    "corpus_kl_drift": (3, 2),           # live plan over the cached count
+                                         # stream: token marginal + co-keyed
+                                         # join; totals broadcast
+    "sensor_interpolate": (2, 0),        # ONE sensor exchange carries both
+                                         # carry windows (fwd + reverse sort)
+    "events_mad_anomaly": (2, 2),        # two percentile passes to per-type
+                                         # rows; both broadcast back — the
+                                         # fact never shuffles
+    "events_concurrency": (2, 0),        # session window + per-hour sweep;
+                                         # no global ORDER BY partition
+    "dedup_cluster_density": (2, 3),     # live plan over the cached oriented
+                                         # edge list; degree table + wedge
+                                         # build side + closing semi-join
+                                         # all broadcast
+    "brand_small_qty_revenue": (2, 2),   # per-part agg co-keyed with the
+                                         # fact join; part dim + (AQE) agg
+                                         # side broadcast
+    "idle_rich_customers": (1, 2),       # scalar balance row + anti-join
+                                         # build side broadcast; customer
+                                         # scan moves once
+    "source_overlap_matrix": (1, 2),     # cached pair stream + two source
+                                         # lookups broadcast; one matrix agg
+    "basket_part_pairs": (3, 3),         # item dedup + pair agg + top-k over
+                                         # survivors; supports + T broadcast
+    "source_keywords_chi2": (5, 3),      # presence dedup + cached count
+                                         # stream + token marginal join +
+                                         # source rank window; totals
+                                         # broadcast
+    "label_centroid_similarity": (5, 4), # component-sum agg + centroid-matrix
+                                         # aggs only; every join side
+                                         # broadcast-tiny
 }
 
 
