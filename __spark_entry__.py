@@ -85,6 +85,8 @@ _DEFER_NEW = {
     "basket_part_pairs",
     "source_keywords_chi2",
     "label_centroid_similarity",
+    "sensor_cusum_shift",
+    "events_label_prop",
 }
 
 

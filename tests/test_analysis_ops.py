@@ -211,3 +211,54 @@ def test_label_centroid_similarity_bounds(spark, sf_dir):
         assert r["label_a"] < r["label_b"]
         assert r["n_a"] == labels[r["label_a"]]
         assert r["n_b"] == labels[r["label_b"]]
+
+
+def test_cusum_argmax_bruteforce(spark, sf_dir):
+    """Recompute the CUSUM split for a few sensors driver-side and check
+    the query found the same argmax (and the earliest-ts tie-break)."""
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    out = {r["sensor"]: r for r in
+           QUERIES["sensor_cusum_shift"](spark, sf_dir).collect()}
+    assert len(out) > 0
+    ev = load_table(spark, sf_dir, "events")
+    base = (ev.groupBy(F.col("user_id").cast("string").alias("sensor"), "ts")
+            .agg(F.max(F.when(F.col("event_type") == "error", F.lit(None))
+                       .otherwise((F.floor("value") % 25).cast("int")))
+                 .alias("v"))
+            .filter(F.col("v").isNotNull()))
+    for sensor in list(out)[:3]:
+        seq = [r["v"] for r in base.filter(F.col("sensor") == sensor)
+               .orderBy("ts").collect()]
+        n, sn = len(seq), sum(seq)
+        best, best_k, sk = -1, None, 0
+        for k, v in enumerate(seq[:-1], start=1):
+            sk += v
+            stat = abs(n * sk - k * sn)
+            if stat > best:
+                best, best_k = stat, k
+        r = out[sensor]
+        assert r["cusum_stat"] == best
+        assert r["split_k"] == best_k
+        assert r["n_obs"] == n
+
+
+def test_label_prop_communities_sane(spark, sf_dir):
+    """Community labels are node names, sizes sum to the node count, and
+    rerunning yields the identical assignment (determinism)."""
+    rows1 = {r["node"]: r for r in
+             QUERIES["events_label_prop"](spark, sf_dir).collect()}
+    nodes = set(rows1)
+    for r in rows1.values():
+        assert r["community"] in nodes
+    from collections import Counter
+
+    sizes = Counter(r["community"] for r in rows1.values())
+    for r in rows1.values():
+        assert r["community_size"] == sizes[r["community"]]
+    from traffic_data_pipeline_spark.functions.execution import release
+
+    release()
+    rows2 = {r["node"]: r["community"] for r in
+             QUERIES["events_label_prop"](spark, sf_dir).collect()}
+    assert rows2 == {k: v["community"] for k, v in rows1.items()}

@@ -115,6 +115,13 @@ CAPS = {
     "label_centroid_similarity": (5, 4), # component-sum agg + centroid-matrix
                                          # aggs only; every join side
                                          # broadcast-tiny
+    "sensor_cusum_shift": (2, 0),        # ONE sensor exchange carries the
+                                         # cumsum, totals, and the argmax
+                                         # rank; zero joins
+    "events_label_prop": (1, 1),         # final read over the cached round-3
+                                         # label vector; per-round cost is
+                                         # one co-keyed vote agg with the
+                                         # V-row vector broadcast
 }
 
 

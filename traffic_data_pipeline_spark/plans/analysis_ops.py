@@ -1293,6 +1293,216 @@ def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection (sensor volume shift)
+# ---------------------------------------------------------------------------
+
+@register("sensor_cusum_shift", """
+WITH base AS (
+  SELECT CAST(user_id AS VARCHAR) AS sensor, ts,
+         MAX(CASE WHEN event_type = 'error' THEN NULL
+                  ELSE CAST(FLOOR(value) % 25 AS INTEGER) END) AS volume
+  FROM events GROUP BY 1, 2),
+obs AS (
+  SELECT sensor, ts, CAST(volume AS BIGINT) AS v,
+         ROW_NUMBER() OVER w AS k,
+         SUM(CAST(volume AS BIGINT)) OVER (PARTITION BY sensor ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sk,
+         COUNT(*) OVER (PARTITION BY sensor) AS n,
+         SUM(CAST(volume AS BIGINT)) OVER (PARTITION BY sensor) AS sn
+  FROM base WHERE volume IS NOT NULL
+  WINDOW w AS (PARTITION BY sensor ORDER BY ts)),
+scored AS (
+  SELECT sensor, ts, k, n, sk, sn,
+         abs(n * sk - k * sn) AS stat
+  FROM obs WHERE k < n),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY sensor
+                               ORDER BY stat DESC, ts) AS rk
+  FROM scored)
+SELECT sensor,
+       CAST(n AS BIGINT) AS n_obs,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS split_ts,
+       CAST(k AS BIGINT) AS split_k,
+       CAST(stat AS BIGINT) AS cusum_stat,
+       ROUND(CAST(sk AS DOUBLE) / k, 6) AS mean_before,
+       ROUND(CAST(sn - sk AS DOUBLE) / (n - k), 6) AS mean_after
+FROM best WHERE rk = 1
+""")
+def q_sensor_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point detection per sensor: the CUSUM/Pettitt-style split
+    that maximizes the deviation between the running sum and its
+    expected share of the total — where the detector's mean most likely
+    SHIFTED (re-aim, lane closure, stuck counter). The statistic is kept
+    as the integer |n·S_k − k·S_n| (multiplying the classic
+    |S_k − k·μ| through by n), so locating the argmax involves NO
+    division and is bit-exact cross-engine; the only doubles are the
+    rounded before/after means in the final projection. Readings
+    collapse to one row per (sensor, ts) first so the order is total;
+    the earliest timestamp wins stat ties.
+
+    Scale shape: ONE sensor exchange carries the ordered cumulative sum,
+    the row number, and both per-sensor totals (unbounded-frame window
+    aggregates on the same partitioning); the argmax is a rank on the
+    same exchange. Four window functions, zero joins, zero extra
+    shuffles — at any history length the cost is one in-partition sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = (
+        ev.groupBy(
+            F.col("user_id").cast("string").alias("sensor"),
+            F.col("ts"),
+        )
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "error", F.lit(None))
+                .otherwise((F.floor("value") % 25).cast("int"))
+            ).alias("volume")
+        )
+        .filter(F.col("volume").isNotNull())
+    )
+    ordered = Window.partitionBy("sensor").orderBy("ts")
+    running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = Window.partitionBy("sensor")
+    obs = base.select(
+        "sensor", "ts",
+        F.row_number().over(ordered).alias("k"),
+        F.sum(F.col("volume").cast("bigint")).over(running).alias("sk"),
+        F.count(F.lit(1)).over(full).alias("n"),
+        F.sum(F.col("volume").cast("bigint")).over(full).alias("sn"),
+    )
+    scored = obs.filter(F.col("k") < F.col("n")).withColumn(
+        "stat", F.abs(F.col("n") * F.col("sk") - F.col("k") * F.col("sn")))
+    rk = Window.partitionBy("sensor").orderBy(F.col("stat").desc(), "ts")
+    from traffic_data_pipeline_spark.plans.queries import fmt_ts
+
+    return (
+        scored.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "sensor",
+            F.col("n").cast("bigint").alias("n_obs"),
+            fmt_ts(F.col("ts")).alias("split_ts"),
+            F.col("k").cast("bigint").alias("split_k"),
+            F.col("stat").cast("bigint").alias("cusum_stat"),
+            F.round(F.col("sk").cast("double") / F.col("k"), 6)
+            .alias("mean_before"),
+            F.round((F.col("sn") - F.col("sk")).cast("double")
+                    / (F.col("n") - F.col("k")), 6).alias("mean_after"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (events transition graph)
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 3
+
+
+def _lpa_iter_sql(i: int) -> str:
+    p = f"lab{i - 1}"
+    return f"""
+votes{i} AS (
+  SELECT e.a AS node, l.label, SUM(e.w) AS w
+  FROM und e JOIN {p} l ON l.node = e.b GROUP BY 1, 2),
+pick{i} AS (
+  SELECT node, label,
+         ROW_NUMBER() OVER (PARTITION BY node ORDER BY w DESC, label) AS rk
+  FROM votes{i}),
+lab{i} AS (
+  SELECT n.node, COALESCE(p.label, n.node) AS label
+  FROM nodes n LEFT JOIN pick{i} p ON p.node = n.node AND p.rk = 1),"""
+
+
+_LPA_ORACLE = f"""
+WITH trans AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events),
+dir AS (
+  SELECT src, dst, COUNT(*) AS cnt FROM trans
+  WHERE dst IS NOT NULL AND dst <> src GROUP BY 1, 2),
+und AS (
+  SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS w FROM (
+    SELECT src AS a, dst AS b, cnt FROM dir
+    UNION ALL
+    SELECT dst, src, cnt FROM dir) GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT event_type AS node FROM events),
+lab0 AS (SELECT node, node AS label FROM nodes),
+{"".join(_lpa_iter_sql(i) for i in range(1, LPA_ITERS + 1))}
+fin AS (SELECT node, label FROM lab{LPA_ITERS})
+SELECT f.node, f.label AS community,
+       CAST(c.sz AS BIGINT) AS community_size
+FROM fin f
+JOIN (SELECT label, COUNT(*) AS sz FROM fin GROUP BY 1) c
+  ON c.label = f.label
+"""
+
+
+@register("events_label_prop", _LPA_ORACLE)
+def q_events_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    undirected weighted event-transition graph (3 unrolled rounds):
+    each node adopts the label carrying the most incident edge weight,
+    ties broken by lexicographically smallest label — the two choices
+    (synchronous rounds, deterministic ties) that turn LPA's usual
+    run-to-run jitter into a bit-reproducible fixpoint both engines
+    replay identically, the PageRank determinism playbook applied to
+    the semi-supervised op. Communities group event types that flow
+    into each other (journey phases).
+
+    Scale shape: per round, the edge list joins the V-row label vector
+    (broadcast) and aggregates votes co-keyed on node — the edge list
+    moves once per round, exactly PageRank's cost profile; each round's
+    vector is materialized so lineage stays flat. The argmax is a rank
+    window over the per-node VOTE rows (bounded by distinct incident
+    labels, never the corpus)."""
+    from traffic_data_pipeline_spark.functions.execution import materialize
+
+    ev = load_table(spark, sf_dir, "events")
+    trans = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("dst"),
+    )
+    dirw = (
+        trans.filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    und = materialize(
+        dirw.select(F.col("src").alias("a"), F.col("dst").alias("b"), "cnt")
+        .unionAll(dirw.select(F.col("dst").alias("a"),
+                              F.col("src").alias("b"), "cnt"))
+        .groupBy("a", "b").agg(F.sum("cnt").cast("bigint").alias("w"))
+    )
+    nodes = materialize(
+        ev.select(F.col("event_type").alias("node")).distinct())
+    lab = nodes.select("node", F.col("node").alias("label"))
+    rk = Window.partitionBy("node").orderBy(F.col("w").desc(), "label")
+    for _ in range(LPA_ITERS):
+        votes = (
+            und.join(F.broadcast(lab.withColumnRenamed("node", "b")), "b")
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.sum("w").alias("w"))
+        )
+        pick = (
+            votes.withColumn("rk", F.row_number().over(rk))
+            .filter(F.col("rk") == 1).select("node", "label")
+        )
+        lab = materialize(
+            nodes.join(pick, "node", "left")
+            .select("node", F.coalesce("label", "node").alias("label"))
+        )
+    sizes = lab.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        lab.join(F.broadcast(sizes), "label")
+        .select("node", F.col("label").alias("community"),
+                F.col("sz").cast("bigint").alias("community_size"))
+    )
+
+
 # attach oracles that need CTE strings from extensions (importable only
 # after plans.extensions finished registering)
 from traffic_data_pipeline_spark.plans.queries import ORACLES  # noqa: E402
