@@ -146,3 +146,100 @@ def test_prefix_jaccard_matches_naive(spark, texts, threshold):
              for r in _ngram_jaccard_naive(sh, groups, "doc_id",
                                            threshold).collect()}
     assert fast == naive
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line concurrency vs brute force
+# ---------------------------------------------------------------------------
+
+event_sets = st.lists(
+    st.tuples(st.integers(0, 4),                       # user
+              st.integers(0, 300)),                    # minute offset
+    min_size=1, max_size=18)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(evs=event_sets)
+def test_concurrency_matches_bruteforce(spark, evs):
+    """Randomized sessions: the per-hour sweep-line peak must equal a
+    brute-force evaluation of 'sessions active at instant t' over all
+    candidate instants (session starts + hour starts), with [start, end)
+    semantics (a session ending exactly when another starts does not
+    overlap it)."""
+    from traffic_data_pipeline_spark.plans.analysis_ops import (
+        session_concurrency,
+    )
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [(u, base + dt.timedelta(minutes=m)) for u, m in evs]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r["hour"]: (r["n_sessions"], r["peak_concurrency"])
+           for r in session_concurrency(ev).collect()}
+
+    # brute force: rebuild 30-min-gap sessions per user
+    sessions = []
+    for u in {u for u, _ in evs}:
+        ts = sorted(t for uu, t in rows if uu == u)
+        start = prev = ts[0]
+        for t in ts[1:]:
+            if (t - prev) >= dt.timedelta(minutes=30):
+                sessions.append((start, prev + dt.timedelta(minutes=30)))
+                start = t
+            prev = t
+        sessions.append((start, prev + dt.timedelta(minutes=30)))
+
+    hours = {}
+    for s, e in sessions:
+        h = s.replace(minute=0, second=0, microsecond=0)
+        while h < e:
+            hours.setdefault(h, []).append((s, e))
+            h += dt.timedelta(hours=1)
+    expect = {}
+    for h, sess in hours.items():
+        instants = {h} | {s for s, _ in sess if h <= s < h + dt.timedelta(hours=1)}
+        peak = max(sum(1 for s, e in sess if s <= t < e) for t in instants)
+        expect[h] = (len(sess), peak)
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation vs brute force
+# ---------------------------------------------------------------------------
+
+series = st.lists(st.one_of(st.none(), st.integers(0, 24)),
+                  min_size=2, max_size=12)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=series)
+def test_interpolation_matches_bruteforce(spark, vals):
+    """Randomized gappy series: every filled value equals the directly
+    computed line between its bracketing observations; edges stay null."""
+    from traffic_data_pipeline_spark.plans.analysis_ops import (
+        linear_interpolate,
+    )
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    # irregular spacing so the time weighting actually matters
+    times = [base + dt.timedelta(minutes=3 * i + (i % 3)) for i in range(len(vals))]
+    rows = [("s1", t, v) for t, v in zip(times, vals)]
+    df = spark.createDataFrame(
+        rows, "sensor string, start_datetime timestamp, volume int")
+    got = {r["start_datetime"]: r for r in linear_interpolate(df).collect()}
+
+    non_null = [i for i, v in enumerate(vals) if v is not None]
+    for i, (t, v) in enumerate(zip(times, vals)):
+        r = got[t]
+        if v is not None:
+            assert r["volume_filled"] == float(v)
+        elif not non_null or i < non_null[0] or i > non_null[-1]:
+            assert r["volume_filled"] is None
+        else:
+            lo = max(j for j in non_null if j < i)
+            hi = min(j for j in non_null if j > i)
+            frac = ((times[i] - times[lo]).total_seconds()
+                    / (times[hi] - times[lo]).total_seconds())
+            want = vals[lo] + (vals[hi] - vals[lo]) * frac
+            assert abs(r["volume_filled"] - round(want, 6)) < 1e-6

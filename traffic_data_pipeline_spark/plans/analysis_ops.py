@@ -354,6 +354,13 @@ def q_sensor_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("volume")
         )
     )
+    return linear_interpolate(base)
+
+
+def linear_interpolate(base: DataFrame) -> DataFrame:
+    """Core of sensor_interpolate over a (sensor, start_datetime, volume)
+    frame with one row per (sensor, ts) — exposed separately so property
+    tests can drive it with synthetic series."""
     fwd = (
         Window.partitionBy("sensor").orderBy("start_datetime")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -515,7 +522,13 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-hour partitioned window, so the sort parallelism is the number of
     hours × AQE coalescing, and no interval self-join (the
     windows-over-union move from the as-of join) appears anywhere."""
-    ev = load_table(spark, sf_dir, "events")
+    return session_concurrency(load_table(spark, sf_dir, "events"))
+
+
+def session_concurrency(ev: DataFrame) -> DataFrame:
+    """Core of events_concurrency over any frame with (user_id, ts) —
+    exposed separately so property tests can drive it with synthetic
+    session patterns."""
     spans = (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(F.lit(1).alias("_one"))
