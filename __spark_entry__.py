@@ -87,6 +87,8 @@ _DEFER_NEW = {
     "label_centroid_similarity",
     "sensor_cusum_shift",
     "events_label_prop",
+    "events_ab_ttest",
+    "orders_seasonality",
 }
 
 

@@ -262,3 +262,45 @@ def test_label_prop_communities_sane(spark, sf_dir):
     rows2 = {r["node"]: r["community"] for r in
              QUERIES["events_label_prop"](spark, sf_dir).collect()}
     assert rows2 == {k: v["community"] for k, v in rows1.items()}
+
+
+def test_ab_ttest_against_scipy_free_formula(spark, sf_dir):
+    """Recompute Welch's t and df driver-side from the raw values and
+    compare (no scipy in the container — the closed formulas suffice)."""
+    from traffic_data_pipeline_spark.sources.tables import load_table
+    import math
+
+    r = QUERIES["events_ab_ttest"](spark, sf_dir).collect()[0]
+    vals = [(x["user_id"] % 2, x["value"]) for x in
+            load_table(spark, sf_dir, "events").select("user_id", "value").collect()]
+    for grp, n_col, m_col in ((0, "n_a", "mean_a"), (1, "n_b", "mean_b")):
+        xs = [round(v, 6) for g, v in vals if g == grp]
+        assert r[n_col] == len(xs)
+        assert abs(r[m_col] - sum(xs) / len(xs)) < 1e-3
+    a = [v for g, v in vals if g == 0]
+    b = [v for g, v in vals if g == 1]
+
+    def var(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    se = var(a) / len(a) + var(b) / len(b)
+    t = (sum(a) / len(a) - sum(b) / len(b)) / math.sqrt(se)
+    assert abs(r["t_stat"] - t) < 1e-3
+    df = se * se / ((var(a) / len(a)) ** 2 / (len(a) - 1)
+                    + (var(b) / len(b)) ** 2 / (len(b) - 1))
+    assert abs(r["welch_df"] - df) < max(1e-3 * df, 1e-3)
+
+
+def test_seasonality_index_averages_to_one(spark, sf_dir):
+    """Index identity: index_m == rev_m * n_months / total for every
+    month (so a flat revenue distribution scores exactly 1.0), and all
+    twelve months are present."""
+    rows = QUERIES["orders_seasonality"](spark, sf_dir).collect()
+    assert len(rows) == 12
+    total = sum(r["month_revenue"] for r in rows)
+    n = len(rows)
+    for r in rows:
+        assert abs(r["seasonal_index"]
+                   - r["month_revenue"] * n / total) < 1e-4
+        assert r["seasonal_index"] > 0

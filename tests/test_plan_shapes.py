@@ -122,6 +122,10 @@ CAPS = {
                                          # label vector; per-round cost is
                                          # one co-keyed vote agg with the
                                          # V-row vector broadcast
+    "events_ab_ttest": (2, 1),           # one moment aggregate to TWO rows;
+                                         # the fact never shuffles
+    "orders_seasonality": (2, 1),        # one aggregate to <=12 rows + a
+                                         # one-row broadcast scalar
 }
 
 

@@ -1516,6 +1516,149 @@ def q_events_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Welch t-test (A/B experiment readout over events)
+# ---------------------------------------------------------------------------
+
+@register("events_ab_ttest", """
+WITH g AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS grp,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events),
+mom AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS DECIMAL(38,6)) AS s,
+         CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS s2
+  FROM g GROUP BY 1),
+w AS (
+  SELECT a.n AS n_a, b.n AS n_b,
+         CAST(a.s AS DOUBLE) / a.n AS m_a,
+         CAST(b.s AS DOUBLE) / b.n AS m_b,
+         (CAST(a.s2 AS DOUBLE)
+          - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE) / a.n) / (a.n - 1)
+           AS var_a,
+         (CAST(b.s2 AS DOUBLE)
+          - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE) / b.n) / (b.n - 1)
+           AS var_b
+  FROM mom a JOIN mom b ON a.grp = 0 AND b.grp = 1)
+SELECT n_a, n_b,
+       ROUND(m_a, 6) AS mean_a, ROUND(m_b, 6) AS mean_b,
+       ROUND((m_a - m_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat,
+       ROUND((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+             / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 6) AS welch_df
+FROM w
+""")
+def q_events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: Welch's unequal-variance t-test comparing the
+    event-value mean between two cohorts (stand-in assignment:
+    user_id % 2) — the statistic an A/B platform computes per metric.
+    Moments accumulate as EXACT decimals (count, Σv, Σv² — the same
+    one-pass mergeable shape as events_zscore_anomaly), so the only
+    floating-point work is the final t / Welch-df formula evaluated as
+    the IDENTICAL expression tree in both engines: deterministic
+    double arithmetic, rounded once.
+
+    Scale shape: one map-side-combined aggregate to TWO rows, then a
+    two-row join — the fact is scanned once and never shuffled (the
+    2-row aggregate exchange carries only the moment tuples). Adding
+    metrics or cohorts widens the tiny frame, not the plan."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)")
+    mom = (
+        ev.select((F.col("user_id") % 2).cast("int").alias("grp"),
+                  v.alias("v"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("decimal(38,6)").alias("s"),
+            F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)"))
+            .cast("decimal(38,12)").alias("s2"),
+        )
+    )
+    a = mom.filter(F.col("grp") == 0).select(
+        F.col("n").alias("n_a"), F.col("s").alias("s_a"),
+        F.col("s2").alias("s2_a"))
+    b = mom.filter(F.col("grp") == 1).select(
+        F.col("n").alias("n_b"), F.col("s").alias("s_b"),
+        F.col("s2").alias("s2_b"))
+    j = a.crossJoin(F.broadcast(b))
+    m_a = F.col("s_a").cast("double") / F.col("n_a")
+    m_b = F.col("s_b").cast("double") / F.col("n_b")
+    var_a = (
+        F.col("s2_a").cast("double")
+        - F.col("s_a").cast("double") * F.col("s_a").cast("double")
+        / F.col("n_a")
+    ) / (F.col("n_a") - 1)
+    var_b = (
+        F.col("s2_b").cast("double")
+        - F.col("s_b").cast("double") * F.col("s_b").cast("double")
+        / F.col("n_b")
+    ) / (F.col("n_b") - 1)
+    se_a = var_a / F.col("n_a")
+    se_b = var_b / F.col("n_b")
+    return j.select(
+        "n_a", "n_b",
+        F.round(m_a, 6).alias("mean_a"),
+        F.round(m_b, 6).alias("mean_b"),
+        F.round((m_a - m_b) / F.sqrt(se_a + se_b), 6).alias("t_stat"),
+        F.round((se_a + se_b) * (se_a + se_b)
+                / (se_a * se_a / (F.col("n_a") - 1)
+                   + se_b * se_b / (F.col("n_b") - 1)), 6).alias("welch_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Monthly seasonal index (orders)
+# ---------------------------------------------------------------------------
+
+@register("orders_seasonality", """
+WITH m AS (
+  SELECT CAST(month(o_orderdate) AS INTEGER) AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS rev,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1),
+tot AS (SELECT CAST(SUM(rev) AS DECIMAL(38,6)) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_months FROM m)
+SELECT m.month, m.n_orders,
+       CAST(m.rev AS DOUBLE) AS month_revenue,
+       ROUND(CAST(m.rev AS DOUBLE) * t.n_months / CAST(t.total AS DOUBLE), 6)
+         AS seasonal_index
+FROM m CROSS JOIN tot t
+""")
+def q_orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly seasonal index: each calendar month's revenue relative to
+    a flat-seasonality baseline (index = rev_m · #months / Σrev; 1.0 =
+    no seasonality) — the classical-decomposition seasonal factor a
+    demand forecaster multiplies back into the trend. Revenue
+    accumulates decimal-exact; the index is one double multiply/divide
+    of those exact sums, rounded once.
+
+    Scale shape: one map-side-combined aggregate to ≤12 rows + a one-row
+    broadcast scalar. Nothing else moves."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = (
+        orders.groupBy(F.month("o_orderdate").cast("int").alias("month"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("decimal(38,6)").alias("rev"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )
+    tot = m.agg(F.sum("rev").cast("decimal(38,6)").alias("total"),
+                F.count(F.lit(1)).cast("bigint").alias("n_months"))
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .select(
+            "month", "n_orders",
+            F.col("rev").cast("double").alias("month_revenue"),
+            F.round(F.col("rev").cast("double") * F.col("n_months")
+                    / F.col("total").cast("double"), 6)
+            .alias("seasonal_index"),
+        )
+    )
+
+
 # attach oracles that need CTE strings from extensions (importable only
 # after plans.extensions finished registering)
 from traffic_data_pipeline_spark.plans.queries import ORACLES  # noqa: E402
