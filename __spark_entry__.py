@@ -89,6 +89,7 @@ _DEFER_NEW = {
     "events_label_prop",
     "events_ab_ttest",
     "orders_seasonality",
+    "csv_ingest_quarantine",
 }
 
 

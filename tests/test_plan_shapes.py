@@ -126,6 +126,9 @@ CAPS = {
                                          # the fact never shuffles
     "orders_seasonality": (2, 1),        # one aggregate to <=12 rows + a
                                          # one-row broadcast scalar
+    "csv_ingest_quarantine": (1, 0),     # splittable CSV scan + one per-type
+                                         # aggregate; quarantine is a
+                                         # projection, not a pass
 }
 
 

@@ -1659,6 +1659,82 @@ def q_orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# CSV ingest with corrupt-record quarantine
+# ---------------------------------------------------------------------------
+
+_CSV_SRC_CACHE: dict[str, str] = {}
+
+
+def _csv_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """CSV landing zone derived from events: id,epoch-micros,type,value
+    lines with every 13th event's value field replaced by a non-numeric
+    token (a type-level corruption PERMISSIVE mode must quarantine —
+    a merely MISSING field would silently null-fill instead). Built once
+    per sf_dir per process (the _dup_events_dir pattern); values travel
+    as decimal(18,6) strings so the text round-trip is exact."""
+    from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
+
+    if sf_dir not in _CSV_SRC_CACHE:
+        src = scratch_dir(prefix="tdp_csv_events_")
+        ev = load_table(spark, sf_dir, "events")
+        lines = ev.select(
+            F.concat_ws(
+                ",",
+                F.col("event_id").cast("string"),
+                F.unix_micros(F.col("ts")).cast("string"),
+                F.col("event_type"),
+                F.when(F.col("event_id") % 13 == 0, F.lit("x"))
+                .otherwise(F.col("value").cast("decimal(18,6)").cast("string")),
+            ).alias("value")
+        )
+        lines.write.mode("overwrite").text(src)
+        _CSV_SRC_CACHE[sf_dir] = src
+    return _CSV_SRC_CACHE[sf_dir]
+
+
+@register("csv_ingest_quarantine", """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quarantined,
+       CAST(SUM(CASE WHEN event_id % 13 <> 0
+                     THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+         AS clean_sum
+FROM events GROUP BY 1
+""")
+def q_csv_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with malformed-row routing: read a comma-delimited
+    landing zone in PERMISSIVE mode with columnNameOfCorruptRecord —
+    rows whose value field fails the decimal parse keep their parseable
+    columns, carry the raw line in the quarantine column, and are
+    EXCLUDED from the clean aggregate instead of failing the job (the
+    CSV sibling of events_json_rescue; a production variant writes the
+    quarantined raw lines to a dead-letter path). The feed synthesis is
+    deterministic (every 13th event corrupted), so the oracle computes
+    the expected routing split straight from the rule.
+
+    Scale shape: schema-on-read CSV scan (splittable text), one
+    map-side-combined aggregate per type. The corrupt-record column adds
+    a projection, not a pass."""
+    src = _csv_events_dir(spark, sf_dir)
+    parsed = (
+        spark.read
+        .schema("event_id long, ts_us long, event_type string, "
+                "value decimal(18,6), _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(src)
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("_corrupt").isNotNull().cast("int")).cast("bigint")
+        .alias("n_quarantined"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("value")))
+        .cast("double").alias("clean_sum"),
+    )
+
+
 # attach oracles that need CTE strings from extensions (importable only
 # after plans.extensions finished registering)
 from traffic_data_pipeline_spark.plans.queries import ORACLES  # noqa: E402
