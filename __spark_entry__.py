@@ -90,6 +90,7 @@ _DEFER_NEW = {
     "events_ab_ttest",
     "orders_seasonality",
     "csv_ingest_quarantine",
+    "events_rolling_wau_hll",
 }
 
 

@@ -304,3 +304,17 @@ def test_seasonality_index_averages_to_one(spark, sf_dir):
         assert abs(r["seasonal_index"]
                    - r["month_revenue"] * n / total) < 1e-4
         assert r["seasonal_index"] > 0
+
+
+def test_wau_hll_accuracy_pinned(spark, sf_dir):
+    """The HLL rolling-WAU estimate tracks the exact twin within HLL's
+    error envelope (<=5% relative at lgConfigK=12; effectively exact at
+    fixture cardinalities via the sparse representation) over the
+    identical window-day set."""
+    exact = {r["window_day"]: r["wau"] for r in
+             QUERIES["events_rolling_wau"](spark, sf_dir).collect()}
+    est = {r["window_day"]: r["wau_est"] for r in
+           QUERIES["events_rolling_wau_hll"](spark, sf_dir).collect()}
+    assert set(est) == set(exact)
+    for day, w in exact.items():
+        assert abs(est[day] - w) <= max(1, 0.05 * w), (day, est[day], w)

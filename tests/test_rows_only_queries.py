@@ -22,6 +22,9 @@ def test_rows_only_set_is_expected():
         "doc_sketch_profile",      # HLL/t-digest estimates are
                                    # engine-specific; accuracy is pinned
                                    # vs exact in tests/test_search_ops.py
+        "events_rolling_wau_hll",  # HLL union-merge; accuracy pinned vs
+                                   # the exact twin in
+                                   # tests/test_analysis_ops.py
         "lineitem_quantiles_approx",   # GK sketch; accuracy pinned vs the
                                        # exact twin
         "model_predict_glm",       # iterative IRLS fit

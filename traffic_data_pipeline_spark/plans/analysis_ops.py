@@ -1735,6 +1735,45 @@ def q_csv_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Rolling WAU via mergeable HLL sketches (sketch twin of events_rolling_wau)
+# ---------------------------------------------------------------------------
+
+@register("events_rolling_wau_hll")
+def q_events_rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rolling-distinct formulation that survives 100×: ONE HLL
+    sketch per day (map-side mergeable, constant size), each daily
+    sketch replicated into the 7 trailing windows it serves, windows
+    finished by hll_union_agg + estimate. The exact twin
+    (events_rolling_wau) replicates USER-DAYS — linear in distinct
+    users; this replicates DAILY SKETCHES — constant per day — which is
+    the difference between shuffling the audience and shuffling ~1.5 KB
+    per day at planet-scale DAU. Rows-only by design (sketch estimates
+    are engine-specific); accuracy pinned against the exact twin in
+    tests/test_analysis_ops.py, same contract as doc_sketch_profile.
+
+    Scale shape: one (day, sketch) aggregate over the event scan, a 7×
+    explode of the TINY daily-sketch table, one merge aggregate to one
+    row per window day."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.to_date("ts").alias("d"), "user_id")
+        .groupBy("d")
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    )
+    spread = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"), "d", "sk"
+    ).select(F.date_add("d", F.col("k")).alias("window_day"), "sk")
+    return (
+        spread.groupBy("window_day")
+        .agg(F.expr("hll_union_agg(sk)").alias("m"))
+        .select(
+            F.date_format("window_day", "yyyy-MM-dd").alias("window_day"),
+            F.expr("hll_sketch_estimate(m)").cast("bigint").alias("wau_est"),
+        )
+    )
+
+
 # attach oracles that need CTE strings from extensions (importable only
 # after plans.extensions finished registering)
 from traffic_data_pipeline_spark.plans.queries import ORACLES  # noqa: E402
