@@ -91,6 +91,12 @@ _DEFER_NEW = {
     "orders_seasonality",
     "csv_ingest_quarantine",
     "events_rolling_wau_hll",
+    "part_min_cost_supplier",
+    "nation_brand_value_share",
+    "waiting_orders_suppliers",
+    "excess_supply_suppliers",
+    "dq_constraint_report",
+    "sensor_volume_trend",
 }
 
 

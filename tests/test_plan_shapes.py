@@ -129,6 +129,23 @@ CAPS = {
     "csv_ingest_quarantine": (1, 0),     # splittable CSV scan + one per-type
                                          # aggregate; quarantine is a
                                          # projection, not a pass
+    "part_min_cost_supplier": (2, 3),    # offers agg + per-part window; all
+                                         # three dims broadcast — the
+                                         # correlated MIN never joins
+    "nation_brand_value_share": (2, 3),  # fact agg + tiny post-agg window;
+                                         # supplier/nation/part broadcast
+    "waiting_orders_suppliers": (3, 2),  # per-(order,supp) agg + ONE order
+                                         # window for all three quantifiers
+                                         # + status join; supplier broadcast
+    "excess_supply_suppliers": (3, 2),   # part-filtered fact agg + per-part
+                                         # window + supplier rollup; name-
+                                         # filtered part list broadcast
+    "dq_constraint_report": (2, 1),      # one analyzer agg per base table
+                                         # (count-distinct expand) + the
+                                         # broadcast anti FK probe
+    "sensor_volume_trend": (2, 0),       # (sensor, day) agg + sensor moment
+                                         # agg; regression math is
+                                         # projection-only
 }
 
 

@@ -1,0 +1,435 @@
+"""Round-3 continuation: the decision-support correlated-subquery canon
+and pipeline data-quality operators.
+
+The reference's query surface is nightly ETL + roll-ups; a warehouse user
+switching to this engine also runs the classic correlated-subquery shapes
+(TPC-H Q2/Q11/Q20/Q21 — the Q17/Q22 analogues landed earlier in
+plans/analysis_ops.py). Each query here is the DECORRELATED Spark plan —
+correlated scalar subqueries become co-keyed window aggregates,
+EXISTS/NOT-EXISTS quantifiers become window counts over one partitioning —
+while the DuckDB oracle keeps the textbook correlated formulation, so the
+hash check proves the rewrite, not just the arithmetic.
+
+Also here: a Deequ-style one-pass data-quality constraint report (the
+check suite every ingest job should publish next to its output) and a
+per-sensor least-squares volume trend whose moments are exact integers
+(the Welch-t-test precedent: accumulate exactly, divide once).
+
+Cross-engine exactness tactics (same playbook as plans/mining_ops.py):
+MIN/MAX of raw doubles are order-independent and bit-identical; money
+sums accumulate as DECIMAL(18,6); threshold comparisons are exact
+rationals on the decimal/integer side (2·sq > tot, 50·val > total —
+never a division against an average); doubles appear only in final
+single-expression projections mirrored verbatim in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from traffic_data_pipeline_spark.plans.queries import register
+from traffic_data_pipeline_spark.sources.tables import load_table
+
+
+def _dec(col):
+    """Exact decimal accumulator for a double expression (dsum without
+    the final double cast — callers compare or re-aggregate exactly)."""
+    return F.sum(col.cast("decimal(18,6)"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: min-cost supplier per part (correlated scalar MIN)
+# ---------------------------------------------------------------------------
+
+@register("part_min_cost_supplier", """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS best_price
+  FROM lineitem GROUP BY 1, 2)
+SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, n.n_name,
+       o.best_price AS min_price
+FROM offers o
+JOIN part p ON p.p_partkey = o.l_partkey AND p.p_size >= 40
+JOIN supplier s ON s.s_suppkey = o.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE o.best_price = (SELECT MIN(o2.best_price) FROM offers o2
+                      WHERE o2.l_partkey = o.l_partkey)
+""")
+def q_part_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each large part, the supplier(s) offering its
+    minimum observed line price. The oracle keeps Q2's correlated scalar
+    subquery; the Spark plan decorrelates it into a window MIN over the
+    (part, supplier) offer frame — the offers aggregate and the per-part
+    window share one hash partitioning lineage, so the correlation costs
+    one exchange, not a join-per-row. Part/supplier/nation dims broadcast.
+    MIN over raw doubles picks an existing bit pattern, so the equality
+    against the correlated min can never miss by an ulp (the top_supplier
+    precedent). Ref parity: the reference has no correlated-subquery
+    surface; this is §2-beyond DSS coverage."""
+    li = load_table(spark, sf_dir, "lineitem")
+    offers = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("best_price"))
+    )
+    part_min = F.min("best_price").over(Window.partitionBy("l_partkey"))
+    best = (
+        offers.withColumn("part_min", part_min)
+        .filter(F.col("best_price") == F.col("part_min"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        best.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "n_name",
+                F.col("best_price").alias("min_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: value-share HAVING against a correlated group total
+# ---------------------------------------------------------------------------
+
+@register("nation_brand_value_share", """
+WITH rev AS (
+  SELECT n.n_name, p.p_brand,
+         SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+           AS val
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2)
+SELECT n_name, p_brand,
+       CAST(val AS DOUBLE) AS brand_value,
+       ROUND(CAST(val AS DOUBLE) /
+             (SELECT CAST(SUM(r2.val) AS DOUBLE) FROM rev r2
+              WHERE r2.n_name = rev.n_name), 6) AS share
+FROM rev
+WHERE 50 * val > (SELECT SUM(r3.val) FROM rev r3 WHERE r3.n_name = rev.n_name)
+""")
+def q_nation_brand_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: brands holding more than 2% of their supplier
+    nation's line revenue. The oracle keeps the correlated group-total
+    subquery (twice: the HAVING bound and the share denominator); the
+    Spark plan computes the nation total as a window SUM over the
+    (nation, brand) aggregate — the fact shuffles once for the aggregate,
+    the correlation rides a tiny post-agg frame. The 2% bound is the
+    exact rational 50·val > total on decimals — never a division against
+    the total, so the boundary row set is identical in both engines; the
+    share division happens only in the final displayed projection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("n_name", "p_brand")
+        .agg(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("val"))
+    )
+    total = F.sum("val").over(Window.partitionBy("n_name"))
+    return (
+        rev.withColumn("total", total)
+        .filter(F.col("val") * 50 > F.col("total"))
+        .select(
+            "n_name", "p_brand",
+            F.col("val").cast("double").alias("brand_value"),
+            F.round(F.col("val").cast("double")
+                    / F.col("total").cast("double"), 6).alias("share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: EXISTS + NOT EXISTS + correlated max, as window scalars
+# ---------------------------------------------------------------------------
+
+@register("waiting_orders_suppliers", """
+WITH os AS (
+  SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS smax
+  FROM lineitem GROUP BY 1, 2)
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+FROM os o1
+JOIN orders ord ON ord.o_orderkey = o1.l_orderkey
+                AND ord.o_orderstatus = 'F'
+JOIN supplier s ON s.s_suppkey = o1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM os o2
+              WHERE o2.l_orderkey = o1.l_orderkey
+                AND o2.l_suppkey <> o1.l_suppkey)
+  AND o1.smax = (SELECT MAX(o3.smax) FROM os o3
+                 WHERE o3.l_orderkey = o1.l_orderkey)
+  AND NOT EXISTS (SELECT 1 FROM os o4
+                  WHERE o4.l_orderkey = o1.l_orderkey
+                    AND o4.l_suppkey <> o1.l_suppkey
+                    AND o4.smax = o1.smax)
+GROUP BY 1, 2
+""")
+def q_waiting_orders_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: in finished multi-supplier orders, the supplier
+    whose shipment was STRICTLY the last one ("kept the order waiting").
+    The oracle is Q21's quantifier trio — EXISTS (another supplier),
+    correlated MAX (was the latest), NOT EXISTS (sole latest). The Spark
+    plan folds all three into window scalars over ONE l_orderkey
+    partitioning of the per-(order, supplier) max-shipdate frame:
+    n_suppliers (EXISTS = n >= 2), order max, and achiever count
+    (NOT EXISTS = exactly one). Three semi/anti self-joins become zero
+    joins; the orders status filter is a co-keyed join pushed to the
+    scan, supplier dim broadcasts. MAX of timestamps is exact, so
+    'achieved the max' is unambiguous cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    os_ = (
+        li.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("smax"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        os_.withColumn("omax", F.max("smax").over(w))
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_latest",
+            F.sum(F.when(F.col("smax") == F.col("omax"), 1).otherwise(0))
+            .over(w))
+        .filter((F.col("smax") == F.col("omax"))
+                & (F.col("n_supp") >= 2) & (F.col("n_latest") == 1))
+    )
+    orders = load_table(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderstatus") == "F")
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        flagged.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape: nested-IN over a correlated aggregate threshold
+# ---------------------------------------------------------------------------
+
+@register("excess_supply_suppliers", """
+WITH sel AS (SELECT p_partkey FROM part WHERE p_name LIKE '%gear%'),
+sp AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sq
+  FROM lineitem JOIN sel ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2)
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_dominated,
+       CAST(SUM(sp.sq) AS DOUBLE) AS dominated_qty
+FROM sp
+JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+WHERE 2 * sp.sq > (SELECT SUM(sp2.sq) FROM sp sp2
+                   WHERE sp2.l_partkey = sp.l_partkey)
+GROUP BY 1, 2
+""")
+def q_excess_supply_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped the MAJORITY of a gear
+    part's 1996 volume (nested IN → correlated aggregate threshold in
+    the oracle). Spark decorrelates to a window SUM over l_partkey on
+    the per-(part, supplier) quantity aggregate: the name-filtered part
+    list broadcasts into the fact scan (a semi-join the optimizer keeps
+    next to the pushed date range), quantities accumulate as exact
+    decimals, and 'majority' is the rational 2·sq > tot — the division-
+    free boundary, so both engines keep the same suppliers. One fact
+    shuffle + one tiny window exchange total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = load_table(spark, sf_dir, "part") \
+        .filter(F.col("p_name").like("%gear%")).select("p_partkey")
+    sp = (
+        li.filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1997-01-01"))
+        .join(F.broadcast(sel), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(_dec(F.col("l_quantity")).alias("sq"))
+    )
+    tot = F.sum("sq").over(Window.partitionBy("l_partkey"))
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        sp.withColumn("tot", tot)
+        .filter(F.col("sq") * 2 > F.col("tot"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominated"),
+             F.sum("sq").cast("double").alias("dominated_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint report (Deequ-style analyzer pass)
+# ---------------------------------------------------------------------------
+
+@register("dq_constraint_report", """
+SELECT 'orders' AS tbl, 'row_count' AS chk,
+       CAST(COUNT(*) AS BIGINT) AS value FROM orders
+UNION ALL SELECT 'orders', 'null_custkey',
+       CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) FROM orders
+UNION ALL SELECT 'orders', 'dup_orderkey',
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+UNION ALL SELECT 'orders', 'freshness_days',
+       CAST(datediff('day', MAX(o_orderdate), TIMESTAMP '2002-01-01')
+            AS BIGINT) FROM orders
+UNION ALL SELECT 'lineitem', 'row_count',
+       CAST(COUNT(*) AS BIGINT) FROM lineitem
+UNION ALL SELECT 'lineitem', 'discount_range_viol',
+       CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+            AS BIGINT) FROM lineitem
+UNION ALL SELECT 'lineitem', 'nonpositive_qty',
+       CAST(COUNT(*) FILTER (WHERE l_quantity <= 0) AS BIGINT) FROM lineitem
+UNION ALL SELECT 'lineitem', 'dup_order_line',
+       CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+       FROM lineitem
+UNION ALL SELECT 'lineitem', 'orphan_orderkey', CAST(COUNT(*) AS BIGINT)
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IS NULL
+""")
+def q_dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality report: completeness, uniqueness,
+    range, freshness, and referential-integrity checks as ONE long-form
+    frame (tbl, chk, value). Each base table is scanned once — all its
+    analyzer metrics ride a single map-side-combined aggregate row that
+    a stack() unpivots — plus one left-anti count for the foreign-key
+    check (broadcast at fixture scale, AQE picks shuffle-anti at 100 TB;
+    either way the probe never materializes the orphan rows). This is
+    the publish-next-to-your-output shape: at 100 TB the report costs
+    one pass over each fact, not one pass per check."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o_row = orders.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .alias("null_custkey"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .alias("dup_orderkey"),
+        F.datediff(F.lit("2002-01-01"), F.max("o_orderdate"))
+        .alias("freshness_days"),
+    )
+    o_checks = o_row.select(F.expr(
+        "stack(4, 'row_count', cast(row_count as bigint),"
+        " 'null_custkey', cast(null_custkey as bigint),"
+        " 'dup_orderkey', cast(dup_orderkey as bigint),"
+        " 'freshness_days', cast(freshness_days as bigint))"
+        " as (chk, value)"
+    )).select(F.lit("orders").alias("tbl"), "chk", "value")
+    l_row = li.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+                     1).otherwise(0)).alias("discount_range_viol"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0))
+        .alias("nonpositive_qty"),
+        (F.count(F.lit(1))
+         - F.countDistinct("l_orderkey", "l_linenumber"))
+        .alias("dup_order_line"),
+    )
+    l_checks = l_row.select(F.expr(
+        "stack(4, 'row_count', cast(row_count as bigint),"
+        " 'discount_range_viol', cast(discount_range_viol as bigint),"
+        " 'nonpositive_qty', cast(nonpositive_qty as bigint),"
+        " 'dup_order_line', cast(dup_order_line as bigint))"
+        " as (chk, value)"
+    )).select(F.lit("lineitem").alias("tbl"), "chk", "value")
+    orphans = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"),
+                "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("value"))
+        .select(F.lit("lineitem").alias("tbl"),
+                F.lit("orphan_orderkey").alias("chk"), "value")
+    )
+    return o_checks.unionByName(l_checks).unionByName(orphans)
+
+
+# ---------------------------------------------------------------------------
+# Per-sensor least-squares volume trend (exact integer moments)
+# ---------------------------------------------------------------------------
+
+_TREND_CTE = """
+s AS (
+  SELECT CAST(user_id AS VARCHAR) AS sensor,
+         CAST(ts AS DATE) AS reading_date,
+         CASE WHEN event_type = 'error' THEN NULL
+              ELSE CAST(FLOOR(value) % 25 AS INTEGER) END AS volume
+  FROM events),
+d AS (
+  SELECT sensor,
+         CAST(datediff('day', DATE '1995-01-01', reading_date) AS BIGINT)
+           AS x,
+         CAST(SUM(volume) AS BIGINT) AS y
+  FROM s WHERE volume IS NOT NULL
+  GROUP BY sensor, reading_date),
+m AS (
+  SELECT sensor, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy
+  FROM d GROUP BY 1)
+"""
+
+
+@register("sensor_volume_trend", f"""
+WITH {_TREND_CTE}
+SELECT sensor, CAST(n AS BIGINT) AS n_days,
+       ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+             / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+       ROUND(CAST(sy*sxx - sx*sxy AS DOUBLE)
+             / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS intercept,
+       ROUND(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+             / (CAST(n*sxx - sx*sx AS DOUBLE)
+                * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS r2
+FROM m
+WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+""")
+def q_sensor_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sensor least-squares trend of daily volume (is this detector's
+    traffic growing?). The five regression moments (n, Σx, Σy, Σxy, Σx²,
+    Σy²) accumulate as exact BIGINTs — order-independent, so slope /
+    intercept / r² are each ONE double expression evaluated identically
+    in both engines (the Welch-t-test tactic; never regr_slope, whose
+    internal double accumulation is reduction-order-dependent). Plan:
+    one (sensor, day) aggregate shuffle, then a per-sensor re-aggregate
+    that rides the same key prefix; degenerate fits (single day,
+    constant volume) drop via integer predicates, so no division guard
+    is ever evaluated in doubles. Ref parity: the reference fits per-node
+    GAMs (R/_analyze_data.R:206-225); this is the screening-pass linear
+    twin a 100 TB run uses to pick which detectors merit the GLM."""
+    from traffic_data_pipeline_spark.sources.sensor import sensor_readings
+
+    daily = (
+        sensor_readings(spark, sf_dir)
+        .filter(F.col("volume").isNotNull())
+        .groupBy("sensor", "reading_date")
+        .agg(F.sum("volume").cast("bigint").alias("y"))
+        .withColumn(
+            "x",
+            F.datediff(F.col("reading_date"), F.lit("1995-01-01"))
+            .cast("bigint"))
+    )
+    m = daily.groupBy("sensor").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    inum = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    return (
+        m.filter((den > 0) & (den_y > 0))
+        .select(
+            "sensor",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.round(num.cast("double") / den.cast("double"), 6)
+            .alias("slope"),
+            F.round(inum.cast("double") / den.cast("double"), 6)
+            .alias("intercept"),
+            F.round(num.cast("double") * num.cast("double")
+                    / (den.cast("double") * den_y.cast("double")), 6)
+            .alias("r2"),
+        )
+    )

@@ -1376,4 +1376,5 @@ from traffic_data_pipeline_spark.plans import llm_ops  # noqa: E402,F401
 from traffic_data_pipeline_spark.plans import search_ops  # noqa: E402,F401
 from traffic_data_pipeline_spark.plans import mining_ops  # noqa: E402,F401
 from traffic_data_pipeline_spark.plans import analysis_ops  # noqa: E402,F401
+from traffic_data_pipeline_spark.plans import dss_ops  # noqa: E402,F401
 
