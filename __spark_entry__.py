@@ -97,6 +97,9 @@ _DEFER_NEW = {
     "excess_supply_suppliers",
     "dq_constraint_report",
     "sensor_volume_trend",
+    "doc_phrase_search",
+    "session_surge_overlap",
+    "streaming_static_enrich",
 }
 
 

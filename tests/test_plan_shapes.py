@@ -146,6 +146,15 @@ CAPS = {
     "sensor_volume_trend": (2, 0),       # (sensor, day) agg + sensor moment
                                          # agg; regression math is
                                          # projection-only
+    "doc_phrase_search": (0, 0),         # positional phrase match is an
+                                         # in-row array projection — a
+                                         # map-only corpus pass, zero
+                                         # exchanges
+    "session_surge_overlap": (4, 2),     # session window + hourly agg +
+                                         # island window + final island agg;
+                                         # threshold scalar and island bins
+                                         # broadcast — the bin equi-join
+                                         # never nested-loops
 }
 
 

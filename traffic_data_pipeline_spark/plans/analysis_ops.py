@@ -1780,3 +1780,121 @@ from traffic_data_pipeline_spark.plans.queries import ORACLES  # noqa: E402
 
 ORACLES["dedup_cluster_density"] = _cluster_density_oracle()
 ORACLES["source_overlap_matrix"] = _source_overlap_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join: user sessions x traffic-surge windows
+# ---------------------------------------------------------------------------
+
+@register("session_surge_overlap", """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+               OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess0 AS (
+  SELECT user_id, ts, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered),
+sess AS (
+  SELECT user_id, MIN(ts) AS s, MAX(ts) + INTERVAL 30 MINUTE AS e
+  FROM sess0 GROUP BY user_id, sid),
+hours AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c FROM events GROUP BY 1),
+tot AS (SELECT SUM(c) AS t, COUNT(*) AS n FROM hours),
+surge AS (SELECT h FROM hours, tot WHERE 2 * c * n > 3 * t),
+isl0 AS (
+  SELECT h, CASE WHEN LAG(h) OVER (ORDER BY h) IS NULL
+                  OR h - LAG(h) OVER (ORDER BY h) > INTERVAL 1 HOUR
+                 THEN 1 ELSE 0 END AS nw
+  FROM surge),
+isl1 AS (
+  SELECT h, SUM(nw) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS gid
+  FROM isl0),
+isl AS (
+  SELECT MIN(h) AS a, MAX(h) + INTERVAL 1 HOUR AS b
+  FROM isl1 GROUP BY gid),
+ov AS (
+  SELECT a, b,
+         LEAST(epoch_us(e), epoch_us(b)) - GREATEST(epoch_us(s), epoch_us(a))
+           AS ov_us
+  FROM sess JOIN isl ON s < b AND a < e)
+SELECT strftime(a, '%Y-%m-%d %H:%M:%S') AS island_start,
+       strftime(b, '%Y-%m-%d %H:%M:%S') AS island_end,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(ov_us) AS BIGINT) AS overlap_us
+FROM ov GROUP BY 1, 2
+""")
+def q_session_surge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: which user sessions ran during sitewide
+    traffic surges, and for how long. Surge islands are consecutive
+    above-1.5x-average hours (the threshold is the exact rational
+    2*c*n > 3*t — no average division) merged gaps-and-islands style;
+    sessions come from the native session_window. The overlap join is
+    the BIN-BUCKETED range join: both interval sets explode onto the
+    hour grid and equi-join on the bucket — a hash join of
+    O(rows x span-hours) where the naive s < b AND a < e predicate is a
+    nested-loop cross product. The island side is tiny here and
+    broadcasts; when BOTH sides are large (the 100 TB case) the same
+    bucket-key plan shuffle-joins co-keyed on the hour. Exact-touch
+    pairs (session ends exactly at island start) carry zero overlap and
+    are dropped in both engines by the strict predicate / the
+    ov_us > 0 filter; overlap accumulates in integer microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("s"),
+                F.col("w.end").alias("e"))
+    )
+    hours = ev.groupBy(F.date_trunc("hour", "ts").alias("h")) \
+        .agg(F.count(F.lit(1)).alias("c"))
+    tot = hours.agg(F.sum("c").alias("t"), F.count(F.lit(1)).alias("n"))
+    surge = hours.crossJoin(F.broadcast(tot)) \
+        .filter(2 * F.col("c") * F.col("n") > 3 * F.col("t")).select("h")
+    wo = Window.orderBy("h")
+    isl = (
+        surge.select(
+            "h",
+            F.when(F.lag("h").over(wo).isNull()
+                   | (F.unix_timestamp("h")
+                      - F.unix_timestamp(F.lag("h").over(wo)) > 3600), 1)
+            .otherwise(0).alias("nw"))
+        .withColumn("gid", F.sum("nw").over(
+            wo.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("gid")
+        .agg(F.min("h").alias("a"),
+             (F.max("h") + F.expr("INTERVAL 1 HOUR")).alias("b"))
+        .select("a", "b",
+                F.explode(F.expr(
+                    "sequence(a, b - INTERVAL 1 HOUR, INTERVAL 1 HOUR)"))
+                .alias("bin"))
+    )
+    sess_bins = sess.select(
+        "user_id", "s", "e",
+        F.explode(F.expr(
+            "sequence(date_trunc('hour', s), date_trunc('hour', e),"
+            " INTERVAL 1 HOUR)")).alias("bin"),
+    )
+    pairs = (
+        sess_bins.join(F.broadcast(isl), "bin")
+        # user_id stays in the dedup key: two users can hold bit-identical
+        # session bounds (one event each at the same microsecond), and the
+        # oracle counts them as two sessions
+        .select("user_id", "s", "e", "a", "b").distinct()
+        .withColumn(
+            "ov_us",
+            F.least(F.unix_micros("e"), F.unix_micros("b"))
+            - F.greatest(F.unix_micros("s"), F.unix_micros("a")))
+        .filter(F.col("ov_us") > 0)
+    )
+    return pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("ov_us").cast("bigint").alias("overlap_us"),
+    ).select(
+        F.date_format("a", "yyyy-MM-dd HH:mm:ss").alias("island_start"),
+        F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("island_end"),
+        "n_sessions", "overlap_us",
+    )

@@ -433,3 +433,94 @@ def q_sensor_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static broadcast enrich (the remaining streaming join shape)
+# ---------------------------------------------------------------------------
+
+@register("streaming_static_enrich", """
+WITH readings AS (
+  SELECT CAST(user_id AS VARCHAR) AS sensor,
+         ts AS start_datetime,
+         CASE WHEN event_type = 'error' THEN NULL
+              ELSE CAST(FLOOR(value) % 25 AS INTEGER) END AS volume,
+         CASE WHEN event_type = 'signup' THEN NULL
+              ELSE CAST(FLOOR(value * 37.0) % 2000 AS INTEGER) END AS occupancy
+  FROM events),
+cfg AS (
+  SELECT CAST(user_id AS VARCHAR) AS sensor,
+         'corr_' || CAST(user_id % 5 AS VARCHAR) AS corridor_route
+  FROM (SELECT DISTINCT user_id FROM events))
+SELECT c.corridor_route,
+       strftime(to_timestamp(FLOOR(epoch(r.start_datetime) / 900) * 900),
+                '%Y-%m-%d %H:%M:%S') AS w_start,
+       CAST(COALESCE(SUM(r.volume), 0) AS BIGINT) AS volume_sum,
+       CAST(COALESCE(SUM(r.occupancy), 0) AS BIGINT) AS occupancy_sum,
+       COUNT(*) AS n_obs
+FROM readings r JOIN cfg c ON c.sensor = r.sensor
+GROUP BY 1, 2
+""")
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2's remaining join shape: stream-STATIC enrich. The 30-sec
+    reading stream broadcast-joins the static detector dimension (no
+    state — the dim is a plain broadcast into every micro-batch, the
+    production shape for stream x slowly-changing-dim at any scale),
+    then rolls up per (corridor, 15-min window) under a 3-day watermark
+    through the append-mode parquet sink. The flush sentinel advances
+    the watermark even though the join drops it: watermark stats are
+    collected at the EventTimeWatermark node BEFORE the join, so a
+    dimension miss can never stall window finalization. Oracle is the
+    batch join+rollup SQL — streaming==batch is the check, like every
+    streaming query here."""
+    from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
+    from traffic_data_pipeline_spark.plans.queries import (
+        FLUSH_SENSOR,
+        fmt_ts,
+        stream_source_dir,
+    )
+    from traffic_data_pipeline_spark.sources.sensor import detector_config
+
+    src = stream_source_dir(spark, sf_dir)
+    sink = scratch_dir(prefix="tdp_sse_sink_")
+    ckpt = scratch_dir(prefix="tdp_sse_ckpt_")
+    cfg = detector_config(spark, sf_dir).select("sensor", "corridor_route")
+    stream = (
+        spark.readStream.schema(
+            "sensor string, start_datetime timestamp,"
+            " volume int, occupancy int")
+        .parquet(src)
+        .withWatermark("start_datetime", "3 days")
+    )
+    agg = (
+        stream.join(F.broadcast(cfg), "sensor")
+        .groupBy("corridor_route",
+                 F.window("start_datetime", "15 minutes").alias("w"))
+        .agg(F.coalesce(F.sum("volume"), F.lit(0)).cast("bigint")
+             .alias("volume_sum"),
+             F.coalesce(F.sum("occupancy"), F.lit(0)).cast("bigint")
+             .alias("occupancy_sum"),
+             F.count(F.lit(1)).alias("n_obs"))
+        .select("corridor_route", F.col("w.start").alias("w_start"),
+                "volume_sum", "occupancy_sum", "n_obs")
+    )
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "8")  # state = open (corridor, window) rows, not batch width
+    try:
+        q = (agg.writeStream.outputMode("append")
+             .format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        ok = q.awaitTermination(600)
+    finally:
+        spark.conf.set(key, prev)
+    if not ok:
+        q.stop()
+        raise TimeoutError(
+            "streaming_static_enrich: availableNow run exceeded 600s")
+    assert FLUSH_SENSOR  # sentinel never reaches the sink: the join drops it
+    return spark.read.parquet(sink).select(
+        "corridor_route", fmt_ts("w_start").alias("w_start"),
+        "volume_sum", "occupancy_sum", "n_obs",
+    )

@@ -1602,3 +1602,58 @@ def q_sensor_uptime_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_windows").cast("bigint").alias("longest_island"),
         F.min("island_start").alias("first_seen"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact phrase search (positional match, in-row)
+# ---------------------------------------------------------------------------
+
+PHRASE = ("slow", "hash", "batch")
+
+
+@register("doc_phrase_search", """
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS l
+  FROM documents),
+hits AS (
+  SELECT doc_id,
+         list_filter(generate_series(1, greatest(len(l) - 2, 0)),
+                     g -> l[g] = 'slow' AND l[g+1] = 'hash'
+                          AND l[g+2] = 'batch') AS pos
+  FROM tl)
+SELECT doc_id,
+       CAST(len(pos) AS BIGINT) AS n_occurrences,
+       CAST(pos[1] AS BIGINT) AS first_pos
+FROM hits WHERE len(pos) > 0
+""")
+def q_doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ('slow hash batch'): every doc containing the
+    three tokens CONSECUTIVELY, with occurrence count and first match
+    position — the positional constraint BM25's bag-of-words scoring
+    cannot express. The match runs as an in-row array expression over
+    the token array (candidate start positions filtered by three
+    1-based element_at probes): a pure projection, zero shuffles, and
+    the corpus is scanned once — at 100 TB this is a map-only pass, or
+    the filter side of a positional inverted index (first-term postings
+    joined to second/third-term postings on doc_id and offset) when the
+    phrase workload is repeated; both engines index 1-based so the
+    oracle is position-for-position identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    t0, t1, t2 = PHRASE
+    tl = docs.select("doc_id", token_array(F.col("text")).alias("l"))
+    pos = F.when(
+        F.size("l") >= 3,
+        F.expr(
+            f"filter(sequence(1, size(l) - 2),"
+            f" g -> element_at(l, g) = '{t0}'"
+            f" AND element_at(l, g + 1) = '{t1}'"
+            f" AND element_at(l, g + 2) = '{t2}')"),
+    ).otherwise(F.array().cast("array<int>"))
+    hits = tl.select("doc_id", pos.alias("pos"))
+    return hits.filter(F.size("pos") > 0).select(
+        "doc_id",
+        F.size("pos").cast("bigint").alias("n_occurrences"),
+        F.element_at("pos", 1).cast("bigint").alias("first_pos"),
+    )
