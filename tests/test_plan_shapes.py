@@ -146,10 +146,10 @@ CAPS = {
     "sensor_volume_trend": (2, 0),       # (sensor, day) agg + sensor moment
                                          # agg; regression math is
                                          # projection-only
-    "doc_phrase_search": (0, 0),         # positional phrase match is an
-                                         # in-row array projection — a
-                                         # map-only corpus pass, zero
-                                         # exchanges
+    "doc_phrase_search": (3, 0),         # spread + two co-keyed posting
+                                         # joins (AQE broadcasts them at
+                                         # fixture scale); the corpus
+                                         # explodes once, codegen after
     "session_surge_overlap": (4, 2),     # session window + hourly agg +
                                          # island window + final island agg;
                                          # threshold scalar and island bins

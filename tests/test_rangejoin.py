@@ -1,0 +1,96 @@
+"""Property tests for the bin-bucketed overlap join (vs the naive
+nested-loop formulation) and planted-violation checks for the
+data-quality analyzer — the fixture tables are clean, so without
+planting, every violation counter would be vacuously green.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from traffic_data_pipeline_spark.operators.rangejoin import overlap_join
+from traffic_data_pipeline_spark.plans.dss_ops import dq_report
+
+T0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+# (start offset minutes, duration minutes) — spans from sub-grain to
+# multi-bucket so multi-bin dedup and boundary touches are both hit
+intervals = st.lists(
+    st.tuples(st.integers(0, 600), st.integers(1, 300)),
+    min_size=1, max_size=8, unique=True)
+
+
+def _df(spark, ivs, sname, ename, tag):
+    rows = [
+        (f"{tag}{i}", T0 + dt.timedelta(minutes=a), T0 + dt.timedelta(minutes=a + d))
+        for i, (a, d) in enumerate(ivs)
+    ]
+    return spark.createDataFrame(
+        rows, f"{tag}_id string, {sname} timestamp, {ename} timestamp")
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ls=intervals, rs=intervals, grain=st.sampled_from([900, 3600]))
+def test_overlap_join_matches_nested_loop(spark, ls, rs, grain):
+    left = _df(spark, ls, "s", "e", "l")
+    right = _df(spark, rs, "a", "b", "r")
+    got = sorted(
+        (r.l_id, r.r_id, r.ov_us)
+        for r in overlap_join(left, right, "s", "e", "a", "b",
+                              grain_seconds=grain).collect())
+    naive = sorted(
+        (r.l_id, r.r_id, r.ov_us)
+        for r in left.crossJoin(right)
+        .filter((F.col("s") < F.col("b")) & (F.col("a") < F.col("e")))
+        .withColumn(
+            "ov_us",
+            F.least(F.unix_micros("e"), F.unix_micros("b"))
+            - F.greatest(F.unix_micros("s"), F.unix_micros("a")))
+        .collect())
+    assert got == naive
+
+
+def test_overlap_join_exact_touch_excluded(spark):
+    # [0, 60) and [60, 120) share a bucket boundary but not an instant
+    left = _df(spark, [(0, 60)], "s", "e", "l")
+    right = _df(spark, [(60, 60)], "a", "b", "r")
+    assert overlap_join(left, right, "s", "e", "a", "b").count() == 0
+
+
+def test_dq_report_counts_planted_violations(spark):
+    ts = dt.datetime(2001, 12, 1)
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "F", ts),
+            (1, 11, "O", ts),          # duplicate orderkey
+            (2, None, "F", ts),        # null custkey
+            (3, 12, "P", dt.datetime(2001, 12, 22)),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_orderdate timestamp")
+    li = spark.createDataFrame(
+        [
+            (1, 1, 5.0, 0.05),
+            (1, 1, 5.0, 0.05),         # duplicate (orderkey, linenumber)
+            (2, 1, -2.0, 0.10),        # nonpositive quantity
+            (3, 1, 1.0, 1.50),         # discount out of range
+            (99, 1, 1.0, 0.00),        # orphan orderkey
+        ],
+        "l_orderkey long, l_linenumber int, l_quantity double, "
+        "l_discount double")
+    got = {(r.tbl, r.chk): r.value for r in dq_report(orders, li).collect()}
+    assert got[("orders", "row_count")] == 4
+    assert got[("orders", "null_custkey")] == 1
+    assert got[("orders", "dup_orderkey")] == 1
+    assert got[("orders", "freshness_days")] == 10   # vs the 2002-01-01 anchor
+    assert got[("lineitem", "row_count")] == 5
+    assert got[("lineitem", "discount_range_viol")] == 1
+    assert got[("lineitem", "nonpositive_qty")] == 1
+    assert got[("lineitem", "dup_order_line")] == 1
+    assert got[("lineitem", "orphan_orderkey")] == 1

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from traffic_data_pipeline_spark.functions.text import ngram_array, token_array
+from traffic_data_pipeline_spark.operators.rangejoin import overlap_join
 from traffic_data_pipeline_spark.plans.queries import register
 from traffic_data_pipeline_spark.sources.tables import load_table
 
@@ -1867,29 +1868,13 @@ def q_session_surge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("gid")
         .agg(F.min("h").alias("a"),
              (F.max("h") + F.expr("INTERVAL 1 HOUR")).alias("b"))
-        .select("a", "b",
-                F.explode(F.expr(
-                    "sequence(a, b - INTERVAL 1 HOUR, INTERVAL 1 HOUR)"))
-                .alias("bin"))
+        .select("a", "b")
     )
-    sess_bins = sess.select(
-        "user_id", "s", "e",
-        F.explode(F.expr(
-            "sequence(date_trunc('hour', s), date_trunc('hour', e),"
-            " INTERVAL 1 HOUR)")).alias("bin"),
-    )
-    pairs = (
-        sess_bins.join(F.broadcast(isl), "bin")
-        # user_id stays in the dedup key: two users can hold bit-identical
-        # session bounds (one event each at the same microsecond), and the
-        # oracle counts them as two sessions
-        .select("user_id", "s", "e", "a", "b").distinct()
-        .withColumn(
-            "ov_us",
-            F.least(F.unix_micros("e"), F.unix_micros("b"))
-            - F.greatest(F.unix_micros("s"), F.unix_micros("a")))
-        .filter(F.col("ov_us") > 0)
-    )
+    # user_id rides along into the dedup key inside overlap_join: two
+    # users can hold bit-identical session bounds (one event each at the
+    # same microsecond), and the oracle counts them as two sessions
+    pairs = overlap_join(sess, isl, "s", "e", "a", "b",
+                         broadcast_right=True)
     return pairs.groupBy("a", "b").agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("ov_us").cast("bigint").alias("overlap_us"),

@@ -298,9 +298,15 @@ def q_dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     check (broadcast at fixture scale, AQE picks shuffle-anti at 100 TB;
     either way the probe never materializes the orphan rows). This is
     the publish-next-to-your-output shape: at 100 TB the report costs
-    one pass over each fact, not one pass per check."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    one pass over each fact, not one pass per check. The analyzer body
+    lives in dq_report() so tests can feed it frames with PLANTED
+    violations — the fixture itself is clean, and a check that has never
+    fired is not a check."""
+    return dq_report(load_table(spark, sf_dir, "orders"),
+                     load_table(spark, sf_dir, "lineitem"))
+
+
+def dq_report(orders: DataFrame, li: DataFrame) -> DataFrame:
     o_row = orders.agg(
         F.count(F.lit(1)).alias("row_count"),
         F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
