@@ -100,6 +100,7 @@ _DEFER_NEW = {
     "doc_phrase_search",
     "session_surge_overlap",
     "streaming_static_enrich",
+    "media_phash_dedup",
 }
 
 

@@ -83,3 +83,35 @@ def test_media_features(media):
     assert v.shape == (16,)
     assert v.sum() == pytest.approx(1.0, abs=1e-3)
     assert (v >= 0).all()
+
+
+def test_ahash64_identical_blobs_pair_at_zero(spark):
+    from traffic_data_pipeline_spark.multimodal.media import ahash64
+
+    # doc_id and doc_id + 3840 share dims (3840 = lcm(8,6,3,5) blocks)
+    # and payload (3840 % 256 == 0 keeps doc_id*131 % 256 fixed), so the
+    # blobs are byte-identical and must fingerprint identically
+    docs = spark.createDataFrame([(1,), (3841,), (7,)], "doc_id long")
+    h = {r.doc_id: (r.h0, r.h1, r.h2, r.h3)
+         for r in ahash64(attach_media(docs)).collect()}
+    assert h[1] == h[3841]
+    assert all(0 <= v < 1 << 16 for v in h[1])
+
+
+def test_ahash64_bits_match_integer_rational(spark):
+    from traffic_data_pipeline_spark.multimodal.media import ahash64
+
+    docs = spark.createDataFrame([(11,)], "doc_id long")
+    (row,) = ahash64(attach_media(docs)).collect()
+    blob = _make_blob(11)
+    arr = np.frombuffer(blob, dtype=np.uint8, offset=HEADER_BYTES).astype(int)
+    n = arr.size
+    seg = (np.arange(n) * 64) // n
+    expect_bits = []
+    for j in range(64):
+        s, ln = int(arr[seg == j].sum()), int((seg == j).sum())
+        expect_bits.append(1 if s * n > int(arr.sum()) * ln else 0)
+    got_bits = []
+    for h in (row.h0, row.h1, row.h2, row.h3):
+        got_bits.extend((h >> m) & 1 for m in range(16))
+    assert got_bits == expect_bits

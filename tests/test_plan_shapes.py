@@ -155,6 +155,10 @@ CAPS = {
                                          # threshold scalar and island bins
                                          # broadcast — the bin equi-join
                                          # never nested-loops
+    "media_phash_dedup": (2, 1),         # live plan over the materialized
+                                         # fingerprint frame: candidate
+                                         # distinct (+ final agg) with one
+                                         # side broadcast at fixture scale
 }
 
 

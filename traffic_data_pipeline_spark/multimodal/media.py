@@ -234,3 +234,41 @@ def byte_histogram(media: DataFrame, n_bins: int = 16) -> DataFrame:
     return (media.select("doc_id", "media_type", "content")
             .mapInPandas(gen, "doc_id bigint, media_type string, bin int, "
                               "n_in_bin bigint, frac double"))
+
+
+def ahash64(media: DataFrame) -> DataFrame:
+    """64-bit average-hash fingerprint per media blob, packed as four
+    16-bit band keys (doc_id, h0..h3).
+
+    The payload splits into 64 equal-share segments (seg(i) = i*64 // L,
+    the standard balanced partition); bit j is set when segment j's mean
+    exceeds the global mean — evaluated as the exact integer rational
+    seg_sum*L > total*seg_len, so the fingerprint is bit-reproducible
+    (and DuckDB-oracle-checkable) with no float thresholds. For real
+    images the same function body runs over decoded pixels (swap
+    `_decode_fake`'s buffer in); banding into 4x16 bits is the SimHash
+    pigeonhole: hamming <= 3 implies at least one identical band, so a
+    band equi-join is a recall-lossless candidate generator.
+    """
+    out_schema = "doc_id bigint, h0 int, h1 int, h2 int, h3 int"
+    shifts = np.arange(16, dtype=np.int64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8,
+                                    offset=HEADER_BYTES).astype(np.int64)
+                n = arr.size
+                seg = (np.arange(n, dtype=np.int64) * 64) // n
+                sums = np.bincount(seg, weights=arr,
+                                   minlength=64).astype(np.int64)
+                lens = np.bincount(seg, minlength=64).astype(np.int64)
+                bits = (sums * n > int(arr.sum()) * lens).astype(np.int64)
+                hs = [int((bits[k * 16:(k + 1) * 16] << shifts).sum())
+                      for k in range(4)]
+                rows.append((int(doc_id), *hs))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "h0", "h1", "h2", "h3"])
+
+    return media.select("doc_id", "content").mapInPandas(gen, out_schema)

@@ -1199,3 +1199,70 @@ def q_embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.sum(F.col("val").cast("double").cast("decimal(30,12)"))
               .cast("double") / F.count(F.lit(1))).alias("mean_val"))
     )
+
+
+@register("media_phash_dedup", f"""
+WITH {_MEDIA_CTE},
+dims AS (SELECT doc_id, width*height*channels*n_frames AS L FROM media),
+segs AS (
+  SELECT doc_id, (t.i * 64) // L AS j,
+         SUM((doc_id * 131 + t.i * 7919 + 13) % 256) AS s,
+         COUNT(*) AS n, MAX(L) AS L
+  FROM dims, unnest(generate_series(0, L - 1)) t(i)
+  GROUP BY 1, 2),
+tot AS (SELECT doc_id, SUM(s) AS ts FROM segs GROUP BY 1),
+bits AS (
+  SELECT s.doc_id, s.j,
+         CASE WHEN s.s * s.L > t.ts * s.n THEN 1 ELSE 0 END AS bit
+  FROM segs s JOIN tot t USING (doc_id))
+SELECT b1.doc_id AS a, b2.doc_id AS b,
+       CAST(SUM(CASE WHEN b1.bit != b2.bit THEN 1 ELSE 0 END) AS BIGINT)
+         AS hamming
+FROM bits b1 JOIN bits b2 ON b1.j = b2.j AND b1.doc_id < b2.doc_id
+GROUP BY 1, 2
+HAVING SUM(CASE WHEN b1.bit != b2.bit THEN 1 ELSE 0 END) <= 3
+""")
+def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate media pairs: 64-bit average-hash
+    fingerprints (Arrow mapInPandas over the stored blobs —
+    multimodal.media.ahash64) banded 4x16 bits, SimHash-style pigeonhole
+    candidate join on (band, key), exact hamming <= 3 verify via XOR
+    popcount. Recall-lossless: hamming <= 3 forces at least one
+    identical band, so the oracle is simply ALL pairs within the
+    threshold (naive bit-level self-join) — the band join can only add
+    candidates the popcount filter rejects. The fingerprint frame is
+    V-row (one row, four ints per blob) and materializes before the
+    self-join (the LSH precedent); at 100 TB the hot-band cap
+    (functions/dedup.py) bounds a degenerate bucket exactly as for text
+    MinHash bands. Fingerprint thresholds are exact integer rationals —
+    no float means — so the hash is engine-reproducible."""
+    from traffic_data_pipeline_spark.functions.execution import materialize
+    from traffic_data_pipeline_spark.multimodal.media import ahash64
+
+    h = materialize(ahash64(_media(spark, sf_dir)))
+    hcols = ["h0", "h1", "h2", "h3"]
+    bands = h.select(
+        "doc_id", *hcols,
+        F.posexplode(F.array(*hcols)).alias("band", "hb"))
+    left = bands.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(c).alias(f"a_{c}") for c in hcols], "band", "hb")
+    right = bands.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(c).alias(f"b_{c}") for c in hcols], "band", "hb")
+    cand = (
+        left.join(right, ["band", "hb"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", *[f"a_{c}" for c in hcols],
+                *[f"b_{c}" for c in hcols])
+        .distinct()
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
+        for c in hcols
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= 3)
+        .select("a", "b", "hamming")
+    )
