@@ -101,6 +101,7 @@ _DEFER_NEW = {
     "session_surge_overlap",
     "streaming_static_enrich",
     "media_phash_dedup",
+    "dedup_minhash_calibration",
 }
 
 

@@ -159,6 +159,10 @@ CAPS = {
                                          # fingerprint frame: candidate
                                          # distinct (+ final agg) with one
                                          # side broadcast at fixture scale
+    "dedup_minhash_calibration": (1, 2), # cached pair stream + cached sets
+                                         # joined twice (broadcast at
+                                         # fixture scale) + one bucket agg;
+                                         # nothing re-shingles
 }
 
 

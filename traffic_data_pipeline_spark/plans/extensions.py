@@ -1266,3 +1266,75 @@ def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("a", "b", "hamming")
     )
+
+
+@register("dedup_minhash_calibration", f"""
+WITH {_MINHASH_CTES},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(a.h0 = b.h0 AS INTEGER) + CAST(a.h1 = b.h1 AS INTEGER) +
+         CAST(a.h2 = b.h2 AS INTEGER) + CAST(a.h3 = b.h3 AS INTEGER) +
+         CAST(a.h4 = b.h4 AS INTEGER) + CAST(a.h5 = b.h5 AS INTEGER) +
+         CAST(a.h6 = b.h6 AS INTEGER) + CAST(a.h7 = b.h7 AS INTEGER) AS agree
+  FROM band_long a JOIN band_long b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+p2 AS (SELECT * FROM pairs WHERE agree >= 4),
+ssize AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+ix AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+  FROM p2 p JOIN sh a ON a.doc_id = p.doc_a
+            JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+jp AS (
+  SELECT p.agree, COALESCE(ix.i, 0) AS i,
+         sa.n + sb.n - COALESCE(ix.i, 0) AS u
+  FROM p2 p
+  LEFT JOIN ix ON ix.doc_a = p.doc_a AND ix.doc_b = p.doc_b
+  JOIN ssize sa ON sa.doc_id = p.doc_a
+  JOIN ssize sb ON sb.doc_id = p.doc_b)
+SELECT agree,
+       COUNT(*) AS n_pairs,
+       ROUND(CAST(SUM(CAST(CAST(i AS DOUBLE) / u AS DECIMAL(18,12)))
+                  AS DOUBLE) / COUNT(*), 6) AS mean_jaccard,
+       ROUND(CAST(SUM(i) AS DOUBLE) / SUM(u), 6) AS pooled_jaccard,
+       ROUND(MIN(CAST(i AS DOUBLE) / u), 6) AS min_jaccard,
+       ROUND(MAX(CAST(i AS DOUBLE) / u), 6) AS max_jaccard
+FROM jp GROUP BY 1
+""")
+def q_dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy observability for the dedup family: per MinHash
+    agreement level (k of 8 components equal), how the estimator tracks
+    EXACT Jaccard over the candidate pairs the pipeline actually emits —
+    the drift monitor that tells a nightly run when its banding
+    threshold no longer means what it meant (corpus shifted, boilerplate
+    crept in). Consumes the session-cached pair stream and shingle sets
+    (nothing re-shingles); exact Jaccard is an in-row array_intersect
+    per candidate — never a shingle-stream join. Cross-engine exactness:
+    per-pair Jaccard is ONE double division (identical bits both
+    engines) accumulated via the per-row decimal cast (the lm_score
+    precedent), pooled ratio is a division of exact BIGINT sums, and
+    min/max of identical doubles are order-free."""
+    pairs = doc_lsh_pairs(spark, sf_dir)
+    sets = doc_shingle_sets(spark, sf_dir)
+    j = (
+        pairs.join(sets.select(F.col("doc_id").alias("doc_a"),
+                               F.col("_set").alias("sa")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"),
+                          F.col("_set").alias("sb")), "doc_b")
+        .select(
+            F.round(F.col("est_sim") * 8).cast("int").alias("agree"),
+            F.size(F.array_intersect("sa", "sb")).alias("i"),
+            (F.size("sa") + F.size("sb")
+             - F.size(F.array_intersect("sa", "sb"))).alias("u"),
+        )
+    )
+    jac = F.col("i").cast("double") / F.col("u")
+    return j.groupBy("agree").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum(jac.cast("decimal(18,12)")).cast("double")
+                / F.count(F.lit(1)), 6).alias("mean_jaccard"),
+        F.round(F.sum("i").cast("double") / F.sum("u"), 6)
+        .alias("pooled_jaccard"),
+        F.round(F.min(jac), 6).alias("min_jaccard"),
+        F.round(F.max(jac), 6).alias("max_jaccard"),
+    )
