@@ -391,3 +391,52 @@ def test_session_window_no_reemit_on_resume(spark, tmp_path):
                   for r in spark.read.parquet(sink)
                   .filter(F.col("user_id").isin(8, 9)).collect())
     assert rows == [(8, 1), (9, 1)]
+
+
+def test_stream_static_enrich_state_survives_restart(spark, tmp_path):
+    """Stream-static enrich (streaming_static_enrich's shape): a window
+    whose rows straddle a stop/start boundary must emit ONE row with the
+    combined aggregate, and a watermark-advancing row whose key is
+    ABSENT from the static dim must still finalize windows — watermark
+    stats are collected before the join, so a dimension miss can never
+    stall emission (the query's docstring claim, pinned here)."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "sensor string, ts timestamp, v int"
+    dim = spark.createDataFrame([("1", "corrA"), ("2", "corrB")],
+                                "sensor string, corridor string")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "sensor string, ts string, v int") \
+            .withColumn("ts", F.col("ts").cast("timestamp")) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (stream.withWatermark("ts", "1 hour")
+               .join(F.broadcast(dim), "sensor")
+               .groupBy("corridor", F.window("ts", "15 minutes").alias("w"))
+               .agg(F.sum("v").alias("v_sum"))
+               .select("corridor", F.col("w.start").alias("w_start"),
+                       "v_sum"))
+        q = (agg.writeStream.outputMode("append").format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(300)
+
+    # run 1: two rows of one open window; nothing finalizes
+    write_batch([("1", "2024-01-01 10:00:00", 1),
+                 ("1", "2024-01-01 10:05:00", 1)])
+    run_once()
+    # run 2 (same checkpoint): a third row joins the RECOVERED window
+    # state; the far-future row's sensor is not in the dim — it must
+    # advance the watermark anyway and finalize the window
+    write_batch([("1", "2024-01-01 10:07:00", 1),
+                 ("zz", "2024-01-01 20:00:00", 0)])
+    run_once()
+    rows = [(r.corridor, str(r.w_start), r.v_sum)
+            for r in spark.read.parquet(sink).collect()]
+    assert rows == [("corrA", "2024-01-01 10:00:00", 3)]
