@@ -102,6 +102,8 @@ _DEFER_NEW = {
     "streaming_static_enrich",
     "media_phash_dedup",
     "dedup_minhash_calibration",
+    "corridor_weighted_median",
+    "price_equidepth_hist",
 }
 
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from traffic_data_pipeline_spark.plans.queries import register
+from traffic_data_pipeline_spark.plans.queries import ORACLES, register
 from traffic_data_pipeline_spark.sources.tables import load_table
 
 
@@ -529,4 +529,126 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).select(
         "corridor_route", fmt_ts("w_start").alias("w_start"),
         "volume_sum", "occupancy_sum", "n_obs",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median (volume-weighted corridor speed)
+# ---------------------------------------------------------------------------
+
+def _wmedian_oracle() -> str:
+    from traffic_data_pipeline_spark.plans.queries import NODEFACT_CTES
+
+    return f"""
+WITH {NODEFACT_CTES},
+base AS (
+  SELECT corridor_route, speed, volume_sum FROM lvl2
+  WHERE corridor_route IS NOT NULL AND speed IS NOT NULL
+    AND volume_sum > 0),
+c AS (
+  SELECT corridor_route, speed, volume_sum,
+         SUM(volume_sum) OVER (PARTITION BY corridor_route ORDER BY speed
+                               RANGE BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cumw,
+         SUM(volume_sum) OVER (PARTITION BY corridor_route) AS tot
+  FROM base)
+SELECT corridor_route,
+       CAST(MIN(tot) AS BIGINT) AS total_weight,
+       MIN(speed) AS w_median_speed
+FROM c WHERE 2 * cumw >= tot GROUP BY 1
+"""
+
+
+@register("corridor_weighted_median", None)
+def q_corridor_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted median corridor speed — the congestion statistic
+    where every hour votes by its traffic, not one-hour-one-vote (a
+    deserted 3am hour shouldn't pull the median like a rush hour). No
+    built-in computes it; the exact formulation is a RANGE-frame
+    cumulative weight over speed order (the frame makes tied speeds
+    peers, so every row of a tie run carries the run-closing cumulative
+    weight and the result is deterministic under any intra-tie order),
+    then the smallest speed whose cumulative weight reaches half —
+    2·cumw >= tot on exact integer weights, no division. One exchange
+    per corridor partition carries both windows and the final min.
+    At 100 TB the same plan holds: corridors are the partition key and
+    the sort is in-partition."""
+    from traffic_data_pipeline_spark.operators.rollup import two_level_rollup
+    from traffic_data_pipeline_spark.plans.queries import _node_fact
+
+    roll = two_level_rollup(_node_fact(spark, sf_dir), "hour")
+    base = roll.filter(
+        F.col("corridor_route").isNotNull() & F.col("speed").isNotNull()
+        & (F.col("volume_sum") > 0)
+    ).select("corridor_route", "speed", "volume_sum")
+    wc = Window.partitionBy("corridor_route").orderBy("speed") \
+        .rangeBetween(Window.unboundedPreceding, 0)
+    wp = Window.partitionBy("corridor_route")
+    c = base.select(
+        "corridor_route", "speed",
+        F.sum("volume_sum").over(wc).alias("cumw"),
+        F.sum("volume_sum").over(wp).alias("tot"),
+    )
+    return (
+        c.filter(2 * F.col("cumw") >= F.col("tot"))
+        .groupBy("corridor_route")
+        .agg(F.min("tot").cast("bigint").alias("total_weight"),
+             F.min("speed").alias("w_median_speed"))
+    )
+
+
+ORACLES["corridor_weighted_median"] = _wmedian_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (exact percentile boundaries + recount)
+# ---------------------------------------------------------------------------
+
+_ED_FRACS = [i / 8 for i in range(1, 8)]
+
+
+@register("price_equidepth_hist", f"""
+WITH b AS (
+  SELECT quantile_cont(l_extendedprice,
+                       [{', '.join(str(f) for f in _ED_FRACS)}]) AS q
+  FROM lineitem)
+SELECT CAST({' + '.join(f'(CASE WHEN l_extendedprice > q[{j}] THEN 1 ELSE 0 END)' for j in range(1, 8))}
+            AS INTEGER) AS bucket,
+       COUNT(*) AS n,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem, b GROUP BY 1
+""")
+def q_price_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) 8-bucket histogram of line prices —
+    the optimizer-statistics / drift-report shape where equi-WIDTH bins
+    would starve the dense region. Two passes: one shared-state exact
+    percentile call yields the 7 interior boundaries (a one-row frame
+    broadcast back), then the scan re-buckets each row by summing seven
+    codegen'd comparisons — no higher-order function, no per-row array.
+    Boundaries are interpolated order statistics over eighth fractions
+    (exact binary), so both engines compute bit-identical cut points
+    and the bucket assignment cannot straddle. At 100 TB the boundary
+    pass swaps to percentile_approx (the registered-twin precedent) and
+    the recount is unchanged."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fr = ", ".join(f"{f}D" for f in _ED_FRACS)
+    # spread the one-file fixture scan so the map-side value-count build
+    # parallelizes (the merge task still holds the full value map — the
+    # cost that makes percentile_approx the 100 TB boundary pass)
+    spread = li.repartition(
+        li.sparkSession.sparkContext.defaultParallelism)
+    b = spread.agg(F.expr(
+        f"percentile(l_extendedprice, array({fr}))").alias("q"))
+    bs = b.select(*[F.col("q")[j].alias(f"b{j}") for j in range(7)])
+    bucket = sum(
+        (F.col("l_extendedprice") > F.col(f"b{j}")).cast("int")
+        for j in range(7)
+    )
+    return (
+        li.crossJoin(F.broadcast(bs))
+        .groupBy(bucket.cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("l_extendedprice").alias("min_price"),
+             F.max("l_extendedprice").alias("max_price"))
     )
