@@ -163,9 +163,10 @@ CAPS = {
                                          # joined twice (broadcast at
                                          # fixture scale) + one bucket agg;
                                          # nothing re-shingles
-    "corridor_weighted_median": (2, 0),  # rollup exchange + ONE corridor
-                                         # partition carrying both windows
-                                         # and the final min
+    "corridor_weighted_median": (3, 0),  # node-fact + rollup exchanges,
+                                         # then ONE corridor partition
+                                         # carrying both windows and the
+                                         # final min
     "price_equidepth_hist": (2, 1),      # boundary-pass spread + recount
                                          # agg; the 7-cut one-row frame
                                          # broadcast into the rescan
