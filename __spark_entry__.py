@@ -104,6 +104,7 @@ _DEFER_NEW = {
     "dedup_minhash_calibration",
     "corridor_weighted_median",
     "price_equidepth_hist",
+    "corpus_prep_pipeline",
 }
 
 

@@ -170,6 +170,11 @@ CAPS = {
     "price_equidepth_hist": (2, 1),      # boundary-pass spread + recount
                                          # agg; the 7-cut one-row frame
                                          # broadcast into the rescan
+    "corpus_prep_pipeline": (12, 5),     # the whole funnel: keep-best
+                                         # window + token-stats agg +
+                                         # gram dedup/probe + four stage
+                                         # counts; survivor joins ride
+                                         # broadcast-small frames
 }
 
 

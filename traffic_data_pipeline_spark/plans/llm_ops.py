@@ -1028,3 +1028,133 @@ def q_streaming_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt_ts(F.col("purchase_ts")).alias("purchase_ts"),
         "purchase_value",
     )
+
+
+def _corpus_prep_oracle() -> str:
+    from traffic_data_pipeline_spark.functions.text import STOPWORDS_EN
+
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return f"""
+WITH {_TOK_LIST_CTE},
+keyed AS (
+  SELECT doc_id, source, n_chars,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+           AS ck
+  FROM documents),
+ranked AS (
+  SELECT doc_id, source, ck,
+         ROW_NUMBER() OVER (PARTITION BY ck
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM keyed),
+s1 AS (SELECT doc_id, source FROM ranked WHERE rk = 1),
+tok AS (SELECT doc_id, unnest(l) AS token FROM tl),
+tok_agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN token IN ({stop}) THEN 1 ELSE 0 END) AS n_stop,
+         SUM(length(token)) AS tok_chars
+  FROM tok GROUP BY 1),
+s2 AS (
+  SELECT s1.doc_id, s1.source, t.n_tokens
+  FROM s1 JOIN tok_agg t USING (doc_id)
+  WHERE t.n_tokens >= 10
+    AND t.n_stop / t.n_tokens >= 0.05
+    AND t.tok_chars / t.n_tokens BETWEEN 2.0 AND 12.0),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(l[g:g+7], ' ') AS gram
+  FROM tl, unnest(generate_series(1, greatest(len(l) - 7, 0))) s(g)),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+dirty AS (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram)
+  WHERE g.doc_id % 97 <> 0),
+s3 AS (
+  SELECT s2.* FROM s2
+  WHERE s2.doc_id % 97 <> 0
+    AND s2.doc_id NOT IN (SELECT doc_id FROM dirty)),
+raw AS (SELECT source, COUNT(*) AS n_raw FROM documents GROUP BY 1),
+d1 AS (SELECT source, COUNT(*) AS n_dedup FROM s1 GROUP BY 1),
+d2 AS (SELECT source, COUNT(*) AS n_quality FROM s2 GROUP BY 1),
+d3 AS (SELECT source, COUNT(*) AS n_final,
+              SUM(n_tokens) AS tokens_final
+       FROM s3 GROUP BY 1)
+SELECT r.source, CAST(r.n_raw AS BIGINT) AS n_raw,
+       CAST(COALESCE(d1.n_dedup, 0) AS BIGINT) AS n_dedup,
+       CAST(COALESCE(d2.n_quality, 0) AS BIGINT) AS n_quality,
+       CAST(COALESCE(d3.n_final, 0) AS BIGINT) AS n_final,
+       CAST(COALESCE(d3.tokens_final, 0) AS BIGINT) AS tokens_final
+FROM raw r
+LEFT JOIN d1 USING (source) LEFT JOIN d2 USING (source)
+LEFT JOIN d3 USING (source)
+"""
+
+
+@register("corpus_prep_pipeline", _corpus_prep_oracle())
+def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-prep FUNNEL as one composed job (the extension-surface
+    sibling of node_qaqc, which composes the whole traffic pipeline):
+    exact keep-best dedup -> Gopher-style quality gate -> benchmark
+    8-gram decontamination, reported per source as a survivor funnel
+    (n_raw -> n_dedup -> n_quality -> n_final + final token budget) —
+    the one-line health readout a nightly corpus build publishes.
+
+    Composition reuses each stage's registered shape: the keep-best
+    window (one content-key exchange), the token-stats aggregate (one
+    token shuffle), the broadcast benchmark-gram probe (corpus grams
+    move once); stage survivorship propagates by co-keyed doc_id
+    semi/anti joins, so the funnel costs the sum of its stages plus
+    joins on an already-small survivor frame — no stage recomputes
+    another's work. Quality thresholds are single double divisions of
+    exact integers (the doc_quality_filter boundary semantics,
+    bit-identical cross-engine)."""
+    from traffic_data_pipeline_spark.functions.text import normalize, text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", "source", "n_chars",
+        F.md5(normalize(F.col("text"))).alias("ck"))
+    w = Window.partitionBy("ck").orderBy(F.col("n_chars").desc(), "doc_id")
+    s1 = keyed.withColumn("rk", F.row_number().over(w)) \
+        .filter(F.col("rk") == 1).select("doc_id", "source")
+    qual = (
+        text_stats(docs)
+        .filter((F.col("n_tokens") >= 10)
+                & F.col("stopword_ratio").isNotNull()
+                & (F.col("stopword_ratio") >= 0.05)
+                & F.col("mean_token_len").between(2.0, 12.0))
+        .select("doc_id", "n_tokens")
+    )
+    s2 = s1.join(qual, "doc_id")
+    toks = _spread(docs)
+    grams = toks.select(
+        "doc_id", F.explode(ngram_array("tok", 8)).alias("gram"))
+    bench = (
+        toks.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(F.array_distinct(ngram_array("tok", 8)))
+                .alias("gram"))
+        .distinct()
+    )
+    dirty = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "gram")
+        .select("doc_id").distinct()
+    )
+    s3 = s2.filter(F.col("doc_id") % 97 != 0).join(dirty, "doc_id", "left_anti")
+    raw = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    d1 = s1.groupBy("source").agg(F.count(F.lit(1)).alias("n_dedup"))
+    d2 = s2.groupBy("source").agg(F.count(F.lit(1)).alias("n_quality"))
+    d3 = s3.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_final"),
+        F.sum("n_tokens").alias("tokens_final"))
+    return (
+        raw.join(d1, "source", "left").join(d2, "source", "left")
+        .join(d3, "source", "left")
+        .select(
+            "source",
+            F.col("n_raw").cast("bigint").alias("n_raw"),
+            F.coalesce("n_dedup", F.lit(0)).cast("bigint").alias("n_dedup"),
+            F.coalesce("n_quality", F.lit(0)).cast("bigint")
+            .alias("n_quality"),
+            F.coalesce("n_final", F.lit(0)).cast("bigint").alias("n_final"),
+            F.coalesce("tokens_final", F.lit(0)).cast("bigint")
+            .alias("tokens_final"),
+        )
+    )
