@@ -142,3 +142,33 @@ def qaqc_for_model(df: DataFrame,
         .filter(F.col("_min_pct") >= completeness_min)
         .drop("_yr", "_pct", "_min_pct")
     )
+
+
+def weighted_median(df: DataFrame, part_col: str, value_col: str,
+                    weight_col: str) -> DataFrame:
+    """Exact weighted (lower) median of `value_col` under integer
+    `weight_col` per `part_col` group: the smallest value whose
+    cumulative weight reaches half the group total.
+
+    Formulated as a RANGE-frame cumulative weight over value order —
+    the frame makes tied values peers, so every row of a tie run
+    carries the run-closing cumulative weight and the result is
+    deterministic under any intra-tie order — with the division-free
+    bound 2·cumw >= tot on exact integers. One exchange per group
+    partition carries both windows and the final min; at any scale the
+    sort is in-partition. Property-tested against the brute-force
+    definition in tests/test_dss_properties.py."""
+    wc = Window.partitionBy(part_col).orderBy(value_col) \
+        .rangeBetween(Window.unboundedPreceding, 0)
+    wp = Window.partitionBy(part_col)
+    c = df.select(
+        part_col, value_col,
+        F.sum(weight_col).over(wc).alias("_cumw"),
+        F.sum(weight_col).over(wp).alias("_tot"),
+    )
+    return (
+        c.filter(2 * F.col("_cumw") >= F.col("_tot"))
+        .groupBy(part_col)
+        .agg(F.min("_tot").cast("bigint").alias("total_weight"),
+             F.min(value_col).alias("w_median"))
+    )

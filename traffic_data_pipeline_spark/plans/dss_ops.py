@@ -573,7 +573,10 @@ def q_corridor_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     per corridor partition carries both windows and the final min.
     At 100 TB the same plan holds: corridors are the partition key and
     the sort is in-partition."""
-    from traffic_data_pipeline_spark.operators.rollup import two_level_rollup
+    from traffic_data_pipeline_spark.operators.rollup import (
+        two_level_rollup,
+        weighted_median,
+    )
     from traffic_data_pipeline_spark.plans.queries import _node_fact
 
     roll = two_level_rollup(_node_fact(spark, sf_dir), "hour")
@@ -581,20 +584,9 @@ def q_corridor_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("corridor_route").isNotNull() & F.col("speed").isNotNull()
         & (F.col("volume_sum") > 0)
     ).select("corridor_route", "speed", "volume_sum")
-    wc = Window.partitionBy("corridor_route").orderBy("speed") \
-        .rangeBetween(Window.unboundedPreceding, 0)
-    wp = Window.partitionBy("corridor_route")
-    c = base.select(
-        "corridor_route", "speed",
-        F.sum("volume_sum").over(wc).alias("cumw"),
-        F.sum("volume_sum").over(wp).alias("tot"),
-    )
-    return (
-        c.filter(2 * F.col("cumw") >= F.col("tot"))
-        .groupBy("corridor_route")
-        .agg(F.min("tot").cast("bigint").alias("total_weight"),
-             F.min("speed").alias("w_median_speed"))
-    )
+    return weighted_median(base, "corridor_route", "speed", "volume_sum") \
+        .select("corridor_route", "total_weight",
+                F.col("w_median").alias("w_median_speed"))
 
 
 ORACLES["corridor_weighted_median"] = _wmedian_oracle()
