@@ -105,6 +105,7 @@ _DEFER_NEW = {
     "corridor_weighted_median",
     "price_equidepth_hist",
     "corpus_prep_pipeline",
+    "embedding_ann_recall",
 }
 
 

@@ -175,6 +175,10 @@ CAPS = {
                                          # gram dedup/probe + four stage
                                          # counts; survivor joins ride
                                          # broadcast-small frames
+    "embedding_ann_recall": (3, 3),      # brute truth pass (query side
+                                         # broadcast) + code joins + per-
+                                         # query agg; codes broadcast at
+                                         # fixture scale
 }
 
 

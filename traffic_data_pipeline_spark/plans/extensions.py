@@ -1338,3 +1338,78 @@ def q_dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(jac), 6).alias("min_jaccard"),
         F.round(F.max(jac), 6).alias("max_jaccard"),
     )
+
+
+@register("embedding_ann_recall", f"""
+WITH {_EMB_CTES},
+q AS (SELECT * FROM elems WHERE vec_id IN ({", ".join(map(str, KNN_QUERY_IDS))})),
+dots AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         CAST(SUM(CAST(q.val * c.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM q JOIN elems c ON q.pos = c.pos
+  GROUP BY 1, 2),
+cos AS (
+  SELECT d.q_id, d.c_id,
+         d.dot / (sqrt(qn.norm_sq) * sqrt(cn.norm_sq)) AS cosine
+  FROM dots d
+  JOIN norms qn ON qn.vec_id = d.q_id
+  JOIN norms cn ON cn.vec_id = d.c_id
+  WHERE d.q_id != d.c_id),
+truth AS (
+  SELECT q_id, c_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY cosine DESC, c_id) AS rank
+    FROM cos) WHERE rank <= 5),
+pd AS (
+  SELECT e.vec_id, p.p,
+         CAST(SUM(CAST(e.val * (((p.p * 73856093 + e.pos * 19349663) % 1000003)
+                                / 1000003.0 - 0.5) AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM elems e, (SELECT unnest(generate_series(0, 7)) AS p) p
+  GROUP BY 1, 2),
+codes AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+  FROM pd GROUP BY 1)
+SELECT t.q_id,
+       CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(SUM(CASE WHEN cq.bucket = cc.bucket THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_found,
+       SUM(CASE WHEN cq.bucket = cc.bucket THEN 1 ELSE 0 END) / 5.0 AS recall
+FROM truth t
+JOIN codes cq ON cq.vec_id = t.q_id
+JOIN codes cc ON cc.vec_id = t.c_id
+GROUP BY 1
+""")
+def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@5 of the hyperplane-LSH bucketing
+    against brute-force top-5 ground truth, per query vector — the
+    index-tuning readout (how many planes before recall dies) every
+    similarity deployment needs next to the index itself, and the
+    embedding-side sibling of dedup_minhash_calibration. Ground truth
+    ranks with the deterministic (cosine DESC, id) tie-break both
+    engines share; a truth neighbor counts as found when it shares the
+    query's 8-plane bucket. Costs one truth pass over the broadcast
+    query set plus a code projection — at corpus scale the truth pass
+    runs on a SAMPLE of queries (recall needs a few hundred queries,
+    not the corpus) while the code side is the index already built."""
+    from traffic_data_pipeline_spark.functions.similarity import (
+        bucket_code,
+        knn_bruteforce,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = knn_bruteforce(emb, KNN_QUERY_IDS, k=5).select("q_id", "c_id")
+    codes = emb.select(
+        "vec_id", bucket_code(F.col("embedding"), 8).alias("bucket"))
+    cq = codes.select(F.col("vec_id").alias("q_id"),
+                      F.col("bucket").alias("q_bucket"))
+    cc = codes.select(F.col("vec_id").alias("c_id"),
+                      F.col("bucket").alias("c_bucket"))
+    hit = (F.col("q_bucket") == F.col("c_bucket")).cast("int")
+    return (
+        truth.join(cq, "q_id").join(cc, "c_id")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+             F.sum(hit).cast("bigint").alias("n_found"),
+             (F.sum(hit) / 5.0).alias("recall"))
+    )
