@@ -106,6 +106,10 @@ _DEFER_NEW = {
     "price_equidepth_hist",
     "corpus_prep_pipeline",
     "embedding_ann_recall",
+    "order_priority_check",
+    "customer_order_histogram",
+    "promo_revenue_share",
+    "discounted_special_revenue",
 }
 
 

@@ -179,6 +179,18 @@ CAPS = {
                                          # broadcast) + code joins + per-
                                          # query agg; codes broadcast at
                                          # fixture scale
+    "order_priority_check": (1, 1),      # semi-join with residual date
+                                         # condition + priority agg;
+                                         # quarter side broadcast
+    "customer_order_histogram": (2, 1),  # per-customer count rides the
+                                         # join key; histogram re-agg is
+                                         # distinct-count-sized
+    "promo_revenue_share": (0, 1),       # ONE pass: conditional + total
+                                         # decimal sums to a single row;
+                                         # part dim broadcast
+    "discounted_special_revenue": (0, 1),  # broadcast part join + the
+                                           # disjunctive band filter +
+                                           # one aggregate row
 }
 
 

@@ -644,3 +644,154 @@ def q_price_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("l_extendedprice").alias("min_price"),
              F.max("l_extendedprice").alias("max_price"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS semi-join with a residual non-equi condition
+# ---------------------------------------------------------------------------
+
+@register("order_priority_check", """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY 1
+""")
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: quarterly order counts by priority, restricted to
+    orders with at least one line shipped after the order date. The
+    EXISTS runs as a LEFT SEMI join on the equi key with the non-equi
+    date comparison as a residual condition — one co-keyed shuffle (AQE
+    broadcasts the filtered quarter at fixture scale), never a
+    count-then-filter materialization of the match multiplicity."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01"))
+    li = load_table(spark, sf_dir, "lineitem")
+    hit = orders.join(
+        li, (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")), "left_semi")
+    return hit.groupBy("o_orderpriority") \
+        .agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: outer-join count distribution
+# ---------------------------------------------------------------------------
+
+@register("customer_order_histogram", """
+WITH c_orders AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders GROUP BY 1
+""")
+def q_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of per-customer order counts
+    (zero-order customers included — the LEFT join is the point; an
+    inner join silently drops the biggest histogram bar). COUNT of the
+    join-side key counts non-matches as zero in both engines. Two
+    aggregations: the per-customer count rides the join's customer
+    partitioning; the histogram re-agg is rows ≈ distinct counts."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count") \
+        .agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: conditional-aggregate revenue share
+# ---------------------------------------------------------------------------
+
+@register("promo_revenue_share", """
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS promo_share,
+       CAST(SUM(CASE WHEN p_type = 'PROMO'
+                THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+""")
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month — conditional
+    and unconditional aggregates in ONE pass over the broadcast part
+    join (never two scans), both accumulating as exact decimals so the
+    share is a single double division identical in both engines. The
+    ship-date range is a pushed scan predicate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01")
+        & (F.col("l_shipdate") < "1996-04-01"))
+    part = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo).cast("double")
+                    / F.sum(rev).cast("double"), 6).alias("promo_share"),
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity bands
+# ---------------------------------------------------------------------------
+
+@register("discounted_special_revenue", """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity >= 5 AND l_quantity <= 15)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 50
+       AND l_quantity >= 10 AND l_quantity <= 20)
+""")
+def q_discounted_special_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a disjunction of conjunctive
+    brand x size x quantity bands — the predicate form that defeats
+    naive single-column pushdown. The part side broadcasts with only
+    the columns the predicate needs; the cross-table OR evaluates once
+    in the join output (Catalyst also derives the union of part-only
+    filters for the build side). One scan, one broadcast, one
+    aggregate row of exact decimals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part") \
+        .select("p_partkey", "p_brand", "p_size")
+    band = (
+        ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(5, 15))
+        | ((F.col("p_brand") == "Brand#19") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(10, 20))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(band)
+        .agg(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
