@@ -110,6 +110,11 @@ _DEFER_NEW = {
     "customer_order_histogram",
     "promo_revenue_share",
     "discounted_special_revenue",
+    "nation_pair_trade",
+    "nation_market_share",
+    "nation_year_part_profit",
+    "returned_item_customers",
+    "part_supplier_diversity",
 }
 
 

@@ -191,6 +191,19 @@ CAPS = {
     "discounted_special_revenue": (0, 1),  # broadcast part join + the
                                            # disjunctive band filter +
                                            # one aggregate row
+    "nation_pair_trade": (1, 5),         # orders co-keyed; all five dims
+                                         # broadcast, pair predicate on
+                                         # the joined row
+    "nation_market_share": (1, 7),       # seven-way star fully broadcast;
+                                         # conditional + total sums ride
+                                         # one pass
+    "nation_year_part_profit": (1, 4),   # LIKE-filtered part broadcast
+                                         # prunes first; one orders join
+    "returned_item_customers": (1, 3),   # one revenue agg + TakeOrdered
+                                         # top-20; dims broadcast
+    "part_supplier_diversity": (2, 2),   # anti blacklist + part broadcast;
+                                         # distinct-count expand on the
+                                         # (brand, type) grouping
 }
 
 

@@ -795,3 +795,260 @@ def q_discounted_special_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
              .cast("double").alias("revenue"),
              F.count(F.lit(1)).alias("n_lines"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: bidirectional nation-pair trade volume by year
+# ---------------------------------------------------------------------------
+
+@register("nation_pair_trade", """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+WHERE ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7')
+    OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3'))
+  AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3
+""")
+def q_nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations in both
+    directions, split by year. The five-way star resolves with every
+    dimension broadcast (orders is the only co-keyed join) and the
+    bidirectional pair predicate evaluates once on the joined row;
+    Catalyst pushes the derived single-nation filters into each
+    broadcast build, so non-pair customers/suppliers never enter the
+    hash tables. Year extraction + decimal revenue keep the grouping
+    and sums exact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1997-01-01"))
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    nc = nat.select(F.col("n_nationkey").alias("c_nk"),
+                    F.col("n_name").alias("cust_nation"))
+    ns = nat.select(F.col("n_nationkey").alias("s_nk"),
+                    F.col("n_name").alias("supp_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_3")
+         & (F.col("cust_nation") == "NATION_7"))
+        | ((F.col("supp_nation") == "NATION_7")
+           & (F.col("cust_nation") == "NATION_3"))
+    )
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nc), F.col("c_nk") == F.col("c_nationkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nk") == F.col("s_nationkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: per-year national market share within a region
+# ---------------------------------------------------------------------------
+
+@register("nation_market_share", """
+SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       ROUND(CAST(SUM(CASE WHEN ns.n_name = 'NATION_3'
+                  THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE), 6) AS mkt_share,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = nc.n_regionkey AND r.r_name = 'ASIA'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+GROUP BY 1
+""")
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's ECONOMY-part
+    market per year — the conditional-over-total ratio where BOTH sums
+    ride one pass (never a self-join of filtered against unfiltered).
+    The seven-way star broadcasts every dimension; the region and
+    part-type filters prune their broadcast builds before the fact sees
+    them. Share = one double division of exact decimal sums per year
+    row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA")
+    nc = nat.select(F.col("n_nationkey").alias("c_nk"),
+                    F.col("n_regionkey").alias("c_rk"))
+    ns = nat.select(F.col("n_nationkey").alias("s_nk"),
+                    F.col("n_name").alias("supp_nation"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    target = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(zero)
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nc), F.col("c_nk") == F.col("c_nationkey"))
+        .join(F.broadcast(reg), F.col("r_regionkey") == F.col("c_rk"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nk") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(F.sum(target).cast("double")
+                    / F.sum(rev).cast("double"), 6).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: revenue by supplier nation and order year for a part line
+# ---------------------------------------------------------------------------
+
+@register("nation_year_part_profit", """
+SELECT ns.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS amount,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%widget%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+""")
+def q_nation_year_part_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit sans the partsupp cost leg the fixture
+    lacks): revenue on a name-matched part line by supplier nation and
+    order year. The LIKE-filtered part list broadcasts into the fact
+    scan first — the most selective dimension prunes before the orders
+    join moves anything — and the (nation, year) grouping is
+    two-orders-of-magnitude smaller than the fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")).select("p_partkey")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .cast("double").alias("amount"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: top returned-revenue customers (deterministic top-k)
+# ---------------------------------------------------------------------------
+
+@register("returned_item_customers", """
+WITH rev AS (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(18,6))) AS lost
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+               AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+               AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY 1, 2, 3)
+SELECT c_custkey, c_name, n_name, CAST(lost AS DOUBLE) AS lost_revenue
+FROM rev ORDER BY lost DESC, c_custkey LIMIT 20
+""")
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the 20 customers who returned the most revenue
+    in a half-year window. Top-k runs as TakeOrderedAndProject
+    (per-partition heaps + driver merge of 20-row candidates — no
+    global sort), ordered by the EXACT decimal total with c_custkey as
+    the tiebreak so the k-boundary is deterministic in both engines
+    even under revenue ties. Return-flag and date predicates push to
+    the scans; customer/nation broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01"))
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("lost"))
+    )
+    return (
+        rev.orderBy(F.col("lost").desc(), "c_custkey").limit(20)
+        .select("c_custkey", "c_name", "n_name",
+                F.col("lost").cast("double").alias("lost_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: distinct-supplier counts with a NOT-IN blacklist
+# ---------------------------------------------------------------------------
+
+@register("part_supplier_diversity", """
+SELECT p.p_brand, p.p_type,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size IN (5, 10, 15, 20, 25)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 0)
+GROUP BY 1, 2
+""")
+def q_part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct (non-blacklisted) suppliers
+    serve each brand x type — the supply-chain-diversity readout. The
+    NOT IN decorrelates to a broadcast LEFT ANTI join against the
+    negative-balance blacklist (safe here because s_suppkey is
+    non-null; a nullable NOT-IN column needs the null-aware variant
+    Spark plans as NAAJ); the size filter prunes the broadcast part
+    build; COUNT(DISTINCT) expands on the (brand, type) grouping —
+    two-level partial aggregation, never a row-level distinct of the
+    fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(5, 10, 15, 20, 25))
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+                "left_anti")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").cast("bigint")
+             .alias("supplier_cnt"))
+    )
