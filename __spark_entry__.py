@@ -115,6 +115,7 @@ _DEFER_NEW = {
     "nation_year_part_profit",
     "returned_item_customers",
     "part_supplier_diversity",
+    "price_equidepth_hist_approx",
 }
 
 

@@ -39,3 +39,20 @@ def test_lineitem_quantiles_approx_tracks_exact(spark, sf_dir_oracle):
         for q in ("p25", "p50", "p75", "p95"):
             av, ev = getattr(a, q), getattr(e, q)
             assert abs(av - ev) <= REL_TOL * abs(ev), (k, q, av, ev)
+
+
+def test_equidepth_hist_approx_tracks_exact(spark, sf_dir_oracle):
+    """GK rank error at accuracy 1e4 is n/1e4 ranks per cut point; each
+    bucket has two cuts, so counts may drift by <= 2n/1e4 (plus slack
+    for value ties at the boundary)."""
+    exact = {r.bucket: r.n for r in
+             QUERIES["price_equidepth_hist"](spark, sf_dir_oracle).collect()}
+    approx = {r.bucket: r.n for r in
+              QUERIES["price_equidepth_hist_approx"](spark, sf_dir_oracle)
+              .collect()}
+    n = sum(exact.values())
+    assert sum(approx.values()) == n          # recount never loses rows
+    tol = max(4, 4 * n // 10000)
+    for b in range(8):
+        assert abs(exact.get(b, 0) - approx.get(b, 0)) <= tol, (
+            b, exact.get(b), approx.get(b))

@@ -29,6 +29,9 @@ def test_rows_only_set_is_expected():
                                        # exact twin
         "model_predict_glm",       # iterative IRLS fit
         "model_predict_glm_day",   # iterative IRLS fit (day grain)
+        "price_equidepth_hist_approx",  # GK sketch cut points; bucket
+                                        # counts pinned vs the exact twin
+                                        # in test_approx_percentiles.py
     ]
 
 

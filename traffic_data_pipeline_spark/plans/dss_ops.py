@@ -1052,3 +1052,31 @@ def q_part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_suppkey").cast("bigint")
              .alias("supplier_cnt"))
     )
+
+
+@register("price_equidepth_hist_approx")
+def q_price_equidepth_hist_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-safe twin of price_equidepth_hist: boundary cut points
+    from approx_percentile (Greenwald-Khanna sketch, accuracy 1e4 —
+    constant memory, map-side mergeable) instead of the exact
+    shared-state percentile whose merge task holds the full value-count
+    map. Recount pass identical. Rows-only by design (sketch cut points
+    are engine-specific); tests/test_approx_percentiles.py pins every
+    bucket count within the GK rank-error bound of the exact twin."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fr = ", ".join(f"{f}D" for f in _ED_FRACS)
+    b = li.agg(F.expr(
+        f"approx_percentile(l_extendedprice, array({fr}), 10000)")
+        .alias("q"))
+    bs = b.select(*[F.col("q")[j].alias(f"b{j}") for j in range(7)])
+    bucket = sum(
+        (F.col("l_extendedprice") > F.col(f"b{j}")).cast("int")
+        for j in range(7)
+    )
+    return (
+        li.crossJoin(F.broadcast(bs))
+        .groupBy(bucket.cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("l_extendedprice").alias("min_price"),
+             F.max("l_extendedprice").alias("max_price"))
+    )
