@@ -81,6 +81,9 @@ def test_dq_report_counts_planted_violations(spark):
             (2, 1, -2.0, 0.10),        # nonpositive quantity
             (3, 1, 1.0, 1.50),         # discount out of range
             (99, 1, 1.0, 0.00),        # orphan orderkey
+            (2, None, 1.0, 0.00),      # unique NULL-keyed row: NOT a dup
+            (3, None, 1.0, 0.00),      # two (3, NULL) rows: exactly
+            (3, None, 1.0, 0.00),      # one more dup
         ],
         "l_orderkey long, l_linenumber int, l_quantity double, "
         "l_discount double")
@@ -89,8 +92,8 @@ def test_dq_report_counts_planted_violations(spark):
     assert got[("orders", "null_custkey")] == 1
     assert got[("orders", "dup_orderkey")] == 1
     assert got[("orders", "freshness_days")] == 10   # vs the 2002-01-01 anchor
-    assert got[("lineitem", "row_count")] == 5
+    assert got[("lineitem", "row_count")] == 8
     assert got[("lineitem", "discount_range_viol")] == 1
     assert got[("lineitem", "nonpositive_qty")] == 1
-    assert got[("lineitem", "dup_order_line")] == 1
+    assert got[("lineitem", "dup_order_line")] == 2
     assert got[("lineitem", "orphan_orderkey")] == 1

@@ -29,6 +29,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from traffic_data_pipeline_spark.plans.queries import ORACLES, register
+from traffic_data_pipeline_spark.sources.sensor import (
+    CONFIG_VIEW_SQL,
+    SENSOR_VIEW_SQL,
+)
 from traffic_data_pipeline_spark.sources.tables import load_table
 
 
@@ -283,7 +287,9 @@ UNION ALL SELECT 'lineitem', 'discount_range_viol',
 UNION ALL SELECT 'lineitem', 'nonpositive_qty',
        CAST(COUNT(*) FILTER (WHERE l_quantity <= 0) AS BIGINT) FROM lineitem
 UNION ALL SELECT 'lineitem', 'dup_order_line',
-       CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+       CAST(COUNT(*) - COUNT(DISTINCT
+              COALESCE(CAST(l_orderkey AS VARCHAR), '~null~') || '|' ||
+              COALESCE(CAST(l_linenumber AS VARCHAR), '~null~')) AS BIGINT)
        FROM lineitem
 UNION ALL SELECT 'lineitem', 'orphan_orderkey', CAST(COUNT(*) AS BIGINT)
 FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -329,8 +335,17 @@ def dq_report(orders: DataFrame, li: DataFrame) -> DataFrame:
                      1).otherwise(0)).alias("discount_range_viol"),
         F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0))
         .alias("nonpositive_qty"),
+        # NULL-safe composite key: Spark's multi-column countDistinct
+        # SKIPS rows with any NULL column while DuckDB counts the tuple —
+        # a NULL linenumber would both miscount and break the oracle, and
+        # NULL keys are exactly what a DQ report must measure
         (F.count(F.lit(1))
-         - F.countDistinct("l_orderkey", "l_linenumber"))
+         - F.countDistinct(F.concat_ws(
+             "|",
+             F.coalesce(F.col("l_orderkey").cast("string"),
+                        F.lit("~null~")),
+             F.coalesce(F.col("l_linenumber").cast("string"),
+                        F.lit("~null~")))))
         .alias("dup_order_line"),
     )
     l_checks = l_row.select(F.expr(
@@ -354,13 +369,8 @@ def dq_report(orders: DataFrame, li: DataFrame) -> DataFrame:
 # Per-sensor least-squares volume trend (exact integer moments)
 # ---------------------------------------------------------------------------
 
-_TREND_CTE = """
-s AS (
-  SELECT CAST(user_id AS VARCHAR) AS sensor,
-         CAST(ts AS DATE) AS reading_date,
-         CASE WHEN event_type = 'error' THEN NULL
-              ELSE CAST(FLOOR(value) % 25 AS INTEGER) END AS volume
-  FROM events),
+_TREND_CTE = f"""
+s AS ({SENSOR_VIEW_SQL}),
 d AS (
   SELECT sensor,
          CAST(datediff('day', DATE '1995-01-01', reading_date) AS BIGINT)
@@ -445,19 +455,9 @@ def q_sensor_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Stream-static broadcast enrich (the remaining streaming join shape)
 # ---------------------------------------------------------------------------
 
-@register("streaming_static_enrich", """
-WITH readings AS (
-  SELECT CAST(user_id AS VARCHAR) AS sensor,
-         ts AS start_datetime,
-         CASE WHEN event_type = 'error' THEN NULL
-              ELSE CAST(FLOOR(value) % 25 AS INTEGER) END AS volume,
-         CASE WHEN event_type = 'signup' THEN NULL
-              ELSE CAST(FLOOR(value * 37.0) % 2000 AS INTEGER) END AS occupancy
-  FROM events),
-cfg AS (
-  SELECT CAST(user_id AS VARCHAR) AS sensor,
-         'corr_' || CAST(user_id % 5 AS VARCHAR) AS corridor_route
-  FROM (SELECT DISTINCT user_id FROM events))
+@register("streaming_static_enrich", f"""
+WITH readings AS ({SENSOR_VIEW_SQL}),
+cfg AS ({CONFIG_VIEW_SQL})
 SELECT c.corridor_route,
        strftime(to_timestamp(FLOOR(epoch(r.start_datetime) / 900) * 900),
                 '%Y-%m-%d %H:%M:%S') AS w_start,
@@ -597,6 +597,32 @@ ORACLES["corridor_weighted_median"] = _wmedian_oracle()
 # ---------------------------------------------------------------------------
 
 _ED_FRACS = [i / 8 for i in range(1, 8)]
+_ED_FRACS_SQL = ", ".join(f"{f}D" for f in _ED_FRACS)
+
+
+def _equidepth_recount(li: DataFrame, boundary_expr: str) -> DataFrame:
+    """Shared recount stage of the equi-depth histogram twins: evaluate
+    the 7-cut boundary aggregate over a spread scan (one-file fixtures
+    otherwise build the percentile state in ONE task), broadcast the
+    one-row cut frame back, and re-bucket by summing seven codegen'd
+    comparisons. The exact and approx twins differ ONLY in
+    ``boundary_expr`` — the accuracy-pin test compares their outputs, so
+    the recount must be literally the same code in both."""
+    spread = li.repartition(
+        li.sparkSession.sparkContext.defaultParallelism)
+    b = spread.agg(F.expr(boundary_expr).alias("q"))
+    bs = b.select(*[F.col("q")[j].alias(f"b{j}") for j in range(7)])
+    bucket = sum(
+        (F.col("l_extendedprice") > F.col(f"b{j}")).cast("int")
+        for j in range(7)
+    )
+    return (
+        li.crossJoin(F.broadcast(bs))
+        .groupBy(bucket.cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("l_extendedprice").alias("min_price"),
+             F.max("l_extendedprice").alias("max_price"))
+    )
 
 
 @register("price_equidepth_hist", f"""
@@ -623,27 +649,9 @@ def q_price_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the bucket assignment cannot straddle. At 100 TB the boundary
     pass swaps to percentile_approx (the registered-twin precedent) and
     the recount is unchanged."""
-    li = load_table(spark, sf_dir, "lineitem")
-    fr = ", ".join(f"{f}D" for f in _ED_FRACS)
-    # spread the one-file fixture scan so the map-side value-count build
-    # parallelizes (the merge task still holds the full value map — the
-    # cost that makes percentile_approx the 100 TB boundary pass)
-    spread = li.repartition(
-        li.sparkSession.sparkContext.defaultParallelism)
-    b = spread.agg(F.expr(
-        f"percentile(l_extendedprice, array({fr}))").alias("q"))
-    bs = b.select(*[F.col("q")[j].alias(f"b{j}") for j in range(7)])
-    bucket = sum(
-        (F.col("l_extendedprice") > F.col(f"b{j}")).cast("int")
-        for j in range(7)
-    )
-    return (
-        li.crossJoin(F.broadcast(bs))
-        .groupBy(bucket.cast("int").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n"),
-             F.min("l_extendedprice").alias("min_price"),
-             F.max("l_extendedprice").alias("max_price"))
-    )
+    return _equidepth_recount(
+        load_table(spark, sf_dir, "lineitem"),
+        f"percentile(l_extendedprice, array({_ED_FRACS_SQL}))")
 
 
 # ---------------------------------------------------------------------------
@@ -1063,20 +1071,6 @@ def q_price_equidepth_hist_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     map. Recount pass identical. Rows-only by design (sketch cut points
     are engine-specific); tests/test_approx_percentiles.py pins every
     bucket count within the GK rank-error bound of the exact twin."""
-    li = load_table(spark, sf_dir, "lineitem")
-    fr = ", ".join(f"{f}D" for f in _ED_FRACS)
-    b = li.agg(F.expr(
-        f"approx_percentile(l_extendedprice, array({fr}), 10000)")
-        .alias("q"))
-    bs = b.select(*[F.col("q")[j].alias(f"b{j}") for j in range(7)])
-    bucket = sum(
-        (F.col("l_extendedprice") > F.col(f"b{j}")).cast("int")
-        for j in range(7)
-    )
-    return (
-        li.crossJoin(F.broadcast(bs))
-        .groupBy(bucket.cast("int").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n"),
-             F.min("l_extendedprice").alias("min_price"),
-             F.max("l_extendedprice").alias("max_price"))
-    )
+    return _equidepth_recount(
+        load_table(spark, sf_dir, "lineitem"),
+        f"approx_percentile(l_extendedprice, array({_ED_FRACS_SQL}), 10000)")
