@@ -116,6 +116,8 @@ _DEFER_NEW = {
     "returned_item_customers",
     "part_supplier_diversity",
     "price_equidepth_hist_approx",
+    "order_fulfillment_rate",
+    "lang_token_fertility",
 }
 
 

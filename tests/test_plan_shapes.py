@@ -204,6 +204,11 @@ CAPS = {
     "part_supplier_diversity": (2, 2),   # anti blacklist + part broadcast;
                                          # distinct-count expand on the
                                          # (brand, type) grouping
+    "order_fulfillment_rate": (2, 1),    # for-all as a per-order MAX
+                                         # aggregate + priority rollup;
+                                         # never an anti-join per order
+    "lang_token_fertility": (1, 1),      # token counters are projections;
+                                         # one (lang) aggregate
 }
 
 

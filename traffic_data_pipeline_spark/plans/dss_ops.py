@@ -1074,3 +1074,54 @@ def q_price_equidepth_hist_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     return _equidepth_recount(
         load_table(spark, sf_dir, "lineitem"),
         f"approx_percentile(l_extendedprice, array({_ED_FRACS_SQL}), 10000)")
+
+
+# ---------------------------------------------------------------------------
+# Universal quantifier: per-priority order fulfillment (ALL lines on time)
+# ---------------------------------------------------------------------------
+
+@register("order_fulfillment_rate", """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN NOT EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = o.o_orderkey
+                  AND l2.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_fulfilled,
+       ROUND(CAST(SUM(CASE WHEN NOT EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = o.o_orderkey
+                  AND l2.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS fill_rate
+FROM orders o
+WHERE o.o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey)
+GROUP BY 1
+""")
+def q_order_fulfillment_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Universal-quantifier shape: the fraction of finished orders whose
+    EVERY line shipped within 60 days. The oracle states it as the
+    textbook NOT EXISTS (a violating line); the Spark plan rewrites
+    for-all into an aggregate — MAX(l_shipdate) per order against the
+    deadline — so the quantifier costs one co-keyed per-order aggregate
+    instead of an anti-join per order, and the EXISTS(any line) guard
+    falls out of the same inner join. Counts are exact integers; the
+    rate is one double division mirrored verbatim."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    ontime = (F.col("last_ship")
+              <= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")) \
+        .cast("int")
+    return per_order.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(ontime).cast("bigint").alias("n_fulfilled"),
+        F.round(F.sum(ontime).cast("double") / F.count(F.lit(1)), 6)
+        .alias("fill_rate"),
+    )

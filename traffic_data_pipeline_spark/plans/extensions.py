@@ -1413,3 +1413,39 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(hit).cast("bigint").alias("n_found"),
              (F.sum(hit) / 5.0).alias("recall"))
     )
+
+
+@register("lang_token_fertility", """
+WITH t AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(text,
+              '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))
+              AS BIGINT) AS bpe,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x != '')) AS BIGINT) AS ws
+  FROM documents)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+       ROUND(CAST(SUM(bpe) AS DOUBLE) / SUM(ws), 6) AS fertility
+FROM t GROUP BY 1
+""")
+def q_lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — BPE-ish tokens per whitespace
+    word, the budgeting statistic that says how much of the token budget
+    each language actually costs (fertility >> 1 means the tokenizer
+    fragments that language; the signal behind per-language mixture and
+    vocab decisions). Rides the existing per-doc token counters as pure
+    projections — one (lang) aggregate, exact integer sums, one double
+    division per language row."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = bpe_token_count(docs).join(
+        docs.select("doc_id", "lang"), "doc_id")
+    return counts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws_tokens").cast("bigint").alias("ws_tokens"),
+        F.sum("n_bpe_tokens").cast("bigint").alias("bpe_tokens"),
+        F.round(F.sum("n_bpe_tokens").cast("double")
+                / F.sum("n_ws_tokens"), 6).alias("fertility"),
+    )
