@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
@@ -160,13 +160,17 @@ event_sets = st.lists(
 
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@example(evs=[(0, 0), (0, 30)])  # round-3 counterexample: exactly-gap MERGES
 @given(evs=event_sets)
 def test_concurrency_matches_bruteforce(spark, evs):
     """Randomized sessions: the per-hour sweep-line peak must equal a
     brute-force evaluation of 'sessions active at instant t' over all
     candidate instants (session starts + hour starts), with [start, end)
     semantics (a session ending exactly when another starts does not
-    overlap it)."""
+    overlap it). The session brute force is the shared spec in
+    tests/session_spec.py — strict-gap split, matching Spark's
+    session_window merge rule (exactly-30-min gaps extend the session)."""
+    from tests.session_spec import expected_sessions
     from traffic_data_pipeline_spark.plans.analysis_ops import (
         session_concurrency,
     )
@@ -177,17 +181,7 @@ def test_concurrency_matches_bruteforce(spark, evs):
     got = {r["hour"]: (r["n_sessions"], r["peak_concurrency"])
            for r in session_concurrency(ev).collect()}
 
-    # brute force: rebuild 30-min-gap sessions per user
-    sessions = []
-    for u in {u for u, _ in evs}:
-        ts = sorted(t for uu, t in rows if uu == u)
-        start = prev = ts[0]
-        for t in ts[1:]:
-            if (t - prev) >= dt.timedelta(minutes=30):
-                sessions.append((start, prev + dt.timedelta(minutes=30)))
-                start = t
-            prev = t
-        sessions.append((start, prev + dt.timedelta(minutes=30)))
+    sessions = [(s, e) for _, s, e, _ in expected_sessions(rows)]
 
     hours = {}
     for s, e in sessions:

@@ -470,7 +470,7 @@ def q_events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ordered AS (
   SELECT user_id, ts,
          CASE WHEN LAG(ts) OVER w IS NULL
-               OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+               OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
@@ -530,11 +530,9 @@ def session_concurrency(ev: DataFrame) -> DataFrame:
     """Core of events_concurrency over any frame with (user_id, ts) —
     exposed separately so property tests can drive it with synthetic
     session patterns."""
-    spans = (
-        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
-        .agg(F.lit(1).alias("_one"))
-        .select(F.col("w.start").alias("s_start"), F.col("w.end").alias("s_end"))
-    )
+    from traffic_data_pipeline_spark.operators.sessionize import session_spans
+
+    spans = session_spans(ev).select("s_start", "s_end")
     hourly = spans.select(
         F.explode(
             F.sequence(
@@ -934,7 +932,7 @@ def _session_events_dir(spark: SparkSession, sf_dir: str) -> str:
 WITH ordered AS (
   SELECT user_id, ts, value,
          CASE WHEN LAG(ts) OVER w IS NULL
-               OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+               OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
@@ -976,15 +974,11 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("user_id long, ts timestamp, value double")
         .parquet(src)
     )
-    agg = (
-        stream.withWatermark("ts", "1 hour")
-        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
-        )
-        .select("user_id", F.col("w.start").alias("s_start"),
-                F.col("w.end").alias("s_end"), "n_events", "sum_value")
+    from traffic_data_pipeline_spark.operators.sessionize import session_spans
+
+    agg = session_spans(
+        stream.withWatermark("ts", "1 hour"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
     )
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
@@ -1791,7 +1785,7 @@ ORACLES["source_overlap_matrix"] = _source_overlap_oracle()
 WITH ordered AS (
   SELECT user_id, ts,
          CASE WHEN LAG(ts) OVER w IS NULL
-               OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+               OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
@@ -1843,13 +1837,11 @@ def q_session_surge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (session ends exactly at island start) carry zero overlap and
     are dropped in both engines by the strict predicate / the
     ov_us > 0 filter; overlap accumulates in integer microseconds."""
+    from traffic_data_pipeline_spark.operators.sessionize import session_spans
+
     ev = load_table(spark, sf_dir, "events")
-    sess = (
-        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select("user_id", F.col("w.start").alias("s"),
-                F.col("w.end").alias("e"))
-    )
+    sess = session_spans(ev).select(
+        "user_id", F.col("s_start").alias("s"), F.col("s_end").alias("e"))
     hours = ev.groupBy(F.date_trunc("hour", "ts").alias("h")) \
         .agg(F.count(F.lit(1)).alias("c"))
     tot = hours.agg(F.sum("c").alias("t"), F.count(F.lit(1)).alias("n"))

@@ -869,7 +869,7 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ordered AS (
   SELECT user_id, ts, value,
          CASE WHEN LAG(ts) OVER w IS NULL
-               OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+               OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
@@ -889,22 +889,22 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     one windowing mode the reference lacks outright (SURVEY.md §2.8 "no
     session windows"). Spark side is the native session_window; the oracle
     is the classic gaps-and-islands rewrite, with the boundary pinned to
-    Spark's strict-merge rule (a gap of exactly 30min starts a new
-    session)."""
+    Spark's merge rule: a gap of exactly 30min EXTENDS the session (Spark
+    treats each event's window as [ts, ts+gap) closed-open and merges
+    overlapping-or-touching windows), so only a gap strictly greater than
+    the gap duration starts a new session."""
+    from traffic_data_pipeline_spark.operators.sessionize import session_spans
+
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-            .alias("sum_value"),
-        )
-        .select(
-            "user_id",
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
-            "n_events", "sum_value",
-        )
+    return session_spans(
+        ev,
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+        .alias("sum_value"),
+    ).select(
+        "user_id",
+        F.date_format("s_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("s_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events", "sum_value",
     )
 
 
