@@ -1,0 +1,273 @@
+"""Boundary-adversarial cross-engine gate (round-4 judge asks #2 and #4).
+
+Round 3's exact-gap session bug survived two rounds of hash-green oracle
+checks because no fixture row sat exactly ON a threshold constant — a
+``>=``/``>`` flip in either engine is invisible to data that never
+exercises the boundary. This module re-runs the REAL query-vs-oracle gate
+(the same ``assert_matches_oracle`` the driver mirrors) against an
+augmented copy of sf0.01 whose planted rows sit exactly on every
+engine-vs-oracle boundary constant:
+
+- an event gap of exactly 30:00.000000 (session family: Spark's
+  ``session_window`` MERGES at exactly-gap; oracles split on strict ``>``)
+  plus the 1-microsecond-over contrast pair that must SPLIT,
+- a session whose end instant equals another session's start
+  ([start, end) sweep-line tie in events_concurrency),
+- funnel stage hits at exactly-equal timestamps (``ts >= t_prev`` edges),
+- a purchase exactly 30:00 after its click (inclusive in both engines)
+  next to one 1 microsecond later (excluded in both),
+- a user pair of events exactly 24h apart (inclusive RANGE frame edge),
+- documents of exactly 7 and exactly 8 tokens (the 8-gram
+  ``len - 7``/``len(l) - 7`` edge: 8 tokens -> one gram, 7 -> absent),
+- a benchmark/contaminated doc pair overlapping in exactly ONE 8-gram
+  (``n_hits`` crossing 0 -> 1), and a doc pair sharing exactly one
+  8-token substring span (``nd >= 2`` at exactly nd == 2).
+
+``/root/testdata`` is read-only, so the augmentation lives in a
+session-scoped tmp dir: non-augmented tables are symlinked, events and
+documents are rewritten with the planted rows appended. The driver's own
+sf0.01 hash check stays on clean fixtures; this gate holds the line
+locally.
+
+Threshold families whose boundary can't be planted in raw data
+(quantile-valued tier cuts, QAQC's completeness ratio) get their own
+tests below with the boundary in the generator's support / pinned
+exactly at the constant.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from hypothesis import HealthCheck, example, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from tests.oracle import assert_matches_oracle
+from traffic_data_pipeline_spark.plans.queries import ORACLES, QUERIES
+from traffic_data_pipeline_spark.sources.tables import TABLES
+
+SF001 = "/root/testdata/sf0.01"
+
+# ---------------------------------------------------------------------------
+# Planted rows — every timestamp sits exactly on (or 1us past) a constant
+# ---------------------------------------------------------------------------
+
+# (event_id, ts, user_id, event_type, value, props)
+_EVENTS = [
+    # exactly-30:00 gap: ONE merged session [00:00, 01:00)
+    (100000, "2024-02-01 00:00:00.000000", 9901, "view", 1.0),
+    (100005, "2024-02-01 00:30:00.000000", 9901, "view", 1.0),
+    # chain of exact gaps: still ONE session [00:00, 01:30)
+    (100010, "2024-02-01 00:00:00.000000", 9902, "view", 1.0),
+    (100015, "2024-02-01 00:30:00.000000", 9902, "view", 1.0),
+    (100020, "2024-02-01 01:00:00.000000", 9902, "view", 1.0),
+    # 30:00.000001 gap: strictly greater -> TWO sessions
+    (100025, "2024-02-01 00:00:00.000000", 9903, "view", 1.0),
+    (100030, "2024-02-01 00:30:00.000001", 9903, "view", 1.0),
+    # session end == other session's start: [start, end) sweep tie
+    (100035, "2024-02-01 00:00:00.000000", 9904, "view", 1.0),
+    (100040, "2024-02-01 00:30:00.000000", 9905, "view", 1.0),
+    # funnel: all three stages at the SAME instant (ts >= t_prev edges)
+    (100045, "2024-02-02 01:00:00.000000", 9906, "view", 1.0),
+    (100050, "2024-02-02 01:00:00.000000", 9906, "click", 1.0),
+    (100055, "2024-02-02 01:00:00.000000", 9906, "purchase", 5.0),
+    # funnel: purchase exactly at the click instant
+    (100060, "2024-02-02 01:00:00.000000", 9907, "view", 1.0),
+    (100065, "2024-02-02 01:10:00.000000", 9907, "click", 1.0),
+    (100070, "2024-02-02 01:10:00.000000", 9907, "purchase", 5.0),
+    # attribution: purchase exactly 30:00 after click (IN), +1us (OUT)
+    (100075, "2024-02-03 02:00:00.000000", 9908, "click", 1.0),
+    (100080, "2024-02-03 02:30:00.000000", 9908, "purchase", 9.0),
+    (100085, "2024-02-03 02:30:00.000001", 9908, "purchase", 7.0),
+    # rolling 24h: second event exactly 86400.000000s later (inclusive)
+    (100090, "2024-02-04 03:00:00.000000", 9909, "view", 2.0),
+    (100095, "2024-02-05 03:00:00.000000", 9909, "view", 3.0),
+]
+
+_GRAM8 = "quark lepton boson gluon photon hadron meson baryon"
+
+# (doc_id, text, lang, source) — n_chars computed as len(text)
+_DOCS = [
+    # exactly 8 tokens: ONE 8-gram / ONE 8-token span
+    (9001, _GRAM8, "en", "src0"),
+    # exactly 7 tokens: ZERO 8-grams -> absent from gram-grouped outputs
+    (9002, "quark lepton boson gluon photon hadron meson", "en", "src0"),
+    # benchmark doc (9021 % 97 == 0): shares exactly ONE 8-gram with 9001
+    (9021, _GRAM8 + " detectorx", "en", "src0"),
+    # shares the 8-token span with 9001 -> its span count nd == 2 exactly
+    (9003, "prefixy " + _GRAM8, "en", "src0"),
+]
+
+# Queries whose boundary constants the planted rows exercise. Streaming
+# variants included: their per-sf_dir landing-zone caches key on the
+# augmented dir, so they rebuild against the planted feed.
+BOUNDARY_QUERIES = [
+    "events_sessionize",
+    "events_concurrency",
+    "session_surge_overlap",
+    "streaming_sessionize",
+    "events_funnel",
+    "streaming_click_purchase",
+    "streaming_dedup",
+    "events_rolling_24h",
+    "user_retention",
+    "doc_decontaminate",
+    "dedup_substring_spans",
+]
+
+
+@pytest.fixture(scope="module")
+def bdir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("boundary_sf")
+    con = duckdb.connect()
+    ev_rows = ",".join(
+        f"({i}, TIMESTAMP '{ts}', {u}, '{t}', {v}, '{{\"k\": 1}}')"
+        for i, ts, u, t, v in _EVENTS
+    )
+    con.execute(f"""
+        COPY (
+          SELECT * FROM read_parquet('{SF001}/events.parquet')
+          UNION ALL
+          SELECT * FROM (VALUES {ev_rows})
+            v(event_id, ts, user_id, event_type, value, props)
+        ) TO '{out}/events.parquet' (FORMAT PARQUET)
+    """)
+    doc_rows = ",".join(
+        f"({i}, '{t}', '{lang}', '{src}', {len(t)})"
+        for i, t, lang, src in _DOCS
+    )
+    con.execute(f"""
+        COPY (
+          SELECT * FROM read_parquet('{SF001}/documents.parquet')
+          UNION ALL
+          SELECT * FROM (VALUES {doc_rows})
+            v(doc_id, text, lang, source, n_chars)
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    for t in TABLES:
+        dst = out / f"{t}.parquet"
+        if not dst.exists():
+            os.symlink(f"{SF001}/{t}.parquet", dst)
+    return str(out)
+
+
+@pytest.mark.parametrize("name", BOUNDARY_QUERIES)
+def test_boundary_fixture_matches_oracle(spark, bdir, name):
+    assert_matches_oracle(QUERIES[name](spark, bdir), ORACLES[name], bdir)
+
+
+def test_planted_session_semantics(spark, bdir):
+    """Belt-and-braces: assert the planted rows produce the sessions the
+    shared spec (tests/session_spec.py) says — not just engine==oracle,
+    but both == the written-down rule."""
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in QUERIES["events_sessionize"](spark, bdir)
+        .filter(F.col("user_id").between(9901, 9905)).collect()
+    }
+    assert got == {
+        (9901, "2024-02-01 00:00:00", "2024-02-01 01:00:00", 2),
+        (9902, "2024-02-01 00:00:00", "2024-02-01 01:30:00", 3),
+        (9903, "2024-02-01 00:00:00", "2024-02-01 00:30:00", 1),
+        (9903, "2024-02-01 00:30:00", "2024-02-01 01:00:00", 1),
+        (9904, "2024-02-01 00:00:00", "2024-02-01 00:30:00", 1),
+        (9905, "2024-02-01 00:30:00", "2024-02-01 01:00:00", 1),
+    }
+
+
+def test_planted_attribution_boundary(spark, bdir):
+    """The exactly-30:00 purchase attributes; the +1us one does not."""
+    rows = {
+        (r.click_id, r.purchase_id)
+        for r in QUERIES["streaming_click_purchase"](spark, bdir)
+        .filter(F.col("user_id") == 9908).collect()
+    }
+    assert rows == {(100075, 100080)}
+
+
+def test_planted_gram_edges(spark, bdir):
+    """7 tokens -> absent; 8 tokens -> one gram, contaminated via exactly
+    one benchmark hit; the shared span counts nd == 2 exactly."""
+    dec = {r.doc_id: (r.n_grams, r.n_hits, r.contaminated)
+           for r in QUERIES["doc_decontaminate"](spark, bdir)
+           .filter(F.col("doc_id").isin(9001, 9002, 9003)).collect()}
+    assert dec[9001] == (1, 1, 1)     # its one gram IS a benchmark gram
+    assert 9002 not in dec            # 7 tokens: no 8-gram, no row
+    spans = {r.doc_id: (r.n_spans, r.n_dup_spans)
+             for r in QUERIES["dedup_substring_spans"](spark, bdir)
+             .filter(F.col("doc_id").isin(9001, 9002, 9003)).collect()}
+    assert spans[9001] == (1, 1)      # shared with 9003: nd exactly 2
+    assert spans[9002] == (0, 0)      # 7 tokens: zero spans, ratio NULL
+    assert spans[9003][1] >= 1
+
+
+# ---------------------------------------------------------------------------
+# Quantile-valued tier cuts: boundary in the generator's support
+# ---------------------------------------------------------------------------
+
+char_counts = st.lists(st.integers(1, 5), min_size=4, max_size=16)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@example(chars=[2, 2, 2, 2])          # every quantile EQUALS every value
+@example(chars=[1, 2, 2, 3])          # q2 lands exactly on the tie
+@given(chars=char_counts)
+def test_quality_tier_cut_boundary(spark, tmp_path_factory, chars):
+    """doc_quality_tiers buckets with ``n_chars > q_k`` in BOTH engines.
+    The cuts are interpolated quantiles, so an exact-boundary doc can't
+    be planted in a fixed fixture — instead the generator draws n_chars
+    from a 5-value support where quantiles constantly COINCIDE with data
+    points, and the full query-vs-oracle gate runs on each draw. A flip
+    to ``>=`` in either formulation fails here on the pinned all-ties
+    example."""
+    out = tmp_path_factory.mktemp("tiers")
+    con = duckdb.connect()
+    rows = ",".join(
+        f"({i}, '{'x' * n}', 'en', 'src0', {n})" for i, n in enumerate(chars)
+    )
+    con.execute(f"""
+        COPY (SELECT * FROM (VALUES {rows})
+              v(doc_id, text, lang, source, n_chars))
+        TO '{out}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    for t in TABLES:
+        dst = out / f"{t}.parquet"
+        if not dst.exists():
+            os.symlink(f"{SF001}/{t}.parquet", dst)
+    assert_matches_oracle(
+        QUERIES["doc_quality_tiers"](spark, str(out)),
+        ORACLES["doc_quality_tiers"], str(out))
+
+
+# ---------------------------------------------------------------------------
+# QAQC completeness: exactly-threshold node must SURVIVE (>= rule)
+# ---------------------------------------------------------------------------
+
+def test_qaqc_completeness_exact_boundary(spark):
+    """qaqc_for_model test 4 keeps a node when its minimum yearly
+    completeness is exactly the threshold (``>=``, reference semantics
+    /root/reference/R/_analyze_data.R:64-66). Two nodes: one at exactly
+    slots*min rows (survives), one at one row fewer (dropped)."""
+    import datetime as dt
+    from traffic_data_pipeline_spark.operators.rollup import qaqc_for_model
+
+    slots, cmin = 8, 0.75          # threshold row count = exactly 6
+    rows = []
+    for node, n in (("at_boundary", 6), ("one_under", 5)):
+        for i in range(n):
+            rows.append((node, dt.datetime(2024, 1, 1 + i), 4, 4, 50.0))
+    df = spark.createDataFrame(
+        rows, "node_name string, ts timestamp, volume_num int, "
+              "detector_num int, volume_sum double")
+    kept = {r.node_name for r in qaqc_for_model(
+        df, median_min=0.0, slots=slots, completeness_min=cmin,
+        report_ratio=1.0, min_rows=1).collect()}
+    assert kept == {"at_boundary"}
