@@ -52,72 +52,25 @@ def _previously_checked() -> set[str]:
     return seen
 
 
-# Queries registered in the CURRENT round: also unchecked, but they queue
-# BEHIND queries that have already waited a round for a driver row — the
-# backlog drains oldest-first instead of newest registrations jumping it.
-_DEFER_NEW = {
+# Registration freeze (round 4, VERDICT ask #3): no net-new queries this
+# round, so the whole round-3 backlog fronts the driver window. Among the
+# unchecked, the per-query-costliest (streaming micro-batch machinery,
+# the cached-self-join dedup families, the multi-stage funnel job) queue
+# LAST: if the driver window is time-bounded this ordering maximizes rows
+# drained per round, and if it is count-bounded the order is neutral.
+_COSTLY_TAIL = {
+    "streaming_sessionize",
+    "streaming_static_enrich",
+    "dedup_cluster_density",
+    "doc_ngram_containment",
     "dedup_minhash_lsh_capped",
     "dedup_lsh_band_overflow",
-    "corridor_p85_speed_approx",
-    "lineitem_quantiles_approx",
-    "doc_lm_score",
-    "events_type_hour_cube",
-    "dedup_substring_spans",
-    "dedup_semantic",
-    "events_pagerank",
-    "doc_tfidf_knn",
-    "doc_ngram_containment",
-    "doc_cdc_chunks",
-    "doc_priority_sample",
-    "doc_collocations",
-    "events_heavy_hitters",
-    "doc_decontaminate_bloom",
-    "doc_lexical_diversity",
-    "corpus_kl_drift",
-    "sensor_interpolate",
-    "events_mad_anomaly",
-    "events_concurrency",
-    "dedup_cluster_density",
-    "brand_small_qty_revenue",
-    "idle_rich_customers",
-    "source_overlap_matrix",
-    "streaming_sessionize",
-    "basket_part_pairs",
-    "source_keywords_chi2",
-    "label_centroid_similarity",
-    "sensor_cusum_shift",
-    "events_label_prop",
-    "events_ab_ttest",
-    "orders_seasonality",
-    "csv_ingest_quarantine",
-    "events_rolling_wau_hll",
-    "part_min_cost_supplier",
-    "nation_brand_value_share",
-    "waiting_orders_suppliers",
-    "excess_supply_suppliers",
-    "dq_constraint_report",
-    "sensor_volume_trend",
-    "doc_phrase_search",
-    "session_surge_overlap",
-    "streaming_static_enrich",
-    "media_phash_dedup",
     "dedup_minhash_calibration",
-    "corridor_weighted_median",
-    "price_equidepth_hist",
+    "dedup_semantic",
+    "doc_cdc_chunks",
+    "media_phash_dedup",
     "corpus_prep_pipeline",
-    "embedding_ann_recall",
-    "order_priority_check",
-    "customer_order_histogram",
-    "promo_revenue_share",
-    "discounted_special_revenue",
-    "nation_pair_trade",
-    "nation_market_share",
-    "nation_year_part_profit",
-    "returned_item_customers",
-    "part_supplier_diversity",
-    "price_equidepth_hist_approx",
-    "order_fulfillment_rate",
-    "lang_token_fertility",
+    "doc_tfidf_knn",
 }
 
 
@@ -125,10 +78,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     seen = _previously_checked()
     ordered = dict()
     for name, fn in QUERIES.items():
-        if name not in seen and name not in _DEFER_NEW:
+        if name not in seen and name not in _COSTLY_TAIL:
             ordered[name] = fn
     for name, fn in QUERIES.items():
-        if name not in seen and name in _DEFER_NEW:
+        if name not in seen and name in _COSTLY_TAIL:
             ordered[name] = fn
     for name, fn in QUERIES.items():
         if name in seen:

@@ -56,6 +56,29 @@ def test_overlap_join_matches_nested_loop(spark, ls, rs, grain):
     assert got == naive
 
 
+def test_overlap_join_duplicate_rows_multiply(spark):
+    """Duplicate input rows must each match (SQL join semantics), not
+    silently collapse — the round-3 advisor finding: the old dedup keyed
+    on all column VALUES, so bit-identical rows merged."""
+    import pytest  # noqa: F401
+
+    left = _df(spark, [(0, 120)], "s", "e", "l")
+    left2 = left.unionAll(left)           # same l_id, same bounds, twice
+    right = _df(spark, [(30, 60)], "a", "b", "r")
+    got = overlap_join(left2, right, "s", "e", "a", "b").collect()
+    assert len(got) == 2
+    assert {r.ov_us for r in got} == {60 * 60 * 1_000_000}
+
+
+def test_overlap_join_rejects_column_clash(spark):
+    import pytest
+
+    left = _df(spark, [(0, 60)], "s", "e", "l")
+    right = _df(spark, [(0, 60)], "s", "b", "r")   # 's' collides
+    with pytest.raises(ValueError, match="collide"):
+        overlap_join(left, right, "s", "e", "s", "b")
+
+
 def test_overlap_join_exact_touch_excluded(spark):
     # [0, 60) and [60, 120) share a bucket boundary but not an instant
     left = _df(spark, [(0, 60)], "s", "e", "l")

@@ -37,14 +37,20 @@ def overlap_join(
     integer microseconds, always > 0).
 
     Buckets are epoch-aligned multiples of `grain_seconds`, so both
-    sides always quantize onto the same grid regardless of grain. Rows
-    on each side must be distinct (the multi-bucket dedup keys on ALL
-    columns of both sides); column names must not collide across the two
-    frames. `broadcast_right=True` pins a broadcast of the exploded
-    right side — for a small dimension of windows (surge islands,
-    maintenance windows); leave False to let AQE pick the co-keyed
-    shuffle join when both sides are large.
+    sides always quantize onto the same grid regardless of grain.
+    Duplicate input rows are legal and each produces its own match rows
+    (SQL join semantics): multi-bucket duplicates collapse on per-row
+    ids generated before the explode, never on row VALUES. Column names
+    must not collide across the two frames (checked). `broadcast_right=
+    True` pins a broadcast of the exploded right side — for a small
+    dimension of windows (surge islands, maintenance windows); leave
+    False to let AQE pick the co-keyed shuffle join when both sides are
+    large.
     """
+    clash = set(left.columns) & set(right.columns)
+    if clash:
+        raise ValueError(
+            f"overlap_join: column names collide across sides: {sorted(clash)}")
     gs = int(grain_seconds)
 
     def bins(start: str, end: str):
@@ -55,14 +61,16 @@ def overlap_join(
             f"sequence(floor(unix_timestamp({start}) / {gs}),"
             f" floor(unix_timestamp({end}) / {gs}))"))
 
-    lb = left.withColumn("_bin", bins(l_start, l_end))
-    rb = right.withColumn("_bin", bins(r_start, r_end))
+    lb = (left.withColumn("_lid", F.monotonically_increasing_id())
+          .withColumn("_bin", bins(l_start, l_end)))
+    rb = (right.withColumn("_rid", F.monotonically_increasing_id())
+          .withColumn("_bin", bins(r_start, r_end)))
     if broadcast_right:
         rb = F.broadcast(rb)
     return (
         lb.join(rb, "_bin")
+        .dropDuplicates(["_lid", "_rid"])
         .select(*left.columns, *right.columns)
-        .distinct()
         .withColumn(
             "ov_us",
             F.least(F.unix_micros(F.col(l_end)), F.unix_micros(F.col(r_end)))

@@ -373,13 +373,13 @@ _TREND_CTE = f"""
 s AS ({SENSOR_VIEW_SQL}),
 d AS (
   SELECT sensor,
-         CAST(datediff('day', DATE '1995-01-01', reading_date) AS BIGINT)
+         CAST(datediff('day', DATE '1995-01-01', reading_date) AS HUGEINT)
            AS x,
-         CAST(SUM(volume) AS BIGINT) AS y
+         CAST(SUM(volume) AS HUGEINT) AS y
   FROM s WHERE volume IS NOT NULL
   GROUP BY sensor, reading_date),
 m AS (
-  SELECT sensor, COUNT(*) AS n,
+  SELECT sensor, CAST(COUNT(*) AS HUGEINT) AS n,
          SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
          SUM(x*x) AS sxx, SUM(y*y) AS syy
   FROM d GROUP BY 1)
@@ -402,7 +402,11 @@ WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
 def q_sensor_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sensor least-squares trend of daily volume (is this detector's
     traffic growing?). The five regression moments (n, Σx, Σy, Σxy, Σx²,
-    Σy²) accumulate as exact BIGINTs — order-independent, so slope /
+    Σy²) accumulate as exact 128-bit integers — DECIMAL(38,0) here,
+    HUGEINT in the oracle (the chi² precedent): a long high-volume
+    per-sensor history overflows Σy² in BIGINT, where non-ANSI Spark
+    nulls silently while DuckDB widens, a cross-engine divergence
+    (advisor finding r3). Order-independent exact sums mean slope /
     intercept / r² are each ONE double expression evaluated identically
     in both engines (the Welch-t-test tactic; never regr_slope, whose
     internal double accumulation is reduction-order-dependent). Plan:
@@ -424,12 +428,15 @@ def q_sensor_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("reading_date"), F.lit("1995-01-01"))
             .cast("bigint"))
     )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
     m = daily.groupBy("sensor").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(xd).cast("decimal(38,0)").alias("sx"),
+        F.sum(yd).cast("decimal(38,0)").alias("sy"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("syy"),
     )
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
@@ -1041,13 +1048,17 @@ def q_part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: how many distinct (non-blacklisted) suppliers
     serve each brand x type — the supply-chain-diversity readout. The
     NOT IN decorrelates to a broadcast LEFT ANTI join against the
-    negative-balance blacklist (safe here because s_suppkey is
-    non-null; a nullable NOT-IN column needs the null-aware variant
-    Spark plans as NAAJ); the size filter prunes the broadcast part
-    build; COUNT(DISTINCT) expands on the (brand, type) grouping —
-    two-level partial aggregation, never a row-level distinct of the
-    fact."""
-    li = load_table(spark, sf_dir, "lineitem")
+    negative-balance blacklist. NOT IN is null-hostile on BOTH sides: a
+    NULL s_suppkey makes every row's predicate UNKNOWN (guarded by the
+    blacklist's non-null key), and a NULL l_suppkey row evaluates
+    UNKNOWN and drops in SQL while a plain anti-join would KEEP it — so
+    the probe side filters nulls explicitly (a no-op on clean data,
+    semantics-preserving on dirty). The size filter prunes the
+    broadcast part build; COUNT(DISTINCT) expands on the (brand, type)
+    grouping — two-level partial aggregation, never a row-level
+    distinct of the fact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_suppkey").isNotNull())
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_size").isin(5, 10, 15, 20, 25))
     bad = load_table(spark, sf_dir, "supplier").filter(

@@ -1428,7 +1428,7 @@ SELECT lang,
        COUNT(*) AS n_docs,
        CAST(SUM(ws) AS BIGINT) AS ws_tokens,
        CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
-       ROUND(CAST(SUM(bpe) AS DOUBLE) / SUM(ws), 6) AS fertility
+       ROUND(CAST(SUM(bpe) AS DOUBLE) / NULLIF(SUM(ws), 0), 6) AS fertility
 FROM t GROUP BY 1
 """)
 def q_lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1438,7 +1438,10 @@ def q_lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     fragments that language; the signal behind per-language mixture and
     vocab decisions). Rides the existing per-doc token counters as pure
     projections — one (lang) aggregate, exact integer sums, one double
-    division per language row."""
+    division per language row. A language whose whitespace-token sum is
+    0 (all-symbol corpora) reports NULL fertility in both engines —
+    NULLIF in the oracle because DuckDB's IEEE division would emit inf
+    where Spark's SQL division yields NULL (advisor finding r3)."""
     docs = load_table(spark, sf_dir, "documents")
     counts = bpe_token_count(docs).join(
         docs.select("doc_id", "lang"), "doc_id")
@@ -1447,5 +1450,6 @@ def q_lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_ws_tokens").cast("bigint").alias("ws_tokens"),
         F.sum("n_bpe_tokens").cast("bigint").alias("bpe_tokens"),
         F.round(F.sum("n_bpe_tokens").cast("double")
-                / F.sum("n_ws_tokens"), 6).alias("fertility"),
+                / F.nullif(F.sum("n_ws_tokens"), F.lit(0)), 6)
+        .alias("fertility"),
     )
