@@ -101,16 +101,26 @@ def main() -> None:
     # END with a compact summary line so the tail of stdout always holds
     # one complete JSON object.
     print(json.dumps(out))
+    here = os.path.dirname(os.path.abspath(__file__))
+    # round-stamped copy (BENCH_DETAIL_r04.json, ...): the unstamped file
+    # is overwritten every run, so round-over-round per-query ratios used
+    # to depend on parsing truncated BENCH_r0N log tails (judge ask r3#8).
+    # The current round = highest BENCH_r*.json the driver has recorded,
+    # plus one (the driver writes it AFTER this bench runs).
+    import glob as _glob
+    rounds = [int(m.group(1)) for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+              if (m := re.search(r"BENCH_r(\d+)\.json$", p))]
+    stamp = f"_r{max(rounds, default=0) + 1:02d}"
     detail_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_DETAIL",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_DETAIL.json"))
-    try:
-        with open(detail_path, "w") as fh:
-            json.dump(out, fh, indent=1)
-            fh.write("\n")
-    except OSError:
-        pass  # read-only checkout: the stdout lines above still carry it
+        "SPARK_GRAFT_BENCH_DETAIL", os.path.join(here, "BENCH_DETAIL.json"))
+    for path in (detail_path,
+                 detail_path.replace(".json", f"{stamp}.json")):
+        try:
+            with open(path, "w") as fh:
+                json.dump(out, fh, indent=1)
+                fh.write("\n")
+        except OSError:
+            pass  # read-only checkout: the stdout lines above still carry it
     compact = {k: v for k, v in out.items() if k != "queries"}
     print(json.dumps(compact))
 

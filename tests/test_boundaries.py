@@ -101,6 +101,24 @@ _DOCS = [
     (9021, _GRAM8 + " detectorx", "en", "src0"),
     # shares the 8-token span with 9001 -> its span count nd == 2 exactly
     (9003, "prefixy " + _GRAM8, "en", "src0"),
+    # exactly 24 tokens (doc_chunk stride): chunk 2 would start at token
+    # 25 — past the end, so exactly ONE chunk in both engines
+    (9004, " ".join(f"tok{i:02d}" for i in range(24)), "en", "src0"),
+    # exactly 25 tokens: chunk 2 exists with exactly ONE token
+    (9005, " ".join(f"tok{i:02d}" for i in range(25)), "en", "src0"),
+    # MinHash pair at est_sim EXACTLY 0.5: agree on exactly 4 of 8
+    # md5-minhash components including one full band (h2,h3) — found by
+    # offline search over the same md5('i:shingle') construction. The
+    # >= 0.5 keep-filter boundary in both engines.
+    (9006, "boundary planted minhash doc alpha", "en", "src0"),
+    (9007, "boundary planted minhash doc alpha moss zip9195", "en", "src0"),
+    # media fingerprint pair at hamming EXACTLY 3, with the 3 flipped
+    # bits in 3 DISTINCT 16-bit bands (exactly one clean band) — the
+    # tightest case of the 4-band pigeonhole AND the <= 3 keep boundary.
+    # ahash64 is a pure function of doc_id; ids found by offline search
+    # over the same seg-mean integer construction.
+    (9049, "phash boundary doc a", "en", "src0"),
+    (9481, "phash boundary doc b", "en", "src0"),
 ]
 
 # Queries whose boundary constants the planted rows exercise. Streaming
@@ -116,8 +134,13 @@ BOUNDARY_QUERIES = [
     "streaming_dedup",
     "events_rolling_24h",
     "user_retention",
+    "events_asof_join",       # planted equal-ts click/purchase rows: the
+                              # prior-or-SIMULTANEOUS (<=) as-of edge
     "doc_decontaminate",
     "dedup_substring_spans",
+    "doc_chunk",              # 24- and 25-token docs at the stride edge
+    "dedup_minhash_lsh",      # planted est_sim-exactly-0.5 pair
+    "media_phash_dedup",      # planted hamming-exactly-3 pair
 ]
 
 
@@ -205,6 +228,36 @@ def test_planted_gram_edges(spark, bdir):
     assert spans[9001] == (1, 1)      # shared with 9003: nd exactly 2
     assert spans[9002] == (0, 0)      # 7 tokens: zero spans, ratio NULL
     assert spans[9003][1] >= 1
+
+
+def test_planted_minhash_half_similarity(spark, bdir):
+    """The engineered pair survives the est_sim >= 0.5 filter with
+    est_sim EXACTLY 0.5 — a strict > in either engine drops it (and the
+    gate test above would diverge)."""
+    rows = {(r.doc_a, r.doc_b): r.est_sim
+            for r in QUERIES["dedup_minhash_lsh"](spark, bdir)
+            .filter(F.col("doc_a") == 9006).collect()}
+    assert rows.get((9006, 9007)) == 0.5
+
+
+def test_planted_phash_hamming_three(spark, bdir):
+    """The engineered pair survives hamming <= 3 at EXACTLY 3 — and its
+    flipped bits touch 3 of the 4 bands, so the band-join candidate
+    generator keeps it through exactly ONE surviving band (the maximal
+    pigeonhole case)."""
+    rows = {(r.a, r.b): r.hamming
+            for r in QUERIES["media_phash_dedup"](spark, bdir)
+            .filter((F.col("a") == 9049) & (F.col("b") == 9481)).collect()}
+    assert rows == {(9049, 9481): 3}
+
+
+def test_planted_chunk_stride_edges(spark, bdir):
+    """Exactly-stride (24) tokens -> one chunk; stride+1 -> a second
+    chunk holding exactly one token."""
+    ch = {(r.doc_id, r.chunk_idx): r.n_tokens
+          for r in QUERIES["doc_chunk"](spark, bdir)
+          .filter(F.col("doc_id").isin(9004, 9005)).collect()}
+    assert ch == {(9004, 0): 24, (9005, 0): 25, (9005, 1): 1}
 
 
 # ---------------------------------------------------------------------------

@@ -22,10 +22,10 @@ def test_entry_module_contract():
         assert callable(fn), name
     for name, sql in os_.items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
-    # defer-list hygiene: a typo here would silently derail the rotation
-    # (the misspelled name matches nothing; the real query jumps the
-    # oldest-first backlog)
-    assert entry_mod._DEFER_NEW <= set(qs), entry_mod._DEFER_NEW - set(qs)
+    # ordering-set hygiene: a typo here would silently derail the rotation
+    # (the misspelled name matches nothing; the real query loses its
+    # intended slot in the driver window)
+    assert entry_mod._COSTLY_TAIL <= set(qs), entry_mod._COSTLY_TAIL - set(qs)
 
 
 def test_bench_emits_json_line(tmp_path):

@@ -154,7 +154,10 @@ CAPS = {
                                          # island window + final island agg;
                                          # threshold scalar and island bins
                                          # broadcast — the bin equi-join
-                                         # never nested-loops
+                                         # never nested-loops, and the
+                                         # first-overlap-bucket rule makes
+                                         # matches unique with NO dedup
+                                         # exchange
     "media_phash_dedup": (2, 1),         # live plan over the materialized
                                          # fingerprint frame: candidate
                                          # distinct (+ final agg) with one

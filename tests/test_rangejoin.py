@@ -60,8 +60,6 @@ def test_overlap_join_duplicate_rows_multiply(spark):
     """Duplicate input rows must each match (SQL join semantics), not
     silently collapse — the round-3 advisor finding: the old dedup keyed
     on all column VALUES, so bit-identical rows merged."""
-    import pytest  # noqa: F401
-
     left = _df(spark, [(0, 120)], "s", "e", "l")
     left2 = left.unionAll(left)           # same l_id, same bounds, twice
     right = _df(spark, [(30, 60)], "a", "b", "r")

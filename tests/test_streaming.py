@@ -348,7 +348,65 @@ def test_session_window_state_survives_restart(spark, tmp_path):
     rows = [(r.user_id, str(r.s_start), str(r.s_end), r.n_events)
             for r in spark.read.parquet(sink)
             .filter(F.col("user_id") == 7).collect()]
-    assert rows == [(7, "2024-01-01 10:00:00", "2024-01-01 10:50:00", 3)]
+    # expectation derives from the ONE session spec (tests/session_spec),
+    # not a second hand-derived boundary rule
+    import datetime as dt
+    from tests.session_spec import expected_sessions
+    want = [(u, str(s), str(e), n) for u, s, e, n in expected_sessions(
+        [(7, dt.datetime(2024, 1, 1, 10, 0)),
+         (7, dt.datetime(2024, 1, 1, 10, 10)),
+         (7, dt.datetime(2024, 1, 1, 10, 20))])]
+    assert rows == want == [
+        (7, "2024-01-01 10:00:00", "2024-01-01 10:50:00", 3)]
+
+
+def test_session_window_exact_gap_merges_across_restart(spark, tmp_path):
+    """The round-3 boundary bug, now at the streaming/restart surface: an
+    event arriving EXACTLY 30:00 after the recovered open session's last
+    event must MERGE into it (session_window extends at exactly-gap), not
+    open a second session — asserted against the shared spec."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from tests.session_spec import expected_sessions
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp, value double"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "user_id long, ts string, value double") \
+            .withColumn("ts", F.col("ts").cast("timestamp")) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (stream.withWatermark("ts", "1 hour")
+               .groupBy("user_id",
+                        F.session_window("ts", "30 minutes").alias("w"))
+               .agg(F.count(F.lit(1)).alias("n_events"))
+               .select("user_id", F.col("w.start").alias("s_start"),
+                       F.col("w.end").alias("s_end"), "n_events"))
+        q = (agg.writeStream.outputMode("append").format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(300)
+
+    write_batch([(7, "2024-01-01 10:00:00", 1.0)])
+    run_once()
+    write_batch([(7, "2024-01-01 10:30:00", 1.0),
+                 (99, "2024-01-01 20:00:00", 0.0)])
+    run_once()
+    rows = [(r.user_id, str(r.s_start), str(r.s_end), r.n_events)
+            for r in spark.read.parquet(sink)
+            .filter(F.col("user_id") == 7).collect()]
+    want = [(u, str(s), str(e), n) for u, s, e, n in expected_sessions(
+        [(7, dt.datetime(2024, 1, 1, 10, 0)),
+         (7, dt.datetime(2024, 1, 1, 10, 30))])]
+    assert rows == want == [
+        (7, "2024-01-01 10:00:00", "2024-01-01 11:00:00", 2)]
 
 
 def test_session_window_no_reemit_on_resume(spark, tmp_path):
