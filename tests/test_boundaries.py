@@ -172,6 +172,63 @@ def bdir(tmp_path_factory):
             v(doc_id, text, lang, source, n_chars)
         ) TO '{out}/documents.parquet' (FORMAT PARQUET)
     """)
+    # plant an hour at EXACTLY 1.5x the mean hourly event count — the
+    # surge cutoff in session_surge_overlap is the integer rational
+    # 2*c*n > 3*t, so the boundary hour is constructible exactly: pick an
+    # existing hour (n unchanged) and add k rows there, solving
+    # 2*(c+k)*n == 3*(t+k)  =>  k = (3t - 2cn) / (2n - 3), scanning hours
+    # until k is a non-negative integer. Under strict > the hour is NOT a
+    # surge in either engine; a >= flip in one formulation diverges here.
+    hours = con.execute(f"""
+        SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c
+        FROM read_parquet('{out}/events.parquet') GROUP BY 1 ORDER BY 1
+    """).fetchall()
+    t0, n0 = sum(c for _, c in hours), len(hours)
+    spare = "2024-03-15 12:00:00"      # far from all planted scenarios
+    sol = None
+    # m rows land in a fresh spare hour (n -> n0+1 when m > 0), k rows in
+    # an existing hour; search the smallest (m, hour) making k integral.
+    # Both free variables move k's numerator in steps of ±3 against a
+    # modulus of ~2n, so m must sweep order-2n values to cover residues.
+    for m in range(0, 2 * n0 + 8):
+        n = n0 + (1 if m else 0)
+        for h, c in hours:
+            num = 3 * (t0 + m) - 2 * c * n
+            if num >= 0 and num % (2 * n - 3) == 0:
+                sol = (m, h, c, num // (2 * n - 3))
+                break
+        if sol:
+            break
+    assert sol, "no surge-boundary solution found for this fixture"
+    m, hour, _, k = sol
+    vals = [
+        f"({100100 + i}, TIMESTAMP '{hour}' + INTERVAL 1 SECOND * {i}, "
+        f"9910, 'view', 1.0, '{{\"k\": 1}}')"
+        for i in range(int(k))
+    ] + [
+        f"({100400 + i}, TIMESTAMP '{spare}' + INTERVAL 1 SECOND * {i}, "
+        f"9911, 'view', 1.0, '{{\"k\": 1}}')"
+        for i in range(int(m))
+    ]
+    if vals:
+        con.execute(f"""
+            COPY (
+              SELECT * FROM read_parquet('{out}/events.parquet')
+              UNION ALL
+              SELECT * FROM (VALUES {",".join(vals)})
+                v(event_id, ts, user_id, event_type, value, props)
+            ) TO '{out}/events2.parquet' (FORMAT PARQUET)
+        """)
+        os.replace(out / "events2.parquet", out / "events.parquet")
+    # fixture self-check: the boundary hour really sits at 2*c*n == 3*t
+    eq = con.execute(f"""
+        WITH hours AS (
+          SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c
+          FROM read_parquet('{out}/events.parquet') GROUP BY 1),
+        tot AS (SELECT SUM(c) AS t, COUNT(*) AS n FROM hours)
+        SELECT COUNT(*) FROM hours, tot WHERE 2*c*n = 3*t
+    """).fetchone()[0]
+    assert eq >= 1, "surge-boundary hour failed to materialize"
     con.close()
     for t in TABLES:
         dst = out / f"{t}.parquet"
