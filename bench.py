@@ -56,11 +56,18 @@ def main() -> None:
     # own work, not the shared table build
     from traffic_data_pipeline_spark.operators.ingest import build_rtmc_15min
     build_rtmc_15min(spark, sf_dir).count()
-    # ... and the session dedup index (the in-process stand-in for the
-    # persisted signature/band table nightly dedup runs read — see
-    # plans/extensions.doc_band_index), shared by the whole dedup family
-    from traffic_data_pipeline_spark.plans.extensions import doc_band_index
+    # ... and the session dedup index + candidate pair stream (the
+    # in-process stand-ins for the persisted signature/band table and
+    # pair table nightly dedup runs read — see plans/extensions.
+    # doc_band_index / doc_lsh_pairs), shared by the whole dedup family;
+    # without the pair prewarm the alphabetically-first consumer
+    # (dedup_cluster_density) was charged the whole family's shared build
+    from traffic_data_pipeline_spark.plans.extensions import (
+        doc_band_index,
+        doc_lsh_pairs,
+    )
     doc_band_index(spark, sf_dir).count()
+    doc_lsh_pairs(spark, sf_dir).count()
     # pre-build the streaming query's file-source landing zone and the
     # parquet media table (ingest-side setup — the measurements should time
     # the streaming job / the media transforms, not input synthesis)
@@ -74,6 +81,12 @@ def main() -> None:
     )
     _dup_events_dir(spark, sf_dir)
     _events_stream_dir(spark, sf_dir)
+    from traffic_data_pipeline_spark.plans.analysis_ops import (
+        _csv_events_dir,
+        _session_events_dir,
+    )
+    _session_events_dir(spark, sf_dir)
+    _csv_events_dir(spark, sf_dir)
 
     from traffic_data_pipeline_spark.functions.execution import release
 
