@@ -357,6 +357,31 @@ def test_quality_tier_cut_boundary(spark, tmp_path_factory, chars):
         ORACLES["doc_quality_tiers"], str(out))
 
 
+def test_fixture_natural_boundary_coverage():
+    """Discrete-domain thresholds (day-granular ship dates, integer
+    quantities) are exercised by the CLEAN fixtures already — exact
+    +60d/+90d collisions and quantity==24 rows exist, so the driver's own
+    sf0.01 gate holds those comparators. This canary fails if a fixture
+    regeneration ever loses that property (then those families need
+    planted rows like the continuous-domain ones above)."""
+    con = duckdb.connect()
+    n90, n60 = con.execute(f"""
+        SELECT SUM(CASE WHEN l.l_shipdate = o.o_orderdate + INTERVAL 90 DAY
+                        THEN 1 ELSE 0 END),
+               SUM(CASE WHEN l.l_shipdate = o.o_orderdate + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END)
+        FROM read_parquet('{SF001}/lineitem.parquet') l
+        JOIN read_parquet('{SF001}/orders.parquet') o
+          ON l.l_orderkey = o.o_orderkey
+    """).fetchone()
+    nq = con.execute(f"""
+        SELECT COUNT(*) FROM read_parquet('{SF001}/lineitem.parquet')
+        WHERE l_quantity = 24
+    """).fetchone()[0]
+    con.close()
+    assert n90 > 0 and n60 > 0 and nq > 0
+
+
 # ---------------------------------------------------------------------------
 # QAQC completeness: exactly-threshold node must SURVIVE (>= rule)
 # ---------------------------------------------------------------------------
