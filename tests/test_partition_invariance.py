@@ -39,6 +39,11 @@ CASES = [
     "sensor_interpolate",
     "dedup_cluster_density",
     "label_centroid_similarity",
+    # round-4: the dedup-free binned range join (per-pair bucket
+    # assignment must not depend on which partition exploded the row)
+    "session_surge_overlap",
+    # round-4: 128-bit decimal moment accumulation (order-free sums)
+    "sensor_volume_trend",
 ]
 
 
