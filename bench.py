@@ -126,8 +126,8 @@ def main() -> None:
     stamp = f"_r{max(rounds, default=0) + 1:02d}"
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL", os.path.join(here, "BENCH_DETAIL.json"))
-    for path in (detail_path,
-                 detail_path.replace(".json", f"{stamp}.json")):
+    root, ext = os.path.splitext(detail_path)
+    for path in (detail_path, f"{root}{stamp}{ext or '.json'}"):
         try:
             with open(path, "w") as fh:
                 json.dump(out, fh, indent=1)

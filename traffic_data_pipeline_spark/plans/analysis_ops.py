@@ -1862,9 +1862,10 @@ def q_session_surge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.max("h") + F.expr("INTERVAL 1 HOUR")).alias("b"))
         .select("a", "b")
     )
-    # overlap_join dedups multi-bucket matches on per-row ids, so two
-    # users holding bit-identical session bounds (one event each at the
-    # same microsecond) stay two distinct sessions, as the oracle counts
+    # overlap_join emits each pair in exactly ONE bucket by construction
+    # (no dedup pass at all), so two users holding bit-identical session
+    # bounds (one event each at the same microsecond) stay two distinct
+    # sessions, as the oracle counts
     pairs = overlap_join(sess, isl, "s", "e", "a", "b",
                          broadcast_right=True)
     return pairs.groupBy("a", "b").agg(

@@ -406,7 +406,12 @@ def q_sensor_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     HUGEINT in the oracle (the chi² precedent): a long high-volume
     per-sensor history overflows Σy² in BIGINT, where non-ANSI Spark
     nulls silently while DuckDB widens, a cross-engine divergence
-    (advisor finding r3). Order-independent exact sums mean slope /
+    (advisor finding r3). The widened band is not infinite — DECIMAL
+    (38,0) caps at 1e38 vs HUGEINT's ~1.7e38, a residual 0.7e38 sliver
+    where the engines would again differ — but reaching it needs ~1e16
+    more volume than any physical detector history; the BIGINT band
+    (~9e18) was the realistic one. Order-independent exact sums mean
+    slope /
     intercept / r² are each ONE double expression evaluated identically
     in both engines (the Welch-t-test tactic; never regr_slope, whose
     internal double accumulation is reduction-order-dependent). Plan:
@@ -1041,28 +1046,31 @@ FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_size IN (5, 10, 15, 20, 25)
   AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                          WHERE s_acctbal < 0)
+                          WHERE s_acctbal < 0
+                            AND s_suppkey IS NOT NULL)
 GROUP BY 1, 2
 """)
 def q_part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: how many distinct (non-blacklisted) suppliers
     serve each brand x type — the supply-chain-diversity readout. The
     NOT IN decorrelates to a broadcast LEFT ANTI join against the
-    negative-balance blacklist. NOT IN is null-hostile on BOTH sides: a
-    NULL s_suppkey makes every row's predicate UNKNOWN (guarded by the
-    blacklist's non-null key), and a NULL l_suppkey row evaluates
-    UNKNOWN and drops in SQL while a plain anti-join would KEEP it — so
-    the probe side filters nulls explicitly (a no-op on clean data,
-    semantics-preserving on dirty). The size filter prunes the
-    broadcast part build; COUNT(DISTINCT) expands on the (brand, type)
-    grouping — two-level partial aggregation, never a row-level
-    distinct of the fact."""
+    negative-balance blacklist. NOT IN is null-hostile on BOTH sides —
+    one NULL in the LIST makes every row's predicate UNKNOWN (zero
+    groups), and a NULL probe row evaluates UNKNOWN and drops in SQL
+    while a plain anti-join would KEEP it — so BOTH sides filter nulls
+    explicitly, and the oracle's subquery pins the same non-null-list
+    rule in SQL (the standard NOT-IN hygiene; a no-op on clean data,
+    identical semantics on dirty). The size filter prunes the broadcast
+    part build; COUNT(DISTINCT) expands on the (brand, type) grouping —
+    two-level partial aggregation, never a row-level distinct of the
+    fact."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_suppkey").isNotNull())
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_size").isin(5, 10, 15, 20, 25))
     bad = load_table(spark, sf_dir, "supplier").filter(
-        F.col("s_acctbal") < 0).select("s_suppkey")
+        (F.col("s_acctbal") < 0) & F.col("s_suppkey").isNotNull()
+    ).select("s_suppkey")
     return (
         li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
                 "left_anti")
