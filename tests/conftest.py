@@ -12,7 +12,12 @@ SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tdp-tests", shuffle_partitions=8)
+    # SPARK_GRAFT_TEST_SHUFFLE lets a sweep re-run the whole suite under a
+    # different shuffle width — any output that changes with the width is
+    # an order-dependence bug (see tests/test_partition_invariance.py for
+    # the always-on per-query version)
+    width = int(os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "8"))
+    s = get_spark("tdp-tests", shuffle_partitions=width)
     yield s
 
 
