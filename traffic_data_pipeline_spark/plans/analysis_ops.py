@@ -980,20 +980,11 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.withWatermark("ts", "1 hour"),
         F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
     )
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, "8")  # state width: one open session per active user
-    try:
-        q = (agg.writeStream.outputMode("append")
-             .format("parquet").option("path", sink)
-             .option("checkpointLocation", ckpt)
-             .trigger(availableNow=True).start())
-        ok = q.awaitTermination(600)
-    finally:
-        spark.conf.set(key, prev)
-    if not ok:
-        q.stop()
-        raise TimeoutError("streaming_sessionize: availableNow run exceeded 600s")
+    from traffic_data_pipeline_spark.plans.queries import run_available_now
+
+    # state width: one open session per active user
+    run_available_now(spark, "streaming_sessionize",
+                      agg=agg, sink=sink, ckpt=ckpt)
     return spark.read.parquet(sink).filter(F.col("user_id") != FLUSH_USER).select(
         "user_id",
         fmt_ts(F.col("s_start")).alias("session_start"),

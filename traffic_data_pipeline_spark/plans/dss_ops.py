@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from traffic_data_pipeline_spark.plans.queries import ORACLES, register
+from traffic_data_pipeline_spark.plans.queries import ORACLES, dsum, register
 from traffic_data_pipeline_spark.sources.sensor import (
     CONFIG_VIEW_SQL,
     SENSOR_VIEW_SQL,
@@ -37,8 +37,10 @@ from traffic_data_pipeline_spark.sources.tables import load_table
 
 
 def _dec(col):
-    """Exact decimal accumulator for a double expression (dsum without
-    the final double cast — callers compare or re-aggregate exactly)."""
+    """Exact decimal accumulator for a double expression — dsum WITHOUT
+    the final double cast, for callers that compare or re-aggregate the
+    exact decimal (rational HAVING bounds, window totals). Where the
+    double output is wanted directly, use queries.dsum instead."""
     return F.sum(col.cast("decimal(18,6)"))
 
 
@@ -315,7 +317,10 @@ def q_dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dq_report(orders: DataFrame, li: DataFrame) -> DataFrame:
     o_row = orders.agg(
         F.count(F.lit(1)).alias("row_count"),
-        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        # count(when(cond, 1)) not sum(when...otherwise(0)): count is 0
+        # on an empty table (matching COUNT(*) FILTER), sum is NULL — and
+        # an empty ingest is exactly when a DQ report must read 0, not NULL
+        F.count(F.when(F.col("o_custkey").isNull(), 1))
         .alias("null_custkey"),
         (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
         .alias("dup_orderkey"),
@@ -331,9 +336,9 @@ def dq_report(orders: DataFrame, li: DataFrame) -> DataFrame:
     )).select(F.lit("orders").alias("tbl"), "chk", "value")
     l_row = li.agg(
         F.count(F.lit(1)).alias("row_count"),
-        F.sum(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1),
-                     1).otherwise(0)).alias("discount_range_viol"),
-        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0))
+        F.count(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+                       1)).alias("discount_range_viol"),
+        F.count(F.when(F.col("l_quantity") <= 0, 1))
         .alias("nonpositive_qty"),
         # NULL-safe composite key: Spark's multi-column countDistinct
         # SKIPS rows with any NULL column while DuckDB counts the tuple —
@@ -522,22 +527,12 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("corridor_route", F.col("w.start").alias("w_start"),
                 "volume_sum", "occupancy_sum", "n_obs")
     )
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, "8")  # state = open (corridor, window) rows, not batch width
-    try:
-        q = (agg.writeStream.outputMode("append")
-             .format("parquet").option("path", sink)
-             .option("checkpointLocation", ckpt)
-             .trigger(availableNow=True).start())
-        ok = q.awaitTermination(600)
-    finally:
-        spark.conf.set(key, prev)
-    if not ok:
-        q.stop()
-        raise TimeoutError(
-            "streaming_static_enrich: availableNow run exceeded 600s")
-    assert FLUSH_SENSOR  # sentinel never reaches the sink: the join drops it
+    from traffic_data_pipeline_spark.plans.queries import run_available_now
+
+    # state = open (corridor, window) rows, not batch width
+    run_available_now(spark, "streaming_static_enrich",
+                      agg=agg, sink=sink, ckpt=ckpt)
+    # sentinel never reaches the sink: the config join drops it
     return spark.read.parquet(sink).select(
         "corridor_route", fmt_ts("w_start").alias("w_start"),
         "volume_sum", "occupancy_sum", "n_obs",
@@ -624,8 +619,12 @@ def _equidepth_recount(li: DataFrame, boundary_expr: str) -> DataFrame:
         li.sparkSession.sparkContext.defaultParallelism)
     b = spread.agg(F.expr(boundary_expr).alias("q"))
     bs = b.select(*[F.col("q")[j].alias(f"b{j}") for j in range(7)])
+    # coalesce each comparison to 0 so a NULL price lands in bucket 0
+    # exactly like the oracle's CASE WHEN ... THEN 1 ELSE 0 END — without
+    # it the summed NULLs would mint a spurious bucket=NULL group
     bucket = sum(
-        (F.col("l_extendedprice") > F.col(f"b{j}")).cast("int")
+        F.coalesce((F.col("l_extendedprice") > F.col(f"b{j}")).cast("int"),
+                   F.lit(0))
         for j in range(7)
     )
     return (
@@ -811,8 +810,8 @@ def q_discounted_special_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .filter(band)
-        .agg(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-             .cast("double").alias("revenue"),
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"),
              F.count(F.lit(1)).alias("n_lines"))
     )
 
@@ -873,8 +872,8 @@ def q_nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pair)
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").cast("int").alias("l_year"))
-        .agg(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-             .cast("double").alias("revenue"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
     )
 
 
@@ -979,8 +978,8 @@ def q_nation_year_part_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(F.col("n_name").alias("nation"),
                  F.year("o_orderdate").cast("int").alias("o_year"))
-        .agg(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-             .cast("double").alias("amount"),
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("amount"),
              F.count(F.lit(1)).alias("n_lines"))
     )
 
@@ -1045,6 +1044,7 @@ SELECT p.p_brand, p.p_type,
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_size IN (5, 10, 15, 20, 25)
+  AND l.l_suppkey IS NOT NULL
   AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
                           WHERE s_acctbal < 0
                             AND s_suppkey IS NOT NULL)
@@ -1057,10 +1057,11 @@ def q_part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     negative-balance blacklist. NOT IN is null-hostile on BOTH sides —
     one NULL in the LIST makes every row's predicate UNKNOWN (zero
     groups), and a NULL probe row evaluates UNKNOWN and drops in SQL
-    while a plain anti-join would KEEP it — so BOTH sides filter nulls
-    explicitly, and the oracle's subquery pins the same non-null-list
-    rule in SQL (the standard NOT-IN hygiene; a no-op on clean data,
-    identical semantics on dirty). The size filter prunes the broadcast
+    (except against an EMPTY list, where NOT IN is vacuously TRUE) —
+    so BOTH sides filter nulls explicitly AND the oracle pins both
+    rules in its own text (IS NOT NULL on probe and subquery — the
+    standard NOT-IN hygiene; a no-op on clean data, identical
+    semantics on dirty). The size filter prunes the broadcast
     part build; COUNT(DISTINCT) expands on the (brand, type) grouping —
     two-level partial aggregation, never a row-level distinct of the
     fact."""
@@ -1125,8 +1126,13 @@ def q_order_fulfillment_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for-all into an aggregate — MAX(l_shipdate) per order against the
     deadline — so the quantifier costs one co-keyed per-order aggregate
     instead of an anti-join per order, and the EXISTS(any line) guard
-    falls out of the same inner join. Counts are exact integers; the
-    rate is one double division mirrored verbatim."""
+    falls out of the same inner join. The MAX rewrite is NOT
+    null-equivalent to NOT EXISTS by itself: an order whose every
+    l_shipdate is NULL has no violating witness in SQL (NULL > d is
+    UNKNOWN) and counts FULFILLED, while MAX over all-NULLs is NULL —
+    the coalesce(..., True) restores the for-all-over-empty-witness-set
+    semantics. Counts are exact integers; the rate is one double
+    division mirrored verbatim."""
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F")
     li = load_table(spark, sf_dir, "lineitem")
@@ -1135,9 +1141,10 @@ def q_order_fulfillment_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
         .agg(F.max("l_shipdate").alias("last_ship"))
     )
-    ontime = (F.col("last_ship")
-              <= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")) \
-        .cast("int")
+    ontime = F.coalesce(
+        F.col("last_ship") <= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        F.lit(True),
+    ).cast("int")
     return per_order.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(ontime).cast("bigint").alias("n_fulfilled"),

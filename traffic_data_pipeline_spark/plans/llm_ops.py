@@ -489,26 +489,16 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _dup_events_dir(spark, sf_dir)
     sink = scratch_dir(prefix="tdp_dedup_sink_")
     ckpt = scratch_dir(prefix="tdp_dedup_ckpt_")
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, "8")  # state = one key per event inside the horizon
-    try:
-        stream = (spark.readStream
-                  .schema("event_id long, ts timestamp, event_type string, "
-                          "value double")
-                  .parquet(src))
-        dd = (stream.withWatermark("ts", "1 hour")
-              .dropDuplicatesWithinWatermark(["event_id"]))
-        q = (dd.writeStream.outputMode("append")
-             .format("parquet").option("path", sink)
-             .option("checkpointLocation", ckpt)
-             .trigger(availableNow=True).start())
-        ok = q.awaitTermination(600)
-    finally:
-        spark.conf.set(key, prev)
-    if not ok:
-        q.stop()
-        raise TimeoutError("streaming_dedup: availableNow run exceeded 600s")
+    from traffic_data_pipeline_spark.plans.queries import run_available_now
+
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, event_type string, "
+                      "value double")
+              .parquet(src))
+    dd = (stream.withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark(["event_id"]))
+    # state = one key per event inside the horizon
+    run_available_now(spark, "streaming_dedup", agg=dd, sink=sink, ckpt=ckpt)
     return spark.read.parquet(sink).select(
         "event_id", fmt_ts(F.col("ts")).alias("ts"), "event_type", "value")
 
@@ -972,48 +962,38 @@ def q_streaming_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     under test; a restart mid-feed is the legitimate multi-batch path and
     is covered by the kill-and-resume test, which replays from the
     checkpoint in file-arrival order."""
+    from traffic_data_pipeline_spark.plans.queries import run_available_now
+
     src = _events_stream_dir(spark, sf_dir)
     sink = scratch_dir(prefix="tdp_ssj_sink_")
     ckpt = scratch_dir(prefix="tdp_ssj_ckpt_")
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, "8")  # state tracks the watermark horizon, not batch width
-    try:
-        schema = "event_id long, ts timestamp, user_id long, " \
-                 "event_type string, value double"
-        clicks = (
-            spark.readStream.schema(schema).parquet(src)
-            .filter(F.col("event_type") == "click")
-            .select(F.col("event_id").alias("click_id"),
-                    F.col("ts").alias("click_ts"), "user_id")
-            .withWatermark("click_ts", "1 hour")
-        )
-        purchases = (
-            spark.readStream.schema(schema).parquet(src)
-            .filter(F.col("event_type") == "purchase")
-            .select(F.col("event_id").alias("purchase_id"),
-                    F.col("ts").alias("purchase_ts"),
-                    F.col("user_id").alias("p_user_id"),
-                    F.col("value").alias("purchase_value"))
-            .withWatermark("purchase_ts", "1 hour")
-        )
-        joined = clicks.join(
-            purchases,
-            F.expr("user_id = p_user_id AND "
-                   "purchase_ts >= click_ts AND "
-                   "purchase_ts <= click_ts + interval 30 minutes"),
-        )
-        q = (joined.writeStream.outputMode("append")
-             .format("parquet").option("path", sink)
-             .option("checkpointLocation", ckpt)
-             .trigger(availableNow=True).start())
-        ok = q.awaitTermination(600)
-    finally:
-        spark.conf.set(key, prev)
-    if not ok:
-        q.stop()
-        raise TimeoutError("streaming_click_purchase: availableNow run "
-                           "exceeded 600s")
+    schema = "event_id long, ts timestamp, user_id long, " \
+             "event_type string, value double"
+    clicks = (
+        spark.readStream.schema(schema).parquet(src)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"), "user_id")
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        spark.readStream.schema(schema).parquet(src)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("value").alias("purchase_value"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr("user_id = p_user_id AND "
+               "purchase_ts >= click_ts AND "
+               "purchase_ts <= click_ts + interval 30 minutes"),
+    )
+    # state tracks the watermark horizon, not batch width
+    q = run_available_now(spark, "streaming_click_purchase",
+                          agg=joined, sink=sink, ckpt=ckpt)
     data_batches = sum(
         1 for p in q.recentProgress if (p["numInputRows"] or 0) > 0)
     if data_batches > 1:

@@ -198,6 +198,46 @@ def stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
     return _STREAM_SRC_CACHE[sf_dir]
 
 
+def run_available_now(spark: SparkSession, name: str, agg: DataFrame = None,
+                      sink: str = None, ckpt: str = None,
+                      state_partitions: int = 8, timeout: int = 600,
+                      start=None):
+    """One availableNow shot of a stateful stream, with the stateful
+    stage's shuffle width pinned for the run — shared by every registered
+    streaming query (the round-4 dedup of six copy-pasted blocks).
+
+    The stateful partition count is baked into the checkpoint at first
+    start and each partition pays per-batch state-store IO (snapshot +
+    delta files), so it must track STATE size, not the session's batch
+    shuffle width: 32 -> 8 halved streaming_15min_agg at sf0.1 (state is
+    one row per open key). A production stream sizes this once per
+    deployment the same way.
+
+    Default writer is the plain append-mode parquet sink; pass ``start``
+    to launch a custom writer (the foreachBatch dynamic-overwrite sink).
+    Returns the finished StreamingQuery so callers can inspect
+    ``recentProgress``.
+    """
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(state_partitions))
+    try:
+        if start is None:
+            q = (agg.writeStream.outputMode("append")
+                 .format("parquet").option("path", sink)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+        else:
+            q = start()
+        ok = q.awaitTermination(timeout)
+    finally:
+        spark.conf.set(key, prev)
+    if not ok:
+        q.stop()
+        raise TimeoutError(f"{name}: availableNow run exceeded {timeout}s")
+    return q
+
+
 @register("streaming_15min_agg", _SENSOR_15MIN_ORACLE)
 def q_streaming_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/T3: the SAME 15-min aggregation executed as a Structured
@@ -220,23 +260,9 @@ def q_streaming_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = scratch_dir(prefix="tdp_stream_ckpt_")
     agg = stream_15min_agg(stream_readings(spark, src),
                            config=detector_config(spark, sf_dir))
-    # The stateful stage's partition count is pinned into the checkpoint at
-    # first start and each partition pays per-batch state-store IO
-    # (snapshot + delta files), so it should track STATE size, not the
-    # session's batch shuffle width: 32 -> 8 halves this query at sf0.1
-    # (state is one row per open (sensor, window)). A production stream
-    # sizes this once per deployment the same way.
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
-    try:
-        q = start_parquet_sink(agg, sink, ckpt)
-        ok = q.awaitTermination(600)
-    finally:
-        spark.conf.set(key, prev)
-    if not ok:
-        q.stop()
-        raise TimeoutError("streaming_15min_agg: availableNow run exceeded 600s")
+    # state: one row per open (sensor, window); see run_available_now
+    run_available_now(spark, "streaming_15min_agg",
+                      start=lambda: start_parquet_sink(agg, sink, ckpt))
     return spark.read.parquet(sink).filter(F.col("sensor") != FLUSH_SENSOR).select(
         "sensor", fmt_ts("start_datetime").alias("start_datetime"),
         "volume_sum", "volume_pct_null",
@@ -1348,20 +1374,9 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sensor", F.col("window.start").alias("w_start"),
                 "volume_sum", "n_obs")
     )
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
-    try:
-        q = (agg.writeStream.outputMode("append")
-             .format("parquet").option("path", sink)
-             .option("checkpointLocation", ckpt)
-             .trigger(availableNow=True).start())
-        ok = q.awaitTermination(600)
-    finally:
-        spark.conf.set(key, prev)
-    if not ok:
-        q.stop()
-        raise TimeoutError("streaming_sliding_volume: availableNow run exceeded 600s")
+    # state: one row per open (sensor, sliding window)
+    run_available_now(spark, "streaming_sliding_volume",
+                      agg=agg, sink=sink, ckpt=ckpt)
     return spark.read.parquet(sink).filter(F.col("sensor") != FLUSH_SENSOR).select(
         "sensor", fmt_ts("w_start").alias("w_start"),
         F.col("volume_sum").cast("bigint").alias("volume_sum"),
