@@ -28,6 +28,10 @@ from traffic_data_pipeline_spark.operators.rangejoin import overlap_join
 from traffic_data_pipeline_spark.plans.queries import register
 from traffic_data_pipeline_spark.sources.tables import load_table
 
+from traffic_data_pipeline_spark.plans.oracle_ctes import (  # noqa: E402
+    _GRAMS8_CTE,
+)
+
 _TOK_CTE = """
 toks AS (
   SELECT doc_id, source, token FROM (
@@ -42,7 +46,7 @@ toks AS (
 # Bloom-filter decontamination (broadcast-bitset scale path)
 # ---------------------------------------------------------------------------
 
-BLOOM_M = 16384   # bits in the filter (256 64-bit words)
+BLOOM_M = 16384   # bits in the filter (512 32-bit words)
 BLOOM_K = 3       # hash probes per gram
 
 
@@ -58,13 +62,7 @@ def _bloom_pos(gram, i: int):
 
 
 @register("doc_decontaminate_bloom", f"""
-WITH tl AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                             x -> x != '') AS l
-  FROM documents),
-grams AS (
-  SELECT DISTINCT doc_id, array_to_string(l[g:g+7], ' ') AS gram
-  FROM tl, unnest(generate_series(1, greatest(len(l) - 7, 0))) s(g)),
+WITH {_GRAMS8_CTE},
 bpos AS (
   SELECT DISTINCT
          CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || gram), 1, 8)
@@ -116,8 +114,13 @@ def q_doc_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     ).select("doc_id", token_array(F.col("text")).alias("tok"))
+    # benchmark docs are excluded BEFORE the dedup shuffle — their grams
+    # would ride the exchange only to be filtered out afterwards (the
+    # doc_id predicate also pushes below the tokenize projection to the
+    # scan, so neither branch tokenizes the other's docs)
     grams = (
-        docs.select("doc_id", F.explode(ngram_array("tok", 8)).alias("gram"))
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.explode(ngram_array("tok", 8)).alias("gram"))
         .dropDuplicates(["doc_id", "gram"])
     )
     bench_pos = (
@@ -139,7 +142,7 @@ def q_doc_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), "
                     "CAST(p % 32 AS INT)))").alias("mask"))
     )
-    cpos = grams.filter(F.col("doc_id") % 97 != 0).select(
+    cpos = grams.select(
         "doc_id", "gram", probes
     )
     ghit = (
@@ -171,7 +174,8 @@ cnt AS (SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
 agg AS (
   SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
          CAST(COUNT(*) AS BIGINT) AS n_types,
-         SUM(c * log2(CAST(c AS DOUBLE))) AS clogc
+         CAST(SUM(CAST(c * log2(CAST(c AS DOUBLE)) AS DECIMAL(38,18)))
+              AS DOUBLE) AS clogc
   FROM cnt GROUP BY 1)
 SELECT doc_id, n_tokens, n_types,
        ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
@@ -204,7 +208,11 @@ def q_doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = cnt.groupBy("doc_id").agg(
         F.sum("c").cast("bigint").alias("n_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("n_types"),
-        F.sum(F.col("c") * F.log2(F.col("c").cast("double"))).alias("clogc"),
+        # per-row decimal cast -> exact, order-free accumulation (the
+        # dsum tactic): a raw double sum's last ulp depends on reduction
+        # order and can flip the 6-digit round on one engine only
+        F.sum((F.col("c") * F.log2(F.col("c").cast("double")))
+              .cast("decimal(38,18)")).cast("double").alias("clogc"),
     )
     return agg.select(
         "doc_id", "n_tokens", "n_types",
@@ -230,9 +238,10 @@ big AS (SELECT CAST(SUM(c) AS BIGINT) AS big_n FROM sc)
 SELECT s.source,
        t.n AS n_tokens,
        CAST(COUNT(*) AS BIGINT) AS n_types,
-       ROUND(SUM((CAST(s.c AS DOUBLE) / t.n)
-                 * log2((CAST(s.c AS DOUBLE) / t.n)
-                        / (CAST(g.g AS DOUBLE) / b.big_n))), 6) AS kl_bits
+       ROUND(CAST(SUM(CAST((CAST(s.c AS DOUBLE) / t.n)
+                           * log2((CAST(s.c AS DOUBLE) / t.n)
+                                  / (CAST(g.g AS DOUBLE) / b.big_n))
+                           AS DECIMAL(38,18))) AS DOUBLE), 6) AS kl_bits
 FROM sc s
 JOIN gl g USING (token)
 JOIN tot t USING (source)
@@ -277,7 +286,9 @@ def q_corpus_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "n")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_types"),
-            F.round(F.sum(p * F.log2(p / q)), 6).alias("kl_bits"),
+            # per-row decimal cast: order-free sum (see clogc above)
+            F.round(F.sum((p * F.log2(p / q)).cast("decimal(38,18)"))
+                    .cast("double"), 6).alias("kl_bits"),
         )
         .select(F.col("source"), F.col("n").alias("n_tokens"),
                 "n_types", "kl_bits")
@@ -652,8 +663,10 @@ def q_dedup_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     stats = deg.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
-        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("bigint")
-        .alias("n_wedges"),
+        # integer `div`, not `/`: Spark's / on bigints goes through
+        # double, which drops low bits past 2^53 — the oracle's exact
+        # // 2 would diverge exactly at the corpus scale this is for
+        F.expr("sum(d * (d - 1)) div 2").cast("bigint").alias("n_wedges"),
     )
     edges = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     return (
@@ -918,12 +931,20 @@ def _session_events_dir(spark: SparkSession, sf_dir: str) -> str:
         src = scratch_dir(prefix="tdp_sess_events_")
         ev = load_table(spark, sf_dir, "events").select(
             "user_id", "ts", "value")
-        flush = ev.agg(F.max("ts").alias("m")).select(
-            F.lit(FLUSH_USER).cast("long").alias("user_id"),
-            (F.col("m") + F.expr("INTERVAL 10 DAYS")).alias("ts"),
-            F.lit(0.0).alias("value"),
-        )
-        ev.unionByName(flush).write.mode("overwrite").parquet(src)
+        # two writes, sentinel LAST: the file source consumes files in
+        # modification-time order, so a rate-limited / multi-batch read
+        # must see every real event before the watermark-advancing flush
+        # row — a same-job write could land the flush in an early part
+        # file and silently drop later events as late (exactly the
+        # stream_source_dir rule this mirrors)
+        ev.write.mode("overwrite").parquet(src)
+        (ev.agg(F.max("ts").alias("m"))
+         .select(
+             F.lit(FLUSH_USER).cast("long").alias("user_id"),
+             (F.col("m") + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+             F.lit(0.0).alias("value"),
+         )
+         .write.mode("append").parquet(src))
         _SESS_SRC_CACHE[sf_dir] = src
     return _SESS_SRC_CACHE[sf_dir]
 
@@ -1151,7 +1172,12 @@ def q_source_keywords_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = (
         docs.select("doc_id", "source",
                     F.explode(token_array(F.col("text"))).alias("token"))
-        .dropDuplicates(["doc_id", "token"])
+        # source IS part of the presence key: the oracle dedups DISTINCT
+        # (doc_id, source, token), and a doc_id duplicated under two
+        # sources (dirty ingest) must count once per source in both
+        # engines — keying on (doc_id, token) alone would keep one
+        # nondeterministic winner
+        .dropDuplicates(["doc_id", "source", "token"])
     )
     # the per-(source, token) count stream feeds the token marginal AND
     # the probe side of its own join: materialize it, or the corpus

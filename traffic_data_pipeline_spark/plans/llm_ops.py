@@ -28,13 +28,10 @@ from traffic_data_pipeline_spark.operators.asof import asof_join
 from traffic_data_pipeline_spark.plans.queries import dsum, fmt_ts, register
 from traffic_data_pipeline_spark.sources.tables import load_table
 
-# DuckDB twin of functions.text.token_array
-_TOK_LIST_CTE = """
-tl AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                             x -> x != '') AS l
-  FROM documents)
-"""
+from traffic_data_pipeline_spark.plans.oracle_ctes import (  # noqa: E402
+    _GRAMS8_CTE,
+    _TOK_LIST_CTE,
+)
 
 
 def _spread(docs: DataFrame) -> DataFrame:
@@ -273,10 +270,7 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("doc_decontaminate", f"""
-WITH {_TOK_LIST_CTE},
-grams AS (
-  SELECT DISTINCT doc_id, array_to_string(l[g:g+7], ' ') AS gram
-  FROM tl, unnest(generate_series(1, greatest(len(l) - 7, 0))) s(g)),
+WITH {_GRAMS8_CTE},
 bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
 SELECT g.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_grams,

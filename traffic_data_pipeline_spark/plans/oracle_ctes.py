@@ -41,3 +41,21 @@ band_long AS (
                  md5(concat_ws('|', 'b3', h6, h7))]) AS band_key
   FROM wide)
 """
+
+# DuckDB twin of functions.text.token_array (per-doc token LIST, in-row)
+_TOK_LIST_CTE = """
+tl AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x != '') AS l
+  FROM documents)
+"""
+
+# 8-token-gram shingle stream over the token lists — shared by the exact
+# decontamination oracle (plans/llm_ops.py) and its Bloom scale twin
+# (plans/analysis_ops.py), so a tokenizer or gram-width change can never
+# silently diverge the pair that is property-tested against each other.
+_GRAMS8_CTE = _TOK_LIST_CTE + """,
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(l[g:g+7], ' ') AS gram
+  FROM tl, unnest(generate_series(1, greatest(len(l) - 7, 0))) s(g))
+"""
