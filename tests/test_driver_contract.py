@@ -26,6 +26,13 @@ def test_entry_module_contract():
     # (the misspelled name matches nothing; the real query loses its
     # intended slot in the driver window)
     assert entry_mod._COSTLY_TAIL <= set(qs), entry_mod._COSTLY_TAIL - set(qs)
+    # timezone hygiene: DuckDB's to_timestamp() yields TIMESTAMPTZ, whose
+    # strftime depends on the harness session TimeZone (unpinned in the
+    # driver) — an oracle using it diverges on any non-UTC host while
+    # Spark stays pinned UTC. Epoch->timestamp conversions must use naive
+    # TIMESTAMP arithmetic (TIMESTAMP '1970-01-01' + to_seconds(...)).
+    offenders = [n for n, sql in os_.items() if "to_timestamp(" in sql]
+    assert not offenders, f"tz-sensitive to_timestamp() in oracles: {offenders}"
 
 
 def test_bench_emits_json_line(tmp_path):

@@ -93,34 +93,45 @@ def lsh_bucket_codes(df: DataFrame, n_planes: int = N_PLANES,
 
 
 def knn_bruteforce(df: DataFrame, query_ids, k: int = 5,
-                   vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   exclude_same: str | None = None) -> DataFrame:
     """Top-k cosine neighbors for each query vector (self excluded).
 
     The query side is a handful of rows — broadcast it and score the
     corpus in a single narrow pass; ranking is the only shuffle
     (partitionBy query). Deterministic: (cosine DESC, c_id ASC).
+    ``exclude_same`` names a column whose value must DIFFER between query
+    and candidate (hard-negative mining: same-label pairs are excluded
+    before ranking) — one owner of the brute-force shape for both the
+    kNN and hard-negative surfaces.
     """
     from pyspark.sql import Window
 
+    extra = [F.col(exclude_same)] if exclude_same else []
     # corpus-side repartition: the per-pair decimal dot products below are
     # the cost, and a single-file scan would run them in one task
     with_norm = df.repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     ).select(
-        F.col(id_col), F.col(vec_col),
+        F.col(id_col), F.col(vec_col), *extra,
         norm_sq(F.col(vec_col)).alias("_n2"),
     )
     q = with_norm.filter(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"),
         F.col("_n2").alias("_qn"),
+        *([F.col(exclude_same).alias("_qx")] if exclude_same else []),
     )
     c = with_norm.select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("_cv"),
         F.col("_n2").alias("_cn"),
+        *([F.col(exclude_same).alias("_cx")] if exclude_same else []),
     )
+    flt = F.col("q_id") != F.col("c_id")
+    if exclude_same:
+        flt = flt & (F.col("_qx") != F.col("_cx"))
     pairs = (
         c.crossJoin(F.broadcast(q))
-        .filter(F.col("q_id") != F.col("c_id"))
+        .filter(flt)
         .select(
             "q_id", "c_id",
             _cosine(dot_product(F.col("_qv"), F.col("_cv")),

@@ -476,7 +476,8 @@ def q_sensor_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH readings AS ({SENSOR_VIEW_SQL}),
 cfg AS ({CONFIG_VIEW_SQL})
 SELECT c.corridor_route,
-       strftime(to_timestamp(FLOOR(epoch(r.start_datetime) / 900) * 900),
+       strftime(TIMESTAMP '1970-01-01 00:00:00'
+                  + to_seconds(FLOOR(epoch(r.start_datetime) / 900) * 900),
                 '%Y-%m-%d %H:%M:%S') AS w_start,
        CAST(COALESCE(SUM(r.volume), 0) AS BIGINT) AS volume_sum,
        CAST(COALESCE(SUM(r.occupancy), 0) AS BIGINT) AS occupancy_sum,

@@ -46,7 +46,9 @@ from traffic_data_pipeline_spark.sources.tables import load_table
 # registration modules can import them without ordering hazards)
 from traffic_data_pipeline_spark.plans.oracle_ctes import (  # noqa: F401
     _DOC_CTES,
+    _MH_PAIRS_CTE,
     _MINHASH_CTES,
+    mh_eq_sum,
 )
 
 
@@ -203,18 +205,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_minhash_lsh", f"""
 WITH {_MINHASH_CTES},
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(a.h0 = b.h0 AS INTEGER) AS e0, CAST(a.h1 = b.h1 AS INTEGER) AS e1,
-         CAST(a.h2 = b.h2 AS INTEGER) AS e2, CAST(a.h3 = b.h3 AS INTEGER) AS e3,
-         CAST(a.h4 = b.h4 AS INTEGER) AS e4, CAST(a.h5 = b.h5 AS INTEGER) AS e5,
-         CAST(a.h6 = b.h6 AS INTEGER) AS e6, CAST(a.h7 = b.h7 AS INTEGER) AS e7
-  FROM band_long a JOIN band_long b
-    ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
-SELECT doc_a, doc_b,
-       (e0 + e1 + e2 + e3 + e4 + e5 + e6 + e7) / 8.0 AS est_sim
-FROM pairs
-WHERE (e0 + e1 + e2 + e3 + e4 + e5 + e6 + e7) / 8.0 >= 0.5
+{_MH_PAIRS_CTE}
+SELECT doc_a, doc_b, agree / 8.0 AS est_sim
+FROM mpairs WHERE agree / 8.0 >= 0.5
 """)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_lsh_pairs(spark, sf_dir)
@@ -282,9 +275,7 @@ def q_dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_INCR_EQ = " + ".join(
-    f"CAST(n.h{i} = i.h{i} AS INTEGER)" for i in range(8)
-)
+_INCR_EQ = mh_eq_sum("n", "i")
 
 
 @register("dedup_incremental", f"""
@@ -378,19 +369,11 @@ _SPLIT_CASE = """CASE WHEN CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8
 
 @register("split_leakage_neardup", f"""
 WITH {_MINHASH_CTES},
-mh_pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         (CAST(a.h0 = b.h0 AS INTEGER) + CAST(a.h1 = b.h1 AS INTEGER) +
-          CAST(a.h2 = b.h2 AS INTEGER) + CAST(a.h3 = b.h3 AS INTEGER) +
-          CAST(a.h4 = b.h4 AS INTEGER) + CAST(a.h5 = b.h5 AS INTEGER) +
-          CAST(a.h6 = b.h6 AS INTEGER) + CAST(a.h7 = b.h7 AS INTEGER)) / 8.0
-           AS est
-  FROM band_long a JOIN band_long b
-    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+{_MH_PAIRS_CTE},
 tagged AS (
   SELECT {_SPLIT_CASE.format(col='doc_a')} AS split_a,
          {_SPLIT_CASE.format(col='doc_b')} AS split_b
-  FROM mh_pairs WHERE est >= 0.5)
+  FROM mpairs WHERE agree / 8.0 >= 0.5)
 SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
 FROM tagged GROUP BY 1, 2
 """)
@@ -421,7 +404,7 @@ def q_split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HOT_BAND_CAP = 50  # sf0.1 largest bucket is 631 docs (~200k pair rows)
 
-_EQ_SUM = " + ".join(f"CAST(a.h{i} = b.h{i} AS INTEGER)" for i in range(8))
+_EQ_SUM = mh_eq_sum()  # cold-alias join reuses the shared spelling
 
 
 @register("dedup_minhash_lsh_capped", f"""
@@ -594,10 +577,12 @@ norms AS (
   FROM elems GROUP BY 1)
 """
 
-
-@register("embedding_knn", f"""
-WITH {_EMB_CTES},
-q AS (SELECT * FROM elems WHERE vec_id IN ({", ".join(map(str, KNN_QUERY_IDS))})),
+# Brute-force query-vs-corpus cosine CTEs (q/dots/cos) and the 4x16-bit
+# hyperplane code CTEs (pd/codes[/cand/cdots]) — each spelled ONCE and
+# composed by every embedding oracle, so a change to the plane constants,
+# the DECIMAL(30,12) accumulation, or the tie-break edits one site
+# (the _MH_PAIRS_CTE/_GRAMS8_CTE precedent).
+_COS_CTES = f"""q AS (SELECT * FROM elems WHERE vec_id IN ({", ".join(map(str, KNN_QUERY_IDS))})),
 dots AS (
   SELECT q.vec_id AS q_id, c.vec_id AS c_id,
          CAST(SUM(CAST(q.val * c.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
@@ -609,12 +594,43 @@ cos AS (
   FROM dots d
   JOIN norms qn ON qn.vec_id = d.q_id
   JOIN norms cn ON cn.vec_id = d.c_id
-  WHERE d.q_id != d.c_id),
+  WHERE d.q_id != d.c_id)"""
+
+# identical full oracle for the brute-force and full-probe-IVF twins
+_COS_TOPK_SQL = f"""
+WITH {_EMB_CTES},
+{_COS_CTES},
 ranked AS (
   SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INTEGER) AS rank
   FROM cos)
 SELECT q_id, c_id, cosine, rank FROM ranked WHERE rank <= 5
-""")
+"""
+
+_LSH_CODES_CTES = """pd AS (
+  SELECT e.vec_id, p.p,
+         CAST(SUM(CAST(e.val * (((p.p * 73856093 + e.pos * 19349663) % 1000003)
+                                / 1000003.0 - 0.5) AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM elems e, (SELECT unnest(generate_series(0, 7)) AS p) p
+  GROUP BY 1, 2),
+codes AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+  FROM pd GROUP BY 1)"""
+
+_LSH_CAND_DOTS_CTES = _LSH_CODES_CTES + """,
+cand AS (
+  SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+  FROM codes a JOIN codes b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+cdots AS (
+  SELECT cd.q_id, cd.c_id,
+         CAST(SUM(CAST(q.val * c.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM cand cd
+  JOIN elems q ON q.vec_id = cd.q_id
+  JOIN elems c ON c.vec_id = cd.c_id AND c.pos = q.pos
+  GROUP BY 1, 2)"""
+
+
+@register("embedding_knn", _COS_TOPK_SQL)
 def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_bruteforce(emb, KNN_QUERY_IDS, k=5)
@@ -650,59 +666,15 @@ def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied before ranking; the only shuffle is the per-anchor top-k
     window. At corpus scale the anchor set is the batch being trained on,
     and the candidate side swaps in the IVF/LSH index path unchanged."""
-    from traffic_data_pipeline_spark.functions.similarity import (
-        _cosine as _sim_cosine, dot_product, norm_sq,
-    )
-    from pyspark.sql import Window
+    from traffic_data_pipeline_spark.functions.similarity import knn_bruteforce
 
     emb = load_table(spark, sf_dir, "embeddings")
-    with_norm = emb.repartition(
-        spark.sparkContext.defaultParallelism, F.col("vec_id")
-    ).select("vec_id", "embedding", "label",
-             norm_sq(F.col("embedding")).alias("_n2"))
-    q = with_norm.filter(F.col("vec_id").isin(KNN_QUERY_IDS)).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("_qv"),
-        F.col("label").alias("_ql"), F.col("_n2").alias("_qn"))
-    c = with_norm.select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("_cv"),
-        F.col("label").alias("_cl"), F.col("_n2").alias("_cn"))
-    pairs = (
-        c.crossJoin(F.broadcast(q))
-        .filter((F.col("q_id") != F.col("c_id"))
-                & (F.col("_ql") != F.col("_cl")))
-        .select("q_id", "c_id",
-                _sim_cosine(dot_product(F.col("_qv"), F.col("_cv")),
-                            F.col("_qn"), F.col("_cn")).alias("cosine"))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "c_id")
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("q_id", "c_id", "cosine",
-                F.col("rank").cast("int").alias("rank"))
-    )
+    out = knn_bruteforce(emb, KNN_QUERY_IDS, k=5, exclude_same="label")
+    return out.select("q_id", "c_id", "cosine",
+                      F.col("rank").cast("int").alias("rank"))
 
 
-@register("embedding_knn_ivf", f"""
-WITH {_EMB_CTES},
-q AS (SELECT * FROM elems WHERE vec_id IN ({", ".join(map(str, KNN_QUERY_IDS))})),
-dots AS (
-  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-         CAST(SUM(CAST(q.val * c.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
-  FROM q JOIN elems c ON q.pos = c.pos
-  GROUP BY 1, 2),
-cos AS (
-  SELECT d.q_id, d.c_id,
-         d.dot / (sqrt(qn.norm_sq) * sqrt(cn.norm_sq)) AS cosine
-  FROM dots d
-  JOIN norms qn ON qn.vec_id = d.q_id
-  JOIN norms cn ON cn.vec_id = d.c_id
-  WHERE d.q_id != d.c_id),
-ranked AS (
-  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INTEGER) AS rank
-  FROM cos)
-SELECT q_id, c_id, cosine, rank FROM ranked WHERE rank <= 5
-""")
+@register("embedding_knn_ivf", _COS_TOPK_SQL)
 def q_embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k run at full probe depth, so the brute-force SQL is its
     exact oracle — the inverted-list plumbing must lose nothing. Reduced
@@ -713,26 +685,7 @@ def q_embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("embedding_ann_lsh", f"""
 WITH {_EMB_CTES},
-pd AS (
-  SELECT e.vec_id, p.p,
-         CAST(SUM(CAST(e.val * (((p.p * 73856093 + e.pos * 19349663) % 1000003)
-                                / 1000003.0 - 0.5) AS DECIMAL(30,12))) AS DOUBLE) AS dot
-  FROM elems e, (SELECT unnest(generate_series(0, 7)) AS p) p
-  GROUP BY 1, 2),
-codes AS (
-  SELECT vec_id,
-         CAST(SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
-  FROM pd GROUP BY 1),
-cand AS (
-  SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
-  FROM codes a JOIN codes b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-cdots AS (
-  SELECT cd.q_id, cd.c_id,
-         CAST(SUM(CAST(q.val * c.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
-  FROM cand cd
-  JOIN elems q ON q.vec_id = cd.q_id
-  JOIN elems c ON c.vec_id = cd.c_id AND c.pos = q.pos
-  GROUP BY 1, 2)
+{_LSH_CAND_DOTS_CTES}
 SELECT d.q_id, d.c_id,
        d.dot / (sqrt(qn.norm_sq) * sqrt(cn.norm_sq)) AS cosine
 FROM cdots d
@@ -747,26 +700,7 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_embedding_cosine", f"""
 WITH {_EMB_CTES},
-pd AS (
-  SELECT e.vec_id, p.p,
-         CAST(SUM(CAST(e.val * (((p.p * 73856093 + e.pos * 19349663) % 1000003)
-                                / 1000003.0 - 0.5) AS DECIMAL(30,12))) AS DOUBLE) AS dot
-  FROM elems e, (SELECT unnest(generate_series(0, 7)) AS p) p
-  GROUP BY 1, 2),
-codes AS (
-  SELECT vec_id,
-         CAST(SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
-  FROM pd GROUP BY 1),
-cand AS (
-  SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
-  FROM codes a JOIN codes b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-cdots AS (
-  SELECT cd.q_id, cd.c_id,
-         CAST(SUM(CAST(q.val * c.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
-  FROM cand cd
-  JOIN elems q ON q.vec_id = cd.q_id
-  JOIN elems c ON c.vec_id = cd.c_id AND c.pos = q.pos
-  GROUP BY 1, 2),
+{_LSH_CAND_DOTS_CTES},
 pairs AS (
   SELECT d.q_id, d.c_id
   FROM cdots d
@@ -794,26 +728,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_embedding_cc", f"""
 WITH RECURSIVE {_EMB_CTES},
-pd AS (
-  SELECT e.vec_id, p.p,
-         CAST(SUM(CAST(e.val * (((p.p * 73856093 + e.pos * 19349663) % 1000003)
-                                / 1000003.0 - 0.5) AS DECIMAL(30,12))) AS DOUBLE) AS dot
-  FROM elems e, (SELECT unnest(generate_series(0, 7)) AS p) p
-  GROUP BY 1, 2),
-codes AS (
-  SELECT vec_id,
-         CAST(SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
-  FROM pd GROUP BY 1),
-cand AS (
-  SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
-  FROM codes a JOIN codes b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-cdots AS (
-  SELECT cd.q_id, cd.c_id,
-         CAST(SUM(CAST(q.val * c.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
-  FROM cand cd
-  JOIN elems q ON q.vec_id = cd.q_id
-  JOIN elems c ON c.vec_id = cd.c_id AND c.pos = q.pos
-  GROUP BY 1, 2),
+{_LSH_CAND_DOTS_CTES},
 pairs AS (
   SELECT d.q_id, d.c_id
   FROM cdots d
@@ -965,7 +880,12 @@ def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("events_sliding_rate", """
 WITH wins AS (
-  SELECT to_timestamp(FLOOR(epoch(ts) / 900) * 900 - s.k * 900) AS w_start,
+  -- naive TIMESTAMP arithmetic, never the epoch->TIMESTAMPTZ constructor:
+  -- a TIMESTAMPTZ's strftime depends on the DuckDB session TimeZone,
+  -- which the oracle harness does not pin — on a non-UTC host every
+  -- window label would shift by the zone offset while Spark stays UTC
+  SELECT TIMESTAMP '1970-01-01 00:00:00'
+           + to_seconds(FLOOR(epoch(ts) / 900) * 900 - s.k * 900) AS w_start,
          value
   FROM events, (SELECT unnest(generate_series(0, 3)) AS k) s)
 SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
@@ -1342,34 +1262,13 @@ def q_dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("embedding_ann_recall", f"""
 WITH {_EMB_CTES},
-q AS (SELECT * FROM elems WHERE vec_id IN ({", ".join(map(str, KNN_QUERY_IDS))})),
-dots AS (
-  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-         CAST(SUM(CAST(q.val * c.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
-  FROM q JOIN elems c ON q.pos = c.pos
-  GROUP BY 1, 2),
-cos AS (
-  SELECT d.q_id, d.c_id,
-         d.dot / (sqrt(qn.norm_sq) * sqrt(cn.norm_sq)) AS cosine
-  FROM dots d
-  JOIN norms qn ON qn.vec_id = d.q_id
-  JOIN norms cn ON cn.vec_id = d.c_id
-  WHERE d.q_id != d.c_id),
+{_COS_CTES},
 truth AS (
   SELECT q_id, c_id FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
                                  ORDER BY cosine DESC, c_id) AS rank
     FROM cos) WHERE rank <= 5),
-pd AS (
-  SELECT e.vec_id, p.p,
-         CAST(SUM(CAST(e.val * (((p.p * 73856093 + e.pos * 19349663) % 1000003)
-                                / 1000003.0 - 0.5) AS DECIMAL(30,12))) AS DOUBLE) AS dot
-  FROM elems e, (SELECT unnest(generate_series(0, 7)) AS p) p
-  GROUP BY 1, 2),
-codes AS (
-  SELECT vec_id,
-         CAST(SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
-  FROM pd GROUP BY 1)
+{_LSH_CODES_CTES}
 SELECT t.q_id,
        CAST(COUNT(*) AS BIGINT) AS n_truth,
        CAST(SUM(CASE WHEN cq.bucket = cc.bucket THEN 1 ELSE 0 END) AS BIGINT)

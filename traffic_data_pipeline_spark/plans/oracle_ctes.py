@@ -59,3 +59,22 @@ grams AS (
   SELECT DISTINCT doc_id, array_to_string(l[g:g+7], ' ') AS gram
   FROM tl, unnest(generate_series(1, greatest(len(l) - 7, 0))) s(g))
 """
+
+
+def mh_eq_sum(a: str = "a", b: str = "b") -> str:
+    """The 8-term MinHash agreement sum between two band_long aliases —
+    the ONE spelling of 'how many signature components agree', shared by
+    every LSH-family oracle so an N_MINHASH change edits one site."""
+    return " + ".join(f"CAST({a}.h{i} = {b}.h{i} AS INTEGER)" for i in range(8))
+
+
+# Standard corpus self-pairing over the banded index: one row per
+# candidate pair with its raw agreement count. Consumers derive
+# est_sim = agree / 8.0 and filter at their threshold.
+_MH_PAIRS_CTE = f"""
+mpairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ({mh_eq_sum()}) AS agree
+  FROM band_long a JOIN band_long b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+"""

@@ -77,7 +77,9 @@ cleaned AS (
 agg15 AS (
   SELECT * FROM (
     SELECT sensor,
-           to_timestamp(FLOOR(epoch(start_datetime) / 900) * 900)  AS w_start,
+           -- naive TIMESTAMP, not TIMESTAMPTZ: tz-free on any host
+           TIMESTAMP '1970-01-01 00:00:00'
+             + to_seconds(FLOOR(epoch(start_datetime) / 900) * 900) AS w_start,
            CAST(COALESCE(SUM(volume), 0) AS INTEGER)               AS volume_sum,
            ROUND(100.0 * SUM(CASE WHEN volume IS NULL THEN 1 ELSE 0 END)
                  / COUNT(*), 1)                                    AS volume_pct_null,
@@ -1339,7 +1341,8 @@ def q_corridor_speed_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH readings AS ({SENSOR_VIEW_SQL}),
 win AS (
   SELECT r.sensor, r.volume,
-         to_timestamp(FLOOR(epoch(r.start_datetime) / 900) * 900
+         TIMESTAMP '1970-01-01 00:00:00'
+           + to_seconds(FLOOR(epoch(r.start_datetime) / 900) * 900
                       - t.k * 900) AS w_start
   FROM readings r, (SELECT unnest([0, 1]) AS k) t)
 SELECT sensor, strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
