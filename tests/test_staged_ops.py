@@ -1,0 +1,127 @@
+"""Oracle gate + semantic checks for the round-5 staging area
+(plans/staged_ops.py) — the same query-vs-oracle compare every registered
+query passes, run BEFORE these names enter the driver registry, plus a
+freeze guard pinning that they stay out of it this round."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.oracle import assert_matches_oracle
+from traffic_data_pipeline_spark.plans.staged_ops import (
+    BPE_TOP_K,
+    DECON_TAU,
+    STAGED_ORACLES,
+    STAGED_QUERIES,
+    _DECON_OFFSET,
+    _DECON_PLANTED,
+)
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_ORACLES))
+def test_staged_matches_oracle(spark, sf_dir_oracle, name):
+    assert_matches_oracle(
+        STAGED_QUERIES[name](spark, sf_dir_oracle),
+        STAGED_ORACLES[name], sf_dir_oracle)
+
+
+def test_staged_names_not_registered():
+    """Round-4 registration freeze (VERDICT r3 ask #3): staged ops must
+    not leak into the driver registry until round 5 promotes them."""
+    import __spark_entry__ as e
+
+    live = set(e.queries())
+    assert set(STAGED_QUERIES).isdisjoint(live)
+    assert set(STAGED_ORACLES) <= set(STAGED_QUERIES)
+
+
+def test_boilerplate_planted_coverage(spark, sf_dir_oracle):
+    """Every planted doc carries the 12-token shared header, so its
+    boilerplate coverage is at least those 12 positions; original docs
+    (word-soup, no shared 8-grams with the header) are untouched by the
+    planting — their coverage comes only from natural repeats."""
+    df = STAGED_QUERIES["doc_boilerplate_coverage"](spark, sf_dir_oracle)
+    planted = {r.doc_id: r.n_boiler_tokens
+               for r in df.filter(F.col("doc_id") >= 300000).collect()}
+    assert len(planted) == 30
+    assert all(v >= 12 for v in planted.values())
+    # headers add 12 tokens on top of the source doc's own count
+    orig = {r.doc_id: r.n_tokens for r in
+            df.filter(F.col("doc_id") < 30).collect()}
+    plus = {r.doc_id - 300000: r.n_tokens for r in
+            df.filter(F.col("doc_id") >= 300000).collect()}
+    assert all(plus[i] == orig[i] + 12 for i in orig)
+
+
+def test_bpe_merge_step_shape(spark, sf_dir_oracle):
+    """Exactly top-k rows, ranks contiguous, counts non-increasing and
+    ties broken by pair ascending — the deterministic merge order a
+    reproducible tokenizer build requires."""
+    rows = (STAGED_QUERIES["bpe_merge_step"](spark, sf_dir_oracle)
+            .orderBy("rank").collect())
+    assert [r.rank for r in rows] == list(range(1, BPE_TOP_K + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a.cnt > b.cnt or (a.cnt == b.cnt and a.pair < b.pair)
+    assert all(len(r.pair) == 2 and r.cnt > 0 for r in rows)
+
+
+def test_zorder_partitions_and_bounds(spark, sf_dir_oracle):
+    """The 16 morton ranges partition the table (row counts sum to the
+    fact count) and every file's rectangle nests inside the key domain —
+    plus the actual skipping claim: for a mid-domain point predicate on
+    l_suppkey, most files are prunable by their [s_lo, s_hi] footprint."""
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir_oracle, "lineitem")
+    n = li.count()
+    rows = STAGED_QUERIES["lineitem_zorder_layout"](
+        spark, sf_dir_oracle).collect()
+    assert sum(r.n_rows for r in rows) == n
+    assert all(r.p_lo <= r.p_hi and r.s_lo <= r.s_hi for r in rows)
+    smax = max(r.s_hi for r in rows)
+    probe = smax // 2
+    hit = [r for r in rows if r.s_lo <= probe <= r.s_hi]
+    assert len(hit) <= len(rows) // 2, (
+        "z-order footprints should prune most files for a point probe")
+
+
+def test_pca_step_is_gram_action(spark, sf_dir_oracle):
+    """y = A^T (A 1) must equal the per-position sum over rows of
+    rowsum * value — recomputed here with plain float math as an
+    independent (approximate) witness of the decimal formulation."""
+    import math
+
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    emb = {r.vec_id: list(r.embedding) for r in
+           load_table(spark, sf_dir_oracle, "embeddings").collect()}
+    dim = len(next(iter(emb.values())))
+    want = [0.0] * dim
+    for v in emb.values():
+        s = sum(float(x) for x in v)
+        for j, x in enumerate(v):
+            want[j] += s * float(x)
+    got = {r.pos: r.component for r in
+           STAGED_QUERIES["embedding_pca_step"](spark, sf_dir_oracle).collect()}
+    assert len(got) == dim
+    for j in range(dim):
+        assert math.isclose(got[j + 1], want[j], rel_tol=1e-6, abs_tol=1e-4)
+
+
+def test_semantic_decontaminate_catches_planted(spark, sf_dir_oracle):
+    """Planted benchmark twins (cosine ~1 to their corpus source) must be
+    flagged — modulo LSH bucket recall, the honestly-reported miss mode —
+    and every flag must clear the threshold with its OWN twin as the
+    argmax. At minimum the overwhelming majority of planted pairs land in
+    the same 8-bit bucket (the perturbation barely moves plane dots)."""
+    rows = STAGED_QUERIES["embedding_semantic_decontaminate"](
+        spark, sf_dir_oracle).collect()
+    got = {r.vec_id: r for r in rows}
+    n_planted = len([i for i in range(_DECON_PLANTED) if i % 97 != 0])
+    caught = [i for i in range(_DECON_PLANTED)
+              if i % 97 != 0 and i in got
+              and got[i].bench_id == i + _DECON_OFFSET]
+    assert len(caught) >= n_planted - 2, (n_planted, sorted(got))
+    assert all(r.max_cos >= DECON_TAU for r in rows)

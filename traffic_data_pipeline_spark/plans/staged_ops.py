@@ -1,0 +1,509 @@
+"""Round-5 staging area: operators that are implemented and oracle-gated
+NOW but intentionally NOT registered in the driver registry, honoring the
+round-4 registration freeze (VERDICT r3 ask #3: no net-new ``queries()``
+names until the driver's CORRECTNESS window drains the round-3 backlog).
+
+Everything here uses the exact ``register``-style contract — a Spark
+callable ``(spark, sf_dir) -> DataFrame`` plus a DuckDB oracle string with
+matching column names — so promotion in round 5 is one mechanical step:
+move the ``@staged`` entries into the live registry (or import
+STAGED_QUERIES/STAGED_ORACLES from plans.queries). Until then
+tests/test_staged_ops.py runs the identical query-vs-oracle gate on them
+at sf0.01, and a freeze-guard test pins that none of these names leaks
+into ``__spark_entry__.queries()`` this round.
+
+Operator set (training-data pipeline gaps after round 3's sweep):
+
+- ``doc_boilerplate_coverage`` — CCNet-style cross-document boilerplate
+  detection: 8-gram spans occurring in >= 2 distinct docs are boilerplate;
+  per doc, how many token positions they cover.
+- ``bpe_merge_step`` — one tokenizer-training step: the top-20 adjacent
+  symbol pairs by corpus frequency (the pair a BPE learner would merge).
+- ``lineitem_zorder_layout`` — write-side data-layout op: Z-order
+  (Morton-interleave) clustering key over two join/filter dims and the
+  per-file min/max readout that quantifies 2-D data skipping.
+- ``embedding_pca_step`` — one exact (decimal-accumulated) power-iteration
+  step of the uncentered Gram operator over the embedding corpus.
+- ``embedding_semantic_decontaminate`` — flag corpus vectors semantically
+  near a benchmark/eval set (LSH-bucketed candidates + exact cosine), the
+  embedding-space sibling of the 8-gram decontaminator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from traffic_data_pipeline_spark.functions.similarity import (
+    DOT_DECIMAL,
+    bucket_code,
+    dot_product,
+    norm_sq,
+)
+from traffic_data_pipeline_spark.functions.text import (
+    ngram_array,
+    token_array,
+    tokens,
+)
+from traffic_data_pipeline_spark.sources.tables import load_table
+
+STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+STAGED_ORACLES: dict[str, str] = {}
+
+
+def staged(name: str, oracle: str | None = None):
+    def deco(fn):
+        STAGED_QUERIES[name] = fn
+        if oracle is not None:
+            STAGED_ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# doc_boilerplate_coverage — cross-doc repeated-span (boilerplate) coverage
+# ---------------------------------------------------------------------------
+
+# The fixture corpus is word-soup with no natural shared headers, so the
+# query runs on an augmented corpus (the dedup_semantic planting pattern,
+# FIXTURES.md §8): docs with id < 30 gain a copy at id+300000 prefixed
+# with a fixed 12-token header. Header-internal 8-grams then occur in 30
+# docs (boilerplate); header->tail boundary grams stay doc-unique. The
+# header tokens are outside the fixture vocabulary so original docs are
+# untouched.
+_BOILER_HEADER = " ".join(f"zq{i:02d}" for i in range(12))
+BOILER_MIN_DOCS = 2     # a span in >= this many distinct docs is boilerplate
+_GRAM_N = 8
+
+_BOILER_CORPUS_CTE = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000, '{_BOILER_HEADER} ' || text
+  FROM documents WHERE doc_id < 30),
+tl AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x != '') AS l
+  FROM corpus),
+pg AS (  -- one row per (doc, 0-based gram start); grams keep duplicates
+  SELECT doc_id, g - 1 AS g0, array_to_string(l[g:g+{_GRAM_N - 1}], ' ') AS gram
+  FROM tl, unnest(generate_series(1, greatest(len(l) - {_GRAM_N - 1}, 0))) s(g))
+"""
+
+
+@staged("doc_boilerplate_coverage", f"""
+WITH {_BOILER_CORPUS_CTE},
+freq AS (
+  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM pg)
+  GROUP BY gram HAVING COUNT(*) >= {BOILER_MIN_DOCS}),
+cov AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT p) AS BIGINT) AS n_boiler_tokens
+  FROM pg JOIN freq USING (gram),
+       unnest(generate_series(pg.g0, pg.g0 + {_GRAM_N - 1})) t(p)
+  GROUP BY 1)
+SELECT tl.doc_id,
+       CAST(len(tl.l) AS BIGINT)            AS n_tokens,
+       COALESCE(cov.n_boiler_tokens, 0)     AS n_boiler_tokens,
+       ROUND(CAST(COALESCE(cov.n_boiler_tokens, 0) AS DOUBLE)
+             / NULLIF(len(tl.l), 0), 6)     AS boiler_ratio
+FROM tl LEFT JOIN cov ON cov.doc_id = tl.doc_id
+""")
+def q_doc_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate detection at span granularity: an 8-gram
+    occurring in >= BOILER_MIN_DOCS DISTINCT documents is boilerplate
+    (navigation chrome, license headers, template shells); per document,
+    report how many token positions any boilerplate gram covers. The
+    cleaning step a 100 TB web-corpus run performs before dedup — here as
+    the measurement query whose covered-position set IS the removal mask.
+
+    Scale shape: grams stay in-row until ONE (gram)-keyed map-side-combined
+    aggregate builds the document-frequency table; the boilerplate subset
+    joins back as an equi semi-join on the gram key (never broadcast — the
+    gram universe is corpus-sized, the same reasoning as
+    doc_ngram_containment's df table); covered positions explode only for
+    rows that survive that semi-join (boilerplate hits, a tiny fraction of
+    the gram stream), then collapse with one per-doc distinct count.
+    No self-joins, no all-pairs anything: cost is linear in corpus grams.
+    """
+    dp = spark.sparkContext.defaultParallelism
+    d0 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d0.unionByName(
+        d0.filter(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat(F.lit(_BOILER_HEADER + " "), F.col("text")).alias("text"),
+        )
+    )
+    docs = corpus.repartition(dp, "doc_id").select(
+        "doc_id", token_array(F.col("text")).alias("tok"))
+    base = docs.select(
+        "doc_id", F.size("tok").cast("bigint").alias("n_tokens"))
+    pg = docs.select(
+        "doc_id", F.posexplode(ngram_array("tok", _GRAM_N)).alias("g0", "gram"))
+    freq = (
+        pg.dropDuplicates(["doc_id", "gram"])
+        .groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= BOILER_MIN_DOCS)
+        .select("gram")
+    )
+    cov = (
+        pg.join(freq, "gram", "leftsemi")
+        .select("doc_id", F.explode(
+            F.sequence(F.col("g0"), F.col("g0") + F.lit(_GRAM_N - 1))
+        ).alias("p"))
+        .dropDuplicates(["doc_id", "p"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_boiler_tokens"))
+    )
+    nb = F.coalesce("n_boiler_tokens", F.lit(0).cast("bigint"))
+    return (
+        base.join(cov, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            nb.alias("n_boiler_tokens"),
+            F.round(nb.cast("double")
+                    / F.nullif(F.col("n_tokens"), F.lit(0)), 6)
+            .alias("boiler_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# bpe_merge_step — one BPE tokenizer-training step (top adjacent pairs)
+# ---------------------------------------------------------------------------
+
+BPE_TOP_K = 20
+
+
+@staged("bpe_merge_step", f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x != '')) AS token
+  FROM documents),
+wc AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY 1),
+pairs AS (
+  SELECT substr(token, CAST(i AS INTEGER), 2) AS pair, c
+  FROM wc, unnest(generate_series(1, len(token) - 1)) t(i)
+  WHERE len(token) >= 2),
+agg AS (SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt FROM pairs GROUP BY 1)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank,
+       pair, cnt
+FROM agg ORDER BY cnt DESC, pair LIMIT {BPE_TOP_K}
+""")
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One byte-pair-encoding training step: count every adjacent symbol
+    pair across the corpus (weighted by word frequency, with in-word
+    multiplicity — 'aaa' contributes ('aa') twice) and emit the top-20
+    merge candidates. Rank 1 is the pair a BPE learner would merge next;
+    a full vocab build iterates this step, re-segmenting after each merge.
+
+    Scale shape: the corpus collapses to the word-frequency table first
+    (ONE map-side-combined token aggregate — the same shuffle vocab_build
+    pays), so the quadratic-looking pair explode runs over DISTINCT WORDS
+    (vocabulary-sized, ~sqrt of corpus tokens by Heaps' law), not the
+    token stream. Pair totals aggregate to at most |alphabet|^2 rows
+    (~1.3k for [a-z0-9]), so the final top-k rank is a window over a
+    frame that fits in one task at ANY corpus scale — the global sort is
+    on the ALPHABET-PAIR table, never the data. Later iterations
+    re-segment in-row (split on the learned merges) and re-run the same
+    two aggregates.
+    """
+    wc = (
+        tokens(load_table(spark, sf_dir, "documents"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = (
+        wc.filter(F.length("token") >= 2)
+        .select("c", F.explode(F.expr(
+            "transform(sequence(1, length(token) - 1),"
+            " i -> substring(token, i, 2))"
+        )).alias("pair"))
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("c").cast("bigint").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= BPE_TOP_K)
+        .select("rank", "pair", "cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# lineitem_zorder_layout — Morton-interleave clustering key + skip readout
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8          # bucket each dim to 2^8 cells
+_Z_FILES = 16        # report the layout as this many equal key ranges
+
+
+def _morton_sql(bp: str, bs: str, duck: bool) -> str:
+    """Bit-interleave of two _Z_BITS-bit bucket ids, emitted in each
+    engine's operator spelling from ONE generator so the two can't drift."""
+    if duck:
+        terms = [
+            f"((({bp} >> {i}) & 1) << {2 * i + 1})"
+            f" + ((({bs} >> {i}) & 1) << {2 * i})"
+            for i in range(_Z_BITS)
+        ]
+    else:
+        terms = [
+            f"shiftleft(shiftright({bp}, {i}) & 1, {2 * i + 1})"
+            f" + shiftleft(shiftright({bs}, {i}) & 1, {2 * i})"
+            for i in range(_Z_BITS)
+        ]
+    return " + ".join(terms)
+
+
+@staged("lineitem_zorder_layout", f"""
+WITH mx AS (
+  SELECT MAX(l_partkey) AS mp, MAX(l_suppkey) AS ms FROM lineitem),
+b AS (
+  SELECT l_partkey, l_suppkey,
+         (CAST(l_partkey AS BIGINT) * {1 << _Z_BITS}) // (mp + 1) AS bp,
+         (CAST(l_suppkey AS BIGINT) * {1 << _Z_BITS}) // (ms + 1) AS bs
+  FROM lineitem, mx),
+m AS (
+  SELECT l_partkey, l_suppkey,
+         {_morton_sql('bp', 'bs', duck=True)} AS morton
+  FROM b)
+SELECT morton // {(1 << (2 * _Z_BITS)) // _Z_FILES} AS file_id,
+       CAST(COUNT(*) AS BIGINT)      AS n_rows,
+       CAST(MIN(l_partkey) AS BIGINT) AS p_lo,
+       CAST(MAX(l_partkey) AS BIGINT) AS p_hi,
+       CAST(MIN(l_suppkey) AS BIGINT) AS s_lo,
+       CAST(MAX(l_suppkey) AS BIGINT) AS s_hi
+FROM m GROUP BY 1
+""")
+def q_lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side data-layout operator: a Z-order (Morton bit-interleave)
+    clustering key over (l_partkey, l_suppkey), reported as the per-file
+    min/max footprint when the table is laid out in {_Z_FILES} equal
+    Morton-key ranges. Sorting a write by this key is how a 100 TB table
+    gets 2-D data skipping: each parquet file then covers a small
+    RECTANGLE of the key space, so a point or range predicate on EITHER
+    column prunes most files from the scan (the min/max columns here are
+    exactly the footer stats a reader would prune on — linear layouts
+    give tight bounds on one column and the full domain on the other).
+
+    All arithmetic is integer-exact (integer `div`, shifts, masks — the
+    bucket scale factor widens to BIGINT before multiplying, so the key
+    never overflows 32-bit at real partkey cardinalities) and the two
+    engine spellings are generated from one Python loop. Plan: one
+    broadcast scalar (the two maxima), one projection, one
+    {_Z_FILES}-group map-side-combined aggregate — the fact streams once
+    with no join and no sort; the SORT this operator implies happens in
+    the writer that consumes the key, where Spark's range partitioner
+    makes it a sampling pass + one shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    mx = li.agg(F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms"))
+    scale = 1 << _Z_BITS
+    b = li.crossJoin(F.broadcast(mx)).select(
+        "l_partkey", "l_suppkey",
+        F.expr(f"(CAST(l_partkey AS BIGINT) * {scale}) div (mp + 1)")
+        .alias("bp"),
+        F.expr(f"(CAST(l_suppkey AS BIGINT) * {scale}) div (ms + 1)")
+        .alias("bs"),
+    )
+    per_file = (1 << (2 * _Z_BITS)) // _Z_FILES
+    return (
+        b.withColumn("morton", F.expr(_morton_sql("bp", "bs", duck=False)))
+        .groupBy(F.expr(f"morton div {per_file}").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("l_partkey").cast("bigint").alias("p_lo"),
+            F.max("l_partkey").cast("bigint").alias("p_hi"),
+            F.min("l_suppkey").cast("bigint").alias("s_lo"),
+            F.max("l_suppkey").cast("bigint").alias("s_hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_pca_step — one exact power-iteration step of the Gram operator
+# ---------------------------------------------------------------------------
+
+@staged("embedding_pca_step", """
+WITH elems AS (
+  SELECT vec_id, t.i AS pos, CAST(embedding[t.i] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+d0 AS (
+  SELECT vec_id, CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) AS d
+  FROM elems GROUP BY 1)
+SELECT e.pos,
+       ROUND(CAST(SUM(CAST(d0.d * e.val AS DECIMAL(30,12))) AS DOUBLE), 6)
+         AS component
+FROM elems e JOIN d0 ON d0.vec_id = e.vec_id
+GROUP BY 1
+""")
+def q_embedding_pca_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step toward the corpus's top principal
+    direction: y = A^T (A x0) over the (uncentered) embedding matrix A,
+    from the deterministic all-ones start vector x0. Iterating
+    (normalize, repeat — the same driver loop as embedding_kmeans_step /
+    the CC pointer-jump, with the convergence probe as the sanctioned
+    scalar) converges to the dominant eigenvector of the Gram matrix;
+    centering swaps in exact decimal column means without changing the
+    plan. The readout a whitening / dimensionality-reduction pass of a
+    100 TB embedding corpus starts from.
+
+    Determinism: both inner products accumulate as DECIMAL(30,12) —
+    exact, order-free — so every component is bit-identical across
+    engines and partitionings (the similarity-module contract); the only
+    doubles are deterministic per-row products. Plan: A x0 is a per-row
+    projection (zero shuffle); A^T's action is ONE map-side-combined
+    aggregate with `dim` output rows. The matrix never materializes and
+    nothing quadratic exists: cost is two passes over the corpus
+    elements, embarrassingly parallel.
+    """
+    dp = spark.sparkContext.defaultParallelism
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(dp, "vec_id")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    ones = F.expr("transform(v, x -> CAST(1.0 AS DOUBLE))")
+    rows = (
+        emb.withColumn("d0", dot_product(F.col("v"), ones))
+        .select("d0", F.posexplode("v").alias("pos0", "val"))
+    )
+    return (
+        rows.groupBy("pos0")
+        .agg(F.sum((F.col("d0") * F.col("val")).cast(DOT_DECIMAL))
+             .cast("double").alias("y"))
+        .select((F.col("pos0") + 1).cast("bigint").alias("pos"),
+                F.round("y", 6).alias("component"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_semantic_decontaminate — eval-set similarity flagging
+# ---------------------------------------------------------------------------
+
+DECON_TAU = 0.9
+_DECON_PLANTED = 25        # corpus ids < this gain a perturbed benchmark twin
+_DECON_OFFSET = 200000
+
+# benchmark membership: the fixture's deterministic eval split
+# (vec_id % 97 == 0) plus every planted twin
+_IS_BENCH_SQL = "(vec_id % 97 = 0 OR vec_id >= {off})".format(off=_DECON_OFFSET)
+
+
+@staged("embedding_semantic_decontaminate", f"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_DECON_OFFSET},
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01 + 0.001)
+  FROM embeddings WHERE vec_id < {_DECON_PLANTED} AND vec_id % 97 != 0),
+elems AS (
+  SELECT vec_id, t.i AS pos, CAST(embedding[t.i] AS DOUBLE) AS val
+  FROM corpus, unnest(generate_series(1, len(embedding))) t(i)),
+norms AS (
+  SELECT vec_id, CAST(SUM(CAST(val * val AS DECIMAL(30,12))) AS DOUBLE) AS norm_sq
+  FROM elems GROUP BY 1),
+pd AS (
+  SELECT e.vec_id, p.p,
+         CAST(SUM(CAST(e.val * (((p.p * 73856093 + e.pos * 19349663) % 1000003)
+                                / 1000003.0 - 0.5) AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM elems e, (SELECT unnest(generate_series(0, 7)) AS p) p
+  GROUP BY 1, 2),
+codes AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+  FROM pd GROUP BY 1),
+cand AS (
+  SELECT c.vec_id AS cid, b.vec_id AS bid
+  FROM codes c JOIN codes b ON c.bucket = b.bucket
+  WHERE NOT {_IS_BENCH_SQL.replace("vec_id", "c.vec_id")}
+    AND {_IS_BENCH_SQL.replace("vec_id", "b.vec_id")}),
+cdots AS (
+  SELECT cd.cid, cd.bid,
+         CAST(SUM(CAST(q.val * c.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM cand cd
+  JOIN elems q ON q.vec_id = cd.cid
+  JOIN elems c ON c.vec_id = cd.bid AND c.pos = q.pos
+  GROUP BY 1, 2),
+cos AS (
+  SELECT cid, bid, dot / (sqrt(nq.norm_sq) * sqrt(nb.norm_sq)) AS cos
+  FROM cdots
+  JOIN norms nq ON nq.vec_id = cid
+  JOIN norms nb ON nb.vec_id = bid
+  WHERE nq.norm_sq > 0 AND nb.norm_sq > 0),
+best AS (
+  SELECT cid, bid, cos,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY cos DESC, bid) AS rn
+  FROM cos WHERE cos >= {DECON_TAU})
+SELECT cid AS vec_id, bid AS bench_id, ROUND(cos, 6) AS max_cos
+FROM best WHERE rn = 1
+""")
+def q_embedding_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: flag every corpus vector whose
+    cosine to ANY benchmark/eval vector reaches DECON_TAU — the semantic
+    sibling of the 8-gram decontaminator, catching paraphrased or
+    near-verbatim eval leakage that exact n-grams miss. Benchmark set =
+    the fixture's deterministic eval split (vec_id % 97 == 0). The raw
+    fixture has no natural cross-set near-dups (max pairwise cosine
+    ~0.51), so corpus ids < {_DECON_PLANTED} gain a perturbed benchmark
+    twin at id+{_DECON_OFFSET} (x*1.01 + 0.001 per element — the
+    dedup_semantic planting, FIXTURES.md §8), cosine ~1 to their source:
+    the flag path runs for real.
+
+    Scale shape: benchmark suites are tiny next to a training corpus, so
+    the benchmark side (codes + vectors + norms) BROADCASTS and the
+    corpus streams through one narrow projection — bucket codes and norms
+    are per-row HOFs (zero shuffle, the similarity-module shape), the
+    candidate join is broadcast-hash on the 8-bit hyperplane bucket, and
+    exact cosines run only on bucket collisions. The corpus never
+    self-pairs and never shuffles; the one exchange is the per-corpus-id
+    argmax window over FLAGGED candidates only. The oracle mirrors the
+    candidate generation exactly (same planes, same integer arithmetic),
+    so parity is exact; LSH recall itself is the measured property, read
+    off the same machinery as embedding_ann_recall (full-probe = brute
+    force).
+    """
+    dp = spark.sparkContext.defaultParallelism
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    planted = (
+        emb.filter((F.col("vec_id") < _DECON_PLANTED)
+                   & (F.col("vec_id") % 97 != 0))
+        .select(
+            (F.col("vec_id") + _DECON_OFFSET).alias("vec_id"),
+            F.transform(
+                "v", lambda x: x.cast("double") * F.lit(1.01) + F.lit(0.001)
+            ).alias("v"),
+        )
+    )
+    allv = (
+        emb.unionByName(planted)
+        .repartition(dp, "vec_id")
+        .select(
+            "vec_id", "v",
+            bucket_code(F.col("v")).alias("bucket"),
+            norm_sq(F.col("v")).alias("n2"),
+        )
+    )
+    is_bench = (F.col("vec_id") % 97 == 0) | (F.col("vec_id") >= _DECON_OFFSET)
+    corpus = allv.filter(~is_bench)
+    bench = allv.filter(is_bench).select(
+        F.col("vec_id").alias("bench_id"), F.col("v").alias("bv"),
+        F.col("bucket"), F.col("n2").alias("bn2"))
+    cand = corpus.join(F.broadcast(bench), "bucket")
+    cos = F.when(
+        (F.col("n2") > 0) & (F.col("bn2") > 0),
+        dot_product(F.col("v"), F.col("bv"))
+        / (F.sqrt("n2") * F.sqrt("bn2")),
+    )
+    flagged = (
+        cand.select("vec_id", "bench_id", cos.alias("cos"))
+        .filter(F.col("cos") >= DECON_TAU)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("bench_id"))
+    return (
+        flagged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "bench_id", F.round("cos", 6).alias("max_cos"))
+    )
