@@ -27,6 +27,40 @@ def test_staged_matches_oracle(spark, sf_dir_oracle, name):
         STAGED_ORACLES[name], sf_dir_oracle)
 
 
+# Exchange budgets (the test_plan_shapes contract, applied at staging time
+# so promotion can't ship an unaudited plan): (max hash exchanges,
+# min broadcast exchanges) in the live plan at the smoke fixture.
+STAGED_CAPS = {
+    "bpe_merge_step": (3, 0),            # token spread + word agg + pair agg;
+                                         # the top-k window sorts the
+                                         # alphabet-pair table only
+    "doc_boilerplate_coverage": (4, 0),  # spread + gram-df agg + covered
+                                         # distinct + doc agg; the freq
+                                         # semi-join is CO-KEYED, not
+                                         # broadcast-required (gram universe
+                                         # is corpus-sized at scale)
+    "embedding_pca_step": (2, 0),        # spread + ONE dim-row aggregate;
+                                         # A x0 is a projection
+    "embedding_semantic_decontaminate": (2, 1),  # spread + flagged-argmax
+                                         # window; bench side always
+                                         # broadcast
+    "lineitem_zorder_layout": (1, 1),    # one 16-group agg; the maxima
+                                         # scalar always broadcast
+}
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_CAPS))
+def test_staged_exchange_budget(spark, sf_dir, name):
+    from tests import test_plan_shapes as shapes
+
+    max_exch, min_bcast = STAGED_CAPS[name]
+    exch, bcast = shapes._count_live(STAGED_QUERIES[name](spark, sf_dir))
+    assert exch <= max_exch, (
+        f"{name}: {exch} hash exchanges (cap {max_exch})")
+    assert bcast >= min_bcast, (
+        f"{name}: {bcast} broadcast exchanges (expected >= {min_bcast})")
+
+
 def test_staged_names_not_registered():
     """Round-4 registration freeze (VERDICT r3 ask #3): staged ops must
     not leak into the driver registry until round 5 promotes them."""
