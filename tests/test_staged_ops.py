@@ -31,6 +31,12 @@ def test_staged_matches_oracle(spark, sf_dir_oracle, name):
 # so promotion can't ship an unaudited plan): (max hash exchanges,
 # min broadcast exchanges) in the live plan at the smoke fixture.
 STAGED_CAPS = {
+    "dedup_sorted_neighborhood": (4, 0),  # spread + block-rank window +
+                                          # (blk, rank) equi self-join;
+                                          # verify is in-row array math
+    "events_decayed_engagement": (1, 1),  # ONE per-user aggregate; the
+                                          # reference instant always a
+                                          # broadcast scalar
     "bpe_merge_step": (3, 0),            # token spread + word agg + pair agg;
                                          # the top-k window sorts the
                                          # alphabet-pair table only
@@ -142,6 +148,46 @@ def test_pca_step_is_gram_action(spark, sf_dir_oracle):
     assert len(got) == dim
     for j in range(dim):
         assert math.isclose(got[j + 1], want[j], rel_tol=1e-6, abs_tol=1e-4)
+
+
+def test_snm_catches_planted_twins(spark, sf_dir_oracle):
+    """Each planted twin (source text + one appended token) shares its
+    source's 3-token sort key, so it lands in the source's neighborhood
+    unless same-key strangers interleave between them — the documented
+    SNM recall mode. The overwhelming majority must be caught, at
+    Jaccard n/(n+1) >= the 0.5 verify threshold."""
+    from traffic_data_pipeline_spark.plans.staged_ops import (
+        _SNM_OFFSET,
+        _SNM_PLANTED,
+    )
+
+    rows = STAGED_QUERIES["dedup_sorted_neighborhood"](
+        spark, sf_dir_oracle).collect()
+    twins = {(r.doc_a, r.doc_b) for r in rows}
+    caught = [i for i in range(_SNM_PLANTED)
+              if (i, i + _SNM_OFFSET) in twins or (i + _SNM_OFFSET, i) in twins]
+    assert len(caught) >= _SNM_PLANTED - 3, sorted(twins)
+    assert all(r.jaccard >= 0.5 for r in rows)
+
+
+def test_decayed_engagement_weights(spark, sf_dir_oracle):
+    """The newest event carries weight 1 (age bucket 0) and weights halve
+    per whole half-life: recompute one user's score from raw events."""
+    from traffic_data_pipeline_spark.plans.staged_ops import _DECAY_HALF_LIFE_S
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir_oracle, "events").select(
+        "user_id", "ts", "value").collect()
+    mx = max(r.ts for r in ev)
+    uid = ev[0].user_id
+    want = sum(
+        (r.value or 0.0) * 0.5 ** int(
+            ((mx - r.ts).total_seconds() * 1_000_000)
+            // (_DECAY_HALF_LIFE_S * 1_000_000))
+        for r in ev if r.user_id == uid and r.value is not None)
+    got = {r.user_id: r.decayed_score for r in STAGED_QUERIES[
+        "events_decayed_engagement"](spark, sf_dir_oracle).collect()}
+    assert abs(got[uid] - want) < 1e-4, (got[uid], want)
 
 
 def test_semantic_decontaminate_catches_planted(spark, sf_dir_oracle):

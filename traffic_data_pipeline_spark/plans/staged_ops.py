@@ -507,3 +507,171 @@ def q_embedding_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> Data
         .filter(F.col("rn") == 1)
         .select("vec_id", "bench_id", F.round("cos", 6).alias("max_cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_sorted_neighborhood — SNM blocking (the sort-based LSH alternative)
+# ---------------------------------------------------------------------------
+
+_SNM_WINDOW = 3        # compare each record to the next w-1 in sort order
+_SNM_TAU = 0.5         # exact token-set Jaccard verify threshold
+_SNM_PLANTED = 30      # ids < this gain a one-token-appended twin
+_SNM_OFFSET = 400000
+
+
+@staged("dedup_sorted_neighborhood", f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_SNM_OFFSET}, text || ' zzdup'
+  FROM documents WHERE doc_id < {_SNM_PLANTED}),
+tl AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x != '') AS l
+  FROM corpus),
+keyed AS (
+  SELECT doc_id, array_to_string(l[1:3], ' ') AS k FROM tl),
+ranked AS (
+  SELECT doc_id, substr(k, 1, 1) AS blk,
+         ROW_NUMBER() OVER (PARTITION BY substr(k, 1, 1)
+                            ORDER BY k, doc_id) AS r
+  FROM keyed),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ranked a JOIN ranked b
+    ON a.blk = b.blk AND b.r - a.r BETWEEN 1 AND {_SNM_WINDOW - 1}),
+dt AS (SELECT DISTINCT doc_id, unnest(l) AS token FROM tl),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM dt GROUP BY 1),
+scored AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+  FROM cand c
+  JOIN dt ta ON ta.doc_id = c.doc_a
+  JOIN dt tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+  GROUP BY 1, 2)
+SELECT s.doc_a, s.doc_b,
+       ROUND(CAST(s.ni AS DOUBLE) / (za.n + zb.n - s.ni), 6) AS jaccard
+FROM scored s
+JOIN sz za ON za.doc_id = s.doc_a
+JOIN sz zb ON zb.doc_id = s.doc_b
+WHERE CAST(s.ni AS DOUBLE) / (za.n + zb.n - s.ni) >= {_SNM_TAU}
+""")
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-Neighborhood-Method dedup (Hernandez & Stolfo 1995): sort
+    the corpus by a locality-preserving key (here the first 3 tokens),
+    then verify exact token-set Jaccard only between records within
+    {_SNM_WINDOW - 1} positions of each other — the sort-based
+    alternative to hash blocking, strongest when near-dups share a
+    prefix (titles, URLs, addresses). The fixture corpus is planted with
+    one-token-appended twins (ids < {_SNM_PLANTED} at +{_SNM_OFFSET},
+    Jaccard ~0.97 to their source), which sort adjacent to their source
+    by construction, so the window actually catches pairs.
+
+    Scale shape: the sort runs INSIDE first-character blocks
+    (row_number partitioned by the key's first symbol — a fixed ~36-way
+    split here; production widens the prefix until blocks fit), so no
+    global single-partition window exists; the known SNM recall loss at
+    block boundaries is deterministic and mirrored exactly by the
+    oracle. Neighbor pairing is an EQUI join on (block, rank + offset)
+    with the offsets exploded — never a nested-loop rank-range join —
+    and the exact verify runs per candidate on in-row token arrays
+    (the ngram_jaccard_pairs verify tactic: arrays are doc-bounded, the
+    candidate stream is corpus-linear x window width).
+    """
+    dp = spark.sparkContext.defaultParallelism
+    d0 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d0.unionByName(
+        d0.filter(F.col("doc_id") < _SNM_PLANTED).select(
+            (F.col("doc_id") + _SNM_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzdup")).alias("text"),
+        )
+    )
+    tl = corpus.repartition(dp, "doc_id").select(
+        "doc_id", token_array(F.col("text")).alias("tok"))
+    keyed = tl.select(
+        "doc_id", "tok",
+        F.array_join(F.slice("tok", 1, 3), " ").alias("k"),
+        F.size(F.array_distinct("tok")).alias("n"),
+    )
+    w = Window.partitionBy("blk").orderBy("k", "doc_id")
+    ranked = (
+        keyed.withColumn("blk", F.substring("k", 1, 1))
+        .withColumn("r", F.row_number().over(w))
+    )
+    a = ranked.select(
+        F.col("doc_id").alias("doc_a"), F.col("tok").alias("ta"),
+        F.col("n").alias("na"), "blk",
+        F.explode(F.sequence(
+            F.col("r") + 1, F.col("r") + (_SNM_WINDOW - 1))).alias("r"),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("doc_b"), F.col("tok").alias("tb"),
+        F.col("n").alias("nb"), "blk", "r")
+    ni = F.size(F.array_intersect(F.array_distinct("ta"),
+                                  F.array_distinct("tb")))
+    jac = ni.cast("double") / (F.col("na") + F.col("nb") - ni)
+    return (
+        a.join(b, ["blk", "r"])
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _SNM_TAU)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_decayed_engagement — exponential time-decay feature aggregation
+# ---------------------------------------------------------------------------
+
+_DECAY_HALF_LIFE_S = 7 * 24 * 3600     # one week, bucketed
+
+
+@staged("events_decayed_engagement", f"""
+WITH mx AS (SELECT MAX(ts) AS m FROM events),
+k AS (
+  -- integer microseconds on both sides: Spark's unix_timestamp truncates
+  -- fractional seconds while DuckDB's epoch() keeps them, so second-level
+  -- age math would bucket a sub-second-offset event differently
+  SELECT user_id, value,
+         (epoch_us(mx.m) - epoch_us(ts))
+           // {_DECAY_HALF_LIFE_S * 1_000_000} AS hl
+  FROM events, mx)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(value * power(0.5, hl) AS DECIMAL(30,12)))
+                  AS DOUBLE), 6) AS decayed_score
+FROM k GROUP BY 1
+""")
+def q_events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user engagement with exponential time decay — the freshness-
+    weighted counter a feature store maintains (recent activity counts
+    fully, week-old activity half, and so on). Decay is bucketed to WHOLE
+    half-lives (weight = 0.5^floor(age / half_life)): an integer power of
+    two is EXACT in binary floating point, so the weight is bit-identical
+    across engines — continuous decay (pow with a fractional exponent)
+    is the same plan but inherits each engine's libm rounding, the one
+    non-determinism this formulation exists to remove. Weighted values
+    then accumulate as DECIMAL (order-free, the dsum contract).
+
+    Scale shape: the reference instant is one broadcast scalar (the
+    watermark-probe pattern), the weight is a projection, and the whole
+    query is ONE map-side-combined per-user aggregate — the fact streams
+    once. The incremental form multiplies yesterday's scores by the
+    elapsed decay and merges the new day's partial aggregate, same as
+    any decayed counter store.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    mx = ev.agg(F.max("ts").alias("m"))
+    # exact integer microsecond age (see the oracle's epoch_us note)
+    hl = F.expr(
+        f"(unix_micros(m) - unix_micros(ts))"
+        f" div {_DECAY_HALF_LIFE_S * 1_000_000}")
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .select("user_id",
+                (F.col("value") * F.pow(F.lit(0.5), hl)).alias("wv"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum(F.col("wv").cast(DOT_DECIMAL)).cast("double"), 6)
+            .alias("decayed_score"),
+        )
+    )
