@@ -31,6 +31,11 @@ def test_staged_matches_oracle(spark, sf_dir_oracle, name):
 # so promotion can't ship an unaudited plan): (max hash exchanges,
 # min broadcast exchanges) in the live plan at the smoke fixture.
 STAGED_CAPS = {
+    "split_cluster_assign": (2, 0),       # final read over the converged
+                                          # label frame (+ isolated-doc
+                                          # rejoin); the iterative rounds
+                                          # are paid at materialize time
+                                          # on the shared pair stream
     "dedup_sorted_neighborhood": (4, 0),  # spread + block-rank window +
                                           # (blk, rank) equi self-join;
                                           # verify is in-row array math
@@ -148,6 +153,24 @@ def test_pca_step_is_gram_action(spark, sf_dir_oracle):
     assert len(got) == dim
     for j in range(dim):
         assert math.isclose(got[j + 1], want[j], rel_tol=1e-6, abs_tol=1e-4)
+
+
+def test_cluster_split_never_straddles(spark, sf_dir_oracle):
+    """The whole point: every near-dup cluster lands in exactly one
+    split, every doc is assigned, and all three splits are non-empty
+    with roughly the 8/1/1 shape."""
+    rows = STAGED_QUERIES["split_cluster_assign"](
+        spark, sf_dir_oracle).collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.canonical_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    from collections import Counter
+
+    c = Counter(r.split for r in rows)
+    assert set(c) == {"train", "valid", "test"}
+    assert c["train"] > c["valid"] and c["train"] > c["test"]
+    assert len(rows) == len({r.doc_id for r in rows})
 
 
 def test_snm_catches_planted_twins(spark, sf_dir_oracle):

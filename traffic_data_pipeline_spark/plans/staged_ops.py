@@ -618,6 +618,82 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# split_cluster_assign — leakage-safe train/valid/test split assignment
+# ---------------------------------------------------------------------------
+
+def _split_cluster_oracle() -> str:
+    from traffic_data_pipeline_spark.plans.oracle_ctes import (
+        _MH_PAIRS_CTE,
+        _MINHASH_CTES,
+    )
+    return f"""
+WITH RECURSIVE {_MINHASH_CTES},
+{_MH_PAIRS_CTE},
+edges AS (
+  SELECT doc_a AS v, doc_b AS w FROM mpairs WHERE agree / 8.0 >= 0.5
+  UNION ALL
+  SELECT doc_b, doc_a FROM mpairs WHERE agree / 8.0 >= 0.5),
+reach(v, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, r.m FROM edges e JOIN reach r ON r.v = e.w),
+lbl AS (SELECT v AS doc_id, MIN(m) AS canonical_id FROM reach GROUP BY v),
+bkt AS (
+  SELECT doc_id, canonical_id,
+         CAST('0x' || substr(md5(CAST(canonical_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 10 AS b
+  FROM lbl)
+SELECT doc_id, canonical_id,
+       CASE WHEN b < 8 THEN 'train'
+            WHEN b = 8 THEN 'valid'
+            ELSE 'test' END AS split
+FROM bkt
+"""
+
+
+@staged("split_cluster_assign", _split_cluster_oracle())
+def q_split_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split assignment: hash-assign train/valid/test (8/1/1)
+    at the NEAR-DUP CLUSTER level, so a document and its near-duplicates
+    can never straddle splits — the remedial operator for what
+    split_leakage_neardup AUDITS (a doc-level hash split leaks because
+    near-identical pairs fall on both sides). Clusters are the exact
+    connected components of the LSH pair graph (est_sim >= 0.5), the same
+    frame dedup_minhash_canonical survives; the split key is the md5 of
+    the cluster's canonical id, so assignment is deterministic, stable
+    under re-runs, and independent of cluster enumeration order.
+
+    Scale shape: reads the session-persisted band index / pair stream the
+    whole dedup family shares (the persisted-table stand-in), runs the
+    pointer-jumped min-label propagation (per round one join + one
+    min-agg over EDGE-TOUCHED nodes only; isolated docs — the vast
+    majority — rejoin as label-self rows without ever iterating), then
+    one md5 projection. No new pairwise work: everything quadratic was
+    already paid — and cached — by the dedup pass this op rides on. The
+    oracle recomputes the identical closure as a recursive CTE, so
+    chain-shaped clusters must agree too.
+    """
+    from traffic_data_pipeline_spark.functions.similarity import (
+        connected_components,
+    )
+    from traffic_data_pipeline_spark.plans.extensions import doc_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = doc_lsh_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("q_id"), F.col("doc_b").alias("c_id"))
+    comp = connected_components(docs.select("doc_id"), pairs, "doc_id")
+    b = (
+        F.conv(F.substring(F.md5(F.col("canonical_id").cast("string")), 1, 8),
+               16, 10).cast("bigint") % 10
+    )
+    return comp.select(
+        "doc_id", "canonical_id",
+        F.when(b < 8, "train").when(b == 8, "valid").otherwise("test")
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # events_decayed_engagement — exponential time-decay feature aggregation
 # ---------------------------------------------------------------------------
 
