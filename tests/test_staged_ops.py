@@ -155,6 +155,43 @@ def test_pca_step_is_gram_action(spark, sf_dir_oracle):
         assert math.isclose(got[j + 1], want[j], rel_tol=1e-6, abs_tol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "name", ["dedup_sorted_neighborhood", "doc_boilerplate_coverage",
+             "bpe_merge_step"])
+def test_staged_dirty_text_parity(spark, tmp_path_factory, sf_dir_oracle, name):
+    """NULL and empty text rows must not diverge the engines — Spark
+    sorts NULL keys first while DuckDB sorts them last (the SNM guard),
+    and tokenizers of NULL/'' differ in NULL-vs-empty-list shape. The
+    gate re-runs on a corpus with both planted."""
+    import duckdb as _duck
+    import os
+
+    from traffic_data_pipeline_spark.sources.tables import TABLES
+
+    out = tmp_path_factory.mktemp("dirty_docs")
+    con = _duck.connect()
+    con.execute(f"""
+        COPY (
+          SELECT * FROM read_parquet('{sf_dir_oracle}/documents.parquet')
+          WHERE doc_id < 100
+          UNION ALL
+          SELECT * FROM (VALUES
+            (8801, NULL, 'en', 'src0', 0),
+            (8802, '', 'en', 'src0', 0),
+            (3, NULL, 'en', 'src0', 0))
+            v(doc_id, text, lang, source, n_chars)
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    for t in TABLES:
+        dst = out / f"{t}.parquet"
+        if not dst.exists():
+            os.symlink(f"{sf_dir_oracle}/{t}.parquet", dst)
+    assert_matches_oracle(
+        STAGED_QUERIES[name](spark, str(out)),
+        STAGED_ORACLES[name], str(out))
+
+
 def test_cluster_split_never_straddles(spark, sf_dir_oracle):
     """The whole point: every near-dup cluster lands in exactly one
     split, every doc is assigned, and all three splits are non-empty

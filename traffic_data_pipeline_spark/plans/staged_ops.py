@@ -530,7 +530,10 @@ tl AS (
                              x -> x != '') AS l
   FROM corpus),
 keyed AS (
-  SELECT doc_id, array_to_string(l[1:3], ' ') AS k FROM tl),
+  -- COALESCE: a NULL key would sort NULLS LAST here but NULLS FIRST in
+  -- Spark's default ascending order — a latent rank divergence on dirty
+  -- corpora (no-op on clean data)
+  SELECT doc_id, COALESCE(array_to_string(l[1:3], ' '), '') AS k FROM tl),
 ranked AS (
   SELECT doc_id, substr(k, 1, 1) AS blk,
          ROW_NUMBER() OVER (PARTITION BY substr(k, 1, 1)
@@ -589,7 +592,9 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_array(F.col("text")).alias("tok"))
     keyed = tl.select(
         "doc_id", "tok",
-        F.array_join(F.slice("tok", 1, 3), " ").alias("k"),
+        # coalesce: see the oracle's NULL-ordering note
+        F.coalesce(F.array_join(F.slice("tok", 1, 3), " "), F.lit(""))
+        .alias("k"),
         F.size(F.array_distinct("tok")).alias("n"),
     )
     w = Window.partitionBy("blk").orderBy("k", "doc_id")
