@@ -89,15 +89,21 @@ def test_boilerplate_planted_coverage(spark, sf_dir_oracle):
     planting — their coverage comes only from natural repeats."""
     df = STAGED_QUERIES["doc_boilerplate_coverage"](spark, sf_dir_oracle)
     planted = {r.doc_id: r.n_boiler_tokens
-               for r in df.filter(F.col("doc_id") >= 300000).collect()}
+               for r in df.filter(
+                   F.col("doc_id").between(300000, 300029)).collect()}
     assert len(planted) == 30
     assert all(v >= 12 for v in planted.values())
     # headers add 12 tokens on top of the source doc's own count
     orig = {r.doc_id: r.n_tokens for r in
             df.filter(F.col("doc_id") < 30).collect()}
     plus = {r.doc_id - 300000: r.n_tokens for r in
-            df.filter(F.col("doc_id") >= 300000).collect()}
+            df.filter(F.col("doc_id").between(300000, 300029)).collect()}
     assert all(plus[i] == orig[i] + 12 for i in orig)
+    # the df-exactly-2 boundary pair: their shared gram sits exactly ON
+    # the >= BOILER_MIN_DOCS threshold, covering 8 of their 9 tokens
+    bnd = {r.doc_id: (r.n_tokens, r.n_boiler_tokens) for r in
+           df.filter(F.col("doc_id").isin(320000, 320001)).collect()}
+    assert bnd == {320000: (9, 8), 320001: (9, 8)}
 
 
 def test_bpe_merge_step_shape(spark, sf_dir_oracle):
@@ -228,6 +234,12 @@ def test_snm_catches_planted_twins(spark, sf_dir_oracle):
               if (i, i + _SNM_OFFSET) in twins or (i + _SNM_OFFSET, i) in twins]
     assert len(caught) >= _SNM_PLANTED - 3, sorted(twins)
     assert all(r.jaccard >= 0.5 for r in rows)
+    # the planted boundary pair survives at Jaccard EXACTLY 0.5 — a
+    # strict > in either engine's keep filter drops it (and the oracle
+    # gate above would diverge)
+    bnd = {r.jaccard for r in rows
+           if {r.doc_a, r.doc_b} == {410000, 410001}}
+    assert bnd == {0.5}
 
 
 def test_decayed_engagement_weights(spark, sf_dir_oracle):

@@ -63,6 +63,24 @@ def staged(name: str, oracle: str | None = None):
     return deco
 
 
+def _literal_docs(spark: SparkSession, rows: list[tuple[int, str]]) -> DataFrame:
+    """(doc_id, text) literals as a DETERMINISTIC plan (range + explode of
+    a struct array), not createDataFrame: an RDD-backed LocalRelation
+    doesn't canonicalize, which blocks ReusedExchange for every subtree
+    it gets unioned into — each downstream consumer would then re-count
+    (and re-run) the shared spread exchange."""
+    structs = [
+        F.struct(F.lit(i).cast("long").alias("doc_id"),
+                 F.lit(t).alias("text"))
+        for i, t in rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.doc_id", "s.text")
+    )
+
+
 # ---------------------------------------------------------------------------
 # doc_boilerplate_coverage — cross-doc repeated-span (boilerplate) coverage
 # ---------------------------------------------------------------------------
@@ -78,12 +96,19 @@ _BOILER_HEADER = " ".join(f"zq{i:02d}" for i in range(12))
 BOILER_MIN_DOCS = 2     # a span in >= this many distinct docs is boilerplate
 _GRAM_N = 8
 
+_BOILER_GRAM8 = " ".join(f"zqg{i}" for i in range(8))
+
 _BOILER_CORPUS_CTE = f"""
 corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 300000, '{_BOILER_HEADER} ' || text
-  FROM documents WHERE doc_id < 30),
+  FROM documents WHERE doc_id < 30
+  UNION ALL
+  -- boundary pair: ONE 8-gram in EXACTLY BOILER_MIN_DOCS (=2) docs, so
+  -- the HAVING >= threshold is exercised AT the threshold, not past it
+  SELECT * FROM (VALUES (320000, '{_BOILER_GRAM8} zqta'),
+                        (320001, '{_BOILER_GRAM8} zqtb')) v(doc_id, text)),
 tl AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                              x -> x != '') AS l
@@ -135,6 +160,10 @@ def q_doc_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 300000).alias("doc_id"),
             F.concat(F.lit(_BOILER_HEADER + " "), F.col("text")).alias("text"),
         )
+    ).unionByName(
+        # boundary pair: see the oracle CTE comment
+        _literal_docs(spark, [(320000, _BOILER_GRAM8 + " zqta"),
+                              (320001, _BOILER_GRAM8 + " zqtb")])
     )
     docs = corpus.repartition(dp, "doc_id").select(
         "doc_id", token_array(F.col("text")).alias("tok"))
@@ -524,7 +553,13 @@ WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + {_SNM_OFFSET}, text || ' zzdup'
-  FROM documents WHERE doc_id < {_SNM_PLANTED}),
+  FROM documents WHERE doc_id < {_SNM_PLANTED}
+  UNION ALL
+  -- boundary pair: 3-token sets sharing 2 tokens -> Jaccard EXACTLY
+  -- 2/4 = 0.5 (an exact binary double in both engines), sitting ON the
+  -- >= tau keep filter; the shared 2-token prefix sorts them adjacent
+  SELECT * FROM (VALUES (410000, 'zqaa zqbb zqcc'),
+                        (410001, 'zqaa zqbb zqdd')) v(doc_id, text)),
 tl AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                              x -> x != '') AS l
@@ -587,6 +622,10 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + _SNM_OFFSET).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" zzdup")).alias("text"),
         )
+    ).unionByName(
+        # Jaccard-exactly-0.5 boundary pair: see the oracle CTE comment
+        _literal_docs(spark, [(410000, "zqaa zqbb zqcc"),
+                              (410001, "zqaa zqbb zqdd")])
     )
     tl = corpus.repartition(dp, "doc_id").select(
         "doc_id", token_array(F.col("text")).alias("tok"))
