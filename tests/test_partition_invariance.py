@@ -19,6 +19,7 @@ from __future__ import annotations
 import pytest
 
 from traffic_data_pipeline_spark.plans.queries import QUERIES
+from traffic_data_pipeline_spark.plans.staged_ops import STAGED_QUERIES
 
 CASES = [
     "sensor_impute",
@@ -44,6 +45,13 @@ CASES = [
     "session_surge_overlap",
     # round-4: 128-bit decimal moment accumulation (order-free sums)
     "sensor_volume_trend",
+    # round-4 staged: block-partitioned SNM ranks (rank must not depend
+    # on which partition sorted the block), decimal Gram accumulation,
+    # CC labels over the cached pair stream, decayed decimal sums
+    "dedup_sorted_neighborhood",
+    "embedding_pca_step",
+    "split_cluster_assign",
+    "events_decayed_engagement",
 ]
 
 
@@ -60,11 +68,12 @@ def test_partition_invariant(spark, sf_dir, name):
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     try:
+        fn = QUERIES.get(name) or STAGED_QUERIES[name]
         spark.conf.set(key, "3")
-        narrow = _rows(QUERIES[name](spark, sf_dir))
+        narrow = _rows(fn(spark, sf_dir))
         release()
         spark.conf.set(key, "17")
-        wide = _rows(QUERIES[name](spark, sf_dir))
+        wide = _rows(fn(spark, sf_dir))
         release()
     finally:
         spark.conf.set(key, prev)
