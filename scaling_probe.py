@@ -1,0 +1,97 @@
+"""Corpus-growth probe behind SCALING.md: build 2x/4x document corpora by
+deterministic token resampling (independent content, same vocabulary and
+length distribution — NOT duplication, which would plant near-dup twins
+and fake quadratic growth), then time the candidate-generation-heavy
+families at each scale and print the growth table.
+
+Usage: python scaling_probe.py   (writes scratch corpora under /tmp)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import duckdb
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NAMES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_canonical",
+    "dedup_ngram_jaccard_hi",
+    "doc_ngram_containment",
+    "doc_boilerplate_coverage",
+]
+OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "events", "embeddings"]
+
+
+def build_corpus(mult: int) -> str:
+    out = f"/tmp/scale_x{mult}"
+    os.makedirs(out, exist_ok=True)
+    reps = ",".join(str(k) for k in range(1, mult))
+    con = duckdb.connect()
+    con.execute(f"""
+      COPY (
+        WITH tl AS (
+          SELECT doc_id, lang, source,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x != '') AS l
+          FROM read_parquet('{SRC}/documents.parquet')),
+        vocab AS (SELECT list(DISTINCT tok) AS v
+                  FROM (SELECT unnest(l) AS tok FROM tl)),
+        repl AS (
+          SELECT t.doc_id + k.k * 1000000 AS doc_id,
+                 array_to_string(
+                   list_transform(range(1, len(t.l) + 1),
+                     i -> vb.v[1 + CAST(hash(t.doc_id * 131071 + i * 8191
+                                             + k.k) % len(vb.v) AS INTEGER)]),
+                   ' ') AS text,
+                 t.lang, t.source
+          FROM tl t, (SELECT unnest([{reps}]) AS k) k, vocab vb)
+        SELECT doc_id, text, lang, source,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM (
+          SELECT doc_id, text, lang, source
+          FROM read_parquet('{SRC}/documents.parquet')
+          UNION ALL
+          SELECT doc_id, text, lang, source FROM repl)
+      ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    for t in OTHER_TABLES:
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SRC}/{t}.parquet", dst)
+    return out
+
+
+def main() -> None:
+    from traffic_data_pipeline_spark.functions.execution import release
+    from traffic_data_pipeline_spark.plans.queries import QUERIES
+    from traffic_data_pipeline_spark.plans.staged_ops import STAGED_QUERIES
+    from traffic_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    dirs = [(SRC, "x1"), (build_corpus(2), "x2"), (build_corpus(4), "x4")]
+    results: dict[str, dict[str, float]] = {}
+    pairs: dict[str, int] = {}
+    for sf_dir, label in dirs:
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()  # warm
+        for name in NAMES:
+            fn = QUERIES.get(name) or STAGED_QUERIES[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            results.setdefault(name, {})[label] = round(
+                time.perf_counter() - t0, 2)
+            release()
+        pairs[label] = QUERIES["dedup_minhash_lsh"](spark, sf_dir).count()
+        release()
+    print(json.dumps({"timings_s": results, "lsh_pairs": pairs}, indent=1))
+
+
+if __name__ == "__main__":
+    main()
