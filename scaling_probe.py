@@ -40,8 +40,11 @@ def build_corpus(mult: int) -> str:
                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                              x -> x != '') AS l
           FROM read_parquet('{SRC}/documents.parquet')),
-        vocab AS (SELECT list(DISTINCT tok) AS v
-                  FROM (SELECT unnest(l) AS tok FROM tl)),
+        -- ORDER BY inside the list aggregate: a bare list(DISTINCT ...)
+        -- returns hash-distinct order, which varies per process and
+        -- would make the synthesized texts non-reproducible
+        vocab AS (SELECT list(tok ORDER BY tok) AS v
+                  FROM (SELECT DISTINCT unnest(l) AS tok FROM tl)),
         repl AS (
           SELECT t.doc_id + k.k * 1000000 AS doc_id,
                  array_to_string(
