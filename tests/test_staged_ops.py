@@ -31,6 +31,13 @@ def test_staged_matches_oracle(spark, sf_dir_oracle, name):
 # so promotion can't ship an unaudited plan): (max hash exchanges,
 # min broadcast exchanges) in the live plan at the smoke fixture.
 STAGED_CAPS = {
+    "doc_hybrid_search_rrf": (2, 1),      # one narrow scoring pass, stats
+                                          # broadcast, two TakeOrdered
+                                          # top-20s, fusion join on 20-row
+                                          # frames (0 hash exchanges under
+                                          # AQE at the smoke fixture; cap
+                                          # leaves room for the sort-merge
+                                          # full-outer fallback)
     "split_cluster_assign": (2, 0),       # final read over the converged
                                           # label frame (+ isolated-doc
                                           # rejoin); the iterative rounds
@@ -196,6 +203,24 @@ def test_staged_dirty_text_parity(spark, tmp_path_factory, sf_dir_oracle, name):
     assert_matches_oracle(
         STAGED_QUERIES[name](spark, str(out)),
         STAGED_ORACLES[name], str(out))
+
+
+def test_rrf_fusion_properties(spark, sf_dir_oracle):
+    """RRF invariants: exactly top-k rows; scores decrease (ties broken
+    by doc_id); every fused score equals 1/(60+ra) + 1/(60+rb) recomputed
+    from the emitted ranks; a doc ranked by only one ranker can still
+    appear, contributing a single reciprocal term."""
+    from traffic_data_pipeline_spark.plans.staged_ops import RRF_K, RRF_TOP_K
+
+    rows = STAGED_QUERIES["doc_hybrid_search_rrf"](
+        spark, sf_dir_oracle).collect()
+    assert len(rows) == RRF_TOP_K
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        want = (1.0 / (RRF_K + r.bm25_rank) if r.bm25_rank else 0.0) \
+            + (1.0 / (RRF_K + r.tfidf_rank) if r.tfidf_rank else 0.0)
+        assert abs(r.rrf_score - want) < 1e-6
 
 
 def test_cluster_split_never_straddles(spark, sf_dir_oracle):

@@ -662,6 +662,159 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# doc_hybrid_search_rrf — reciprocal-rank fusion of two retrieval rankers
+# ---------------------------------------------------------------------------
+
+RRF_K = 60          # the standard RRF smoothing constant
+RRF_TOP_K = 10      # fused results returned
+_RRF_RANKER_K = 20  # depth of each input ranking
+
+
+def _hybrid_oracle() -> str:
+    from traffic_data_pipeline_spark.plans.search_ops import (
+        _BM25_BASE_SQL,
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+    )
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(l, x -> x = '{t}')) AS tf_{t}" for t in BM25_TERMS)
+    df_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" AS df_{t}" for t in BM25_TERMS)
+    # both score polynomials spell the identical term order + association
+    # as the Spark expressions below (the doc_bm25_search contract)
+    bm25 = " + ".join(
+        f"ln((n - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0)"
+        f" * ((tf_{t} * {BM25_K1 + 1.0}) / (tf_{t} + {BM25_K1}"
+        f" * (1.0 - {BM25_B} + {BM25_B} * (doclen / avgdl))))"
+        for t in BM25_TERMS)
+    tfidf = " + ".join(
+        f"(tf_{t} / CAST(doclen AS DOUBLE)) * ln(n / (df_{t} + 1.0) + 1.0)"
+        for t in BM25_TERMS)
+    base = _BM25_BASE_SQL.format(tf_cols=tf_cols, df_cols=df_cols)
+    return f"""
+WITH {base},
+scored AS (
+  SELECT doc_id, {bm25} AS s1, {tfidf} AS s2
+  FROM base, stats WHERE doclen > 0),
+ra AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s1 DESC, doc_id) AS r
+    FROM scored) WHERE r <= {_RRF_RANKER_K}),
+rb AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s2 DESC, doc_id) AS r
+    FROM scored) WHERE r <= {_RRF_RANKER_K}),
+fused AS (
+  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+         CAST(ra.r AS BIGINT) AS bm25_rank,
+         CAST(rb.r AS BIGINT) AS tfidf_rank,
+         COALESCE(1.0 / ({RRF_K} + ra.r), 0.0)
+           + COALESCE(1.0 / ({RRF_K} + rb.r), 0.0) AS rrf
+  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+SELECT doc_id, bm25_rank, tfidf_rank, ROUND(rrf, 6) AS rrf_score
+FROM fused ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP_K}
+"""
+
+
+@staged("doc_hybrid_search_rrf", _hybrid_oracle())
+def q_doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009):
+    rank the corpus with TWO scorers over the same query terms — BM25 and
+    a length-normalized TF-IDF — and fuse by RRF = sum over rankers of
+    1/(k + rank), top-{RRF_TOP_K}. Rank fusion is how production search
+    combines lexical and secondary scorers without calibrating score
+    scales against each other; swapping the second ranker for an
+    embedding-ANN ranking leaves this query's plan unchanged (ranks in,
+    ranks out).
+
+    Determinism: both score polynomials evaluate in the identical term
+    order and association as the DuckDB oracle (the doc_bm25_search
+    contract), so the doubles match bit-for-bit; ranks are then integers,
+    tie-broken by doc_id, and RRF sums rationals of small integers.
+
+    Scale shape: ONE narrow pass computes both scores (the tf columns are
+    shared per-row HOFs; corpus stats broadcast as one row); each ranking
+    is a TakeOrderedAndProject top-{_RRF_RANKER_K} — never a global
+    sort — and the rank window + fusion join run on two
+    {_RRF_RANKER_K}-row frames. Fusion cost is independent of corpus
+    size by construction.
+    """
+    from traffic_data_pipeline_spark.plans.search_ops import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+    )
+
+    def tf(term):
+        return F.array_size(
+            F.filter(token_array(F.col("text")), lambda x: x == F.lit(term))
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.array_size(token_array(F.col("text"))).alias("doclen"),
+        *[tf(t).alias(f"tf_{t}") for t in BM25_TERMS],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("doclen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            .cast("double").alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    j = base.filter(F.col("doclen") > 0).crossJoin(F.broadcast(stats))
+    s1 = None
+    s2 = None
+    for t in BM25_TERMS:
+        idf = F.log(
+            (F.col("n") - F.col(f"df_{t}") + F.lit(0.5))
+            / (F.col(f"df_{t}") + F.lit(0.5)) + F.lit(1.0))
+        tfc = F.col(f"tf_{t}")
+        w1 = idf * (
+            (tfc * F.lit(BM25_K1 + 1.0))
+            / (tfc + F.lit(BM25_K1)
+               * (F.lit(1.0 - BM25_B)
+                  + F.lit(BM25_B) * (F.col("doclen") / F.col("avgdl")))))
+        w2 = (tfc / F.col("doclen").cast("double")) \
+            * F.log(F.col("n") / (F.col(f"df_{t}") + F.lit(1.0)) + F.lit(1.0))
+        s1 = w1 if s1 is None else s1 + w1
+        s2 = w2 if s2 is None else s2 + w2
+    scored = j.select("doc_id", s1.alias("s1"), s2.alias("s2"))
+
+    def topk(col):
+        w = Window.orderBy(F.desc("_s"), F.asc("doc_id"))
+        return (
+            scored.select("doc_id", F.col(col).alias("_s"))
+            .orderBy(F.desc("_s"), F.asc("doc_id")).limit(_RRF_RANKER_K)
+            .withColumn("r", F.row_number().over(w).cast("bigint"))
+            .select("doc_id", "r")
+        )
+
+    ra = topk("s1").withColumnRenamed("r", "bm25_rank")
+    rb = topk("s2").withColumnRenamed("r", "tfidf_rank")
+    fused = (
+        ra.join(rb, "doc_id", "full_outer")
+        .select(
+            "doc_id", "bm25_rank", "tfidf_rank",
+            (F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("bm25_rank")),
+                        F.lit(0.0))
+             + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("tfidf_rank")),
+                          F.lit(0.0))).alias("rrf"),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOP_K)
+        .select("doc_id", "bm25_rank", "tfidf_rank",
+                F.round("rrf", 6).alias("rrf_score"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # split_cluster_assign — leakage-safe train/valid/test split assignment
 # ---------------------------------------------------------------------------
 
