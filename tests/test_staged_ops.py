@@ -64,6 +64,23 @@ STAGED_CAPS = {
                                          # broadcast
     "lineitem_zorder_layout": (1, 1),    # one 16-group agg; the maxima
                                          # scalar always broadcast
+    "doc_dsir_importance": (3, 2),       # unspread bucket-count lineage +
+                                         # ONE spread scoring lineage; the
+                                         # 4096-row weight table and the
+                                         # totals scalar ALWAYS broadcast
+                                         # (fixed size at any corpus scale)
+    "doc_winnowing_fingerprint": (3, 0), # spread + fp inverted-index agg +
+                                         # pair agg; pairs explode IN-ROW
+                                         # from capped doc lists — no
+                                         # self-join exists
+    "doc_ngram_novelty": (4, 0),         # spread (x2 pre-AQE: tot + first
+                                         # lineages share the stage at
+                                         # runtime) + gram-min agg + fd
+                                         # regroup; per-doc frames ride
+                                         # doc_id partitioning
+    "lang_temperature_weights": (2, 1),  # ONE per-language aggregate; the
+                                         # normalizer scalar always
+                                         # broadcast
 }
 
 
@@ -170,7 +187,9 @@ def test_pca_step_is_gram_action(spark, sf_dir_oracle):
 
 @pytest.mark.parametrize(
     "name", ["dedup_sorted_neighborhood", "doc_boilerplate_coverage",
-             "bpe_merge_step"])
+             "bpe_merge_step", "doc_dsir_importance",
+             "doc_winnowing_fingerprint", "doc_ngram_novelty",
+             "lang_temperature_weights"])
 def test_staged_dirty_text_parity(spark, tmp_path_factory, sf_dir_oracle, name):
     """NULL and empty text rows must not diverge the engines — Spark
     sorts NULL keys first while DuckDB sorts them last (the SNM guard),
@@ -302,3 +321,94 @@ def test_semantic_decontaminate_catches_planted(spark, sf_dir_oracle):
               and got[i].bench_id == i + _DECON_OFFSET]
     assert len(caught) >= n_planted - 2, (n_planted, sorted(got))
     assert all(r.max_cos >= DECON_TAU for r in rows)
+
+
+def test_dsir_separates_target_from_raw(spark, sf_dir_oracle):
+    """The point of importance weighting: documents drawn from the target
+    distribution must average a HIGHER log importance weight than the
+    rest of the corpus (their hashed-bigram features are exactly what
+    p_target up-weights), and n_feats must equal max(tokens - 1, 0)."""
+    from traffic_data_pipeline_spark.plans.staged_ops import (
+        _DSIR_TARGET_LANG,
+    )
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    langs = {r.doc_id: r.lang for r in
+             load_table(spark, sf_dir_oracle, "documents")
+             .select("doc_id", "lang").collect()}
+    rows = STAGED_QUERIES["doc_dsir_importance"](
+        spark, sf_dir_oracle).collect()
+    assert len(rows) == len(langs)
+    tgt = [r.dsir_logweight for r in rows
+           if langs[r.doc_id] == _DSIR_TARGET_LANG]
+    rest = [r.dsir_logweight for r in rows
+            if langs[r.doc_id] != _DSIR_TARGET_LANG]
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+    assert all(r.n_feats >= 0 for r in rows)
+
+
+def test_winnowing_twins_and_cap_boundary(spark, sf_dir_oracle):
+    """Planted twins (two appended tokens) share all non-tail windows
+    with their source, so the overwhelming majority must pair with a
+    high shared count; the engineered cap-boundary groups pin the stop-
+    fingerprint <= threshold exactly: the df == cap group keeps all
+    C(cap, 2) pairs, the df == cap+1 group contributes none."""
+    from itertools import combinations
+
+    from traffic_data_pipeline_spark.plans.staged_ops import (
+        _FP_CAP,
+        _FP_DROP_IDS,
+        _FP_KEEP_IDS,
+        _FP_OFFSET,
+        _FP_PLANTED,
+    )
+
+    rows = STAGED_QUERIES["doc_winnowing_fingerprint"](
+        spark, sf_dir_oracle).collect()
+    pairs = {(r.doc_a, r.doc_b): r.n_shared for r in rows}
+    caught = [i for i in range(_FP_PLANTED)
+              if pairs.get((i, i + _FP_OFFSET), 0) >= 1]
+    assert len(caught) >= _FP_PLANTED - 2, sorted(pairs)
+    keep = set(combinations(sorted(_FP_KEEP_IDS), 2))
+    assert all(pairs.get(p) == 1 for p in keep), "cap-boundary group lost"
+    drop = set(combinations(sorted(_FP_DROP_IDS), 2))
+    assert not any(p in pairs for p in drop), "stop-fingerprint leaked"
+    assert len(_FP_KEEP_IDS) == _FP_CAP and len(_FP_DROP_IDS) == _FP_CAP + 1
+
+
+def test_novelty_copies_score_zero(spark, sf_dir_oracle):
+    """Exact planted copies must introduce NOTHING (novelty 0.0 — every
+    gram's first occurrence is the lower-id source), the corpus's first
+    document introduces everything it contains (novelty 1.0), and counts
+    nest (0 <= n_novel <= n_grams)."""
+    from traffic_data_pipeline_spark.plans.staged_ops import (
+        _NOV_OFFSET,
+        _NOV_PLANTED,
+    )
+
+    rows = STAGED_QUERIES["doc_ngram_novelty"](spark, sf_dir_oracle).collect()
+    got = {r.doc_id: r for r in rows}
+    copies = [got[i + _NOV_OFFSET] for i in range(_NOV_PLANTED)
+              if i + _NOV_OFFSET in got]
+    assert copies and all(r.n_novel == 0 and r.novelty == 0.0
+                          for r in copies)
+    first_doc = got[min(got)]
+    assert first_doc.novelty == 1.0
+    assert all(0 <= r.n_novel <= r.n_grams for r in rows)
+
+
+def test_temperature_weights_rebalance(spark, sf_dir_oracle):
+    """alpha < 1 sampling must compress the distribution: weights sum to
+    1, preserve the raw size ordering, and the boost is anti-monotone in
+    language size — the smallest language gets the largest up-weight and
+    every below-uniform-share language boosts above its raw rate."""
+    rows = sorted(
+        STAGED_QUERIES["lang_temperature_weights"](
+            spark, sf_dir_oracle).collect(),
+        key=lambda r: r.n_tokens)
+    assert abs(sum(r.w_temp for r in rows) - 1.0) < 1e-5
+    for a, b in zip(rows, rows[1:]):
+        assert a.w_temp <= b.w_temp       # weights preserve size order
+        assert a.boost >= b.boost         # boost anti-monotone in size
+    assert rows[0].boost > 1.0            # smallest language up-weighted
+    assert rows[-1].boost < 1.0           # largest language down-weighted

@@ -27,6 +27,18 @@ Operator set (training-data pipeline gaps after round 3's sweep):
 - ``embedding_semantic_decontaminate`` — flag corpus vectors semantically
   near a benchmark/eval set (LSH-bucketed candidates + exact cosine), the
   embedding-space sibling of the 8-gram decontaminator.
+- ``dedup_sorted_neighborhood`` — SNM blocking (sort-based dedup).
+- ``doc_hybrid_search_rrf`` — reciprocal-rank fusion of BM25 + TF-IDF.
+- ``split_cluster_assign`` — leakage-safe cluster-level split hashing.
+- ``events_decayed_engagement`` — exponential time-decay features.
+- ``doc_dsir_importance`` — DSIR-style hashed-n-gram importance weights
+  (log p_target/p_raw over hashed bigram buckets).
+- ``doc_winnowing_fingerprint`` — winnowing (MOSS) fingerprint selection
+  + fingerprint-sharing candidate pairs with a hot-fingerprint cap.
+- ``doc_ngram_novelty`` — per-document novel-gram rate (fraction of the
+  doc's distinct 3-grams first introduced by this doc).
+- ``lang_temperature_weights`` — multilingual temperature sampling
+  weights (alpha = 1/2 via IEEE-exact sqrt).
 """
 
 from __future__ import annotations
@@ -946,5 +958,465 @@ def q_events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
             F.round(F.sum(F.col("wv").cast(DOT_DECIMAL)).cast("double"), 6)
             .alias("decayed_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc_dsir_importance — hashed-n-gram importance weights (DSIR)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 4096       # hashed feature space (2^12)
+_DSIR_TARGET_LANG = "en"   # the "target distribution" sample
+
+
+@staged("doc_dsir_importance", f"""
+WITH tl AS (
+  -- lang rides the row itself: joining documents back on doc_id would
+  -- FAN OUT on duplicate ids (the dirty-corpus case) where Spark's
+  -- in-row read does not
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS l
+  FROM documents),
+pg AS (
+  SELECT t.doc_id, t.lang = '{_DSIR_TARGET_LANG}' AS is_t,
+         CAST('0x' || substr(md5(array_to_string(l[g:g+1], ' ')), 1, 8)
+              AS BIGINT) % {_DSIR_BUCKETS} AS bkt
+  FROM tl t,
+       unnest(generate_series(1, greatest(len(l) - 1, 0))) s(g)),
+cnt AS (
+  SELECT bkt,
+         CAST(COUNT(*) AS BIGINT) AS cr,
+         CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+  FROM pg GROUP BY 1),
+tot AS (  -- totals from the token lists directly (== SUM(cr)/SUM(ct))
+  SELECT CAST(SUM(greatest(len(l) - 1, 0)) AS BIGINT) AS tr,
+         CAST(SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}'
+                       THEN greatest(len(l) - 1, 0) ELSE 0 END)
+              AS BIGINT) AS tt
+  FROM tl),
+w AS (
+  SELECT bkt,
+         ln(CAST((ct + 1) * (tr + {_DSIR_BUCKETS}) AS DOUBLE))
+           - ln(CAST((cr + 1) * (tt + {_DSIR_BUCKETS}) AS DOUBLE)) AS lw
+  FROM cnt, tot),
+per_doc AS (
+  SELECT pg.doc_id,
+         CAST(SUM(CAST(lw AS DECIMAL(30,12))) AS DOUBLE) AS s
+  FROM pg JOIN w USING (bkt) GROUP BY 1)
+SELECT t.doc_id,
+       CAST(greatest(len(t.l) - 1, 0) AS BIGINT) AS n_feats,
+       ROUND(COALESCE(p.s, 0.0), 6)              AS dsir_logweight
+FROM tl t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+""")
+def q_doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw-corpus
+    document by the log importance ratio sum over hashed bigram features,
+    log p_target(f) - log p_raw(f), where the target distribution is the
+    '{_DSIR_TARGET_LANG}' slice and both feature distributions are
+    Laplace-smoothed counts over {_DSIR_BUCKETS} md5-hashed buckets.
+    Resampling the corpus proportional to exp(weight) yields a
+    target-resembling subset — the selection knob between raw crawl and
+    curated mix.
+
+    Determinism: bucket ids are md5-prefix integers (the
+    split_cluster_assign hash contract — identical in both engines);
+    each feature's log weight is ln of an INTEGER-valued double
+    ((ct+1)*(tr+B), widened to bigint BEFORE multiplying, exact below
+    2^53 at any realistic bucket count), evaluated in the identical
+    term order as the oracle (the doc_bm25_search ln-parity precedent);
+    per-doc sums accumulate as DECIMAL(30,12) — order-free.
+
+    Scale shape: the feature table is FIXED-SIZE ({_DSIR_BUCKETS} rows)
+    regardless of corpus scale, so the per-bucket weight frame always
+    broadcasts; the corpus pays one gram-bucket projection (in-row),
+    one map-side-combined bucket aggregate, and one per-doc
+    decimal-sum aggregate. Nothing is ever corpus x corpus; the 100 TB
+    form streams the fact twice with two narrow shuffles.
+    """
+    dp = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text")
+
+    def grams(src: DataFrame) -> DataFrame:
+        return (
+            src.select("doc_id",
+                       (F.col("lang") == _DSIR_TARGET_LANG).alias("is_t"),
+                       token_array(F.col("text")).alias("l"))
+            .select("doc_id", "is_t",
+                    F.explode(ngram_array("l", 2)).alias("gram"))
+            .select(
+                "doc_id", "is_t",
+                (F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+                 .cast("bigint") % _DSIR_BUCKETS).alias("bkt"),
+            )
+        )
+
+    # count lineage: no spread — the bucket aggregate reshuffles by bkt
+    # anyway and map-side combine absorbs doc-size skew
+    cnt = grams(docs).groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cr"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("bigint").alias("ct"),
+    )
+    # totals as an in-row projection aggregate (== SUM over cnt, but with
+    # no second pass over the bucket lineage)
+    nf = F.greatest(
+        F.array_size(token_array(F.col("text"))) - 1, F.lit(0))
+    tot = docs.agg(
+        F.sum(nf).cast("bigint").alias("tr"),
+        F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, nf).otherwise(0))
+        .cast("bigint").alias("tt"),
+    )
+    w = cnt.crossJoin(F.broadcast(tot)).select(
+        "bkt",
+        (F.log(((F.col("ct") + 1) * (F.col("tr") + _DSIR_BUCKETS))
+               .cast("double"))
+         - F.log(((F.col("cr") + 1) * (F.col("tt") + _DSIR_BUCKETS))
+                 .cast("double"))).alias("lw"),
+    )
+    # scoring lineage: ONE spread, preserved through the explode and the
+    # broadcast join, so the per-doc sum and the spine join add no exchange
+    spread = docs.repartition(dp, "doc_id")
+    per_doc = (
+        grams(spread).join(F.broadcast(w), "bkt")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("lw").cast(DOT_DECIMAL)).cast("double").alias("s"))
+    )
+    base = spread.select("doc_id", nf.cast("bigint").alias("n_feats"))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id", "n_feats",
+            F.round(F.coalesce("s", F.lit(0.0)), 6).alias("dsir_logweight"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc_winnowing_fingerprint — winnowing (MOSS) fingerprints + pair candidates
+# ---------------------------------------------------------------------------
+
+_FP_K = 4          # token-gram width hashed into fingerprint candidates
+_FP_W = 3          # winnowing window: one fingerprint (the min) per window
+_FP_CAP = 4        # fingerprints in > this many docs are stop-fingerprints
+_FP_PLANTED = 30   # ids < this gain a two-token-appended twin
+_FP_OFFSET = 500000
+
+# engineered cap-boundary groups (out-of-vocabulary tokens, 6 tokens ->
+# 3 grams -> ONE window -> exactly one fingerprint per doc):
+# 4 docs share one fingerprint (df == _FP_CAP, kept -> C(4,2) pairs);
+# 5 docs share another (df == _FP_CAP + 1, dropped -> zero pairs).
+_FP_KEEP_TEXT = "zqfa zqfb zqfc zqfd zqfe zqff"
+_FP_DROP_TEXT = "zqga zqgb zqgc zqgd zqge zqgf"
+_FP_KEEP_IDS = [510000 + i for i in range(_FP_CAP)]
+_FP_DROP_IDS = [511000 + i for i in range(_FP_CAP + 1)]
+
+_FP_LITERAL_SQL = " UNION ALL ".join(
+    f"SELECT {i} AS doc_id, '{_FP_KEEP_TEXT}' AS text" for i in _FP_KEEP_IDS
+) + " UNION ALL " + " UNION ALL ".join(
+    f"SELECT {i} AS doc_id, '{_FP_DROP_TEXT}' AS text" for i in _FP_DROP_IDS
+)
+
+
+@staged("doc_winnowing_fingerprint", f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_FP_OFFSET}, text || ' zzfp zzfq'
+  FROM documents WHERE doc_id < {_FP_PLANTED}
+  UNION ALL
+  {_FP_LITERAL_SQL}),
+tl AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x != '') AS l
+  FROM corpus),
+h AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(len(l) - {_FP_K - 1}, 0)),
+           g -> CAST('0x' || substr(md5(array_to_string(l[g:g+{_FP_K - 1}], ' ')),
+                                    1, 8) AS BIGINT)) AS hs
+  FROM tl),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id,
+           unnest(CASE
+             WHEN len(hs) = 0 THEN []::BIGINT[]
+             WHEN len(hs) < {_FP_W} THEN [list_min(hs)]
+             ELSE list_transform(
+               generate_series(1, len(hs) - {_FP_W - 1}),
+               i -> list_min(hs[i:i+{_FP_W - 1}]))
+           END) AS fp
+    FROM h)),
+kept AS (
+  SELECT fp FROM fps GROUP BY fp
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {_FP_CAP})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fps a
+JOIN kept k ON k.fp = a.fp
+JOIN fps b ON b.fp = a.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""")
+def q_doc_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint dedup (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS algorithm): hash every {_FP_K}-token gram, slide a
+    {_FP_W}-window over the hash sequence keeping each window's MINIMUM,
+    and emit candidate pairs sharing any surviving fingerprint with the
+    shared count. Winnowing's guarantee — any match of at least
+    {_FP_W + _FP_K - 1} contiguous tokens shares a fingerprint — gives
+    recall at a fixed, tunable fraction of the gram stream (~2/(w+1) of
+    positions), the storage/recall dial between full-gram containment
+    and MinHash sketching. Fingerprints in more than {_FP_CAP} documents
+    are dropped as stop-fingerprints (the hot-band-cap tactic, bounding
+    any bucket's pair contribution at C({_FP_CAP},2)); the fixture
+    plants a group AT the cap (kept) and one past it (dropped), so the
+    <= boundary is exercised exactly.
+
+    Determinism: gram hashes are md5-prefix integers (both engines);
+    window minima are integer min; the planted twins (ids <
+    {_FP_PLANTED} with two appended tokens at +{_FP_OFFSET}) share all
+    but the tail-boundary windows with their source, so the pair path
+    runs for real. The `sequence()` calls are guarded by CASE on length
+    (Spark's sequence(1,0) DESCENDS while DuckDB's generate_series is
+    empty — the known divergence).
+
+    Scale shape: hashing, winnowing, and the per-doc fingerprint
+    distinct are per-row array HOFs (zero shuffle until the fingerprint
+    explode); the inverted fingerprint index is ONE map-side-combined
+    aggregate whose doc lists are <= {_FP_CAP} long after the stop
+    filter, so each bucket's C(n,2) pairs explode IN-ROW from the
+    sorted list — no self-join exists anywhere; one final pair
+    aggregate sums shared counts. The LSH band join's audited shape
+    with the window-min as the band function and the band join
+    replaced by the capped-list combination explode.
+    """
+    dp = spark.sparkContext.defaultParallelism
+    d0 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d0.unionByName(
+        d0.filter(F.col("doc_id") < _FP_PLANTED).select(
+            (F.col("doc_id") + _FP_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzfp zzfq")).alias("text"),
+        )
+    ).unionByName(
+        _literal_docs(spark, [(i, _FP_KEEP_TEXT) for i in _FP_KEEP_IDS]
+                      + [(i, _FP_DROP_TEXT) for i in _FP_DROP_IDS])
+    )
+    h = corpus.repartition(dp, "doc_id").select(
+        "doc_id", token_array(F.col("text")).alias("tok")
+    ).select(
+        "doc_id",
+        F.expr(
+            f"transform(transform(slice(tok, 1,"
+            f" greatest(size(tok) - {_FP_K - 1}, 0)),"
+            f" (x, i) -> concat_ws(' ', slice(tok, i + 1, {_FP_K}))),"
+            f" g -> cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint))"
+        ).alias("hs"),
+    )
+    win = (
+        f"CASE WHEN size(hs) = 0 THEN cast(array() as array<bigint>)"
+        f" WHEN size(hs) < {_FP_W} THEN array(array_min(hs))"
+        f" ELSE transform(sequence(1, size(hs) - {_FP_W - 1}),"
+        f" i -> array_min(slice(hs, i, {_FP_W}))) END"
+    )
+    # per-doc fingerprint distinct happens IN-ROW (array_distinct before
+    # the explode): the oracle's DISTINCT over the exploded stream is the
+    # same set, but Spark never pays a corpus-gram-sized dedup shuffle
+    fps = h.select(
+        "doc_id", F.explode(F.expr(f"array_distinct({win})")).alias("fp"))
+    # inverted index and pair generation in ONE fingerprint aggregate:
+    # each bucket's doc list is at most _FP_CAP long after the stop-
+    # fingerprint filter, so its C(n,2) pairs explode IN-ROW from the
+    # sorted list — the fingerprint stream is consumed once and there is
+    # no self-join at all (the sorted list is the join)
+    pairs = (
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= _FP_CAP))
+        .select(F.explode(F.expr(
+            "flatten(transform(ds, (x, i) ->"
+            " transform(slice(ds, i + 2, size(ds)),"
+            " y -> struct(x AS doc_a, y AS doc_b))))"
+        )).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+    )
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc_ngram_novelty — per-document novel-gram rate
+# ---------------------------------------------------------------------------
+
+_NOV_N = 3            # gram width
+_NOV_PLANTED = 30     # ids < this gain an exact copy (novelty 0 by design)
+_NOV_OFFSET = 600000
+
+
+@staged("doc_ngram_novelty", f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_NOV_OFFSET}, text
+  FROM documents WHERE doc_id < {_NOV_PLANTED}),
+tl AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x != '') AS l
+  FROM corpus),
+pg AS (
+  SELECT DISTINCT doc_id, array_to_string(l[g:g+{_NOV_N - 1}], ' ') AS gram
+  FROM tl, unnest(generate_series(1, greatest(len(l) - {_NOV_N - 1}, 0))) s(g)),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM pg GROUP BY 1),
+first AS (SELECT gram, MIN(doc_id) AS fd FROM pg GROUP BY 1),
+nov AS (SELECT fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+        FROM first GROUP BY 1)
+-- docs with zero grams (< N tokens) are OUT by construction in both
+-- engines (novelty is undefined for them), not left-joined to NULL:
+-- inner semantics can't silently diverge if the fixture gains short docs
+SELECT t.doc_id,
+       t.n_grams,
+       COALESCE(v.n_novel, 0) AS n_novel,
+       ROUND(CAST(COALESCE(v.n_novel, 0) AS DOUBLE) / t.n_grams, 6) AS novelty
+FROM tot t
+LEFT JOIN nov v ON v.doc_id = t.doc_id
+""")
+def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty profiling: the fraction of a document's
+    DISTINCT {_NOV_N}-grams that the corpus sees for the FIRST time in
+    this document (first occurrence = minimum doc_id — a deterministic
+    stand-in for ingestion order). Streaming this rate over an ingest
+    sequence is how corpus curation measures marginal contribution:
+    exact copies score 0, boilerplate-heavy additions score low, and the
+    cumulative novel-gram count is the corpus's gram-coverage growth
+    curve. The fixture plants exact copies of ids < {_NOV_PLANTED} at
+    +{_NOV_OFFSET}, which must score novelty 0 (every gram's first
+    occurrence is their lower-id source).
+
+    Scale shape: the per-doc gram distinct happens IN-ROW
+    (array_distinct before the explode — never a (doc, gram) dedup
+    shuffle); the first-occurrence table is ONE map-side-combined MIN
+    aggregate over the gram key; per-doc novel counts come from
+    regrouping THAT (gram-unique, so corpus-vocabulary-sized) frame by
+    its min-doc — the raw gram stream is never joined back. The per-doc
+    total and the final join ride the spread's doc_id partitioning, so
+    the whole query is the spread plus one gram-keyed aggregate. Docs
+    with zero grams (< {_NOV_N} tokens) are excluded by construction in
+    BOTH engines rather than left-joined to NULL ratios. No self-joins;
+    cost is linear in corpus grams, the novelty twin of vocab_build's
+    shuffle budget.
+    """
+    dp = spark.sparkContext.defaultParallelism
+    d0 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d0.unionByName(
+        d0.filter(F.col("doc_id") < _NOV_PLANTED).select(
+            (F.col("doc_id") + _NOV_OFFSET).alias("doc_id"), "text")
+    )
+    # per-doc gram distinct is IN-ROW (array_distinct before the explode) —
+    # the oracle's SELECT DISTINCT over the exploded stream is the same
+    # set, but Spark pays no (doc, gram) dedup shuffle; the per-doc total
+    # and the final join both RIDE the spread's doc_id partitioning (and
+    # nov regroups by fd, which IS a doc_id), so the whole query costs
+    # the spread plus one gram-keyed aggregate
+    pg = (
+        corpus.repartition(dp, "doc_id")
+        .select("doc_id", token_array(F.col("text")).alias("l"))
+        .select("doc_id",
+                F.explode(F.array_distinct(ngram_array("l", _NOV_N)))
+                .alias("gram"))
+    )
+    tot = pg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"))
+    nov = (
+        pg.groupBy("gram").agg(F.min("doc_id").alias("fd"))
+        .groupBy(F.col("fd").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
+    nv = F.coalesce("n_novel", F.lit(0).cast("bigint"))
+    return (
+        tot.join(nov, "doc_id", "left")
+        .select(
+            "doc_id", "n_grams",
+            nv.alias("n_novel"),
+            F.round(nv.cast("double") / F.col("n_grams"), 6).alias("novelty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# lang_temperature_weights — multilingual temperature sampling (alpha = 1/2)
+# ---------------------------------------------------------------------------
+
+@staged("lang_temperature_weights", """
+WITH sized AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x != '')) AS BIGINT) AS n_tok
+  FROM documents),
+per_lang AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM sized GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+         CAST(SUM(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(30,12)))
+              AS DOUBLE) AS z
+  FROM per_lang)
+SELECT lang, n_docs, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / t, 6)                    AS p_raw,
+       ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / z, 6)              AS w_temp,
+       ROUND((sqrt(CAST(n_tokens AS DOUBLE)) / z)
+             / (CAST(n_tokens AS DOUBLE) / t), 6)                AS boost
+FROM per_lang, tot
+""")
+def q_lang_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual sampling weights (the mC4 / XLM-R
+    alpha-sampling rule): sample language l proportional to p_l^alpha so
+    low-resource languages are up-weighted relative to their raw token
+    share. alpha is fixed at 1/2 BECAUSE p^0.5 is sqrt — IEEE-754
+    requires sqrt correctly rounded, so the weight is bit-identical
+    across engines, whereas a general pow(p, 0.3) inherits each libm's
+    rounding (the determinism rule fractional exponents always break).
+    Emits per language: raw token share, temperature weight, and the
+    up/down-sampling boost a mixture loader applies.
+
+    Determinism: per-language token totals are integer; sqrt of an
+    exact-below-2^53 integer-valued double is correctly rounded; the
+    normalizer accumulates the (at most #languages) sqrt terms as
+    DECIMAL(30,12) so the sum is order-free; divisions are then
+    deterministic double ops rounded to 6 places.
+
+    Scale shape: in-row token counts (no explode), ONE map-side-combined
+    per-language aggregate (output rows = #languages), and a broadcast
+    one-row normalizer. The corpus streams exactly once; this is the
+    cheapest possible shape for the statistic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = (
+        docs.select("lang",
+                    F.array_size(token_array(F.col("text")))
+                    .cast("bigint").alias("n_tok"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+             F.sum("n_tok").cast("bigint").alias("n_tokens"))
+    )
+    tot = per_lang.agg(
+        F.sum("n_tokens").cast("bigint").alias("t"),
+        F.sum(F.sqrt(F.col("n_tokens").cast("double")).cast(DOT_DECIMAL))
+        .cast("double").alias("z"),
+    )
+    sq = F.sqrt(F.col("n_tokens").cast("double"))
+    p_raw = F.col("n_tokens").cast("double") / F.col("t")
+    return (
+        per_lang.crossJoin(F.broadcast(tot))
+        .select(
+            "lang", "n_docs", "n_tokens",
+            F.round(p_raw, 6).alias("p_raw"),
+            F.round(sq / F.col("z"), 6).alias("w_temp"),
+            F.round((sq / F.col("z")) / p_raw, 6).alias("boost"),
         )
     )
