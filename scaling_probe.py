@@ -23,6 +23,8 @@ NAMES = [
     "dedup_ngram_jaccard_hi",
     "doc_ngram_containment",
     "doc_boilerplate_coverage",
+    "doc_winnowing_fingerprint",
+    "doc_ngram_novelty",
 ]
 OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events", "embeddings"]

@@ -52,6 +52,17 @@ CASES = [
     "embedding_pca_step",
     "split_cluster_assign",
     "events_decayed_engagement",
+    # round-4 staged batch 2: decimal log-weight sums under a broadcast
+    # bucket join (dsir), collect_set order hidden by array_sort before
+    # the in-row pair explode (winnowing), min-doc first-occurrence
+    # regrouping (novelty), decimal sqrt normalizer (temperature)
+    "doc_dsir_importance",
+    "doc_winnowing_fingerprint",
+    "doc_ngram_novelty",
+    "lang_temperature_weights",
+    # decimal partials merged across an arbitrary split must not depend
+    # on which partition aggregated which side
+    "events_rollup_merge",
 ]
 
 

@@ -81,6 +81,9 @@ STAGED_CAPS = {
     "lang_temperature_weights": (2, 1),  # ONE per-language aggregate; the
                                          # normalizer scalar always
                                          # broadcast
+    "events_rollup_merge": (2, 1),       # partial agg (type, hour, epoch
+                                         # bucket) + merge agg; watermark
+                                         # scalar always broadcast
 }
 
 
@@ -412,3 +415,37 @@ def test_temperature_weights_rebalance(spark, sf_dir_oracle):
         assert a.boost >= b.boost         # boost anti-monotone in size
     assert rows[0].boost > 1.0            # smallest language up-weighted
     assert rows[-1].boost < 1.0           # largest language down-weighted
+
+
+def test_rollup_merge_is_nonvacuous_and_exact(spark, sf_dir_oracle):
+    """The maintenance invariant merge(old, new) == recompute(all) is the
+    oracle gate itself; this test pins that it is exercised NON-vacuously
+    (both sides of the split hold events at the fixture, so the merge
+    aggregate really combines two partials per surviving group) and
+    cross-checks one group's merged statistics against a raw recompute."""
+    from traffic_data_pipeline_spark.plans.staged_ops import _IVM_SPLIT_DAYS
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir_oracle, "events").select(
+        "event_type", "ts", "value").collect()
+    mx = max(r.ts for r in ev)
+    cutoff = mx.timestamp() - _IVM_SPLIT_DAYS * 86400
+    old = [r for r in ev if r.ts.timestamp() < cutoff]
+    new = [r for r in ev if r.ts.timestamp() >= cutoff]
+    assert old and new, "split is vacuous — move _IVM_SPLIT_DAYS"
+
+    rows = STAGED_QUERIES["events_rollup_merge"](
+        spark, sf_dir_oracle).collect()
+    assert sum(r.n for r in rows) == sum(1 for r in ev if r.value is not None)
+    # one group recomputed raw: pick the type-hour of the newest event
+    probe = max(ev, key=lambda r: (r.ts, r.event_id if hasattr(r, 'event_id') else 0))
+    hour = probe.ts.strftime("%Y-%m-%d %H:00:00")
+    grp = [r.value for r in ev
+           if r.event_type == probe.event_type and r.value is not None
+           and r.ts.strftime("%Y-%m-%d %H:00:00") == hour]
+    got = [r for r in rows
+           if r.event_type == probe.event_type and r.hour == hour]
+    assert len(got) == 1
+    assert got[0].n == len(grp)
+    assert got[0].vmin == min(grp) and got[0].vmax == max(grp)
+    assert abs(got[0].total - sum(grp)) < 1e-4

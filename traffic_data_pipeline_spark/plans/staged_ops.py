@@ -39,6 +39,9 @@ Operator set (training-data pipeline gaps after round 3's sweep):
   doc's distinct 3-grams first introduced by this doc).
 - ``lang_temperature_weights`` — multilingual temperature sampling
   weights (alpha = 1/2 via IEEE-exact sqrt).
+- ``events_rollup_merge`` — incremental view maintenance: mergeable
+  partial aggregates (old corpus + trailing delta) whose merge must
+  equal the full recompute (the oracle).
 """
 
 from __future__ import annotations
@@ -1419,4 +1422,93 @@ def q_lang_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(sq / F.col("z"), 6).alias("w_temp"),
             F.round((sq / F.col("z")) / p_raw, 6).alias("boost"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_rollup_merge — incremental view maintenance via mergeable partials
+# ---------------------------------------------------------------------------
+
+_IVM_SPLIT_DAYS = 3     # "new" = the trailing N days; "old" = everything else
+
+
+@staged("events_rollup_merge", f"""
+WITH mx AS (SELECT MAX(ts) AS m FROM events)
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(COUNT(value) AS BIGINT)  AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE), 6) AS total,
+       MIN(value)                    AS vmin,
+       MAX(value)                    AS vmax,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE)
+             / NULLIF(COUNT(value), 0), 6) AS vavg
+FROM events
+GROUP BY 1, 2
+""")
+def q_events_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the per-(type, hour) rollup is
+    computed as TWO partial aggregates — the "old" corpus (everything
+    before a cutoff {_IVM_SPLIT_DAYS} days behind the watermark, standing
+    in for yesterday's persisted rollup) and the "new" trailing delta —
+    then MERGED by summing counts and decimal sums and taking min/max of
+    mins/maxes. The oracle is the single-pass full recompute, so the
+    oracle gate IS the maintenance invariant: merge(partial(old),
+    partial(new)) == recompute(all). This is the nightly-pipeline
+    contract that lets a 100 TB rollup absorb a day's delta without
+    rereading history, and it holds only because every statistic carried
+    is map-side mergeable (count/sum/min/max — the mean is DERIVED from
+    (sum, n) at read time, never maintained directly, because means
+    don't merge).
+
+    Determinism: sums accumulate as DECIMAL(30,12) (order-free, so the
+    old/new split point cannot change a digit); the derived mean divides
+    the exact decimal-cast-double by a bigint; hours go out as UTC
+    strings (the timestamp hash-stability rule).
+
+    Scale shape: one broadcast watermark scalar, one partial aggregate
+    keyed (type, hour, epoch-bucket) — map-side combined, so each
+    partition contributes one row per group — and one merge aggregate
+    over group-cardinality-sized partials. The fact streams once; the
+    production form persists the old-side partials and feeds only the
+    delta through the same merge.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    mx = ev.agg(F.max("ts").alias("m"))
+    # the day→µs product is folded in Python: spelled as int literals it
+    # would multiply as INT and overflow under ANSI (the widen-before-
+    # multiply rule)
+    cutoff_us = F.expr(
+        f"unix_micros(m) - {_IVM_SPLIT_DAYS * 86400 * 1_000_000}")
+    partials = (
+        ev.crossJoin(F.broadcast(mx))
+        .select(
+            "event_type",
+            F.date_format(F.date_trunc("hour", F.col("ts")),
+                          "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            (F.unix_micros(F.col("ts")) >= cutoff_us).alias("is_new"),
+            "value",
+        )
+        .groupBy("event_type", "hour", "is_new")
+        .agg(
+            F.count("value").cast("bigint").alias("n"),
+            F.sum(F.col("value").cast(DOT_DECIMAL)).alias("s"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+    )
+    merged = (
+        partials.groupBy("event_type", "hour")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("s").alias("s"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+    )
+    return merged.select(
+        "event_type", "hour", "n",
+        F.round(F.col("s").cast("double"), 6).alias("total"),
+        "vmin", "vmax",
+        F.round(F.col("s").cast("double")
+                / F.nullif(F.col("n"), F.lit(0)), 6).alias("vavg"),
     )
