@@ -68,11 +68,29 @@ def main() -> int:
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--only", nargs="*", default=None,
                     help="subset of query names (default: all registered)")
+    ap.add_argument("--include-staged", action="store_true",
+                    help="also gate plans/staged_ops.py entries — the "
+                         "round-5 promotion dry-run: proves the staged "
+                         "names pass the identical record the registered "
+                         "ones do, so promotion is purely mechanical "
+                         "(writes LOCAL_GATE_r{N}_staged.json)")
     args = ap.parse_args()
 
     from traffic_data_pipeline_spark.plans.queries import ORACLES, QUERIES
     from traffic_data_pipeline_spark.session import get_spark
     from tests.oracle import duck_con
+
+    QUERIES = dict(QUERIES)
+    ORACLES = dict(ORACLES)
+    if args.include_staged:
+        from traffic_data_pipeline_spark.plans.staged_ops import (
+            STAGED_ORACLES,
+            STAGED_QUERIES,
+        )
+        overlap = set(QUERIES) & set(STAGED_QUERIES)
+        assert not overlap, f"staged names collide with registry: {overlap}"
+        QUERIES.update(STAGED_QUERIES)
+        ORACLES.update(STAGED_ORACLES)
 
     spark = get_spark("tdp-local-gate", shuffle_partitions=8)
     names = args.only or list(QUERIES)
@@ -109,8 +127,9 @@ def main() -> int:
                   else row["err"] or "MISMATCH")
         print(f"[{i + 1}/{len(names)}] {name}: {status}", flush=True)
 
+    suffix = "_staged" if args.include_staged else ""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        f"LOCAL_GATE_r{args.round:02d}.json")
+                        f"LOCAL_GATE_r{args.round:02d}{suffix}.json")
     green = sum(1 for r in out.values() if r["hash_match"])
     rows_only = sum(1 for r in out.values() if r["err"] == "no_oracle")
     bad = [n for n, r in out.items()
