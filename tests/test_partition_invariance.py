@@ -63,6 +63,13 @@ CASES = [
     # decimal partials merged across an arbitrary split must not depend
     # on which partition aggregated which side
     "events_rollup_merge",
+    # round-4 staged batch 3: first-occurrence window + position-ordered
+    # reassembly (paragraph dedup), per-source running-sum file cut
+    # (compaction), decimal signed-sum fold (JL projection); the two
+    # pure-map ops (c4/gopher) are trivially invariant and skipped
+    "doc_paragraph_dedup",
+    "shard_compaction_plan",
+    "embedding_jl_projection",
 ]
 
 

@@ -84,6 +84,17 @@ STAGED_CAPS = {
     "events_rollup_merge": (2, 1),       # partial agg (type, hour, epoch
                                          # bucket) + merge agg; watermark
                                          # scalar always broadcast
+    "doc_paragraph_dedup": (4, 0),       # md5 first-occurrence window +
+                                         # doc_id reassembly agg (measured
+                                         # 2 + a broadcast base join that
+                                         # AQE flips to shuffle at scale —
+                                         # cap leaves room for the flip)
+    "doc_c4_line_filter": (0, 0),        # pure in-row map — zero shuffles
+    "doc_gopher_quality": (0, 0),        # pure in-row map — zero shuffles
+    "shard_compaction_plan": (2, 0),     # running-sum window on source;
+                                         # the manifest agg rides the same
+                                         # partitioning (measured 1)
+    "embedding_jl_projection": (0, 0),   # pure in-row fold — zero shuffles
 }
 
 
@@ -192,7 +203,8 @@ def test_pca_step_is_gram_action(spark, sf_dir_oracle):
     "name", ["dedup_sorted_neighborhood", "doc_boilerplate_coverage",
              "bpe_merge_step", "doc_dsir_importance",
              "doc_winnowing_fingerprint", "doc_ngram_novelty",
-             "lang_temperature_weights"])
+             "lang_temperature_weights", "doc_paragraph_dedup",
+             "doc_c4_line_filter", "doc_gopher_quality"])
 def test_staged_dirty_text_parity(spark, tmp_path_factory, sf_dir_oracle, name):
     """NULL and empty text rows must not diverge the engines — Spark
     sorts NULL keys first while DuckDB sorts them last (the SNM guard),
@@ -449,3 +461,83 @@ def test_rollup_merge_is_nonvacuous_and_exact(spark, sf_dir_oracle):
     assert got[0].n == len(grp)
     assert got[0].vmin == min(grp) and got[0].vmax == max(grp)
     assert abs(got[0].total - sum(grp)) < 1e-4
+
+
+def test_paragraph_dedup_planted(spark, sf_dir_oracle):
+    """Full copies (docs 0-29 replanted at +700000) dedup to zero kept
+    paragraphs; of the literal pair sharing exactly one paragraph, the
+    lower doc_id keeps it (plus its tail) and the higher keeps only its
+    tail."""
+    df = STAGED_QUERIES["doc_paragraph_dedup"](spark, sf_dir_oracle)
+    rows = {r.doc_id: r for r in df.filter(
+        (F.col("doc_id") >= 700000)).collect()}
+    copies = [r for i, r in rows.items() if 700000 <= i < 700030]
+    assert len(copies) == 30
+    assert all(r.n_kept == 0 and r.dedup_text == "" for r in copies)
+    assert rows[720000].n_kept == 2      # shared para + 'zpta zptb' tail
+    assert rows[720001].n_kept == 1      # shared para dropped; tail kept
+    assert rows[720001].dedup_text == "zptc"
+
+
+def test_c4_page_rules_at_boundary(spark, sf_dir_oracle):
+    """Each planted page decides its rule exactly at the boundary:
+    3 kept lines pass, 2 fail; lorem/brace pages fail page-level even
+    with enough kept lines; the JavaScript line-drop is case-folded."""
+    df = STAGED_QUERIES["doc_c4_line_filter"](spark, sf_dir_oracle)
+    got = {r.doc_id: (r.n_kept, r.page_kept)
+           for r in df.filter(F.col("doc_id") >= 730000).collect()}
+    assert got == {
+        730000: (3, 1),   # exactly C4_MIN_KEPT_LINES survive
+        730001: (2, 0),   # one below the boundary
+        730002: (4, 0),   # lorem ipsum page gate
+        730003: (3, 0),   # brace page gate
+        730004: (3, 1),   # JavaScript dropped case-insensitively
+    }
+    # the fixture word-soup (single unpunctuated line) is fully dropped
+    soup = df.filter(F.col("doc_id") < 730000)
+    assert soup.filter(F.col("n_kept") != 0).count() == 0
+
+
+def test_gopher_rules_at_boundary(spark, sf_dir_oracle):
+    """One planted doc per Gopher rule, sitting exactly ON the
+    threshold: 50 words, mean length 3.0, alpha fraction 0.8, symbol
+    ratio 0.1, 2 stopwords all PASS; one notch past each FAILS."""
+    df = STAGED_QUERIES["doc_gopher_quality"](spark, sf_dir_oracle)
+    got = {r.doc_id: r.passes
+           for r in df.filter(F.col("doc_id") >= 750000).collect()}
+    assert got == {
+        750000: 1, 750001: 0, 750002: 1, 750003: 0, 750004: 1,
+        750005: 0, 750006: 0, 750007: 1, 750008: 0,
+    }
+    m = {r.doc_id: r for r in df.filter(
+        F.col("doc_id").isin(750002, 750004, 750007)).collect()}
+    assert m[750002].mean_word_len == 3.0
+    assert 5 * m[750004].n_alpha == 4 * m[750004].n_words
+    assert 10 * m[750007].n_sym == m[750007].n_words
+
+
+def test_compaction_exact_boundary_cut(spark, sf_dir_oracle):
+    """A record whose start offset sits exactly on k*target must OPEN
+    file k: the planted srcz source hits the boundary three times and
+    must produce exactly this manifest."""
+    df = STAGED_QUERIES["shard_compaction_plan"](spark, sf_dir_oracle)
+    got = {r.file_id: (r.n_docs, r.total_bytes)
+           for r in df.filter(F.col("source") == "srcz").collect()}
+    assert got == {0: (2, 4096), 1: (1, 4096), 2: (2, 4096), 3: (1, 1)}
+
+
+def test_jl_projection_nondegenerate(spark, sf_dir_oracle):
+    """The fixed sign matrix must not collapse: every output coordinate
+    carries variance across the corpus (a degenerate all-same-sign row
+    would just re-emit the vector sum), and the row count is preserved."""
+    from traffic_data_pipeline_spark.plans.staged_ops import JL_K
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    df = STAGED_QUERIES["embedding_jl_projection"](spark, sf_dir_oracle)
+    n_vecs = load_table(spark, sf_dir_oracle, "embeddings").count()
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.stddev(f"p{j}").alias(f"s{j}") for j in range(JL_K)]).first()
+    assert stats.n == n_vecs
+    for j in range(JL_K):
+        assert stats[f"s{j}"] > 0.0

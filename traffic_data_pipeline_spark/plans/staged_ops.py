@@ -42,6 +42,18 @@ Operator set (training-data pipeline gaps after round 3's sweep):
 - ``events_rollup_merge`` — incremental view maintenance: mergeable
   partial aggregates (old corpus + trailing delta) whose merge must
   equal the full recompute (the oracle).
+- ``doc_paragraph_dedup`` — corpus-wide paragraph-level exact dedup:
+  first occurrence (doc order, then position) survives; documents are
+  reassembled from surviving segments.
+- ``doc_c4_line_filter`` — C4-style line cleaning (word-count, terminal
+  punctuation, javascript lines) + page gates (lorem ipsum, braces,
+  min surviving lines), every rule exercised AT its boundary.
+- ``doc_gopher_quality`` — Gopher-style quality rule family with every
+  threshold decided in division-free integer arithmetic.
+- ``shard_compaction_plan`` — write-side small-file bin-packing
+  manifest (per-source running-byte cut at a target file size).
+- ``embedding_jl_projection`` — Johnson-Lindenstrauss 64->8 sign
+  projection, decimal-exact, fully in-row.
 """
 
 from __future__ import annotations
@@ -59,6 +71,7 @@ from traffic_data_pipeline_spark.functions.similarity import (
     norm_sq,
 )
 from traffic_data_pipeline_spark.functions.text import (
+    STOPWORDS_EN,
     ngram_array,
     token_array,
     tokens,
@@ -1512,3 +1525,609 @@ def q_events_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s").cast("double")
                 / F.nullif(F.col("n"), F.lit(0)), 6).alias("vavg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# doc_paragraph_dedup — corpus-wide paragraph-level exact dedup
+# ---------------------------------------------------------------------------
+
+PARA_TOKENS = 12    # fixed-stride paragraph segmentation (fixture has no \n)
+
+_PARA_SHARED = " ".join(f"zp{i:02d}" for i in range(PARA_TOKENS))
+
+_PARA_CORPUS_CTE = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 700000, text FROM documents WHERE doc_id < 30
+  UNION ALL
+  SELECT * FROM (VALUES
+    (720000, '{_PARA_SHARED} zpta zptb'),
+    (720001, '{_PARA_SHARED} zptc')) v(doc_id, text))
+"""
+
+
+@staged("doc_paragraph_dedup", f"""
+WITH {_PARA_CORPUS_CTE},
+tl AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x != '') AS l
+  FROM corpus),
+para AS (
+  SELECT doc_id, t.k AS k,
+         array_to_string(
+           l[t.k * {PARA_TOKENS} + 1 : t.k * {PARA_TOKENS} + {PARA_TOKENS}],
+           ' ') AS para
+  FROM tl, unnest(generate_series(0, (len(l) - 1) // {PARA_TOKENS})) t(k)
+  WHERE len(l) > 0),
+rk AS (
+  SELECT doc_id, k, para,
+         ROW_NUMBER() OVER (PARTITION BY md5(para) ORDER BY doc_id, k) AS r
+  FROM para),
+kept AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,
+         string_agg(para, ' ' ORDER BY k) AS dedup_text
+  FROM rk WHERE r = 1 GROUP BY 1),
+base AS (
+  SELECT doc_id,
+         CAST(CASE WHEN len(l) = 0 THEN 0
+                   ELSE (len(l) - 1) // {PARA_TOKENS} + 1 END AS INT)
+           AS n_paras
+  FROM tl)
+SELECT b.doc_id, b.n_paras,
+       CAST(COALESCE(k.n_kept, 0) AS INT) AS n_kept,
+       ROUND(CAST(COALESCE(k.n_kept, 0) AS DOUBLE)
+             / NULLIF(b.n_paras, 0), 6)   AS kept_ratio,
+       COALESCE(k.dedup_text, '')         AS dedup_text
+FROM base b LEFT JOIN kept k ON k.doc_id = b.doc_id
+""")
+def q_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup across the WHOLE corpus — the standard
+    training-data cleanup between document-level dedup and line-level
+    filtering: a paragraph (here a fixed 12-token segment,
+    since the fixture corpus carries no newlines) survives only at its
+    FIRST occurrence in corpus order (doc_id, then position); every later
+    copy anywhere in the corpus is dropped, and each document is
+    reassembled from its surviving paragraphs in position order.
+
+    The augmented corpus (FIXTURES.md planting pattern) adds full copies
+    of docs 0-29 at +700000 — every one of their paragraphs deduplicates
+    to n_kept = 0 — plus a literal pair sharing EXACTLY one paragraph
+    (the shared 12-token span is a whole segment in both docs:
+    kept in 720000, dropped in 720001, while both short tails survive).
+
+    Determinism: first-occurrence is a ROW_NUMBER over (doc_id, k) — a
+    total order, no hash ties possible (md5 equality == string equality
+    for dedup purposes; a cross-doc md5 collision would need a SHA-broken
+    fixture). Reassembly orders by k in both engines; kept_ratio divides
+    two exact ints.
+
+    Scale shape: segments spill out of the token array IN-ROW (explode of
+    a sequence, no join); ONE hash shuffle keys paragraphs by md5 for the
+    first-occurrence window — the same single-shuffle shape as exact doc
+    dedup, with md5 keys bounding skew (identical paragraphs DO hot-spot
+    one reducer; the hot-band-cap precedent applies if a boilerplate
+    paragraph dominates — at that point it IS boilerplate and the
+    doc_boilerplate_coverage op is the right tool); one doc_id regroup
+    reassembles. The corpus streams once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = (
+        docs.select("doc_id", "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") < 30)
+            .select((F.col("doc_id") + 700000).alias("doc_id"), "text"))
+        .unionByName(_literal_docs(spark, [
+            (720000, f"{_PARA_SHARED} zpta zptb"),
+            (720001, f"{_PARA_SHARED} zptc"),
+        ]))
+    )
+    tl = corpus.select("doc_id", token_array(F.col("text")).alias("l"))
+    para = (
+        tl.filter(F.size("l") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.expr(
+                f"sequence(0, int((size(l) - 1) div {PARA_TOKENS}))"))
+            .alias("k"),
+            "l")
+        .select(
+            "doc_id", "k",
+            F.array_join(
+                F.expr(f"slice(l, k * {PARA_TOKENS} + 1, {PARA_TOKENS})"),
+                " ").alias("para"))
+    )
+    first = F.row_number().over(
+        Window.partitionBy(F.md5("para")).orderBy("doc_id", "k"))
+    kept = (
+        para.withColumn("_r", first)
+        .filter(F.col("_r") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "para"))),
+                    lambda s: s["para"]),
+                " ").alias("dedup_text"))
+    )
+    base = tl.select(
+        "doc_id",
+        F.when(F.size("l") == 0, F.lit(0))
+        .otherwise(F.expr(f"int((size(l) - 1) div {PARA_TOKENS}) + 1"))
+        .cast("int").alias("n_paras"))
+    return (
+        base.join(kept, "doc_id", "left")
+        .select(
+            "doc_id", "n_paras",
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+            F.round(F.coalesce("n_kept", F.lit(0)).cast("double")
+                    / F.nullif(F.col("n_paras"), F.lit(0)), 6)
+            .alias("kept_ratio"),
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc_c4_line_filter — C4-style line-level cleaning + page-level gates
+# ---------------------------------------------------------------------------
+
+C4_MIN_WORDS = 5        # keep a line only if it has >= this many words
+C4_MIN_KEPT_LINES = 3   # keep a page only if >= this many lines survive
+
+_L_KEEP1 = "alpha beta gamma delta epsilon zeta eta theta."
+_L_KEEP5 = "one two three four five."                  # exactly 5 words
+_L_DROP4 = "one two three four."                       # 4 words: dropped
+_L_NOPUNCT = "this line has plenty of words but no stop mark"
+_L_JS = "please enable javascript support to continue browsing here."
+_L_JSMIXED = "Please Enable JavaScript Support To Continue Browsing Here."
+_L_KEEP2 = "kappa lambda mu nu xi omicron pi rho sigma."
+_L_KEEP3 = "tau upsilon phi chi psi omega alpha again today."
+_L_LOREM = "standard lorem ipsum filler text appears right here today."
+_L_BRACE = "function main() { return zero; }"
+
+# (doc_id, lines): each doc exercises one page-level rule AT its boundary
+_C4_DOCS: list[tuple[int, list[str]]] = [
+    # exactly C4_MIN_KEPT_LINES survive (KEEP1/KEEP5/KEEP2) -> page kept
+    (730000, [_L_KEEP1, _L_KEEP5, _L_DROP4, _L_NOPUNCT, _L_JS, _L_KEEP2]),
+    # only 2 survive -> page dropped at the < MIN_KEPT boundary
+    (730001, [_L_KEEP1, _L_KEEP2, _L_DROP4]),
+    # 4 survive but 'lorem ipsum' appears -> page dropped
+    (730002, [_L_KEEP1, _L_KEEP2, _L_KEEP3, _L_LOREM]),
+    # 3 survive but '{' appears -> page dropped
+    (730003, [_L_KEEP1, _L_KEEP2, _L_KEEP3, _L_BRACE]),
+    # mixed-case JavaScript line dropped case-insensitively; page kept
+    (730004, [_L_KEEP1, _L_KEEP2, _L_KEEP3, _L_JSMIXED]),
+]
+
+_C4_SQL_DOCS = ",\n    ".join(
+    "({}, {})".format(
+        i, " || chr(10) || ".join("'" + ln + "'" for ln in lines))
+    for i, lines in _C4_DOCS)
+
+# line predicate, spelled once per engine: >= C4_MIN_WORDS words, ends in
+# terminal punctuation, and no (case-folded) 'javascript'
+_C4_SQL_KEEP = f"""list_filter(string_split(text, chr(10)), x ->
+      len(list_filter(string_split_regex(trim(x), ' +'), w -> w != ''))
+        >= {C4_MIN_WORDS}
+      AND regexp_matches(trim(x), '[.!?"]$')
+      AND NOT contains(lower(x), 'javascript'))"""
+
+
+@staged("doc_c4_line_filter", f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    {_C4_SQL_DOCS}) v(doc_id, text)),
+flt AS (
+  SELECT doc_id, text,
+         len(string_split(text, chr(10))) AS n_lines,
+         {_C4_SQL_KEEP} AS kept
+  FROM corpus)
+SELECT doc_id,
+       CAST(n_lines AS INT)   AS n_lines,
+       CAST(len(kept) AS INT) AS n_kept,
+       CAST(CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END
+            AS INT) AS has_lorem,
+       CAST(CASE WHEN contains(text, '{{') THEN 1 ELSE 0 END AS INT)
+         AS has_brace,
+       CAST(CASE WHEN len(kept) >= {C4_MIN_KEPT_LINES}
+                  AND NOT contains(lower(text), 'lorem ipsum')
+                  AND NOT contains(text, '{{') THEN 1 ELSE 0 END AS INT)
+         AS page_kept,
+       COALESCE(array_to_string(kept, chr(10)), '') AS kept_text
+FROM flt
+""")
+def q_doc_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleaning (the published colossal-clean-crawled-corpus
+    rules, re-expressed): a LINE survives only if it has at least
+    5 whitespace words, ends in terminal punctuation
+    ([.!?"]), and does not mention javascript (case-folded); a PAGE
+    survives only if at least 3 lines survive and the
+    page contains neither 'lorem ipsum' nor a curly brace. The fixture
+    word-soup docs are single unpunctuated lines — C4 correctly drops
+    them all — so the planted docs (730000-730004, one per page rule,
+    each sitting exactly ON its boundary) carry the rule coverage:
+    exactly-5-word and exactly-3-kept-line cases pass, 4-word and
+    2-kept-line cases fail, and the JavaScript drop is proven
+    case-insensitive.
+
+    Determinism: every decision is a string predicate or an integer
+    comparison — no floats anywhere. Word counts split on runs of
+    spaces with empties dropped, identically in both engines.
+
+    Scale shape: ENTIRELY in-row — split, filter-lambda, rejoin; zero
+    shuffles, zero joins, full whole-stage codegen. At 100 TB this is
+    the ideal operator: a pure map over the corpus scan with predicate
+    and projection pushdown intact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(_literal_docs(
+        spark, [(i, "\n".join(lines)) for i, lines in _C4_DOCS]))
+    n_words = lambda x: F.size(
+        F.filter(F.split(F.trim(x), " +"), lambda w: w != ""))
+    keep = lambda x: (
+        (n_words(x) >= C4_MIN_WORDS)
+        & F.trim(x).rlike('[.!?"]$')
+        & ~F.lower(x).contains("javascript"))
+    flt = corpus.select(
+        "doc_id", "text",
+        F.size(F.split("text", "\n")).alias("n_lines"),
+        F.filter(F.split("text", "\n"), keep).alias("kept"))
+    has_lorem = F.lower(F.col("text")).contains("lorem ipsum")
+    has_brace = F.col("text").contains("{")
+    # flags use when/otherwise, not a bare boolean cast: the oracle's
+    # CASE maps a NULL predicate (NULL text) to 0, and a NULL->NULL cast
+    # here would diverge on dirty corpora (the dirty-text parity gate)
+    return flt.select(
+        "doc_id",
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.size("kept").cast("int").alias("n_kept"),
+        F.when(has_lorem, 1).otherwise(0).cast("int").alias("has_lorem"),
+        F.when(has_brace, 1).otherwise(0).cast("int").alias("has_brace"),
+        F.when((F.size("kept") >= C4_MIN_KEPT_LINES)
+               & ~has_lorem & ~has_brace, 1).otherwise(0)
+        .cast("int").alias("page_kept"),
+        F.coalesce(F.array_join("kept", "\n"), F.lit(""))
+        .alias("kept_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc_gopher_quality — Gopher-style document quality rules (division-free)
+# ---------------------------------------------------------------------------
+
+GQ_MIN_WORDS, GQ_MAX_WORDS = 50, 100_000
+GQ_MIN_MEANLEN, GQ_MAX_MEANLEN = 3, 10   # mean word length bounds (inclusive)
+# frac(words with a letter) >= 0.8  <=>  5 * n_alpha >= 4 * n
+# frac(symbols) <= 0.1              <=>  10 * n_sym  <= n
+GQ_MIN_STOPWORDS = 2
+
+_w3 = [f"x{i:02d}" for i in range(60)]        # 3-char words
+_w4 = [f"xy{i:02d}" for i in range(60)]       # 4-char words
+_dg = [str(100 + i) for i in range(20)]       # 3-char pure-digit words
+
+_GQ_PASS50 = " ".join(["the", "a"] + _w4[:48])
+
+# (doc_id, text): one doc per rule, each AT its boundary
+_GQ_DOCS: list[tuple[int, str]] = [
+    (750000, _GQ_PASS50),                                  # all rules pass
+    (750001, " ".join(["the", "a"] + _w4[:47])),           # 49 words: fails
+    (750002, " ".join(["the", "and"] + _w3[:48])),         # mean len == 3.0
+    (750003, " ".join(["the", "and"] + _w3[:47] + ["xy"])),  # mean < 3
+    (750004, " ".join(["the", "a"] + _w4[:38] + _dg[:10])),  # alpha == 0.8
+    (750005, " ".join(["the", "a"] + _w4[:37] + _dg[:11])),  # alpha < 0.8
+    (750006, " ".join(["the"] + _w4[:49])),                # 1 stopword: fails
+    (750007, _GQ_PASS50 + " # # # # #"),                   # sym ratio == 0.1
+    (750008, _GQ_PASS50 + " # # # # # #"),                 # sym ratio > 0.1
+]
+
+_GQ_SQL_DOCS = ",\n    ".join(f"({i}, '{t}')" for i, t in _GQ_DOCS)
+
+_GQ_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
+
+
+@staged("doc_gopher_quality", f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    {_GQ_SQL_DOCS}) v(doc_id, text)),
+tl AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS l
+  FROM corpus),
+m AS (
+  SELECT doc_id,
+         len(l)                                              AS n_words,
+         CAST(CASE WHEN l IS NULL THEN NULL
+                   ELSE COALESCE(list_sum(list_transform(l, x -> length(x))),
+                                 0) END
+              AS BIGINT)                                     AS total_chars,
+         len(list_filter(l, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         len(list_filter(l, x -> list_contains({_GQ_STOP_SQL}, x)))
+                                                             AS n_stop,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) // 3
+                                                             AS n_sym
+  FROM tl)
+SELECT doc_id,
+       CAST(n_words AS INT)  AS n_words,
+       total_chars,
+       ROUND(CAST(total_chars AS DOUBLE) / NULLIF(n_words, 0), 6)
+         AS mean_word_len,
+       CAST(n_alpha AS INT)  AS n_alpha,
+       CAST(n_stop AS INT)   AS n_stop,
+       CAST(n_sym AS INT)    AS n_sym,
+       CAST(CASE WHEN n_words >= {GQ_MIN_WORDS}
+                  AND n_words <= {GQ_MAX_WORDS} THEN 1 ELSE 0 END AS INT)
+         AS ok_nwords,
+       CAST(CASE WHEN total_chars >= {GQ_MIN_MEANLEN} * n_words
+                  AND total_chars <= {GQ_MAX_MEANLEN} * n_words
+                 THEN 1 ELSE 0 END AS INT) AS ok_wordlen,
+       CAST(CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END AS INT)
+         AS ok_alpha,
+       CAST(CASE WHEN 10 * n_sym <= n_words THEN 1 ELSE 0 END AS INT)
+         AS ok_sym,
+       CAST(CASE WHEN n_stop >= {GQ_MIN_STOPWORDS} THEN 1 ELSE 0 END AS INT)
+         AS ok_stop,
+       CAST(CASE WHEN n_words >= {GQ_MIN_WORDS}
+                  AND n_words <= {GQ_MAX_WORDS}
+                  AND total_chars >= {GQ_MIN_MEANLEN} * n_words
+                  AND total_chars <= {GQ_MAX_MEANLEN} * n_words
+                  AND 5 * n_alpha >= 4 * n_words
+                  AND 10 * n_sym <= n_words
+                  AND n_stop >= {GQ_MIN_STOPWORDS}
+                 THEN 1 ELSE 0 END AS INT) AS passes
+FROM m
+""")
+def q_doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate (the published MassiveText
+    repetition-free rule family, re-expressed): word count in
+    [50, 100000]; mean word length in [3, 10]; at least 80% of words
+    contain a letter; symbol-to-word ratio (# plus literal ellipses) at
+    most 0.1; at least 2 English stopwords. Emits every intermediate
+    statistic plus one flag per rule, so downstream mixtures can
+    re-threshold without recomputing.
+
+    EVERY threshold decision is division-free integer arithmetic —
+    mean length in [3,10] is total_chars BETWEEN 3*n AND 10*n, the 0.8
+    alpha fraction is 5*n_alpha >= 4*n, the 0.1 symbol ratio is
+    10*n_sym <= n — so the boundary rows planted at 750000-750008 (one
+    per rule, sitting exactly ON the threshold: 50 words, mean exactly
+    3.0, alpha exactly 0.8, symbols exactly 0.1, exactly 2 stopwords)
+    decide identically in both engines with no float rounding in the
+    decision path; the only double emitted (mean_word_len) is a display
+    column derived from two exact ints.
+
+    Scale shape: pure in-row projection — token stats fold inside the
+    row, zero shuffles, zero joins, whole-stage codegen end to end.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        _literal_docs(spark, _GQ_DOCS))
+    tl = corpus.select(
+        "doc_id", "text", token_array(F.col("text")).alias("l"))
+    n_words = F.size("l")
+    total_chars = F.aggregate(
+        F.transform("l", lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"), lambda a, x: a + x)
+    n_alpha = F.size(F.filter("l", lambda x: x.rlike("[a-z]")))
+    n_stop = F.size(F.filter("l", lambda x: x.isin(*STOPWORDS_EN)))
+    m = tl.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        total_chars.alias("total_chars"),
+        n_alpha.alias("n_alpha"),
+        n_stop.alias("n_stop"),
+        (F.length("text") - F.length(F.expr("replace(text, '#', '')"))
+         + F.expr("int((length(text) - length(replace(text, '...', '')))"
+                  " div 3)")).alias("n_sym"),
+    )
+    ok_nwords = (F.col("n_words") >= GQ_MIN_WORDS) & \
+        (F.col("n_words") <= GQ_MAX_WORDS)
+    ok_wordlen = (
+        (F.col("total_chars") >= GQ_MIN_MEANLEN * F.col("n_words"))
+        & (F.col("total_chars") <= GQ_MAX_MEANLEN * F.col("n_words")))
+    ok_alpha = 5 * F.col("n_alpha") >= 4 * F.col("n_words")
+    ok_sym = 10 * F.col("n_sym") <= F.col("n_words")
+    ok_stop = F.col("n_stop") >= GQ_MIN_STOPWORDS
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("total_chars").cast("bigint").alias("total_chars"),
+        F.round(F.col("total_chars").cast("double")
+                / F.nullif(F.col("n_words"), F.lit(0)), 6)
+        .alias("mean_word_len"),
+        F.col("n_alpha").cast("int").alias("n_alpha"),
+        F.col("n_stop").cast("int").alias("n_stop"),
+        F.col("n_sym").cast("int").alias("n_sym"),
+        F.when(ok_nwords, 1).otherwise(0).cast("int").alias("ok_nwords"),
+        F.when(ok_wordlen, 1).otherwise(0).cast("int").alias("ok_wordlen"),
+        F.when(ok_alpha, 1).otherwise(0).cast("int").alias("ok_alpha"),
+        F.when(ok_sym, 1).otherwise(0).cast("int").alias("ok_sym"),
+        F.when(ok_stop, 1).otherwise(0).cast("int").alias("ok_stop"),
+        F.when(ok_nwords & ok_wordlen & ok_alpha & ok_sym & ok_stop, 1)
+        .otherwise(0).cast("int").alias("passes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# shard_compaction_plan — write-side small-file bin-packing planner
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET = 4096   # target output-file size in bytes
+
+# planted source whose cumulative sizes hit the target boundary EXACTLY:
+# cum-before = 4096 at 600002, 8192 at 600003, 12288 at 600005
+_COMPACT_ROWS: list[tuple[int, str, int]] = [
+    (760000, "srcz", 2048),
+    (760001, "srcz", 2048),
+    (760002, "srcz", 4096),
+    (760003, "srcz", 1),
+    (760004, "srcz", 4095),
+    (760005, "srcz", 1),
+]
+
+_COMPACT_SQL_ROWS = ",\n    ".join(
+    f"({i}, '{s}', {n})" for i, s, n in _COMPACT_ROWS)
+
+
+@staged("shard_compaction_plan", f"""
+WITH corpus AS (
+  SELECT doc_id, source, n_chars FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    {_COMPACT_SQL_ROWS}) v(doc_id, source, n_chars)),
+cum AS (
+  SELECT source, doc_id, n_chars,
+         SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS c
+  FROM corpus)
+SELECT source,
+       CAST((c - n_chars) // {COMPACT_TARGET} AS INT) AS file_id,
+       CAST(COUNT(*) AS BIGINT)      AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT)  AS total_bytes,
+       MIN(doc_id)                   AS first_doc,
+       MAX(doc_id)                   AS last_doc,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / {COMPACT_TARGET}, 6)
+         AS fill_ratio
+FROM cum
+GROUP BY 1, 2
+""")
+def q_shard_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the maintenance job every large
+    parquet lake runs: within each source (the write-partition key),
+    walk records in doc_id order accumulating byte sizes and open a new
+    output file each time the running total crosses a 4096-byte target
+    boundary; emit the resulting file manifest (doc span, doc count,
+    byte total, fill ratio). A record is assigned by the file index of
+    its START offset — floor(cum_before / target) — so a record
+    straddling a boundary stays whole in the earlier file and files can
+    exceed the target by at most one record, the standard bin-packing
+    contract for row-group sizing.
+
+    The planted 'srcz' source hits the boundary EXACTLY three times
+    (cum-before of 4096, 8192 and 12288): a record whose start offset
+    is precisely k*target must OPEN file k, which the integer floor
+    division decides identically in both engines — no float epsilon in
+    the cut decision.
+
+    Determinism: all byte arithmetic is BIGINT; the running sum is over
+    a total order — doc_id is assumed UNIQUE within a source (the
+    fixture's primary key; a duplicate id would make the running-sum
+    peer order, and thus the file cut, engine-dependent); fill_ratio
+    divides an exact int by a constant.
+
+    Scale shape: ONE hash shuffle on source for the running-sum window
+    (per-source ordering, never a global sort — sources are the
+    parallel unit exactly as the writer partitions them), then the
+    manifest aggregate rides the same partitioning (co-keyed on a
+    superset key). Per-source history length bounds window state, and a
+    skewed giant source is split by the same salting the writer would
+    apply to its files.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    structs = [
+        F.struct(F.lit(i).cast("long").alias("doc_id"),
+                 F.lit(s).alias("source"),
+                 F.lit(n).cast("long").alias("n_chars"))
+        for i, s, n in _COMPACT_ROWS
+    ]
+    planted = (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.doc_id", "s.source", "s.n_chars")
+    )
+    corpus = docs.select("doc_id", "source", "n_chars").unionByName(planted)
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = corpus.withColumn("c", F.sum("n_chars").over(w))
+    return (
+        cum.withColumn(
+            "file_id",
+            F.expr(f"int((c - n_chars) div {COMPACT_TARGET})"))
+        .groupBy("source", "file_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+             F.sum("n_chars").cast("bigint").alias("total_bytes"),
+             F.min("doc_id").alias("first_doc"),
+             F.max("doc_id").alias("last_doc"))
+        .withColumn(
+            "fill_ratio",
+            F.round(F.col("total_bytes").cast("double") / COMPACT_TARGET, 6))
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_jl_projection — Johnson-Lindenstrauss random sign projection
+# ---------------------------------------------------------------------------
+
+JL_K = 8   # output dimensionality
+
+# Fixed Rademacher sign matrix s(pos, j) over 1-based input dim pos and
+# output dim j, from a deterministic integer formula both engines compute
+# bit-identically (production would key signs off a seeded hash; the
+# formula IS such a hash, just a transparent one).
+_JL_COLS_SQL = ",\n  ".join(
+    f"ROUND(CAST(SUM(CASE WHEN j = {j} THEN CAST(sv AS DECIMAL(30,12)) END)"
+    f" AS DOUBLE) / sqrt({JL_K}.0), 6) AS p{j}"
+    for j in range(JL_K))
+
+
+@staged("embedding_jl_projection", f"""
+WITH elems AS (
+  SELECT vec_id, t.i AS pos, CAST(embedding[t.i] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+sgn AS (
+  SELECT vec_id, js.j,
+         CASE WHEN ((pos * 73 + js.j * 151) % 7) % 2 = 0
+              THEN val ELSE -val END AS sv
+  FROM elems, (SELECT unnest(generate_series(0, {JL_K - 1})) AS j) js)
+SELECT vec_id,
+  {_JL_COLS_SQL}
+FROM sgn GROUP BY vec_id
+""")
+def q_embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction 64 -> 8 with a
+    fixed Rademacher (+-1) sign matrix: p_j = sum_i s(i,j) * v_i /
+    sqrt(8). The sparse-JL/database-friendly variant — no dense Gaussian
+    matrix, just sign flips and sums — which preserves pairwise
+    distances within (1 +- eps) w.h.p. and is the standard cheap
+    pre-step before clustering or LSH at corpus scale.
+
+    Determinism: the sign matrix is a transparent integer formula (no
+    engine RNG); sign application is exact (IEEE negation); each signed
+    term is cast to DECIMAL(30,12) and accumulated order-free; the final
+    divide by sqrt(8) uses the correctly-rounded IEEE sqrt both engines
+    guarantee. Cast-to-decimal rounding (half-away-from-zero) is
+    symmetric under negation, so sign-then-cast agrees across engines.
+
+    Scale shape: ENTIRELY in-row — each output coordinate folds over
+    the embedding array inside the row (transform + aggregate, no
+    explode, no shuffle, no join). The 100 TB plan is a pure map; the
+    8-wide output is what downstream ANN then buckets.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    def _signed(j):
+        # closure factory: a default-arg lambda would change the arity
+        # pyspark infers for the higher-order function
+        def apply_sign(x, i):
+            return (
+                F.when(((((i + 1) * 73 + j * 151) % 7) % 2) == 0,
+                       x.cast("double"))
+                .otherwise(-x.cast("double"))
+                .cast(DOT_DECIMAL))
+        return F.transform("embedding", apply_sign)
+
+    cols = []
+    for j in range(JL_K):
+        signed = _signed(j)
+        total = F.aggregate(
+            signed, F.lit(0).cast(DOT_DECIMAL),
+            lambda a, x: (a + x).cast(DOT_DECIMAL))
+        cols.append(
+            F.round(total.cast("double") / F.sqrt(F.lit(float(JL_K))), 6)
+            .alias(f"p{j}"))
+    return emb.select("vec_id", *cols)
