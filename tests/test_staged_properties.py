@@ -1,0 +1,249 @@
+"""Randomized property tests for the round-4 staged batch-3 operators:
+each query re-run on GENERATED corpora (written as tmp parquet, so the
+planting the queries add rides along) and compared against an
+independent plain-Python brute force — shapes the fixture never
+produces (cross-doc duplicate paragraphs at arbitrary positions,
+stride-misaligned prefixes, adversarial line/word mixes, byte sizes
+straddling the file-cut boundary)."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from traffic_data_pipeline_spark.plans.staged_ops import (
+    _C4_DOCS,
+    _COMPACT_ROWS,
+    _GQ_DOCS,
+    _PARA_SHARED,
+    C4_MIN_KEPT_LINES,
+    C4_MIN_WORDS,
+    COMPACT_TARGET,
+    GQ_MAX_MEANLEN,
+    GQ_MAX_WORDS,
+    GQ_MIN_MEANLEN,
+    GQ_MIN_STOPWORDS,
+    GQ_MIN_WORDS,
+    PARA_TOKENS,
+    STAGED_QUERIES,
+)
+from traffic_data_pipeline_spark.functions.text import STOPWORDS_EN
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _write_docs(spark, tmp_path_factory, label, docs):
+    """docs: [(doc_id, text, source, n_chars)] -> tmp sf dir."""
+    sf = str(tmp_path_factory.mktemp(label))
+    spark.createDataFrame(
+        [(i, t, "en", src, n) for i, t, src, n in docs], DOC_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def _tok(t):
+    return [w for w in re.split("[^a-z0-9]+", (t or "").lower()) if w]
+
+
+# ---------------------------------------------------------------------------
+# doc_paragraph_dedup vs brute force
+# ---------------------------------------------------------------------------
+
+# docs assembled from a tiny POOL of fixed 12-token paragraphs (so exact
+# cross-doc duplicates are common) with an optional short prefix that
+# shifts every later segment off the pool alignment
+_POOL = [" ".join(f"p{p}t{i:02d}" for i in range(PARA_TOKENS))
+         for p in range(4)]
+
+para_docs = st.lists(
+    st.tuples(
+        st.lists(st.integers(0, 3), min_size=0, max_size=3),  # pool picks
+        st.integers(0, 4)),                                   # prefix tokens
+    min_size=1, max_size=8)
+
+
+def _brute_paragraphs(corpus):
+    occ = []                      # (doc_id, k, para)
+    for i, t in corpus:
+        toks = _tok(t)
+        for k in range((len(toks) + PARA_TOKENS - 1) // PARA_TOKENS):
+            occ.append(
+                (i, k,
+                 " ".join(toks[k * PARA_TOKENS:(k + 1) * PARA_TOKENS])))
+    first = {}
+    for i, k, p in sorted(occ):
+        first.setdefault(p, (i, k))
+    out = {}
+    for i, t in corpus:
+        toks = _tok(t)
+        n_paras = (len(toks) + PARA_TOKENS - 1) // PARA_TOKENS
+        kept = [p for (i2, k, p) in sorted(o for o in occ if o[0] == i)
+                if first[p] == (i2, k)]
+        out[i] = (n_paras, len(kept), " ".join(kept))
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=para_docs)
+def test_paragraph_dedup_matches_brute_force(spark, tmp_path_factory, docs):
+    gen = []
+    for i, (picks, npre) in enumerate(docs):
+        pre = [f"q{i}x{j}" for j in range(npre)]
+        gen.append((i, " ".join(pre + [_POOL[p] for p in picks])))
+    sf = _write_docs(spark, tmp_path_factory, "paradedup",
+                     [(i, t, "src0", len(t)) for i, t in gen])
+    corpus = (gen
+              + [(i + 700000, t) for i, t in gen if i < 30]
+              + [(720000, f"{_PARA_SHARED} zpta zptb"),
+                 (720001, f"{_PARA_SHARED} zptc")])
+    want = _brute_paragraphs(corpus)
+    got = {r.doc_id: (r.n_paras, r.n_kept, r.dedup_text)
+           for r in STAGED_QUERIES["doc_paragraph_dedup"](
+               spark, sf).collect()}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# doc_c4_line_filter vs brute force
+# ---------------------------------------------------------------------------
+
+_C4_WORDPOOL = ["one", "two", "three", "four", "five", "javascript",
+                "lorem", "ipsum", "{brace}"]
+
+c4_docs = st.lists(
+    st.lists(                                       # doc = list of lines
+        st.tuples(
+            st.lists(st.integers(0, 8), min_size=0, max_size=7),  # words
+            st.sampled_from([".", "!", "?", '"', "", " ", "x"])),  # ending
+        min_size=0, max_size=4),
+    min_size=1, max_size=5)
+
+
+def _brute_c4(text):
+    lines = (text or "").split("\n")
+    kept = []
+    for x in lines:
+        tx = x.strip()
+        words = [w for w in re.split(" +", tx) if w]
+        if (len(words) >= C4_MIN_WORDS
+                and re.search('[.!?"]$', tx)
+                and "javascript" not in x.lower()):
+            kept.append(x)
+    has_lorem = "lorem ipsum" in text.lower()
+    has_brace = "{" in text
+    page = int(len(kept) >= C4_MIN_KEPT_LINES
+               and not has_lorem and not has_brace)
+    return (len(lines), len(kept), int(has_lorem), int(has_brace),
+            page, "\n".join(kept))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=c4_docs)
+def test_c4_filter_matches_brute_force(spark, tmp_path_factory, docs):
+    gen = []
+    for i, lines in enumerate(docs):
+        text = "\n".join(
+            " ".join(_C4_WORDPOOL[w] for w in words) + end
+            for words, end in lines)
+        gen.append((i, text))
+    sf = _write_docs(spark, tmp_path_factory, "c4",
+                     [(i, t, "src0", len(t)) for i, t in gen])
+    corpus = gen + [(i, "\n".join(ls)) for i, ls in _C4_DOCS]
+    want = {i: _brute_c4(t) for i, t in corpus}
+    got = {r.doc_id: (r.n_lines, r.n_kept, r.has_lorem, r.has_brace,
+                      r.page_kept, r.kept_text)
+           for r in STAGED_QUERIES["doc_c4_line_filter"](
+               spark, sf).collect()}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# doc_gopher_quality vs brute force
+# ---------------------------------------------------------------------------
+
+_GQ_WORDPOOL = ["the", "a", "and", "word", "wordier", "123", "x", "#",
+                "...", "toolongawordtoaverage"]
+
+gq_docs = st.lists(
+    st.lists(st.integers(0, 9), min_size=0, max_size=60),
+    min_size=1, max_size=5)
+
+
+def _brute_gopher(text):
+    toks = _tok(text)
+    n = len(toks)
+    total = sum(len(w) for w in toks)
+    n_alpha = sum(1 for w in toks if re.search("[a-z]", w))
+    n_stop = sum(1 for w in toks if w in STOPWORDS_EN)
+    n_sym = text.count("#") + (
+        len(text) - len(text.replace("...", ""))) // 3
+    ok = (GQ_MIN_WORDS <= n <= GQ_MAX_WORDS,
+          GQ_MIN_MEANLEN * n <= total <= GQ_MAX_MEANLEN * n,
+          5 * n_alpha >= 4 * n,
+          10 * n_sym <= n,
+          n_stop >= GQ_MIN_STOPWORDS)
+    return (n, total, n_alpha, n_stop, n_sym,
+            *(int(b) for b in ok), int(all(ok)))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=gq_docs)
+def test_gopher_matches_brute_force(spark, tmp_path_factory, docs):
+    gen = [(i, " ".join(_GQ_WORDPOOL[w] for w in words))
+           for i, words in enumerate(docs)]
+    sf = _write_docs(spark, tmp_path_factory, "gopher",
+                     [(i, t, "src0", len(t)) for i, t in gen])
+    corpus = gen + list(_GQ_DOCS)
+    want = {i: _brute_gopher(t) for i, t in corpus}
+    got = {r.doc_id: (r.n_words, r.total_chars, r.n_alpha, r.n_stop,
+                      r.n_sym, r.ok_nwords, r.ok_wordlen, r.ok_alpha,
+                      r.ok_sym, r.ok_stop, r.passes)
+           for r in STAGED_QUERIES["doc_gopher_quality"](
+               spark, sf).collect()}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# shard_compaction_plan vs brute force
+# ---------------------------------------------------------------------------
+
+compact_rows = st.lists(
+    st.tuples(st.integers(0, 1),                       # source pick
+              st.integers(0, 2 * COMPACT_TARGET)),     # byte size
+    min_size=1, max_size=12)
+
+
+def _brute_compaction(rows):
+    files = {}
+    by_src = {}
+    for i, src, n in sorted(rows):
+        by_src.setdefault(src, []).append((i, n))
+    for src, docs in by_src.items():
+        cum = 0
+        for i, n in docs:             # already doc_id-sorted
+            fid = cum // COMPACT_TARGET
+            cum += n
+            k = (src, fid)
+            nd, tb, fd, ld = files.get(k, (0, 0, i, i))
+            files[k] = (nd + 1, tb + n, min(fd, i), max(ld, i))
+    return files
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=compact_rows)
+def test_compaction_matches_brute_force(spark, tmp_path_factory, rows):
+    gen = [(i, f"s{pick}", n) for i, (pick, n) in enumerate(rows)]
+    sf = _write_docs(spark, tmp_path_factory, "compact",
+                     [(i, "t", src, n) for i, src, n in gen])
+    want = _brute_compaction(gen + list(_COMPACT_ROWS))
+    got = {(r.source, r.file_id): (r.n_docs, r.total_bytes,
+                                   r.first_doc, r.last_doc)
+           for r in STAGED_QUERIES["shard_compaction_plan"](
+               spark, sf).collect()}
+    assert got == want
