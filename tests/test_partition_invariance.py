@@ -70,6 +70,17 @@ CASES = [
     "doc_paragraph_dedup",
     "shard_compaction_plan",
     "embedding_jl_projection",
+    # round-4 staged batch 4: sketch cells summed across arbitrary
+    # partition splits then min-probed (cms), in-row pair/median fold
+    # after a collect_list whose order sort_array hides (theilsen),
+    # broadcast-argmin code assignment + decimal ADC re-sum (pq),
+    # conditional window-sums riding rank exchanges (margin), rank
+    # windows + DECIMAL(38,0) Gini moments (skew report)
+    "events_heavy_hitters_cms",
+    "sensor_theilsen_trend",
+    "embedding_pq_adc",
+    "embedding_margin_align",
+    "events_key_skew_report",
 ]
 
 
