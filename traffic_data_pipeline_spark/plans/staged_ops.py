@@ -2228,7 +2228,7 @@ def q_events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         est.select("user_id", "est", "exact",
                    (F.col("est") - F.col("exact")).alias("overcount"))
-        .orderBy(F.col("est").desc(), "user_id")
+        .orderBy(F.col("est").desc(), F.asc_nulls_last("user_id"))
         .limit(CMS_TOP)
     )
 
@@ -2647,8 +2647,14 @@ def q_events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     kc = ev.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("c"))
-    wi = Window.partitionBy("event_type").orderBy("c", "user_id")
-    wd = Window.partitionBy("event_type").orderBy(F.col("c").desc(), "user_id")
+    # asc_nulls_last on the key tiebreaks: Spark defaults ASC to
+    # NULLS FIRST where DuckDB defaults to NULLS LAST — a NULL key tying
+    # at a rank boundary would otherwise diverge the engines (the
+    # fixture has no NULL keys; the guard is the dirty-data contract)
+    wi = Window.partitionBy("event_type").orderBy(
+        "c", F.asc_nulls_last("user_id"))
+    wd = Window.partitionBy("event_type").orderBy(
+        F.col("c").desc(), F.asc_nulls_last("user_id"))
     ranked = kc.select(
         "event_type", "user_id", "c",
         F.row_number().over(wi).alias("i"),
