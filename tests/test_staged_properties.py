@@ -433,3 +433,127 @@ def test_skew_report_matches_brute_force(spark, tmp_path_factory, counts):
     assert abs(r.max_share - max_c / n_rows) <= 5.1e-7
     assert 0 <= r.gini < 1
     assert r.salt_factor >= 1
+
+
+# ---------------------------------------------------------------------------
+# batch 4: embedding-backed staged ops vs brute force on generated corpora
+# ---------------------------------------------------------------------------
+
+import math
+
+from traffic_data_pipeline_spark.plans.staged_ops import (
+    ALIGN_K,
+    ALIGN_LAB_A,
+    ALIGN_LAB_B,
+    PQ_DSUB,
+    PQ_K,
+    PQ_M,
+    PQ_QUERY_ID,
+    PQ_TOP,
+)
+
+EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+EMB_DIM = PQ_M * PQ_DSUB
+
+
+def _write_embeddings(spark, tmp_path_factory, label, rows):
+    """rows: [(vec_id, [float]*64, label)] -> tmp sf dir."""
+    sf = str(tmp_path_factory.mktemp(label))
+    spark.createDataFrame(rows, EMB_SCHEMA).coalesce(1).write.mode(
+        "overwrite").parquet(f"{sf}/embeddings.parquet")
+    return sf
+
+
+# small-integer coordinates: every distance/dot below is an exact int in
+# double, so the Python brute force is bit-identical, not approximate
+pq_vectors = st.lists(
+    st.lists(st.integers(min_value=-8, max_value=8),
+             min_size=EMB_DIM, max_size=EMB_DIM),
+    min_size=PQ_K + 2, max_size=PQ_K + 14)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vecs=pq_vectors)
+def test_pq_adc_matches_brute_force(spark, tmp_path_factory, vecs):
+    """Exact-integer corpora make the whole PQ pipeline (code argmin
+    with cid tiebreak, ADC table sum, exact distances, the (adc, id)
+    top-k cut) reproducible in plain Python bit-for-bit — including
+    corpora where many vectors share all 8 codes and tie exactly."""
+    sf = _write_embeddings(
+        spark, tmp_path_factory, "pq",
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)])
+
+    def sub(v, m):
+        return v[m * PQ_DSUB:(m + 1) * PQ_DSUB]
+
+    def d2(a, b):
+        return float(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    codes = {}
+    for i, v in enumerate(vecs):
+        for m in range(PQ_M):
+            codes[(i, m)] = min(
+                range(PQ_K), key=lambda c: (d2(sub(v, m), sub(vecs[c], m)), c))
+    q = vecs[PQ_QUERY_ID]
+    qd2 = {(m, c): d2(sub(q, m), sub(vecs[c], m))
+           for m in range(PQ_M) for c in range(PQ_K)}
+    scored = []
+    for i, v in enumerate(vecs):
+        if i == PQ_QUERY_ID:
+            continue
+        adc = float(sum(qd2[(m, codes[(i, m)])] for m in range(PQ_M)))
+        scored.append((adc, i, d2(v, q)))
+    expect = [(i, a, e) for a, i, e in sorted(scored)[:PQ_TOP]]
+
+    got = STAGED_QUERIES["embedding_pq_adc"](spark, sf).collect()
+    assert [(r.vec_id, r.adc_d2, r.exact_d2) for r in got] == expect
+
+
+align_vectors = st.lists(
+    st.tuples(
+        st.lists(st.integers(min_value=-8, max_value=8),
+                 min_size=EMB_DIM, max_size=EMB_DIM).filter(
+                     lambda v: any(v)),
+        st.sampled_from([ALIGN_LAB_A, ALIGN_LAB_B])),
+    min_size=2, max_size=24).filter(
+        lambda rows: sum(1 for _, l in rows if l == ALIGN_LAB_A) >= 1
+        and sum(1 for _, l in rows if l == ALIGN_LAB_B) >= 1)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=align_vectors)
+def test_margin_align_matches_brute_force(spark, tmp_path_factory, rows):
+    """The mutual-NN pair SET must match plain Python exactly (cosines
+    of integer vectors are identical doubles in both, so argmax ties
+    resolve identically via the id tiebreak); margins compare to the
+    un-quantized Python value within the DECIMAL(30,12) cast slack."""
+    sf = _write_embeddings(
+        spark, tmp_path_factory, "al",
+        [(i, [float(x) for x in v], l) for i, (v, l) in enumerate(rows)])
+    A = [(i, v) for i, (v, l) in enumerate(rows) if l == ALIGN_LAB_A]
+    B = [(i, v) for i, (v, l) in enumerate(rows) if l == ALIGN_LAB_B]
+
+    def cos(u, v):
+        dot = float(sum(x * y for x, y in zip(u, v)))
+        return dot / (math.sqrt(float(sum(x * x for x in u)))
+                      * math.sqrt(float(sum(y * y for y in v))))
+
+    c = {(a, b): cos(va, vb) for a, va in A for b, vb in B}
+    fwd = {a: sorted(((c[(a, b)], b) for b, _ in B),
+                     key=lambda t: (-t[0], t[1])) for a, _ in A}
+    bwd = {b: sorted(((c[(a, b)], a) for a, _ in A),
+                     key=lambda t: (-t[0], t[1])) for b, _ in B}
+    expect = {}
+    for a, _ in A:
+        b = fwd[a][0][1]
+        if bwd[b][0][1] == a:
+            ka = sum(x for x, _ in fwd[a][:ALIGN_K]) / ALIGN_K
+            kb = sum(x for x, _ in bwd[b][:ALIGN_K]) / ALIGN_K
+            expect[(a, b)] = c[(a, b)] / ((ka + kb) / 2)
+
+    got = STAGED_QUERIES["embedding_margin_align"](spark, sf).collect()
+    assert {(r.a_id, r.b_id) for r in got} == set(expect)
+    for r in got:
+        assert abs(r.margin - expect[(r.a_id, r.b_id)]) < 1e-5
