@@ -610,3 +610,91 @@ def test_margin_align_is_mutual_and_scores_sanely(spark, sf_dir_oracle):
     for r in got:
         assert -1.000001 <= r.cosine <= 1.000001
         assert r.margin > 0
+
+
+@pytest.mark.parametrize(
+    "name", ["events_heavy_hitters_cms", "sensor_theilsen_trend",
+             "events_key_skew_report"])
+def test_staged_dirty_events_parity(spark, tmp_path_factory, sf_dir_oracle,
+                                    name):
+    """NULL ts / NULL value / NULL user_id rows must not diverge the
+    engines: a NULL reading date would ride into theilsen's in-row
+    point array (the oracle's pair join silently drops it), a NULL key
+    exercises the asc_nulls_last rank guards in the skew report, and
+    the CMS probe must drop the NULL key identically on both sides."""
+    import os
+
+    import duckdb as _duck
+
+    from traffic_data_pipeline_spark.sources.tables import TABLES
+
+    out = tmp_path_factory.mktemp("dirty_events")
+    con = _duck.connect()
+    con.execute(f"""
+        COPY (
+          SELECT * FROM read_parquet('{sf_dir_oracle}/events.parquet')
+          WHERE event_id < 3000
+          UNION ALL
+          SELECT * FROM (VALUES
+            (990001, NULL, CAST(7 AS BIGINT), 'click', 5.0, '{{}}'),
+            (990002, TIMESTAMP '2024-01-02 00:00:00', 7, 'click',
+             NULL, '{{}}'),
+            (990003, TIMESTAMP '2024-01-03 00:00:00', NULL, 'click',
+             6.0, '{{}}'),
+            (990004, TIMESTAMP '2024-01-04 00:00:00', NULL, 'click',
+             6.0, '{{}}'),
+            (990005, TIMESTAMP '2024-01-05 00:00:00', 7, 'error',
+             6.0, '{{}}'))
+            v(event_id, ts, user_id, event_type, value, props)
+        ) TO '{out}/events.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    for t in TABLES:
+        dst = out / f"{t}.parquet"
+        if not dst.exists():
+            os.symlink(f"{sf_dir_oracle}/{t}.parquet", dst)
+    assert_matches_oracle(
+        STAGED_QUERIES[name](spark, str(out)),
+        STAGED_ORACLES[name], str(out))
+
+
+@pytest.mark.parametrize(
+    "name", ["embedding_pq_adc", "embedding_margin_align"])
+def test_staged_dirty_embeddings_parity(spark, tmp_path_factory,
+                                        sf_dir_oracle, name):
+    """NULL / empty / all-zero embedding rows must not diverge the
+    engines: the oracle's explode-based CTEs silently drop NULL/empty
+    arrays while Spark's array-column path keeps the row, and a
+    zero-norm vector would push NaN cosines into the rank windows —
+    the symmetric guards must hold on a corpus that plants all three."""
+    import os
+
+    import duckdb as _duck
+
+    from traffic_data_pipeline_spark.sources.tables import TABLES
+
+    out = tmp_path_factory.mktemp("dirty_emb")
+    con = _duck.connect()
+    con.execute(f"""
+        COPY (
+          SELECT * FROM read_parquet('{sf_dir_oracle}/embeddings.parquet')
+          WHERE vec_id < 120
+          UNION ALL
+          SELECT * FROM (VALUES
+            (990001, NULL, 0),
+            (990002, CAST([] AS FLOAT[]), 1),
+            (990003, CAST(list_transform(range(64), x -> 0.0)
+                          AS FLOAT[]), 0),
+            (990004, CAST(list_transform(range(64), x -> 0.0)
+                          AS FLOAT[]), 1))
+            v(vec_id, embedding, label)
+        ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    for t in TABLES:
+        dst = out / f"{t}.parquet"
+        if not dst.exists():
+            os.symlink(f"{sf_dir_oracle}/{t}.parquet", dst)
+    assert_matches_oracle(
+        STAGED_QUERIES[name](spark, str(out)),
+        STAGED_ORACLES[name], str(out))

@@ -2244,7 +2244,9 @@ daily AS (
   SELECT sensor,
          CAST(date_diff('day', DATE '1995-01-01', reading_date) AS BIGINT) AS x,
          CAST(SUM(volume) AS BIGINT) AS y
-  FROM readings WHERE volume IS NOT NULL
+  FROM readings
+  WHERE volume IS NOT NULL AND reading_date IS NOT NULL
+        AND sensor IS NOT NULL
   GROUP BY sensor, reading_date),
 days AS (SELECT sensor, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY 1),
 pairs AS (
@@ -2295,7 +2297,14 @@ def q_sensor_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     daily = (
         sensor_readings(spark, sf_dir)
-        .filter(F.col("volume").isNotNull())
+        # reading_date non-null alongside volume: a NULL date would ride
+        # into the in-row point array as a NULL x (NULL slopes the
+        # oracle's a.x < b.x pair join silently excludes); NULL sensor
+        # excluded too — groupBy groups NULL keys where the oracle's
+        # equi self-join drops them (a NULL detector id is not a series)
+        .filter(F.col("volume").isNotNull()
+                & F.col("reading_date").isNotNull()
+                & F.col("sensor").isNotNull())
         .groupBy("sensor", "reading_date")
         .agg(F.sum("volume").cast("bigint").alias("y"))
         .select(
@@ -2487,6 +2496,7 @@ pairs AS (
     ON lb.vec_id = eb.vec_id
   JOIN norms na ON na.vec_id = ea.vec_id
   JOIN norms nb ON nb.vec_id = eb.vec_id
+  WHERE na.norm_sq > 0 AND nb.norm_sq > 0
   GROUP BY ea.vec_id, eb.vec_id, na.norm_sq, nb.norm_sq),
 fwd AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
@@ -2543,9 +2553,15 @@ def q_embedding_margin_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a, b, cosine) tuples.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.filter(F.col("label") == ALIGN_LAB_A).select(
+    # NULL/empty/zero-norm vectors are excluded on BOTH sides: the
+    # oracle's explode-based pair CTE silently drops NULL/empty arrays,
+    # and a zero norm would put an engine-dependent NaN into the rank
+    # windows — the explicit symmetric guard is the dirty-data contract
+    clean = emb.filter(F.size("embedding") > 0).filter(
+        norm_sq(F.col("embedding")) > 0)
+    a = clean.filter(F.col("label") == ALIGN_LAB_A).select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
-    b = emb.filter(F.col("label") == ALIGN_LAB_B).select(
+    b = clean.filter(F.col("label") == ALIGN_LAB_B).select(
         F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
     pairs = (
         a.crossJoin(F.broadcast(b))
