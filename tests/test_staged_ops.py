@@ -698,3 +698,41 @@ def test_staged_dirty_embeddings_parity(spark, tmp_path_factory,
     assert_matches_oracle(
         STAGED_QUERIES[name](spark, str(out)),
         STAGED_ORACLES[name], str(out))
+
+
+def test_margin_align_zero_normalizer_parity(spark, tmp_path_factory):
+    """The review counterexample: one orthogonal mutual-NN pair makes
+    the k-NN normalizer exactly 0 — both engines must emit the pair
+    with margin NULL (NULLIF twins), not NaN/inf or an ANSI error."""
+    import os
+
+    import duckdb as _duck
+
+    from traffic_data_pipeline_spark.sources.tables import TABLES
+
+    out = tmp_path_factory.mktemp("zero_norm")
+    con = _duck.connect()
+    con.execute(f"""
+        COPY (
+          SELECT * FROM (VALUES
+            (0, CAST(list_transform(range(64),
+                     x -> CASE WHEN x = 0 THEN 1.0 ELSE 0.0 END)
+                 AS FLOAT[]), 0),
+            (1, CAST(list_transform(range(64),
+                     x -> CASE WHEN x = 1 THEN 1.0 ELSE 0.0 END)
+                 AS FLOAT[]), 1))
+            v(vec_id, embedding, label)
+        ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    for t in TABLES:
+        dst = out / f"{t}.parquet"
+        if not dst.exists():
+            os.symlink(f"/root/testdata/sf0.01/{t}.parquet", dst)
+    assert_matches_oracle(
+        STAGED_QUERIES["embedding_margin_align"](spark, str(out)),
+        STAGED_ORACLES["embedding_margin_align"], str(out))
+    rows = STAGED_QUERIES["embedding_margin_align"](
+        spark, str(out)).collect()
+    assert [(r.a_id, r.b_id, r.cosine, r.margin) for r in rows] == [
+        (0, 1, 0.0, None)]

@@ -2467,10 +2467,13 @@ def q_embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         adc.join(exact, "vec_id")
         .filter(F.col("vec_id") != PQ_QUERY_ID)
-        .select("vec_id", F.round("adc_d2", 6).alias("adc_d2"),
-                F.round("exact_d2", 6).alias("exact_d2"))
+        # order on the PRE-round adc total: the oracle's ORDER BY binds
+        # the CTE column, so rounding before the cut would let two
+        # totals that differ only past 1e-6 straddle rank k differently
         .orderBy("adc_d2", "vec_id")
         .limit(PQ_TOP)
+        .select("vec_id", F.round("adc_d2", 6).alias("adc_d2"),
+                F.round("exact_d2", 6).alias("exact_d2"))
     )
 
 
@@ -2515,7 +2518,7 @@ kb AS (
                  / {ALIGN_K} AS knn_b
   FROM bwd WHERE rk <= {ALIGN_K} GROUP BY 1)
 SELECT f.a_id, f.b_id, ROUND(f.cosine, 6) AS cosine,
-       ROUND(f.cosine / ((ka.knn_a + kb.knn_b) / 2), 6) AS margin
+       ROUND(f.cosine / NULLIF((ka.knn_a + kb.knn_b) / 2, 0), 6) AS margin
 FROM fwd f
 JOIN bwd ON bwd.a_id = f.a_id AND bwd.b_id = f.b_id AND bwd.rk = 1
 JOIN ka ON ka.a_id = f.a_id
@@ -2596,8 +2599,12 @@ def q_embedding_margin_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.filter((F.col("rk_f") == 1) & (F.col("rk_b") == 1))
         .select(
             "a_id", "b_id", F.round("cosine", 6).alias("cosine"),
+            # NULLIF twin: an all-orthogonal neighborhood makes the
+            # normalizer exactly 0 — emit NULL in both engines rather
+            # than an engine-dependent NaN/inf (or an ANSI error)
             F.round(F.col("cosine")
-                    / ((F.col("knn_a") + F.col("knn_b")) / 2), 6)
+                    / F.nullif((F.col("knn_a") + F.col("knn_b")) / 2,
+                               F.lit(0.0)), 6)
             .alias("margin"))
     )
 
