@@ -614,7 +614,7 @@ def test_margin_align_is_mutual_and_scores_sanely(spark, sf_dir_oracle):
 
 @pytest.mark.parametrize(
     "name", ["events_heavy_hitters_cms", "sensor_theilsen_trend",
-             "events_key_skew_report"])
+             "events_key_skew_report", "streaming_cms_topk"])
 def test_staged_dirty_events_parity(spark, tmp_path_factory, sf_dir_oracle,
                                     name):
     """NULL ts / NULL value / NULL user_id rows must not diverge the

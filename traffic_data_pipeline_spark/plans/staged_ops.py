@@ -68,6 +68,10 @@ Operator set (training-data pipeline gaps after round 3's sweep):
 - ``events_key_skew_report`` — join/agg skew pre-flight: max key
   share, Gini, hottest key, and a concrete salt-factor
   recommendation per event_type.
+- ``streaming_cms_topk`` — the sketch x streaming intersection: the
+  count-min sketch built BY the windowed streaming aggregate (state =
+  256 cells per open window, key-cardinality-independent), probed for
+  per-window heavy hitters after landing.
 """
 
 from __future__ import annotations
@@ -2156,6 +2160,22 @@ CMS_W = 64           # counters per row -> 256 cells total
 CMS_TOP = 10
 
 
+def _cms_rb(key):
+    """The d x w hash family as an explodable struct array: bucket r of a
+    key is the r-th disjoint 8-hex-char window of md5(key) mod w —
+    bit-identical in Spark and DuckDB (no engine RNG, no libm).  Shared
+    by the batch CMS and its streaming twin so the hash family is
+    defined exactly once."""
+    h = F.md5(key.cast("string"))
+    return F.array(*[
+        F.struct(
+            F.lit(r).alias("r"),
+            (F.conv(F.substring(h, 1 + 8 * r, 8), 16, 10)
+             .cast("bigint") % CMS_W).alias("b"))
+        for r in range(CMS_D)
+    ])
+
+
 @staged("events_heavy_hitters_cms", f"""
 WITH counts AS (
   SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c,
@@ -2202,21 +2222,11 @@ def q_events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch + probe side.
     """
     ev = load_table(spark, sf_dir, "events")
-    h = F.md5(F.col("user_id").cast("string"))
-    counts = (
-        ev.groupBy("user_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .withColumn("h", h)
-    )
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"))
     cells = counts.select(
         "user_id", "c",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(r).alias("r"),
-                (F.conv(F.substring(F.col("h"), 1 + 8 * r, 8), 16, 10)
-                 .cast("bigint") % CMS_W).alias("b"))
-            for r in range(CMS_D)
-        ])).alias("rb"),
+        F.explode(_cms_rb(F.col("user_id"))).alias("rb"),
     ).select("user_id", "c", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
     sketch = cells.groupBy("r", "b").agg(
         F.sum("c").cast("bigint").alias("cell"))
@@ -2702,3 +2712,133 @@ def q_events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(gini_num.cast("double")
                 / (n_keys.cast(big) * n_rows.cast(big)).cast("double"), 6)
         .alias("gini"))
+
+
+# ---------------------------------------------------------------------------
+# streaming_cms_topk — windowed count-min heavy hitters over the stream
+# ---------------------------------------------------------------------------
+
+CMS_WIN_S = 21600    # 6-hour tumbling windows (epoch-aligned, both engines)
+CMS_STREAM_TOP = 5
+
+
+@staged("streaming_cms_topk", f"""
+WITH ev AS (
+  SELECT TIMESTAMP '1970-01-01 00:00:00'
+           + to_seconds(FLOOR(epoch(ts) / {CMS_WIN_S}) * {CMS_WIN_S}) AS w,
+         user_id
+  FROM events WHERE ts IS NOT NULL),
+counts AS (
+  SELECT w, user_id, CAST(COUNT(*) AS BIGINT) AS c,
+         md5(CAST(user_id AS VARCHAR)) AS h
+  FROM ev GROUP BY 1, 2),
+cells AS (
+  SELECT counts.*, r.r,
+         CAST('0x' || substr(h, 1 + 8 * r.r, 8) AS BIGINT) % {CMS_W} AS b
+  FROM counts, (SELECT unnest(generate_series(0, {CMS_D - 1})) AS r) r),
+sketch AS (
+  SELECT w, r, b, CAST(SUM(c) AS BIGINT) AS cell
+  FROM cells GROUP BY 1, 2, 3),
+est AS (
+  SELECT cl.w, cl.user_id, MIN(s.cell) AS est, MAX(cl.c) AS exact
+  FROM cells cl
+  JOIN sketch s ON s.w = cl.w AND s.r = cl.r AND s.b = cl.b
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY w
+                               ORDER BY est DESC, user_id) AS rk
+  FROM est)
+SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS w_start, user_id, est, exact,
+       est - exact AS overcount, CAST(rk AS INTEGER) AS rank
+FROM ranked WHERE rk <= {CMS_STREAM_TOP}
+""")
+def q_streaming_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch x streaming intersection: per 6-hour tumbling window,
+    the count-min sketch is built BY THE STREAM — each event increments
+    its d=4 (row, bucket) cells inside the windowed streaming
+    aggregate — and the heavy-hitter probe reads the landed sketch.
+    This is the production telemetry shape: the stream maintains ONLY
+    the fixed 256-cell-per-window sketch (state is windows-in-horizon x
+    256, independent of key cardinality — the whole point vs streaming
+    a per-key count), windows finalize under the watermark, and any
+    consumer probes the landed cells for any key set later.
+
+    The hash family is _cms_rb — the SAME function the batch CMS uses,
+    so the streaming sketch is cell-for-cell the batch sketch
+    (streaming==batch is the oracle gate, like every streaming query
+    here).  Tumbling windows are epoch-aligned in both engines
+    (floor(epoch/21600) in the oracle).  Event-time-less rows are
+    excluded explicitly on both sides: a NULL ts cannot be windowed by
+    a watermark, and the batch twin must agree.  Probe-side selection
+    per window is totally ordered (est DESC, user_id NULLS LAST — the
+    asc_nulls_last guard again).
+
+    Scale shape: the streaming aggregate map-side-combines per
+    micro-batch before touching state (the CMS merge property the batch
+    twin pins brute-force); the probe is one batch key-count aggregate
+    plus a broadcast of the landed sketch (windows x 256 rows) and a
+    per-window rank.  Restart recovery is the plain windowed-count
+    state machinery streaming_15min_agg already restart-tests.
+    """
+    from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
+    from traffic_data_pipeline_spark.plans.analysis_ops import (
+        FLUSH_USER,
+        _session_events_dir,
+    )
+    from traffic_data_pipeline_spark.plans.queries import (
+        fmt_ts,
+        run_available_now,
+    )
+
+    src = _session_events_dir(spark, sf_dir)
+    sink = scratch_dir(prefix="tdp_cms_sink_")
+    ckpt = scratch_dir(prefix="tdp_cms_ckpt_")
+    stream = (
+        spark.readStream
+        .schema("user_id long, ts timestamp, value double")
+        .parquet(src)
+    )
+    win = F.window("ts", f"{CMS_WIN_S} seconds")
+    cells = (
+        stream.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", "1 hour")
+        .select("ts", F.explode(_cms_rb(F.col("user_id"))).alias("rb"))
+        .groupBy(win.alias("win"), F.col("rb.r").alias("r"),
+                 F.col("rb.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cell"))
+    )
+    # state: one row per (window, cell) — 256 per open window
+    run_available_now(spark, "streaming_cms_topk",
+                      agg=cells, sink=sink, ckpt=ckpt)
+    sketch = (
+        spark.read.parquet(sink)
+        .select(F.col("win.start").alias("w"), "r", "b", "cell")
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    counts = (
+        ev.select(F.window("ts", f"{CMS_WIN_S} seconds")
+                  .getField("start").alias("w"), "user_id")
+        .groupBy("w", "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    probe = counts.select(
+        "w", "user_id", "c",
+        F.explode(_cms_rb(F.col("user_id"))).alias("rb"),
+    ).select("w", "user_id", "c",
+             F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    est = (
+        probe.join(F.broadcast(sketch), ["w", "r", "b"])
+        .groupBy("w", "user_id")
+        .agg(F.min("cell").alias("est"), F.max("c").alias("exact"))
+    )
+    wrk = Window.partitionBy("w").orderBy(
+        F.col("est").desc(), F.asc_nulls_last("user_id"))
+    return (
+        est.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") <= CMS_STREAM_TOP)
+        .select(fmt_ts(F.col("w")).alias("w_start"), "user_id",
+                "est", "exact",
+                (F.col("est") - F.col("exact")).alias("overcount"),
+                F.col("rk").cast("int").alias("rank"))
+    )
