@@ -1,17 +1,22 @@
 #!/usr/bin/env python3
 """Timing probe for the round-5 staging area: run every STAGED query at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) with bench.py's
-warmup + noop-sink + cache-release discipline and write
-BENCH_STAGED_r04.json.
+warmup + prewarm + noop-sink + cache-release discipline and write a
+round-stamped BENCH_STAGED_r0N.json.
 
 Purpose: quantify what promotion will add to the registered bench
-(s/query trend the driver tracks) and pick which staged names join
+(the s/query trend the driver tracks) and pick which staged names join
 __spark_entry__._COSTLY_TAIL at promotion time — the same cost-aware
-rotation the round-3 backlog drain used.
+rotation the round-3 backlog drain used.  The prewarm matters for that
+judgment: split_cluster_assign reads the session LSH pair stream the
+registered dedup family shares, so WITHOUT the shared-artifact prewarm
+its standalone number charges it the whole family's build (9.96 s raw
+vs its incremental cost here).
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
@@ -28,13 +33,25 @@ def main() -> None:
     spark = get_spark("tdp-bench-staged")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # bench.py's warmup: fixture footers, one full flagship query for
+    # JVM/codegen, the pooled Python workers, and the shared session
+    # artifacts staged consumers read (LSH pair stream for
+    # split_cluster_assign; events landing zone for streaming_cms_topk)
+    from traffic_data_pipeline_spark.plans.queries import QUERIES
     from traffic_data_pipeline_spark.sources.tables import TABLES, load_table
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
-    # streaming landing zone used by streaming_cms_topk (ingest-side setup)
+    QUERIES["sensor_15min_agg"](spark, sf_dir).write.format(
+        "noop").mode("overwrite").save()
     from traffic_data_pipeline_spark.plans.analysis_ops import (
         _session_events_dir,
     )
+    from traffic_data_pipeline_spark.plans.extensions import (
+        doc_band_index,
+        doc_lsh_pairs,
+    )
+    doc_band_index(spark, sf_dir).count()
+    doc_lsh_pairs(spark, sf_dir).count()
     _session_events_dir(spark, sf_dir)
 
     from traffic_data_pipeline_spark.functions.execution import release
@@ -56,8 +73,18 @@ def main() -> None:
     }
     print(json.dumps(out))
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_STAGED_r04.json"), "w") as fh:
-        json.dump(out, fh, indent=1)
+    # round stamp: highest driver-recorded BENCH_r*.json + 1, the
+    # bench.py rule, so a round-5 rerun cannot overwrite this record
+    rounds = [int(g.group(1))
+              for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+              if (g := re.search(r"BENCH_r(\d+)\.json$", p))]
+    stamp = f"_r{max(rounds, default=0) + 1:02d}"
+    try:
+        with open(os.path.join(here, f"BENCH_STAGED{stamp}.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line above still carries it
 
 
 if __name__ == "__main__":

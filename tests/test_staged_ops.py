@@ -112,6 +112,13 @@ STAGED_CAPS = {
     "events_key_skew_report": (2, 0),    # (type, key) agg + shared
                                          # (type) window exchange; report
                                          # is #types rows
+    "streaming_cms_topk": (3, 1),        # PROBE plan (the stream runs at
+                                         # build time): key-count agg +
+                                         # est agg + rank window; landed
+                                         # sketch ALWAYS broadcast
+                                         # (windows x 256 rows); measured
+                                         # (2, 1) — cap leaves room for a
+                                         # non-riding rank exchange
 }
 
 

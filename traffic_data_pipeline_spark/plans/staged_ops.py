@@ -2785,7 +2785,6 @@ def q_streaming_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
     from traffic_data_pipeline_spark.plans.analysis_ops import (
-        FLUSH_USER,
         _session_events_dir,
     )
     from traffic_data_pipeline_spark.plans.queries import (
