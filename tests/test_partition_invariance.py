@@ -81,6 +81,9 @@ CASES = [
     "embedding_pq_adc",
     "embedding_margin_align",
     "events_key_skew_report",
+    # full-outer snapshot compare: classification must not depend on
+    # which side of the join a partition built
+    "corpus_snapshot_diff",
 ]
 
 

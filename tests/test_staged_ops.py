@@ -119,6 +119,11 @@ STAGED_CAPS = {
                                          # (windows x 256 rows); measured
                                          # (2, 1) — cap leaves room for a
                                          # non-riding rank exchange
+    "corpus_snapshot_diff": (3, 0),      # one co-keyed FULL OUTER join
+                                         # (never broadcastable) + one
+                                         # map-side-combined group count;
+                                         # pre-bucketed snapshots make it
+                                         # shuffle-free at scale
 }
 
 
@@ -228,7 +233,8 @@ def test_pca_step_is_gram_action(spark, sf_dir_oracle):
              "bpe_merge_step", "doc_dsir_importance",
              "doc_winnowing_fingerprint", "doc_ngram_novelty",
              "lang_temperature_weights", "doc_paragraph_dedup",
-             "doc_c4_line_filter", "doc_gopher_quality"])
+             "doc_c4_line_filter", "doc_gopher_quality",
+             "corpus_snapshot_diff"])
 def test_staged_dirty_text_parity(spark, tmp_path_factory, sf_dir_oracle, name):
     """NULL and empty text rows must not diverge the engines — Spark
     sorts NULL keys first while DuckDB sorts them last (the SNM guard),

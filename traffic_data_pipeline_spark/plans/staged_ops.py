@@ -72,6 +72,9 @@ Operator set (training-data pipeline gaps after round 3's sweep):
   count-min sketch built BY the windowed streaming aggregate (state =
   256 cells per open window, key-cardinality-independent), probed for
   per-window heavy hitters after landing.
+- ``corpus_snapshot_diff`` — dataset-versioning diff between two
+  corpus snapshots (added/removed/changed/steady per source), the
+  documents-table face of the reference's SCD-2 config diff.
 """
 
 from __future__ import annotations
@@ -2844,3 +2847,90 @@ def q_streaming_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("est") - F.col("exact")).alias("overcount"),
                 F.col("rk").cast("int").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_snapshot_diff — dataset versioning: what changed since last crawl
+# ---------------------------------------------------------------------------
+
+# deterministic stand-ins for two corpus versions read from one fixture:
+# "old" = every doc except the 1-in-7 residue (yesterday's crawl missed
+# them); "new" = every doc, with every 1-in-11 doc's text edited (the
+# re-crawl changed them). Residues are coprime so the add/change/steady
+# classes all materialize, including their overlap.
+SNAP_ADD_MOD = 7
+SNAP_EDIT_MOD = 11
+
+
+@staged("corpus_snapshot_diff", f"""
+WITH old AS (
+  SELECT doc_id, source, md5(text) AS content_key
+  FROM documents WHERE doc_id % {SNAP_ADD_MOD} != 0),
+new AS (
+  SELECT doc_id, source,
+         md5(CASE WHEN doc_id % {SNAP_EDIT_MOD} = 0
+                  THEN text || ' [recrawled]' ELSE text END) AS content_key
+  FROM documents),
+diff AS (
+  SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+         COALESCE(n.source, o.source) AS source,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN n.content_key != o.content_key THEN 'changed'
+              ELSE 'steady' END AS change
+  FROM old o FULL OUTER JOIN new n ON n.doc_id = o.doc_id)
+SELECT source, change, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM diff GROUP BY 1, 2
+""")
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff between two corpus snapshots — the
+    "what changed since the last crawl" report every periodically
+    refreshed training corpus needs before deciding what to re-process:
+    added / removed / changed (same doc_id, different content hash) /
+    steady, per source.  This is the documents-table face of the SCD-2
+    snapshot diff the reference runs nightly over detector config
+    (ref R/_pull_data.R:153-199): same keyed full-outer compare, content
+    equality by hash instead of per-attribute unpivot.
+
+    The two versions are deterministic projections of the one fixture
+    (coprime residues plant all four classes, including docs that are
+    BOTH newly-seen and edited — classified 'added', the dominant key
+    rule).  A production run points the two scans at yesterday's and
+    today's partitions; the diff plan is identical.
+
+    Determinism: classification is md5 equality and NULL-side checks —
+    no floats, no ordering anywhere; the report is a straight
+    (source, class) count with min/max doc_id witnesses.
+
+    Scale shape: two narrow hashed projections of the same scan, ONE
+    co-keyed full-outer join on doc_id (both sides hash-partition the
+    same way; at 100 TB the two snapshot scans arrive pre-bucketed by
+    doc_id from the writer and the join is shuffle-free), one
+    map-side-combined group-count.  Content hashing pushes into the
+    scan; nothing is corpus-wide state.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % SNAP_ADD_MOD != 0).select(
+        F.col("doc_id").alias("o_id"), F.col("source").alias("o_src"),
+        F.md5("text").alias("o_key"))
+    new = docs.select(
+        F.col("doc_id").alias("n_id"), F.col("source").alias("n_src"),
+        F.md5(F.when(F.col("doc_id") % SNAP_EDIT_MOD == 0,
+                     F.concat(F.col("text"), F.lit(" [recrawled]")))
+              .otherwise(F.col("text"))).alias("n_key"))
+    diff = (
+        old.join(new, F.col("n_id") == F.col("o_id"), "full_outer")
+        .select(
+            F.coalesce("n_id", "o_id").alias("doc_id"),
+            F.coalesce("n_src", "o_src").alias("source"),
+            F.when(F.col("o_id").isNull(), F.lit("added"))
+            .when(F.col("n_id").isNull(), F.lit("removed"))
+            .when(F.col("n_key") != F.col("o_key"), F.lit("changed"))
+            .otherwise(F.lit("steady")).alias("change"))
+    )
+    return diff.groupBy("source", "change").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"))
