@@ -73,6 +73,49 @@ def build_corpus(mult: int) -> str:
     return out
 
 
+def build_emb_corpus(mult: int) -> str:
+    """2x/4x embedding corpora by deterministic pseudo-noise synthesis
+    (independent vectors, same value range and width — NOT duplication,
+    which would plant exact-duplicate mutual-NN twins and fake the
+    margin family's growth). Labels keep the 10-way split so the
+    bipartite A/B populations scale with the corpus."""
+    out = f"/tmp/scale_emb_x{mult}"
+    os.makedirs(out, exist_ok=True)
+    reps = ",".join(str(k) for k in range(1, mult))
+    con = duckdb.connect()
+    con.execute(f"""
+      COPY (
+        SELECT vec_id, embedding, label
+        FROM read_parquet('{SRC}/embeddings.parquet')
+        UNION ALL
+        SELECT e.vec_id + k.k * 1000000 AS vec_id,
+               CAST(list_transform(range(len(e.embedding)),
+                 i -> ((CAST(hash(e.vec_id * 8191 + i * 131071 + k.k)
+                             % 2001 AS DOUBLE)) - 1000.0) / 1000.0)
+                 AS FLOAT[]) AS embedding,
+               CAST((e.label + k.k) % 10 AS INTEGER) AS label
+        FROM read_parquet('{SRC}/embeddings.parquet') e,
+             (SELECT unnest([{reps}]) AS k) k
+      ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents"]:
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SRC}/{t}.parquet", dst)
+    return out
+
+
+EMB_NAMES = [
+    "embedding_knn",            # registered brute-force top-k (N per query)
+    "embedding_pq_adc",         # staged: code assignment ~N, probe ~N
+    "embedding_margin_align",   # staged: bipartite brute force ~N^2 BY
+                                # DESIGN at fixture scale (the documented
+                                # 100 TB path swaps in ANN candidates)
+]
+
+
 def main() -> None:
     from traffic_data_pipeline_spark.functions.execution import release
     from traffic_data_pipeline_spark.plans.queries import QUERIES
@@ -95,7 +138,20 @@ def main() -> None:
             release()
         pairs[label] = QUERIES["dedup_minhash_lsh"](spark, sf_dir).count()
         release()
-    print(json.dumps({"timings_s": results, "lsh_pairs": pairs}, indent=1))
+    emb_dirs = [(SRC, "x1"), (build_emb_corpus(2), "x2"),
+                (build_emb_corpus(4), "x4")]
+    emb_results: dict[str, dict[str, float]] = {}
+    for sf_dir, label in emb_dirs:
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()  # warm
+        for name in EMB_NAMES:
+            fn = QUERIES.get(name) or STAGED_QUERIES[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            emb_results.setdefault(name, {})[label] = round(
+                time.perf_counter() - t0, 2)
+            release()
+    print(json.dumps({"timings_s": results, "lsh_pairs": pairs,
+                      "emb_timings_s": emb_results}, indent=1))
 
 
 if __name__ == "__main__":
