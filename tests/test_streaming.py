@@ -549,3 +549,60 @@ def test_stream_static_enrich_state_survives_restart(spark, tmp_path):
     rows = [(r.corridor, str(r.w_start), r.v_sum)
             for r in spark.read.parquet(sink).collect()]
     assert rows == [("corrA", "2024-01-01 10:00:00", 3)]
+
+
+def test_cms_sketch_state_survives_restart(spark, tmp_path):
+    """Windowed CMS state recovery (the staged streaming_cms_topk
+    machinery): cell counts for a window whose events straddle a
+    stop/start boundary must accumulate across BOTH runs — a restarted
+    sketch that forgot run-1's increments would undercount exactly the
+    keys a heavy-hitter probe cares about. Run 1 delivers two events for
+    user 7 in window W and no watermark advance; run 2 delivers one more
+    plus a far-future flush. Every W cell must read 3 (one increment per
+    event in each of the 4 rows), not 1."""
+    import pyspark.sql.functions as F
+
+    from traffic_data_pipeline_spark.plans.staged_ops import (
+        CMS_D,
+        CMS_WIN_S,
+        _cms_rb,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp, value double"
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            rows, "user_id long, ts string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp")) \
+         .coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        cells = (
+            stream.filter(F.col("ts").isNotNull())
+            .withWatermark("ts", "1 hour")
+            .select("ts", F.explode(_cms_rb(F.col("user_id"))).alias("rb"))
+            .groupBy(F.window("ts", f"{CMS_WIN_S} seconds").alias("win"),
+                     F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cell"))
+        )
+        q = (cells.writeStream.outputMode("append").format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(300)
+
+    write_batch([(7, "2024-01-01 10:00:00", 1.0),
+                 (7, "2024-01-01 10:05:00", 1.0)])
+    run_once()          # window open in state; nothing emitted yet
+    write_batch([(7, "2024-01-01 10:10:00", 1.0),
+                 (-1, "2024-03-01 00:00:00", 0.0)])   # flush sentinel
+    run_once()          # watermark passes W; the merged cells land
+    landed = (spark.read.parquet(sink)
+              .filter(F.col("win.start") == "2024-01-01 06:00:00")
+              .collect())
+    assert len(landed) == CMS_D            # user 7: one cell per row
+    assert all(r.cell == 3 for r in landed), [
+        (r.r, r.b, r.cell) for r in landed]
