@@ -59,8 +59,10 @@ def _previously_checked() -> set[str]:
 # LAST: if the driver window is time-bounded this ordering maximizes rows
 # drained per round, and if it is count-bounded the order is neutral.
 # Round 5: promote plans/staged_ops.py (26 oracle-gated operators held
-# back by this freeze) into the registry, then drop the freeze-guard
-# test in tests/test_staged_ops.py and fold STAGED_CAPS into
+# back by this freeze) into the registry — the merge is already wired
+# and rehearsable via SPARK_GRAFT_PROMOTE_STAGED=1 (default off; see
+# _registry below) — then make it unconditional, drop the freeze-guard
+# test in tests/test_staged_ops.py, and fold STAGED_CAPS into
 # tests/test_plan_shapes.py.
 _COSTLY_TAIL = {
     "streaming_sessionize",
@@ -78,20 +80,52 @@ _COSTLY_TAIL = {
 }
 
 
+def _registry() -> tuple[dict, dict]:
+    """The live registry, plus — ONLY when SPARK_GRAFT_PROMOTE_STAGED is
+    set — the round-5 staging area merged in. Default off: the round-4
+    freeze holds (tests/test_staged_ops.py pins it); round 5 flips this
+    to always-on by folding the staged dicts into plans/queries.py.
+    The env gate makes the promotion rehearsable NOW: the staged local
+    gate (`python local_gate.py --include-staged`) and this merge are
+    the same one-line operation."""
+    q, o = dict(QUERIES), dict(ORACLES)
+    if os.environ.get("SPARK_GRAFT_PROMOTE_STAGED"):
+        from traffic_data_pipeline_spark.plans.staged_ops import (
+            STAGED_ORACLES,
+            STAGED_QUERIES,
+        )
+        q.update(STAGED_QUERIES)
+        o.update(STAGED_ORACLES)
+    return q, o
+
+
+# staged names that queue behind the cheap ones at promotion time, by the
+# BENCH_STAGED_r04.json readout (the round-3 costly-tail rule applied to
+# the staging area)
+_STAGED_COSTLY = {
+    "split_cluster_assign",
+    "streaming_cms_topk",
+    "embedding_pq_adc",
+    "embedding_margin_align",
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    live, _ = _registry()
     seen = _previously_checked()
+    costly = _COSTLY_TAIL | _STAGED_COSTLY
     ordered = dict()
-    for name, fn in QUERIES.items():
-        if name not in seen and name not in _COSTLY_TAIL:
+    for name, fn in live.items():
+        if name not in seen and name not in costly:
             ordered[name] = fn
-    for name, fn in QUERIES.items():
-        if name not in seen and name in _COSTLY_TAIL:
+    for name, fn in live.items():
+        if name not in seen and name in costly:
             ordered[name] = fn
-    for name, fn in QUERIES.items():
+    for name, fn in live.items():
         if name in seen:
             ordered[name] = fn
     return ordered
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return _registry()[1]

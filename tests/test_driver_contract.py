@@ -129,3 +129,32 @@ def test_events_ts_instants_are_zone_independent(spark):
         f"SELECT epoch_us(MIN(ts)) FROM '{sf}/events.parquet'"
     ).fetchone()[0]
     assert got == oracle
+
+
+def test_promotion_gate_default_off_and_merges_when_set(monkeypatch):
+    """SPARK_GRAFT_PROMOTE_STAGED rehearses the round-5 promotion: off by
+    default (the freeze guard), and when set the staged names appear in
+    queries()/oracle_sql() with the cost-ordered rotation intact."""
+    import importlib
+
+    import __spark_entry__ as e
+    from traffic_data_pipeline_spark.plans.staged_ops import (
+        STAGED_ORACLES,
+        STAGED_QUERIES,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_PROMOTE_STAGED", raising=False)
+    assert set(STAGED_QUERIES).isdisjoint(e.queries())
+
+    monkeypatch.setenv("SPARK_GRAFT_PROMOTE_STAGED", "1")
+    q, o = e.queries(), e.oracle_sql()
+    assert set(STAGED_QUERIES) <= set(q)
+    assert set(STAGED_ORACLES) <= set(o)
+    # rotation still fronts never-checked names and defers the costly set
+    names = list(q)
+    for costly in e._STAGED_COSTLY:
+        unchecked_cheap = [n for n in names
+                           if n in STAGED_QUERIES
+                           and n not in e._STAGED_COSTLY]
+        if unchecked_cheap:
+            assert names.index(costly) > names.index(unchecked_cheap[0])
