@@ -84,6 +84,9 @@ CASES = [
     # full-outer snapshot compare: classification must not depend on
     # which side of the join a partition built
     "corpus_snapshot_diff",
+    # two-pass distributed cummax: the frontier each row sees must not
+    # depend on how arrival shards land on partitions
+    "events_late_arrival_audit",
 ]
 
 

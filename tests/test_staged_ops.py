@@ -124,6 +124,13 @@ STAGED_CAPS = {
                                          # map-side-combined group count;
                                          # pre-bucketed snapshots make it
                                          # shuffle-free at scale
+    "events_late_arrival_audit": (3, 1), # per-shard running max + the
+                                         # #shards-row prefix (the ONLY
+                                         # unpartitioned window, over the
+                                         # tiny shard frame, broadcast
+                                         # back) + hour agg — two-pass
+                                         # distributed cummax, no global
+                                         # data sort
 }
 
 
@@ -627,7 +634,8 @@ def test_margin_align_is_mutual_and_scores_sanely(spark, sf_dir_oracle):
 
 @pytest.mark.parametrize(
     "name", ["events_heavy_hitters_cms", "sensor_theilsen_trend",
-             "events_key_skew_report", "streaming_cms_topk"])
+             "events_key_skew_report", "streaming_cms_topk",
+             "events_late_arrival_audit"])
 def test_staged_dirty_events_parity(spark, tmp_path_factory, sf_dir_oracle,
                                     name):
     """NULL ts / NULL value / NULL user_id rows must not diverge the

@@ -564,3 +564,65 @@ def test_margin_align_matches_brute_force(spark, tmp_path_factory, rows):
         want = expect[(r.a_id, r.b_id)]
         if want is not None:
             assert abs(r.margin - want) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# events_late_arrival_audit vs brute force (exact watermark boundaries)
+# ---------------------------------------------------------------------------
+
+from traffic_data_pipeline_spark.plans.staged_ops import LATE_DELAYS_S
+
+# per-event time offsets in seconds from a base instant; hypothesis may
+# place events out of time order relative to their event_id (arrival)
+# order, and the +600/+3600 jumps land lateness EXACTLY on both
+# thresholds (strict >: a row exactly at the delay is NOT dropped)
+late_offsets = st.lists(
+    st.sampled_from([0, 1, 30, 599, 600, 601, 3599, 3600, 3601, 7200]),
+    min_size=1, max_size=40)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(offsets=late_offsets)
+def test_late_arrival_audit_matches_brute_force(spark, tmp_path_factory,
+                                                offsets):
+    """The two-pass distributed cummax + threshold flags equal a plain
+    sequential replay — including rows whose lateness is EXACTLY the
+    10-min / 1-h delay (strict >, kept) and one second past (dropped)."""
+    base = datetime(2024, 5, 1)
+    # event i's timestamp sits offsets[i] seconds BEHIND a 30 s/event
+    # clock, so later arrivals with large offsets are genuinely late
+    # against the frontier earlier arrivals advanced
+    rows = [(i, base + timedelta(seconds=30 * i - off), i % 5, "click", 1.0)
+            for i, off in enumerate(offsets)]
+    sf = _write_events(spark, tmp_path_factory, "late", rows)
+
+    # brute force replays the op's synthesized arrival permutation
+    def apos(eid):
+        if eid % 13 == 0:
+            return eid + 50
+        if eid % 7 == 0:
+            return eid + 3
+        return eid
+
+    feed = sorted(((apos(i), i, 30 * i - off)
+                   for i, off in enumerate(offsets)))
+    frontier = None
+    per_hour: dict[str, list[int]] = {}
+    for _, i, sec in feed:
+        frontier = sec if frontier is None else max(frontier, sec)
+        late = frontier - sec
+        hr = (base + timedelta(seconds=sec)).replace(
+            minute=0, second=0, microsecond=0)
+        per_hour.setdefault(hr.strftime("%Y-%m-%d %H:%M:%S"), []).append(late)
+    expect = {
+        h: (len(ls),
+            sum(1 for x in ls if x > LATE_DELAYS_S[0]),
+            sum(1 for x in ls if x > LATE_DELAYS_S[1]),
+            max(ls))
+        for h, ls in per_hour.items()}
+
+    got = {r.hour: (r.n_rows, r.dropped_10m, r.dropped_1h, r.max_lateness_s)
+           for r in STAGED_QUERIES["events_late_arrival_audit"](
+               spark, sf).collect()}
+    assert got == expect

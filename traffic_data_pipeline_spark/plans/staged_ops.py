@@ -75,6 +75,10 @@ Operator set (training-data pipeline gaps after round 3's sweep):
 - ``corpus_snapshot_diff`` — dataset-versioning diff between two
   corpus snapshots (added/removed/changed/steady per source), the
   documents-table face of the reference's SCD-2 config diff.
+- ``events_late_arrival_audit`` — watermark pre-flight: replay the
+  feed in (synthesized out-of-order) arrival order and report, per
+  hour, what a 10-minute and a 1-hour watermark would each drop —
+  the measurement behind every hardcoded watermark delay.
 """
 
 from __future__ import annotations
@@ -2934,3 +2938,118 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.min("doc_id").cast("bigint").alias("min_doc"),
         F.max("doc_id").cast("bigint").alias("max_doc"))
+
+
+# ---------------------------------------------------------------------------
+# events_late_arrival_audit — "what would this watermark drop" pre-flight
+# ---------------------------------------------------------------------------
+
+LATE_DELAYS_S = (600, 3600)      # candidate watermark delays: 10 min, 1 h
+
+
+@staged("events_late_arrival_audit", f"""
+WITH feed AS (
+  SELECT ts, event_id,
+         event_id + CASE WHEN event_id % 13 = 0 THEN 50
+                         WHEN event_id % 7 = 0 THEN 3
+                         ELSE 0 END AS apos
+  FROM events WHERE ts IS NOT NULL),
+arr AS (
+  SELECT ts,
+         MAX(ts) OVER (ORDER BY apos, event_id
+                       ROWS UNBOUNDED PRECEDING) AS frontier
+  FROM feed),
+flags AS (
+  SELECT ts,
+         CAST((epoch_us(frontier) - epoch_us(ts)) // 1000000 AS BIGINT)
+           AS lateness_s
+  FROM arr)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN lateness_s > {LATE_DELAYS_S[0]}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS dropped_10m,
+       CAST(SUM(CASE WHEN lateness_s > {LATE_DELAYS_S[1]}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS dropped_1h,
+       CAST(MAX(lateness_s) AS BIGINT) AS max_lateness_s
+FROM flags GROUP BY 1
+""")
+def q_events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark pre-flight: replay the feed in ARRIVAL order (a
+    deterministic out-of-order permutation of event_id — see below) and
+    measure each row's lateness
+    against the running event-time frontier, i.e. exactly the quantity
+    `withWatermark(delay)` compares when deciding to drop.  Per
+    event-hour: how many rows a 10-minute and a 1-hour watermark would
+    each discard, and the worst lateness seen.  This is the measurement
+    that picks the delay constant every streaming query here hardcodes
+    — too short silently drops data, too long bloats every stateful
+    operator's horizon — and the observability report a production
+    stream emits continuously (Spark only exposes the aggregate
+    numDroppedRows; this is the per-window, per-threshold breakdown).
+    Sibling of events_key_skew_report: both are the pre-flights a
+    100 TB streaming deployment runs before fixing its constants.
+
+    Determinism: the frontier is a running MAX over the (unique,
+    gap-free) event_id total order — no timestamps are compared across
+    engines except by exact integer epoch subtraction; flags are
+    integer comparisons; the report is integer counts.
+
+    Scale shape: the arrival-order prefix max runs as the TWO-PASS
+    distributed cummax — a running max INSIDE each arrival shard
+    (event_id div 1000, the micro-batch stand-in; partitioned window),
+    plus a prefix max ACROSS shards computed on the #shards-row
+    per-shard maxima (the only unpartitioned window in the plan runs
+    over that tiny frame, never the data) and broadcast back.  No
+    global data sort, no single-partition data window; at 100 TB the
+    stream runs the same recurrence incrementally with the frontier as
+    one scalar of state — precisely what the watermark operator itself
+    does.  One map-side-combined hour aggregate finishes the report.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    # the fixture's event_id is perfectly time-ordered (every lateness
+    # would be 0 and the audit vacuous), so the feed synthesizes
+    # deterministic out-of-order arrival — every 13th event arrives 50
+    # positions late (hours of lateness at fixture density), every 7th
+    # arrives 3 late (minutes) — the streaming_dedup at-least-once
+    # synthesis precedent, mirrored exactly in the oracle
+    apos = (F.col("event_id")
+            + F.when(F.col("event_id") % 13 == 0, F.lit(50))
+            .when(F.col("event_id") % 7 == 0, F.lit(3))
+            .otherwise(F.lit(0))).cast("bigint")
+    feed = ev.select("ts", "event_id", apos.alias("apos"))
+    shard = F.floor(F.col("apos") / 1000).cast("bigint")
+    win = (Window.partitionBy("shard").orderBy("apos", "event_id")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    in_shard = feed.select("ts", "apos", "event_id",
+                           shard.alias("shard")).select(
+        "ts", "shard", F.max("ts").over(win).alias("in_max"))
+    wprior = (Window.orderBy("shard")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    prior = (
+        feed.groupBy(shard.alias("shard"))
+        .agg(F.max("ts").alias("shard_max"))
+        .select("shard", F.max("shard_max").over(wprior).alias("prior_max"))
+    )
+    flags = (
+        in_shard.join(F.broadcast(prior), "shard")
+        .select(
+            "ts",
+            # exact integer microseconds, floor-div'd ONCE: truncating
+            # each side separately (unix_timestamp) disagrees with
+            # truncating the difference whenever sub-second parts
+            # straddle a second boundary
+            F.expr("(unix_micros(greatest(in_max, prior_max))"
+                   " - unix_micros(ts)) div 1000000")
+            .cast("bigint").alias("lateness_s"))
+    )
+    from traffic_data_pipeline_spark.plans.queries import fmt_ts
+
+    return flags.groupBy(
+        fmt_ts(F.date_trunc("hour", F.col("ts"))).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("lateness_s") > LATE_DELAYS_S[0], 1).otherwise(0))
+        .cast("bigint").alias("dropped_10m"),
+        F.sum(F.when(F.col("lateness_s") > LATE_DELAYS_S[1], 1).otherwise(0))
+        .cast("bigint").alias("dropped_1h"),
+        F.max("lateness_s").cast("bigint").alias("max_lateness_s"))
