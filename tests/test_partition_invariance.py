@@ -87,6 +87,13 @@ CASES = [
     # two-pass distributed cummax: the frontier each row sees must not
     # depend on how arrival shards land on partitions
     "events_late_arrival_audit",
+    # round-4 staged batch 5: remainder-rank windows over the tiny
+    # per-lang frame fed by a decimal sqrt normalizer (allocation), and
+    # percentile cutpoints computed from an exact per-group buffer then
+    # broadcast (perplexity buckets); the k-anonymity report is two
+    # nested integer aggregates (trivially invariant) and is skipped
+    "mixture_budget_allocate",
+    "doc_perplexity_buckets",
 ]
 
 

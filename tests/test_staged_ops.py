@@ -124,6 +124,19 @@ STAGED_CAPS = {
                                          # map-side-combined group count;
                                          # pre-bucketed snapshots make it
                                          # shuffle-free at scale
+    "mixture_budget_allocate": (3, 1),   # ONE per-lang aggregate; the
+                                         # rank/sum windows run on the
+                                         # #langs-row frame only;
+                                         # normalizer always broadcast
+                                         # (measured 2)
+    "doc_kanonymity_report": (2, 0),     # two nested map-side-combined
+                                         # aggregates, no joins/windows
+    "doc_perplexity_buckets": (8, 1),    # doc_lm_score's audited plan
+                                         # (cap 6) + lang join + cut agg;
+                                         # the cutpoint frame (#langs
+                                         # rows) ALWAYS broadcast —
+                                         # never a per-lang ntile window
+                                         # (measured 7)
     "events_late_arrival_audit": (3, 1), # per-shard running max + the
                                          # #shards-row prefix (the ONLY
                                          # unpartitioned window, over the
@@ -241,7 +254,8 @@ def test_pca_step_is_gram_action(spark, sf_dir_oracle):
              "doc_winnowing_fingerprint", "doc_ngram_novelty",
              "lang_temperature_weights", "doc_paragraph_dedup",
              "doc_c4_line_filter", "doc_gopher_quality",
-             "corpus_snapshot_diff"])
+             "corpus_snapshot_diff", "mixture_budget_allocate",
+             "doc_kanonymity_report", "doc_perplexity_buckets"])
 def test_staged_dirty_text_parity(spark, tmp_path_factory, sf_dir_oracle, name):
     """NULL and empty text rows must not diverge the engines — Spark
     sorts NULL keys first while DuckDB sorts them last (the SNM guard),
@@ -757,3 +771,72 @@ def test_margin_align_zero_normalizer_parity(spark, tmp_path_factory):
         spark, str(out)).collect()
     assert [(r.a_id, r.b_id, r.cosine, r.margin) for r in rows] == [
         (0, 1, 0.0, None)]
+
+
+def test_mixture_budget_allocation_invariants(spark, sf_dir_oracle):
+    """Largest-remainder apportionment: integer quotas sum EXACTLY to
+    the budget, each quota is floor(ideal) or floor(ideal)+1, and the
+    +1s go to the largest fractional remainders."""
+    from traffic_data_pipeline_spark.plans.staged_ops import _ALLOC_BUDGET
+
+    rows = STAGED_QUERIES["mixture_budget_allocate"](
+        spark, sf_dir_oracle).collect()
+    assert sum(r.quota for r in rows) == _ALLOC_BUDGET
+    assert all(r.extra in (0, 1) for r in rows)
+    assert all(r.quota - r.base_quota == r.extra for r in rows)
+    # every lang with a larger remainder than an extra-receiver must
+    # itself have received an extra (the Hamilton property), remainders
+    # read back off ideal_slots
+    rem = {r.lang: r.ideal_slots - r.base_quota for r in rows}
+    got = {r.lang: r.extra for r in rows}
+    for a in rows:
+        for b in rows:
+            if rem[a.lang] > rem[b.lang] and got[b.lang] == 1:
+                assert got[a.lang] == 1
+
+
+def test_kanonymity_boundary_naturally_exercised(spark, sf_dir_oracle):
+    """The k < K_ANON rule is decided at its boundary by the NATURAL
+    fixture: QI groups of size exactly K_ANON - 1 (at risk) and exactly
+    K_ANON (safe) both occur at sf0.01, so a >=/> flip in either
+    engine's formulation changes the hashes (the discrete-domain
+    boundary canary pattern)."""
+    from traffic_data_pipeline_spark.plans.staged_ops import K_ANON
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    g = (
+        load_table(spark, sf_dir_oracle, "documents")
+        .groupBy("lang", "source",
+                 F.floor(F.col("n_chars") / F.lit(100.0)).alias("sb"))
+        .count()
+    )
+    sizes = {r["count"] for r in g.select("count").distinct().collect()}
+    assert K_ANON - 1 in sizes and K_ANON in sizes
+    # and the report's accounting is self-consistent
+    rows = STAGED_QUERIES["doc_kanonymity_report"](
+        spark, sf_dir_oracle).collect()
+    assert all(0 <= r.n_at_risk_rows <= r.n_rows for r in rows)
+    assert any(r.min_k < K_ANON for r in rows)
+    assert any(r.min_k >= K_ANON or r.n_at_risk_rows < r.n_rows
+               for r in rows)
+
+
+def test_perplexity_buckets_cover_scored_docs(spark, sf_dir_oracle):
+    """Every LM-scored doc lands in exactly one tier; within each
+    language the tercile counts differ by at most 2 (interpolated
+    cutpoints with strict > can shift a boundary doc down one tier);
+    all three tiers are populated for the biggest language."""
+    from collections import Counter
+
+    from traffic_data_pipeline_spark.plans.llm_ops import q_doc_lm_score
+
+    rows = STAGED_QUERIES["doc_perplexity_buckets"](
+        spark, sf_dir_oracle).collect()
+    n_scored = q_doc_lm_score(spark, sf_dir_oracle).count()
+    assert len(rows) == n_scored
+    assert {r.tier_name for r in rows} == {"head", "middle", "tail"}
+    by_lang = Counter((r.lang, r.tier) for r in rows)
+    langs = {r.lang for r in rows}
+    for lang in langs:
+        sizes = [by_lang.get((lang, t), 0) for t in (0, 1, 2)]
+        assert max(sizes) - min(sizes) <= 2, (lang, sizes)

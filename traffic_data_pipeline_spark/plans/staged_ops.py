@@ -79,6 +79,15 @@ Operator set (training-data pipeline gaps after round 3's sweep):
   feed in (synthesized out-of-order) arrival order and report, per
   hour, what a 10-minute and a 1-hour watermark would each drop —
   the measurement behind every hardcoded watermark delay.
+- ``mixture_budget_allocate`` — largest-remainder (Hamilton) integer
+  apportionment of a fixed training-slot budget across languages by
+  temperature weight: quotas sum EXACTLY to the budget.
+- ``doc_kanonymity_report`` — k-anonymity risk readout over the
+  (lang, source, length-bucket) quasi-identifiers: group sizes,
+  under-k row share — the indirect-identifier sibling of pii_redact.
+- ``doc_perplexity_buckets`` — CCNet head/middle/tail: per-language
+  LM-score terciles via broadcast cutpoints (no per-lang ntile
+  window), riding the registered doc_lm_score.
 """
 
 from __future__ import annotations
@@ -3053,3 +3062,253 @@ def q_events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("lateness_s") > LATE_DELAYS_S[1], 1).otherwise(0))
         .cast("bigint").alias("dropped_1h"),
         F.max("lateness_s").cast("bigint").alias("max_lateness_s"))
+
+
+# ---------------------------------------------------------------------------
+# mixture_budget_allocate — largest-remainder integer budget allocation
+# ---------------------------------------------------------------------------
+
+_ALLOC_BUDGET = 100_000    # training-slot budget to split across languages
+
+
+@staged("mixture_budget_allocate", f"""
+WITH per_lang AS (
+  SELECT lang,
+         CAST(SUM(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> x != ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(30,12)))
+              AS DOUBLE) AS z
+  FROM per_lang),
+b AS (
+  SELECT lang, n_tokens,
+         sqrt(CAST(n_tokens AS DOUBLE)) / z * {_ALLOC_BUDGET} AS ideal
+  FROM per_lang, tot),
+r AS (
+  SELECT lang, n_tokens, ideal,
+         CAST(floor(ideal) AS BIGINT) AS base_quota,
+         ideal - floor(ideal)         AS frac,
+         {_ALLOC_BUDGET} - SUM(CAST(floor(ideal) AS BIGINT)) OVER () AS rem,
+         ROW_NUMBER() OVER (ORDER BY ideal - floor(ideal) DESC, lang) AS rn
+  FROM b)
+SELECT lang, n_tokens,
+       ROUND(ideal, 6) AS ideal_slots,
+       base_quota,
+       CAST(CASE WHEN rn <= rem THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       CAST(base_quota + CASE WHEN rn <= rem THEN 1 ELSE 0 END
+            AS BIGINT) AS quota
+FROM r
+""")
+def q_mixture_budget_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer mixture-budget allocation by the largest-remainder
+    (Hamilton) method: split a fixed training-slot budget of
+    {_ALLOC_BUDGET} across languages proportional to the temperature
+    weights (alpha = 1/2, the lang_temperature_weights rule), with every
+    quota an INTEGER and the quotas summing EXACTLY to the budget — the
+    step that turns sampling weights into the concrete per-source row
+    budgets a mixture loader or shard writer executes. floor() of each
+    ideal share first, then the leftover slots go to the largest
+    fractional remainders (ties broken by language ascending), the
+    classic apportionment rule.
+
+    Determinism: ideal shares are sqrt (IEEE-correctly-rounded) over a
+    DECIMAL-accumulated normalizer, spelled in the identical term order
+    as the oracle; floor/remainder arithmetic is then exact (the floor
+    of a double below 2^53 is integer-exact); the remainder rank is
+    deterministic under the (frac DESC, lang) tie-break, and the
+    leftover count is an exact integer window sum.
+
+    Scale shape: the corpus collapses to the per-language token totals
+    (ONE in-row-counted map-side-combined aggregate, the
+    lang_temperature_weights shuffle); everything after runs on the
+    #languages-row frame — the unpartitioned rank/sum windows touch
+    ONLY that tiny frame (the events_late_arrival_audit precedent), so
+    the allocation is corpus-size-independent. The 100 TB form is the
+    same two stages; the per-language frame never grows past the
+    language inventory.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = (
+        docs.select("lang",
+                    F.array_size(token_array(F.col("text")))
+                    .cast("bigint").alias("n_tok"))
+        .groupBy("lang")
+        .agg(F.sum("n_tok").cast("bigint").alias("n_tokens"))
+    )
+    tot = per_lang.agg(
+        F.sum(F.sqrt(F.col("n_tokens").cast("double")).cast(DOT_DECIMAL))
+        .cast("double").alias("z"))
+    ideal = (F.sqrt(F.col("n_tokens").cast("double")) / F.col("z")
+             * F.lit(_ALLOC_BUDGET))
+    base = F.floor(ideal).cast("bigint")
+    frac = ideal - F.floor(ideal)
+    w_all = Window.partitionBy()
+    r = (
+        per_lang.crossJoin(F.broadcast(tot))
+        .select(
+            "lang", "n_tokens", ideal.alias("ideal"),
+            base.alias("base_quota"), frac.alias("frac"),
+        )
+        .withColumn("rem",
+                    F.lit(_ALLOC_BUDGET) - F.sum("base_quota").over(w_all))
+        .withColumn("rn", F.row_number().over(
+            Window.orderBy(F.desc("frac"), F.asc("lang"))))
+    )
+    extra = F.when(F.col("rn") <= F.col("rem"), 1).otherwise(0)
+    return r.select(
+        "lang", "n_tokens",
+        F.round("ideal", 6).alias("ideal_slots"),
+        "base_quota",
+        extra.cast("bigint").alias("extra"),
+        (F.col("base_quota") + extra).cast("bigint").alias("quota"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc_kanonymity_report — quasi-identifier k-anonymity risk readout
+# ---------------------------------------------------------------------------
+
+K_ANON = 5          # groups smaller than this are re-identification risks
+
+
+@staged("doc_kanonymity_report", f"""
+WITH g AS (
+  SELECT lang, source,
+         CAST(floor(n_chars / 100.0) AS BIGINT) AS size_bucket,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM documents GROUP BY 1, 2, 3)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(k) AS BIGINT)   AS min_k,
+       CAST(SUM(k) AS BIGINT)   AS n_rows,
+       CAST(SUM(CASE WHEN k < {K_ANON} THEN k ELSE 0 END) AS BIGINT)
+         AS n_at_risk_rows,
+       ROUND(CAST(SUM(CASE WHEN k < {K_ANON} THEN k ELSE 0 END) AS DOUBLE)
+             / SUM(k), 6) AS risk_share
+FROM g GROUP BY 1, 2
+""")
+def q_doc_kanonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk report over the release quasi-identifiers
+    (lang, source, coarse length bucket): a row whose QI combination is
+    shared by fewer than {K_ANON} rows is re-identifiable by linkage —
+    the privacy-side sibling of the PII redactor (pii_redact removes
+    direct identifiers; THIS measures indirect ones). Per (lang,
+    source): how many QI groups exist, the smallest group, and the
+    row count / share sitting in under-k groups — the readout that
+    decides which attributes to generalize or suppress before a corpus
+    release. The k < {K_ANON} boundary is exercised by the natural
+    fixture (groups of size exactly 4 AND exactly 5 both occur at
+    sf0.01 — pinned by test), so the strict-< rule can't silently
+    flip cross-engine.
+
+    Determinism: the length bucket is floor of an exact double division
+    (n_chars <= 2^53; NULL n_chars propagates to a NULL bucket, one
+    group in BOTH engines — SQL GROUP BY and Spark groupBy agree on
+    NULL grouping); everything else is integer counting; the one
+    division is count/count with a never-zero denominator (every group
+    holds >= 1 row).
+
+    Scale shape: two nested map-side-combined aggregates — (QI) then
+    (lang, source) — each strictly reducing cardinality; no joins, no
+    windows, no data sort. The first aggregate's key count is bounded
+    by the QI domain, not the corpus; this is the cheapest shape the
+    statistic admits and it survives any scale unchanged.
+    """
+    g = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(
+            "lang", "source",
+            F.floor(F.col("n_chars") / F.lit(100.0)).cast("bigint")
+            .alias("size_bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    risk = F.sum(F.when(F.col("k") < K_ANON, F.col("k")).otherwise(0))
+    return g.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.sum("k").cast("bigint").alias("n_rows"),
+        risk.cast("bigint").alias("n_at_risk_rows"),
+        F.round(risk.cast("double") / F.sum("k"), 6).alias("risk_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc_perplexity_buckets — CCNet head/middle/tail by per-lang LM terciles
+# ---------------------------------------------------------------------------
+
+def _perp_oracle() -> str:
+    from traffic_data_pipeline_spark.plans.queries import ORACLES
+    return f"""
+WITH lab AS (
+  SELECT lm.doc_id, d.lang, lm.lm_score
+  FROM ({ORACLES["doc_lm_score"]}) lm
+  JOIN documents d ON d.doc_id = lm.doc_id),
+cuts AS (
+  SELECT lang,
+         ROUND(quantile_cont(lm_score, CAST(1 AS DOUBLE) / 3), 6) AS c1,
+         ROUND(quantile_cont(lm_score, CAST(2 AS DOUBLE) / 3), 6) AS c2
+  FROM lab GROUP BY 1)
+SELECT lab.doc_id, lab.lang, lab.lm_score,
+       CAST(CAST(lab.lm_score > cuts.c1 AS INTEGER)
+            + CAST(lab.lm_score > cuts.c2 AS INTEGER) AS BIGINT) AS tier,
+       CASE CAST(lab.lm_score > cuts.c1 AS INTEGER)
+            + CAST(lab.lm_score > cuts.c2 AS INTEGER)
+         WHEN 2 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS tier_name
+FROM lab JOIN cuts ON cuts.lang = lab.lang
+"""
+
+
+@staged("doc_perplexity_buckets", _perp_oracle())
+def q_doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): bucket every
+    document into per-LANGUAGE perplexity terciles of the bigram LM
+    score (doc_lm_score — higher mean log-prob = more fluent), the
+    standard coarse quality partition a web corpus ships with: train on
+    head+middle, hold tail for filtering experiments. Riding the
+    registered LM score means the model build is shared work, and the
+    buckets inherit its cross-engine bit-parity.
+
+    Determinism: tercile cutpoints aggregate per language from the
+    bit-identical lm_score doubles with the SAME interpolation in both
+    engines (Spark `percentile` == DuckDB `quantile_cont`, the
+    doc_quality_tiers contract), probabilities spelled as
+    CAST(k AS DOUBLE)/3 so the literal is the identical double, and the
+    cutpoints ROUND to 6 dp before comparing — a doc landing exactly ON
+    a cutpoint (frac = 0 positions) tiers by strict >, identically in
+    both engines. Docs with no bigrams (< 2 tokens) have no LM score
+    and are excluded by construction in both engines.
+
+    Scale shape: the tier assignment is the doc_quality_tiers pattern —
+    NO per-language ntile window (which would funnel each language
+    through ONE ordered partition): cutpoints collapse to a
+    #languages-row frame that always BROADCASTS, and each doc buckets
+    itself with two comparisons in-row. The one scale-sensitive piece
+    is the exact `percentile` aggregate (per-group value buffer); the
+    100 TB swap is `percentile_approx` with the same plan — the
+    registered approx-twin precedent (corridor_p85_speed_approx) — at
+    which point every stage is map-side mergeable.
+    """
+    from traffic_data_pipeline_spark.plans.llm_ops import q_doc_lm_score
+
+    lm = q_doc_lm_score(spark, sf_dir).select("doc_id", "lm_score")
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    lab = lm.join(langs, "doc_id")
+    cuts = lab.groupBy("lang").agg(
+        F.round(F.expr("percentile(lm_score, CAST(1 AS DOUBLE) / 3)"), 6)
+        .alias("c1"),
+        F.round(F.expr("percentile(lm_score, CAST(2 AS DOUBLE) / 3)"), 6)
+        .alias("c2"),
+    )
+    tier = ((F.col("lm_score") > F.col("c1")).cast("int")
+            + (F.col("lm_score") > F.col("c2")).cast("int"))
+    return (
+        lab.join(F.broadcast(cuts), "lang")
+        .select(
+            "doc_id", "lang", "lm_score",
+            tier.cast("bigint").alias("tier"),
+            F.when(tier == 2, "head").when(tier == 1, "middle")
+            .otherwise("tail").alias("tier_name"),
+        )
+    )
