@@ -840,3 +840,46 @@ def test_perplexity_buckets_cover_scored_docs(spark, sf_dir_oracle):
     for lang in langs:
         sizes = [by_lang.get((lang, t), 0) for t in (0, 1, 2)]
         assert max(sizes) - min(sizes) <= 2, (lang, sizes)
+
+
+@pytest.mark.parametrize(
+    "name", ["lang_temperature_weights", "mixture_budget_allocate"])
+def test_zero_token_language_parity(spark, tmp_path_factory, sf_dir_oracle,
+                                    name):
+    """A language slice whose docs are ALL symbols (zero tokens after
+    tokenization) drives boost to 0/0 and its sqrt share to 0 — DuckDB
+    IEEE division emits nan there while Spark emits NULL. The NULLIF
+    twins must make both engines emit NULL; the gate re-runs on a corpus
+    with such a language planted."""
+    import os
+
+    import duckdb as _duck
+
+    from traffic_data_pipeline_spark.sources.tables import TABLES
+
+    out = tmp_path_factory.mktemp("zero_tok_lang")
+    con = _duck.connect()
+    con.execute(f"""
+        COPY (
+          SELECT * FROM read_parquet('{sf_dir_oracle}/documents.parquet')
+          WHERE doc_id < 100
+          UNION ALL
+          SELECT * FROM (VALUES
+            (8901, '!!! ??? ***', 'xx', 'src0', 11),
+            (8902, '---', 'xx', 'src0', 3))
+            v(doc_id, text, lang, source, n_chars)
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    for t in TABLES:
+        dst = out / f"{t}.parquet"
+        if not dst.exists():
+            os.symlink(f"{sf_dir_oracle}/{t}.parquet", dst)
+    assert_matches_oracle(
+        STAGED_QUERIES[name](spark, str(out)),
+        STAGED_ORACLES[name], str(out))
+    if name == "lang_temperature_weights":
+        row = [r for r in STAGED_QUERIES[name](spark, str(out)).collect()
+               if r.lang == "xx"][0]
+        assert (row.n_tokens, row.p_raw, row.w_temp, row.boost) == \
+            (0, 0.0, 0.0, None)

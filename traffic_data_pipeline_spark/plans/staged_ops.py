@@ -1417,10 +1417,15 @@ tot AS (
               AS DOUBLE) AS z
   FROM per_lang)
 SELECT lang, n_docs, n_tokens,
-       ROUND(CAST(n_tokens AS DOUBLE) / t, 6)                    AS p_raw,
-       ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / z, 6)              AS w_temp,
-       ROUND((sqrt(CAST(n_tokens AS DOUBLE)) / z)
-             / (CAST(n_tokens AS DOUBLE) / t), 6)                AS boost
+       -- NULLIF twins: a zero-token language (all-symbol docs) makes
+       -- boost 0/0 and a fully tokenless corpus makes t/z zero — DuckDB
+       -- IEEE division emits nan/inf there while Spark emits NULL (the
+       -- lang_token_fertility divergence class); both engines emit NULL
+       ROUND(CAST(n_tokens AS DOUBLE) / NULLIF(t, 0), 6)         AS p_raw,
+       ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / NULLIF(z, 0), 6)   AS w_temp,
+       ROUND((sqrt(CAST(n_tokens AS DOUBLE)) / NULLIF(z, 0))
+             / NULLIF(CAST(n_tokens AS DOUBLE) / NULLIF(t, 0), 0), 6)
+         AS boost
 FROM per_lang, tot
 """)
 def q_lang_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1460,14 +1465,19 @@ def q_lang_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double").alias("z"),
     )
     sq = F.sqrt(F.col("n_tokens").cast("double"))
-    p_raw = F.col("n_tokens").cast("double") / F.col("t")
+    # nullif twins: see the oracle's zero-token note (Spark's non-ANSI
+    # division already NULLs on a zero divisor; the explicit nullif
+    # keeps the contract visible and ANSI-mode-proof)
+    p_raw = (F.col("n_tokens").cast("double")
+             / F.nullif(F.col("t"), F.lit(0)))
+    w_temp = sq / F.nullif(F.col("z"), F.lit(0.0))
     return (
         per_lang.crossJoin(F.broadcast(tot))
         .select(
             "lang", "n_docs", "n_tokens",
             F.round(p_raw, 6).alias("p_raw"),
-            F.round(sq / F.col("z"), 6).alias("w_temp"),
-            F.round((sq / F.col("z")) / p_raw, 6).alias("boost"),
+            F.round(w_temp, 6).alias("w_temp"),
+            F.round(w_temp / F.nullif(p_raw, F.lit(0.0)), 6).alias("boost"),
         )
     )
 
@@ -3082,8 +3092,12 @@ tot AS (
               AS DOUBLE) AS z
   FROM per_lang),
 b AS (
+  -- NULLIF: a fully tokenless corpus (z = 0) must yield NULL ideals in
+  -- BOTH engines, not DuckDB inf vs Spark NULL (the
+  -- lang_token_fertility divergence class)
   SELECT lang, n_tokens,
-         sqrt(CAST(n_tokens AS DOUBLE)) / z * {_ALLOC_BUDGET} AS ideal
+         sqrt(CAST(n_tokens AS DOUBLE)) / NULLIF(z, 0) * {_ALLOC_BUDGET}
+           AS ideal
   FROM per_lang, tot),
 r AS (
   SELECT lang, n_tokens, ideal,
@@ -3139,7 +3153,9 @@ def q_mixture_budget_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = per_lang.agg(
         F.sum(F.sqrt(F.col("n_tokens").cast("double")).cast(DOT_DECIMAL))
         .cast("double").alias("z"))
-    ideal = (F.sqrt(F.col("n_tokens").cast("double")) / F.col("z")
+    # nullif: see the oracle's tokenless-corpus note
+    ideal = (F.sqrt(F.col("n_tokens").cast("double"))
+             / F.nullif(F.col("z"), F.lit(0.0))
              * F.lit(_ALLOC_BUDGET))
     base = F.floor(ideal).cast("bigint")
     frac = ideal - F.floor(ideal)
