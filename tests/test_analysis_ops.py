@@ -318,3 +318,50 @@ def test_wau_hll_accuracy_pinned(spark, sf_dir):
     assert set(est) == set(exact)
     for day, w in exact.items():
         assert abs(est[day] - w) <= max(1, 0.05 * w), (day, est[day], w)
+
+
+def test_ab_ttest_degenerate_cohort_parity(spark, tmp_path_factory):
+    """A constant metric (both cohorts' variance exactly 0) and a
+    one-event cohort (n - 1 = 0) send t_stat / welch_df / var through
+    zero divisors — DuckDB IEEE division emits nan/inf there while
+    Spark emits NULL. The NULLIF twins must make both engines emit
+    NULL; the gate re-runs on planted feeds for both cases."""
+    import os
+
+    import duckdb as _duck
+
+    from tests.oracle import assert_matches_oracle
+    from traffic_data_pipeline_spark.plans.queries import ORACLES
+    from traffic_data_pipeline_spark.sources.tables import TABLES
+
+    feeds = {
+        # constant metric, both cohorts populated
+        "const": """SELECT * FROM (VALUES
+            (1, TIMESTAMP '2024-02-01 00:00:00', 10, 'click', 3.0, NULL),
+            (2, TIMESTAMP '2024-02-01 00:01:00', 11, 'click', 3.0, NULL),
+            (3, TIMESTAMP '2024-02-01 00:02:00', 12, 'click', 3.0, NULL),
+            (4, TIMESTAMP '2024-02-01 00:03:00', 13, 'click', 3.0, NULL))
+            v(event_id, ts, user_id, event_type, value, props)""",
+        # cohort B (odd user_id) has exactly one event
+        "n1": """SELECT * FROM (VALUES
+            (1, TIMESTAMP '2024-02-01 00:00:00', 10, 'click', 1.0, NULL),
+            (2, TIMESTAMP '2024-02-01 00:01:00', 12, 'click', 2.0, NULL),
+            (3, TIMESTAMP '2024-02-01 00:02:00', 14, 'click', 4.0, NULL),
+            (4, TIMESTAMP '2024-02-01 00:03:00', 11, 'click', 5.0, NULL))
+            v(event_id, ts, user_id, event_type, value, props)""",
+    }
+    for tag, sql in feeds.items():
+        out = tmp_path_factory.mktemp(f"ttest_{tag}")
+        con = _duck.connect()
+        con.execute(
+            f"COPY ({sql}) TO '{out}/events.parquet' (FORMAT PARQUET)")
+        con.close()
+        for t in TABLES:
+            dst = out / f"{t}.parquet"
+            if not dst.exists():
+                os.symlink(f"/root/testdata/sf0.01/{t}.parquet", dst)
+        assert_matches_oracle(
+            QUERIES["events_ab_ttest"](spark, str(out)),
+            ORACLES["events_ab_ttest"], str(out))
+        row = QUERIES["events_ab_ttest"](spark, str(out)).collect()[0]
+        assert row.t_stat is None and row.welch_df is None, (tag, row)

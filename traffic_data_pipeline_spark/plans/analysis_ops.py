@@ -1543,22 +1543,28 @@ mom AS (
          CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS s2
   FROM g GROUP BY 1),
 w AS (
+  -- NULLIF twins: a one-event cohort (n = 1) or a CONSTANT metric
+  -- (both variances exactly 0 — the decimal moments make that exact)
+  -- sends var / t_stat / welch_df through 0-divisors where DuckDB IEEE
+  -- division emits inf/nan and Spark emits NULL; both must emit NULL
   SELECT a.n AS n_a, b.n AS n_b,
          CAST(a.s AS DOUBLE) / a.n AS m_a,
          CAST(b.s AS DOUBLE) / b.n AS m_b,
          (CAST(a.s2 AS DOUBLE)
-          - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE) / a.n) / (a.n - 1)
-           AS var_a,
+          - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE) / a.n)
+           / NULLIF(a.n - 1, 0) AS var_a,
          (CAST(b.s2 AS DOUBLE)
-          - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE) / b.n) / (b.n - 1)
-           AS var_b
+          - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE) / b.n)
+           / NULLIF(b.n - 1, 0) AS var_b
   FROM mom a JOIN mom b ON a.grp = 0 AND b.grp = 1)
 SELECT n_a, n_b,
        ROUND(m_a, 6) AS mean_a, ROUND(m_b, 6) AS mean_b,
-       ROUND((m_a - m_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat,
+       ROUND((m_a - m_b)
+             / NULLIF(sqrt(var_a / n_a + var_b / n_b), 0), 6) AS t_stat,
        ROUND((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
-             / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
-                + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 6) AS welch_df
+             / NULLIF((var_a / n_a) * (var_a / n_a) / NULLIF(n_a - 1, 0)
+                + (var_b / n_b) * (var_b / n_b) / NULLIF(n_b - 1, 0), 0), 6)
+         AS welch_df
 FROM w
 """)
 def q_events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1597,26 +1603,33 @@ def q_events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = a.crossJoin(F.broadcast(b))
     m_a = F.col("s_a").cast("double") / F.col("n_a")
     m_b = F.col("s_b").cast("double") / F.col("n_b")
+    # nullif twins: see the oracle's one-event-cohort / constant-metric
+    # note (Spark's non-ANSI division already NULLs on a zero divisor;
+    # the explicit nullif keeps the contract visible and ANSI-proof)
     var_a = (
         F.col("s2_a").cast("double")
         - F.col("s_a").cast("double") * F.col("s_a").cast("double")
         / F.col("n_a")
-    ) / (F.col("n_a") - 1)
+    ) / F.nullif(F.col("n_a") - 1, F.lit(0))
     var_b = (
         F.col("s2_b").cast("double")
         - F.col("s_b").cast("double") * F.col("s_b").cast("double")
         / F.col("n_b")
-    ) / (F.col("n_b") - 1)
+    ) / F.nullif(F.col("n_b") - 1, F.lit(0))
     se_a = var_a / F.col("n_a")
     se_b = var_b / F.col("n_b")
     return j.select(
         "n_a", "n_b",
         F.round(m_a, 6).alias("mean_a"),
         F.round(m_b, 6).alias("mean_b"),
-        F.round((m_a - m_b) / F.sqrt(se_a + se_b), 6).alias("t_stat"),
+        F.round((m_a - m_b)
+                / F.nullif(F.sqrt(se_a + se_b), F.lit(0.0)), 6)
+        .alias("t_stat"),
         F.round((se_a + se_b) * (se_a + se_b)
-                / (se_a * se_a / (F.col("n_a") - 1)
-                   + se_b * se_b / (F.col("n_b") - 1)), 6).alias("welch_df"),
+                / F.nullif(
+                    se_a * se_a / F.nullif(F.col("n_a") - 1, F.lit(0))
+                    + se_b * se_b / F.nullif(F.col("n_b") - 1, F.lit(0)),
+                    F.lit(0.0)), 6).alias("welch_df"),
     )
 
 
