@@ -107,6 +107,7 @@ _STAGED_COSTLY = {
     "streaming_cms_topk",
     "embedding_pq_adc",
     "embedding_margin_align",
+    "doc_perplexity_buckets",
 }
 
 
