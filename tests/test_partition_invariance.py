@@ -94,6 +94,9 @@ CASES = [
     # nested integer aggregates (trivially invariant) and is skipped
     "mixture_budget_allocate",
     "doc_perplexity_buckets",
+    # iterative peel over checkpointed edge frames: the surviving core
+    # and its degrees must not depend on how rounds were partitioned
+    "dedup_graph_kcore",
 ]
 
 

@@ -124,6 +124,11 @@ STAGED_CAPS = {
                                          # map-side-combined group count;
                                          # pre-bucketed snapshots make it
                                          # shuffle-free at scale
+    "dedup_graph_kcore": (2, 0),         # final degree aggregate over the
+                                         # converged checkpointed edge
+                                         # frame; peel rounds are paid at
+                                         # build time on the shared pair
+                                         # stream (measured 1)
     "mixture_budget_allocate": (3, 1),   # ONE per-lang aggregate; the
                                          # rank/sum windows run on the
                                          # #langs-row frame only;
@@ -883,3 +888,41 @@ def test_zero_token_language_parity(spark, tmp_path_factory, sf_dir_oracle,
                if r.lang == "xx"][0]
         assert (row.n_tokens, row.p_raw, row.w_temp, row.boost) == \
             (0, 0.0, 0.0, None)
+
+
+def test_kcore_matches_bruteforce_peel(spark, sf_dir_oracle):
+    """Brute-force the peel in pure Python on the collected pair stream:
+    membership AND within-core degrees must match, the result must be a
+    true fixpoint (every surviving node's degree >= K), and convergence
+    must land within the oracle's unroll depth (the bound that makes the
+    fixed-depth oracle exact)."""
+    from collections import defaultdict
+
+    from traffic_data_pipeline_spark.plans.extensions import doc_lsh_pairs
+    from traffic_data_pipeline_spark.plans.staged_ops import (
+        _KCORE_UNROLL,
+        KCORE_K,
+    )
+
+    pairs = [(r.doc_a, r.doc_b) for r in
+             doc_lsh_pairs(spark, sf_dir_oracle).collect()]
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    alive = set(adj)
+    rounds = 0
+    while True:
+        drop = {v for v in alive
+                if len(adj[v] & alive) < KCORE_K}
+        if not drop:
+            break
+        alive -= drop
+        rounds += 1
+    assert rounds <= _KCORE_UNROLL, rounds
+    want = {v: len(adj[v] & alive) for v in alive}
+    got = {r.doc_id: r.core_degree for r in
+           STAGED_QUERIES["dedup_graph_kcore"](
+               spark, sf_dir_oracle).collect()}
+    assert got == want
+    assert all(d >= KCORE_K for d in got.values())

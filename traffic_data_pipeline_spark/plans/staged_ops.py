@@ -88,6 +88,9 @@ Operator set (training-data pipeline gaps after round 3's sweep):
 - ``doc_perplexity_buckets`` — CCNet head/middle/tail: per-language
   LM-score terciles via broadcast cutpoints (no per-lang ntile
   window), riding the registered doc_lm_score.
+- ``dedup_graph_kcore`` — 2-core of the near-dup pair graph by
+  iterative peel (dense template nests vs pairwise chains), completing
+  the graph family; fixed-depth unrolled oracle, convergence pinned.
 """
 
 from __future__ import annotations
@@ -3328,3 +3331,96 @@ def q_doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("tail").alias("tier_name"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_graph_kcore — k-core of the near-dup pair graph (iterative peel)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 2           # minimum within-subgraph degree
+_KCORE_UNROLL = 6     # oracle peel depth; Spark's true convergence within
+                      # this bound is pinned by the brute-force test
+
+
+def _kcore_oracle() -> str:
+    from traffic_data_pipeline_spark.plans.oracle_ctes import (
+        _MH_PAIRS_CTE,
+        _MINHASH_CTES,
+    )
+    # AS MATERIALIZED on every peel CTE: each e{{i}} is referenced twice
+    # (its keep-set and the next round) and sits on the expensive MinHash
+    # chain — inlining would re-derive that chain exponentially across
+    # the unroll
+    rounds = []
+    for i in range(_KCORE_UNROLL):
+        rounds.append(f"""
+k{i} AS MATERIALIZED (
+  SELECT src FROM e{i} GROUP BY src HAVING COUNT(*) >= {KCORE_K}),
+e{i + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{i} e
+  JOIN k{i} a ON a.src = e.src
+  JOIN k{i} b ON b.src = e.dst)""")
+    return f"""
+WITH {_MINHASH_CTES},
+{_MH_PAIRS_CTE},
+e0 AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM mpairs WHERE agree / 8.0 >= 0.5
+  UNION ALL
+  SELECT doc_b, doc_a FROM mpairs WHERE agree / 8.0 >= 0.5),
+{",".join(rounds)}
+SELECT src AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM e{_KCORE_UNROLL} GROUP BY 1
+"""
+
+
+@staged("dedup_graph_kcore", _kcore_oracle())
+def q_dedup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_K}-core of the near-dup pair graph: repeatedly peel nodes
+    whose within-subgraph degree falls below {KCORE_K} until a fixpoint —
+    the maximal subgraph where EVERY document has at least {KCORE_K}
+    surviving near-duplicates. Completes the graph family (exact CC,
+    PageRank, LPA, triangles): where connected components find the
+    near-dup CLUSTERS, the k-core isolates their DENSE INTERIORS — the
+    template/boilerplate nests worth manual review (a chain of pairwise
+    matches has an empty 2-core; a template family survives it), and the
+    standard seed for higher-k peeling and densest-subgraph heuristics.
+    Emits each surviving doc with its within-core degree.
+
+    Scale shape: rides the session-persisted LSH pair stream the whole
+    dedup family shares (no new pairwise work); each peel round is ONE
+    map-side-combined degree aggregate plus two equi semi-joins on the
+    edge list — edges move once per round, the keep-set is the (much
+    smaller) surviving-node frame, and `localCheckpoint` cuts lineage
+    between rounds with the round count as the sanctioned scalar probe
+    (the connected-components loop contract, functions/similarity.py).
+    Peel depth is bounded by the degeneracy ordering — single digits on
+    real near-dup graphs; the brute-force test pins convergence within
+    the oracle's {_KCORE_UNROLL}-round unroll, so the fixed-depth oracle
+    is exact, not approximate.
+    """
+    from traffic_data_pipeline_spark.plans.extensions import doc_lsh_pairs
+
+    pairs = doc_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(pairs.select(
+        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.localCheckpoint(eager=True)
+    prev = -1
+    while True:
+        keep = (
+            edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K).select("src")
+        )
+        n = keep.count()        # sanctioned convergence probe (CC contract)
+        if n == prev:
+            break
+        prev = n
+        edges = (
+            edges.join(keep, "src", "leftsemi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "leftsemi")
+            .localCheckpoint(eager=True)
+        )
+    return edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree"))
