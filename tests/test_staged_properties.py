@@ -626,3 +626,36 @@ def test_late_arrival_audit_matches_brute_force(spark, tmp_path_factory,
            for r in STAGED_QUERIES["events_late_arrival_audit"](
                spark, sf).collect()}
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# percentile interpolation parity (the doc_perplexity_buckets contract)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(
+    st.floats(min_value=-12, max_value=3, allow_nan=False,
+              allow_infinity=False).map(lambda v: round(v, 6)),
+    min_size=1, max_size=23))
+def test_percentile_interpolation_bit_parity(spark, vals):
+    """doc_perplexity_buckets (and doc_quality_tiers before it) assumes
+    Spark `percentile` and DuckDB `quantile_cont` interpolate
+    BIT-IDENTICALLY on identical doubles — including non-trivial
+    fractional positions (p*(n-1) with p = k/3). Pin that contract
+    bitwise on arbitrary 6-dp-rounded value sets, the exact shape of
+    the lm_score inputs the cutpoints aggregate over."""
+    import duckdb as _duck
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    con = _duck.connect()
+    for k in (1, 2):
+        p = f"CAST({k} AS DOUBLE)/3"
+        s = df.agg(F.expr(f"percentile(v, {p})").alias("q")).collect()[0].q
+        d = con.execute(
+            f"SELECT quantile_cont(v, {p}) FROM (SELECT unnest(?) AS v)",
+            [vals]).fetchone()[0]
+        assert (s == d) or (s is None and d is None), (vals, k, s, d)
+    con.close()
