@@ -406,3 +406,38 @@ def test_qaqc_completeness_exact_boundary(spark):
         df, median_min=0.0, slots=slots, completeness_min=cmin,
         report_ratio=1.0, min_rows=1).collect()}
     assert kept == {"at_boundary"}
+
+
+def test_ln_rounded_parity_cross_engine(spark):
+    """ln is the one libm-dependent operation the oracles share with the
+    engine (neither side is correctly rounded — about 1% of arguments
+    differ by 1 ulp, measured at 2M values), so every ln-consuming query
+    ROUNDs before hashing. Pin the discipline that makes that safe: over
+    200k md5-derived arguments (the hash-shaped inputs lm_score / BM25 /
+    DSIR actually produce), the 6-dp-ROUNDED ln must agree exactly —
+    this is why removing a ROUND from an ln expression is never a safe
+    simplification even though the raw doubles 'look' deterministic."""
+    import duckdb as _duck
+
+    from pyspark.sql import functions as F
+
+    n = 200_000
+    expr = ("ln((CAST(conv(substring(md5(CAST(id AS STRING)),1,8),16,10)"
+            " AS DOUBLE) + 1) / 65536)")
+    s = (spark.range(1, n + 1)
+         .agg(
+             F.sum(F.expr(f"CAST(round({expr}, 6) AS DECIMAL(30,6))"))
+             .alias("rsum"),
+             F.count(F.lit(1)).alias("cnt"))
+         .collect()[0])
+    con = _duck.connect()
+    d = con.execute(f"""
+        SELECT SUM(CAST(round(ln((CAST('0x' || substr(md5(CAST(i AS VARCHAR)),1,8)
+                                   AS BIGINT) + 1) / 65536.0), 6)
+                   AS DECIMAL(30,6))),
+               COUNT(*)
+        FROM range(1, {n + 1}) t(i)
+    """).fetchone()
+    con.close()
+    assert s.cnt == d[1] == n
+    assert str(s.rsum) == str(d[0]), (s.rsum, d[0])

@@ -96,8 +96,13 @@ def q_doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats (N, avgdl, per-term df) aggregate map-side to ONE row and
     broadcast back; the ranking is a top-k (TakeOrderedAndProject), not a
     global sort. The score polynomial is evaluated in a fixed term order
-    with the same association as the DuckDB oracle, so the doubles match
-    bit-for-bit and ROUND(...,4) is stable cross-engine.
+    with the same association as the DuckDB oracle; every non-ln
+    operation is then IEEE-identical, and the ln calls (the one
+    libm-dependent piece — neither engine's ln is correctly rounded;
+    ~1% of arguments differ by 1 ulp, measured in
+    tests/test_boundaries.py) are washed out by the ROUND before
+    hashing, whose boundary-flip probability per value is ~1 ulp / the
+    rounding quantum (~1e-10 — zero flips in 2M measured values).
     """
     def tf(term):
         # NOTE: the lambda must take exactly ONE parameter — a two-arg

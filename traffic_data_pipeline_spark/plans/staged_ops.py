@@ -796,7 +796,9 @@ def q_doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: both score polynomials evaluate in the identical term
     order and association as the DuckDB oracle (the doc_bm25_search
-    contract), so the doubles match bit-for-bit; ranks are then integers,
+    contract — non-ln operations IEEE-identical, ln's 1-ulp libm
+    divergence washed out by the final ROUND; see DEVIATIONS.md's
+    cross-engine float-parity note); ranks are then integers,
     tie-broken by doc_id, and RRF sums rationals of small integers.
 
     Scale shape: ONE narrow pass computes both scores (the tf columns are
