@@ -58,7 +58,7 @@ def _previously_checked() -> set[str]:
 # the cached-self-join dedup families, the multi-stage funnel job) queue
 # LAST: if the driver window is time-bounded this ordering maximizes rows
 # drained per round, and if it is count-bounded the order is neutral.
-# Round 5: promote plans/staged_ops.py (27 oracle-gated operators held
+# Round 5: promote plans/staged_ops.py (31 oracle-gated operators held
 # back by this freeze) into the registry — the merge is already wired
 # and rehearsable via SPARK_GRAFT_PROMOTE_STAGED=1 (default off; see
 # _registry below) — then make it unconditional, drop the freeze-guard
@@ -108,6 +108,7 @@ _STAGED_COSTLY = {
     "embedding_pq_adc",
     "embedding_margin_align",
     "doc_perplexity_buckets",
+    "dedup_graph_kcore",
 }
 
 

