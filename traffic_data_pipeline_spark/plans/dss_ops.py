@@ -619,7 +619,13 @@ def _equidepth_recount(li: DataFrame, boundary_expr: str) -> DataFrame:
     spread = li.repartition(
         li.sparkSession.sparkContext.defaultParallelism)
     b = spread.agg(F.expr(boundary_expr).alias("q"))
-    bs = b.select(*[F.col("q")[j].alias(f"b{j}") for j in range(7)])
+    # ROUND the cuts before comparing: DuckDB's quantile_cont lerps as
+    # a*(1-f) + b*f, which can land 1 ulp off the a + (b-a)*f value
+    # Spark computes (even when a == b — hypothesis-found counterexample
+    # in tests/test_staged_properties.py), and an unrounded cut 1 ulp
+    # below a repeated price would flip that price's bucket cross-engine
+    bs = b.select(*[F.round(F.col("q")[j], 6).alias(f"b{j}")
+                    for j in range(7)])
     # coalesce each comparison to 0 so a NULL price lands in bucket 0
     # exactly like the oracle's CASE WHEN ... THEN 1 ELSE 0 END — without
     # it the summed NULLs would mint a spurious bucket=NULL group
@@ -642,7 +648,7 @@ WITH b AS (
   SELECT quantile_cont(l_extendedprice,
                        [{', '.join(str(f) for f in _ED_FRACS)}]) AS q
   FROM lineitem)
-SELECT CAST({' + '.join(f'(CASE WHEN l_extendedprice > q[{j}] THEN 1 ELSE 0 END)' for j in range(1, 8))}
+SELECT CAST({' + '.join(f'(CASE WHEN l_extendedprice > round(q[{j}], 6) THEN 1 ELSE 0 END)' for j in range(1, 8))}
             AS INTEGER) AS bucket,
        COUNT(*) AS n,
        MIN(l_extendedprice) AS min_price,
@@ -656,11 +662,15 @@ def q_price_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile call yields the 7 interior boundaries (a one-row frame
     broadcast back), then the scan re-buckets each row by summing seven
     codegen'd comparisons — no higher-order function, no per-row array.
-    Boundaries are interpolated order statistics over eighth fractions
-    (exact binary), so both engines compute bit-identical cut points
-    and the bucket assignment cannot straddle. At 100 TB the boundary
-    pass swaps to percentile_approx (the registered-twin precedent) and
-    the recount is unchanged."""
+    Boundaries are interpolated order statistics over eighth fractions,
+    ROUNDed to 6 dp in BOTH engines before comparing — DuckDB's
+    two-product lerp can drift 1 ulp from Spark's a + (b-a)*f form on
+    repeated values (DEVIATIONS.md float-parity note), and the true
+    cuts (multiples of 0.00125 on 2-dp prices) are 6-dp-exact, so the
+    rounded cuts are fully deterministic and the bucket assignment
+    cannot straddle. At 100 TB the boundary pass swaps to
+    percentile_approx (the registered-twin precedent) and the recount
+    is unchanged."""
     return _equidepth_recount(
         load_table(spark, sf_dir, "lineitem"),
         f"percentile(l_extendedprice, array({_ED_FRACS_SQL}))")

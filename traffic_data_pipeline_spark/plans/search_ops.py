@@ -328,9 +328,11 @@ GROUP BY l_returnflag
 def q_lineitem_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped EXACT quantiles of the price distribution — the
     distribution-profiling pass run before choosing outlier thresholds.
-    Spark's ``percentile`` and DuckDB's ``quantile_cont`` both implement
-    linear interpolation at rank p·(n−1) over the sorted values, so the
-    doubles agree bit-for-bit (same two order statistics, same lerp).
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` both linearly
+    interpolate at rank p·(n−1) over the sorted values — but with
+    DIFFERENT lerp forms (a + (b−a)·f vs a·(1−f) + b·f), which can
+    disagree by 1 ulp (DEVIATIONS.md float-parity note); the ROUND to
+    6 dp on both sides is what makes the emitted quantiles equal.
     At 100 TB the same query swaps ``percentile`` → ``percentile_approx``
     (t-digest sketch, map-side mergeable, no per-group sort) — documented
     rather than registered because the sketch's answers are
@@ -685,9 +687,9 @@ def q_doc_batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TIERS_ORACLE = """
 WITH q AS (
-  SELECT quantile_cont(n_chars, 0.25) AS q1,
-         quantile_cont(n_chars, 0.50) AS q2,
-         quantile_cont(n_chars, 0.75) AS q3
+  SELECT round(quantile_cont(n_chars, 0.25), 6) AS q1,
+         round(quantile_cont(n_chars, 0.50), 6) AS q2,
+         round(quantile_cont(n_chars, 0.75), 6) AS q3
   FROM documents)
 SELECT CAST(CAST(d.n_chars > q.q1 AS INTEGER)
             + CAST(d.n_chars > q.q2 AS INTEGER)
@@ -709,14 +711,19 @@ def q_doc_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     quartile thresholds aggregate to a single broadcast row and each doc
     buckets itself with three comparisons — the discretization pattern
     that survives 100 TB. Per-tier doc counts, char range, and token
-    totals come from one map-side-combined aggregate. Spark `percentile`
-    and DuckDB `quantile_cont` interpolate identically, so the tier
-    boundaries are bit-equal cross-engine."""
+    totals come from one map-side-combined aggregate. The thresholds
+    ROUND to 6 dp in BOTH engines before comparing: DuckDB's
+    quantile_cont lerps as a*(1-f) + b*f, which can drift 1 ulp from
+    Spark's a + (b-a)*f even on repeated values (hypothesis-found;
+    DEVIATIONS.md float-parity note) — an unrounded threshold 1 ulp
+    below an integer n_chars value would flip that doc's tier. True
+    quartiles of integer data are quarter-valued, hence 6-dp-exact:
+    the rounded thresholds are fully deterministic."""
     docs = load_table(spark, sf_dir, "documents")
     q = docs.agg(
-        F.expr("percentile(n_chars, 0.25)").alias("q1"),
-        F.expr("percentile(n_chars, 0.50)").alias("q2"),
-        F.expr("percentile(n_chars, 0.75)").alias("q3"),
+        F.round(F.expr("percentile(n_chars, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(n_chars, 0.50)"), 6).alias("q2"),
+        F.round(F.expr("percentile(n_chars, 0.75)"), 6).alias("q3"),
     )
     tier = (
         (F.col("n_chars") > F.col("q1")).cast("int")

@@ -3292,11 +3292,12 @@ def q_doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets inherit its cross-engine bit-parity.
 
     Determinism: tercile cutpoints aggregate per language from the
-    bit-identical lm_score doubles with the SAME interpolation in both
-    engines (Spark `percentile` == DuckDB `quantile_cont`, the
-    doc_quality_tiers contract), probabilities spelled as
-    CAST(k AS DOUBLE)/3 so the literal is the identical double, and the
-    cutpoints ROUND to 6 dp before comparing — a doc landing exactly ON
+    bit-identical lm_score doubles; the two engines pick the same two
+    order statistics but lerp DIFFERENTLY (1-ulp drift possible even on
+    repeated values — DEVIATIONS.md float-parity note), so probabilities
+    are spelled CAST(k AS DOUBLE)/3 for identical literals and the
+    cutpoints ROUND to 6 dp on both sides before comparing — the
+    rounded-cutpoint contract test_percentile_interpolation_rounded_parity pins — a doc landing exactly ON
     a cutpoint (frac = 0 positions) tiers by strict >, identically in
     both engines. Docs with no bigrams (< 2 tokens) have no LM score
     and are excluded by construction in both engines.
