@@ -1561,9 +1561,13 @@ SELECT n_a, n_b,
        ROUND(m_a, 6) AS mean_a, ROUND(m_b, 6) AS mean_b,
        ROUND((m_a - m_b)
              / NULLIF(sqrt(var_a / n_a + var_b / n_b), 0), 6) AS t_stat,
+       -- welch_df is a LARGE (~n) full-entropy double: at 6 dp its
+       -- shortest decimal string often terminates near the rounding
+       -- digit, where the engines' ROUND implementations disagree
+       -- (DEVIATIONS.md); 2 dp keeps the flip odds ~ulp/quantum ~ 1e-9
        ROUND((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
              / NULLIF((var_a / n_a) * (var_a / n_a) / NULLIF(n_a - 1, 0)
-                + (var_b / n_b) * (var_b / n_b) / NULLIF(n_b - 1, 0), 0), 6)
+                + (var_b / n_b) * (var_b / n_b) / NULLIF(n_b - 1, 0), 0), 2)
          AS welch_df
 FROM w
 """)
@@ -1629,7 +1633,7 @@ def q_events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.nullif(
                     se_a * se_a / F.nullif(F.col("n_a") - 1, F.lit(0))
                     + se_b * se_b / F.nullif(F.col("n_b") - 1, F.lit(0)),
-                    F.lit(0.0)), 6).alias("welch_df"),
+                    F.lit(0.0)), 2).alias("welch_df"),
     )
 
 

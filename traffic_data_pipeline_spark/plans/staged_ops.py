@@ -3112,7 +3112,9 @@ r AS (
          ROW_NUMBER() OVER (ORDER BY ideal - floor(ideal) DESC, lang) AS rn
   FROM b)
 SELECT lang, n_tokens,
-       ROUND(ideal, 6) AS ideal_slots,
+       -- 2 dp: ideal is a LARGE (~budget-sized) full-entropy double,
+       -- the round-divergence danger shape (DEVIATIONS.md float note)
+       ROUND(ideal, 2) AS ideal_slots,
        base_quota,
        CAST(CASE WHEN rn <= rem THEN 1 ELSE 0 END AS BIGINT) AS extra,
        CAST(base_quota + CASE WHEN rn <= rem THEN 1 ELSE 0 END
@@ -3179,7 +3181,7 @@ def q_mixture_budget_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra = F.when(F.col("rn") <= F.col("rem"), 1).otherwise(0)
     return r.select(
         "lang", "n_tokens",
-        F.round("ideal", 6).alias("ideal_slots"),
+        F.round("ideal", 2).alias("ideal_slots"),
         "base_quota",
         extra.cast("bigint").alias("extra"),
         (F.col("base_quota") + extra).cast("bigint").alias("quota"),
