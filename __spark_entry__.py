@@ -35,6 +35,12 @@ def _previously_checked() -> set[str]:
     A row that errored or value-mismatched does NOT count as checked, so
     a failed query re-fronts every round until a clean row lands
     (hash-green, or recorded rows-only for the deliberate no-oracle set).
+
+    A ``no_oracle`` row only counts while the name is STILL oracle-less
+    (VERDICT r4 ask #3): a query that earned a rows-only record in an
+    early round and later gained a real DuckDB oracle re-fronts so the
+    official record upgrades to hash-green (media_decode_stats and
+    media_frame_sample are the two such names as of round 5).
     """
     seen: set[str] = set()
     here = os.path.dirname(os.path.abspath(__file__))
@@ -47,23 +53,24 @@ def _previously_checked() -> set[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 seen.add(name)          # unknown shape: assume recorded
-            elif row.get("hash_match") is True or row.get("err") == "no_oracle":
+            elif row.get("hash_match") is True:
+                seen.add(name)
+            elif row.get("err") == "no_oracle" and name not in ORACLES:
                 seen.add(name)
     return seen
 
 
-# Registration freeze (round 4, VERDICT ask #3): no net-new queries this
-# round, so the whole round-3 backlog fronts the driver window. Among the
-# unchecked, the per-query-costliest (streaming micro-batch machinery,
-# the cached-self-join dedup families, the multi-stage funnel job) queue
-# LAST: if the driver window is time-bounded this ordering maximizes rows
-# drained per round, and if it is count-bounded the order is neutral.
-# Round 5: promote plans/staged_ops.py (31 oracle-gated operators held
-# back by this freeze) into the registry — the merge is already wired
-# and rehearsable via SPARK_GRAFT_PROMOTE_STAGED=1 (default off; see
-# _registry below) — then make it unconditional, drop the freeze-guard
-# test in tests/test_staged_ops.py, and fold STAGED_CAPS into
-# tests/test_plan_shapes.py.
+# Round-5 promotion (VERDICT r4 ask #1): plans/staged_ops.py is folded
+# unconditionally into QUERIES/ORACLES by plans/queries.py, making the
+# registry 195 names. The registration freeze on NET-NEW queries holds
+# again this round (VERDICT r4 ask #2) so the driver window can drain the
+# full backlog: 12 never-checked + 31 promoted + 2 stale-no_oracle
+# re-fronts = 45 rows <= the ~50-row window. Among the unchecked, the
+# per-query-costliest (streaming micro-batch machinery, cached-self-join
+# dedup families, the multi-stage funnel job, and the heavy staged set
+# sized from BENCH_STAGED_r04.json) queue LAST: if the driver window is
+# time-bounded this ordering maximizes rows drained per round, and if it
+# is count-bounded the order is neutral.
 _COSTLY_TAIL = {
     "streaming_sessionize",
     "streaming_static_enrich",
@@ -77,32 +84,7 @@ _COSTLY_TAIL = {
     "media_phash_dedup",
     "corpus_prep_pipeline",
     "doc_tfidf_knn",
-}
-
-
-def _registry() -> tuple[dict, dict]:
-    """The live registry, plus — ONLY when SPARK_GRAFT_PROMOTE_STAGED is
-    set — the round-5 staging area merged in. Default off: the round-4
-    freeze holds (tests/test_staged_ops.py pins it); round 5 flips this
-    to always-on by folding the staged dicts into plans/queries.py.
-    The env gate makes the promotion rehearsable NOW: the staged local
-    gate (`python local_gate.py --include-staged`) and this merge are
-    the same one-line operation."""
-    q, o = dict(QUERIES), dict(ORACLES)
-    if os.environ.get("SPARK_GRAFT_PROMOTE_STAGED"):
-        from traffic_data_pipeline_spark.plans.staged_ops import (
-            STAGED_ORACLES,
-            STAGED_QUERIES,
-        )
-        q.update(STAGED_QUERIES)
-        o.update(STAGED_ORACLES)
-    return q, o
-
-
-# staged names that queue behind the cheap ones at promotion time, by the
-# BENCH_STAGED_r04.json readout (the round-3 costly-tail rule applied to
-# the staging area)
-_STAGED_COSTLY = {
+    # heavy staged promotions, by the BENCH_STAGED_r04.json readout
     "split_cluster_assign",
     "streaming_cms_topk",
     "embedding_pq_adc",
@@ -113,21 +95,19 @@ _STAGED_COSTLY = {
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    live, _ = _registry()
     seen = _previously_checked()
-    costly = _COSTLY_TAIL | _STAGED_COSTLY
     ordered = dict()
-    for name, fn in live.items():
-        if name not in seen and name not in costly:
+    for name, fn in QUERIES.items():
+        if name not in seen and name not in _COSTLY_TAIL:
             ordered[name] = fn
-    for name, fn in live.items():
-        if name not in seen and name in costly:
+    for name, fn in QUERIES.items():
+        if name not in seen and name in _COSTLY_TAIL:
             ordered[name] = fn
-    for name, fn in live.items():
+    for name, fn in QUERIES.items():
         if name in seen:
             ordered[name] = fn
     return ordered
 
 
 def oracle_sql() -> dict[str, str]:
-    return _registry()[1]
+    return dict(ORACLES)

@@ -69,11 +69,11 @@ def main() -> int:
     ap.add_argument("--only", nargs="*", default=None,
                     help="subset of query names (default: all registered)")
     ap.add_argument("--include-staged", action="store_true",
-                    help="also gate plans/staged_ops.py entries — the "
-                         "round-5 promotion dry-run: proves the staged "
-                         "names pass the identical record the registered "
-                         "ones do, so promotion is purely mechanical "
-                         "(writes LOCAL_GATE_r{N}_staged.json)")
+                    help="no-op since the round-5 promotion: staged ops "
+                         "are part of the live registry, so the default "
+                         "gate already covers all of them (kept for "
+                         "muscle-memory compatibility; still writes the "
+                         "_staged-suffixed record when passed)")
     args = ap.parse_args()
 
     from traffic_data_pipeline_spark.plans.queries import ORACLES, QUERIES
@@ -82,15 +82,6 @@ def main() -> int:
 
     QUERIES = dict(QUERIES)
     ORACLES = dict(ORACLES)
-    if args.include_staged:
-        from traffic_data_pipeline_spark.plans.staged_ops import (
-            STAGED_ORACLES,
-            STAGED_QUERIES,
-        )
-        overlap = set(QUERIES) & set(STAGED_QUERIES)
-        assert not overlap, f"staged names collide with registry: {overlap}"
-        QUERIES.update(STAGED_QUERIES)
-        ORACLES.update(STAGED_ORACLES)
 
     spark = get_spark("tdp-local-gate", shuffle_partitions=8)
     names = args.only or list(QUERIES)

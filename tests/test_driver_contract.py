@@ -9,6 +9,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 import __spark_entry__ as entry_mod
 
 
@@ -131,30 +133,88 @@ def test_events_ts_instants_are_zone_independent(spark):
     assert got == oracle
 
 
-def test_promotion_gate_default_off_and_merges_when_set(monkeypatch):
-    """SPARK_GRAFT_PROMOTE_STAGED rehearses the round-5 promotion: off by
-    default (the freeze guard), and when set the staged names appear in
-    queries()/oracle_sql() with the cost-ordered rotation intact."""
-    import importlib
-
+def test_promotion_unconditional_and_rotation_intact():
+    """Round-5 promotion: staged names are in queries()/oracle_sql()
+    unconditionally, with the cost-ordered rotation intact — every
+    never-checked costly name queues behind the never-checked cheap
+    ones."""
     import __spark_entry__ as e
     from traffic_data_pipeline_spark.plans.staged_ops import (
         STAGED_ORACLES,
         STAGED_QUERIES,
     )
 
-    monkeypatch.delenv("SPARK_GRAFT_PROMOTE_STAGED", raising=False)
-    assert set(STAGED_QUERIES).isdisjoint(e.queries())
-
-    monkeypatch.setenv("SPARK_GRAFT_PROMOTE_STAGED", "1")
     q, o = e.queries(), e.oracle_sql()
     assert set(STAGED_QUERIES) <= set(q)
     assert set(STAGED_ORACLES) <= set(o)
-    # rotation still fronts never-checked names and defers the costly set
     names = list(q)
-    for costly in e._STAGED_COSTLY:
-        unchecked_cheap = [n for n in names
-                           if n in STAGED_QUERIES
-                           and n not in e._STAGED_COSTLY]
-        if unchecked_cheap:
-            assert names.index(costly) > names.index(unchecked_cheap[0])
+    seen = e._previously_checked()
+    unchecked_cheap = [n for n in names
+                       if n not in seen and n not in e._COSTLY_TAIL]
+    for costly in e._COSTLY_TAIL:
+        if costly in seen or costly not in names:
+            continue
+        for cheap in unchecked_cheap:
+            assert names.index(costly) > names.index(cheap)
+
+
+def test_stale_no_oracle_rows_refront():
+    """VERDICT r4 ask #3: a rows-only CORRECTNESS record only retires a
+    name while it is STILL oracle-less. media_decode_stats and
+    media_frame_sample got no_oracle rows in r01 but have real oracles
+    now, so they must NOT count as previously checked (they re-front for
+    an official hash-green row)."""
+    import __spark_entry__ as e
+
+    seen = e._previously_checked()
+    for name in ("media_decode_stats", "media_frame_sample"):
+        assert name in e.oracle_sql()
+        # a hash-green row from a later round would legitimately retire
+        # them; until then the stale rows-only record must not
+        if not any(_hash_green(name, r) for r in _correctness_rows()):
+            assert name not in seen
+
+
+def _correctness_rows():
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                yield json.load(fh)
+        except (OSError, ValueError):
+            continue
+
+
+def _hash_green(name, rows):
+    row = rows.get(name)
+    return isinstance(row, dict) and row.get("hash_match") is True
+
+
+@pytest.mark.parametrize("first", [
+    "staged_ops", "queries", "extensions", "llm_ops", "search_ops",
+    "mining_ops", "analysis_ops", "dss_ops"])
+def test_registry_complete_in_every_import_order(first):
+    """The plans modules form an import web rooted at queries.py's tail;
+    a registration or oracle built at module-body time from a SIBLING
+    module sees a partially-initialized sibling when that sibling is the
+    first plans module the interpreter loads (this bit the round-5
+    promotion: staged_ops folded 6 of 31 ops when imported before
+    queries). Pin: whichever module goes first, the finished registry is
+    the full 195/188. Runs in a subprocess so each order starts from a
+    clean sys.modules."""
+    import subprocess
+    import sys
+
+    code = (
+        f"import traffic_data_pipeline_spark.plans.{first} as m\n"
+        "import traffic_data_pipeline_spark.plans.queries as q\n"
+        "assert len(q.QUERIES) == 195, len(q.QUERIES)\n"
+        "assert len(q.ORACLES) == 188, len(q.ORACLES)\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-2000:]

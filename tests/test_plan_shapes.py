@@ -212,6 +212,126 @@ CAPS = {
                                          # never an anti-join per order
     "lang_token_fertility": (1, 1),      # token counters are projections;
                                          # one (lang) aggregate
+    # --- round-5 promotions (plans/staged_ops.py; caps audited at staging
+    # --- time in round 4, folded here per VERDICT r4 ask #1) ---
+    "doc_hybrid_search_rrf": (2, 1),      # one narrow scoring pass, stats
+                                          # broadcast, two TakeOrdered
+                                          # top-20s, fusion join on 20-row
+                                          # frames (0 hash exchanges under
+                                          # AQE at the smoke fixture; cap
+                                          # leaves room for the sort-merge
+                                          # full-outer fallback)
+    "split_cluster_assign": (2, 0),       # final read over the converged
+                                          # label frame (+ isolated-doc
+                                          # rejoin); the iterative rounds
+                                          # are paid at materialize time
+                                          # on the shared pair stream
+    "dedup_sorted_neighborhood": (4, 0),  # spread + block-rank window +
+                                          # (blk, rank) equi self-join;
+                                          # verify is in-row array math
+    "events_decayed_engagement": (1, 1),  # ONE per-user aggregate; the
+                                          # reference instant always a
+                                          # broadcast scalar
+    "bpe_merge_step": (3, 0),            # token spread + word agg + pair agg;
+                                         # the top-k window sorts the
+                                         # alphabet-pair table only
+    "doc_boilerplate_coverage": (4, 0),  # spread + gram-df agg + covered
+                                         # distinct + doc agg; the freq
+                                         # semi-join is CO-KEYED, not
+                                         # broadcast-required (gram universe
+                                         # is corpus-sized at scale)
+    "embedding_pca_step": (2, 0),        # spread + ONE dim-row aggregate;
+                                         # A x0 is a projection
+    "embedding_semantic_decontaminate": (2, 1),  # spread + flagged-argmax
+                                         # window; bench side always
+                                         # broadcast
+    "lineitem_zorder_layout": (1, 1),    # one 16-group agg; the maxima
+                                         # scalar always broadcast
+    "doc_dsir_importance": (3, 2),       # unspread bucket-count lineage +
+                                         # ONE spread scoring lineage; the
+                                         # 4096-row weight table and the
+                                         # totals scalar ALWAYS broadcast
+                                         # (fixed size at any corpus scale)
+    "doc_winnowing_fingerprint": (3, 0), # spread + fp inverted-index agg +
+                                         # pair agg; pairs explode IN-ROW
+                                         # from capped doc lists — no
+                                         # self-join exists
+    "doc_ngram_novelty": (4, 0),         # spread (x2 pre-AQE: tot + first
+                                         # lineages share the stage at
+                                         # runtime) + gram-min agg + fd
+                                         # regroup; per-doc frames ride
+                                         # doc_id partitioning
+    "lang_temperature_weights": (2, 1),  # ONE per-language aggregate; the
+                                         # normalizer scalar always
+                                         # broadcast
+    "events_rollup_merge": (2, 1),       # partial agg (type, hour, epoch
+                                         # bucket) + merge agg; watermark
+                                         # scalar always broadcast
+    "doc_paragraph_dedup": (4, 0),       # md5 first-occurrence window +
+                                         # doc_id reassembly agg (measured
+                                         # 2 + a broadcast base join that
+                                         # AQE flips to shuffle at scale —
+                                         # cap leaves room for the flip)
+    "doc_c4_line_filter": (0, 0),        # pure in-row map — zero shuffles
+    "doc_gopher_quality": (0, 0),        # pure in-row map — zero shuffles
+    "shard_compaction_plan": (2, 0),     # running-sum window on source;
+                                         # the manifest agg rides the same
+                                         # partitioning (measured 1)
+    "embedding_jl_projection": (0, 0),   # pure in-row fold — zero shuffles
+    "events_heavy_hitters_cms": (3, 1),  # key-count agg + 256-cell sketch
+                                         # agg + probe agg; the sketch is
+                                         # ALWAYS broadcast (fixed size)
+    "sensor_theilsen_trend": (2, 0),     # (sensor, day) agg + (sensor)
+                                         # gather; pair slopes + median
+                                         # explode IN-ROW — no self-join
+    "embedding_pq_adc": (5, 3),          # spread + d2 agg + code window +
+                                         # adc/exact aggs; codebook, ADC
+                                         # table, and query ALWAYS
+                                         # broadcast (fixed M*K size)
+    "embedding_margin_align": (4, 1),    # ONE pair stream (bench side
+                                         # broadcast) + two rank windows
+                                         # the k-NN window-sums ride +
+                                         # final rank-1 filter
+    "events_key_skew_report": (2, 0),    # (type, key) agg + shared
+                                         # (type) window exchange; report
+                                         # is #types rows
+    "streaming_cms_topk": (3, 1),        # PROBE plan (the stream runs at
+                                         # build time): key-count agg +
+                                         # est agg + rank window; landed
+                                         # sketch ALWAYS broadcast
+                                         # (windows x 256 rows); measured
+                                         # (2, 1) — cap leaves room for a
+                                         # non-riding rank exchange
+    "corpus_snapshot_diff": (3, 0),      # one co-keyed FULL OUTER join
+                                         # (never broadcastable) + one
+                                         # map-side-combined group count;
+                                         # pre-bucketed snapshots make it
+                                         # shuffle-free at scale
+    "dedup_graph_kcore": (2, 0),         # final degree aggregate over the
+                                         # converged checkpointed edge
+                                         # frame; peel rounds are paid at
+                                         # build time on the shared pair
+                                         # stream (measured 1)
+    "mixture_budget_allocate": (3, 1),   # ONE per-lang aggregate; the
+                                         # rank/sum windows run on the
+                                         # #langs-row frame only;
+                                         # normalizer always broadcast
+                                         # (measured 2)
+    "doc_kanonymity_report": (2, 0),     # two nested map-side-combined
+                                         # aggregates, no joins/windows
+    "doc_perplexity_buckets": (8, 1),    # doc_lm_score's audited plan
+                                         # (cap 6) + lang join + cut agg;
+                                         # the cutpoint frame (#langs
+                                         # rows) ALWAYS broadcast —
+                                         # never a per-lang ntile window
+                                         # (measured 7)
+    "events_late_arrival_audit": (3, 1), # per-shard running max + the
+                                         # #shards-row prefix (the ONLY
+                                         # unpartitioned window, over the
+                                         # tiny shard frame, broadcast
+                                         # back) + hour agg — two-pass
+                                         # distributed cummax, no global
+                                         # data sort
 }
 
 

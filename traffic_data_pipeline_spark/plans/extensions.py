@@ -46,6 +46,7 @@ from traffic_data_pipeline_spark.sources.tables import load_table
 # registration modules can import them without ordering hazards)
 from traffic_data_pipeline_spark.plans.oracle_ctes import (  # noqa: F401
     _DOC_CTES,
+    _EMB_CTES,
     _MH_PAIRS_CTE,
     _MINHASH_CTES,
     mh_eq_sum,
@@ -568,14 +569,10 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_QUERY_IDS = list(range(10))
 
-_EMB_CTES = """
-elems AS (
-  SELECT vec_id, t.i AS pos, CAST(embedding[t.i] AS DOUBLE) AS val
-  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
-norms AS (
-  SELECT vec_id, CAST(SUM(CAST(val * val AS DECIMAL(30,12))) AS DOUBLE) AS norm_sq
-  FROM elems GROUP BY 1)
-"""
+# single-sourced in plans/oracle_ctes.py (also composed by staged_ops.py,
+# which must not import this module: extensions -> queries -> staged_ops
+# is already an import chain, and a back-edge would be a cycle)
+_EMB_CTES = _EMB_CTES  # noqa: PLW0127 — re-export under the local name
 
 # Brute-force query-vs-corpus cosine CTEs (q/dots/cos) and the 4x16-bit
 # hyperplane code CTEs (pd/codes[/cand/cdots]) — each spelled ONCE and

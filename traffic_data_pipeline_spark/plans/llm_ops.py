@@ -30,6 +30,7 @@ from traffic_data_pipeline_spark.sources.tables import load_table
 
 from traffic_data_pipeline_spark.plans.oracle_ctes import (  # noqa: E402
     _GRAMS8_CTE,
+    _LM_SCORE_SQL,
     _TOK_LIST_CTE,
 )
 
@@ -159,30 +160,7 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_lm_score", f"""
-WITH {_TOK_LIST_CTE},
-big AS (
-  SELECT doc_id, array_to_string(l[g:g+1], ' ') AS bigram
-  FROM tl, unnest(generate_series(1, greatest(len(l) - 1, 0))) s(g)),
-bgc AS (SELECT bigram, COUNT(*) AS c_bg FROM big GROUP BY 1),
-pre AS (
-  SELECT split_part(bigram, ' ', 1) AS w1, CAST(SUM(c_bg) AS BIGINT) AS c_pre
-  FROM bgc GROUP BY 1),
-vocab AS (
-  SELECT CAST(COUNT(DISTINCT u.token) AS BIGINT) AS v
-  FROM (SELECT unnest(l) AS token FROM tl) u),
-probs AS (
-  SELECT b.bigram, ln((b.c_bg + 1.0) / (p.c_pre + v.v)) AS logp
-  FROM bgc b
-  JOIN pre p ON p.w1 = split_part(b.bigram, ' ', 1)
-  CROSS JOIN vocab v)
-SELECT g.doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       ROUND(CAST(SUM(CAST(pr.logp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
-         AS lm_score
-FROM big g JOIN probs pr ON pr.bigram = g.bigram
-GROUP BY 1
-""")
+@register("doc_lm_score", _LM_SCORE_SQL)
 def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style bigram language-model quality score: train add-one-
     smoothed bigram probabilities on the corpus itself, score each doc by

@@ -78,3 +78,77 @@ mpairs AS (
   FROM band_long a JOIN band_long b
     ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
 """
+
+
+# Embedding spread + norms: elems = (vec_id, pos, val) with decimal-exact
+# norm accumulation — composed by every embedding oracle in extensions.py
+# AND the staged PQ/margin oracles (staged_ops.py), so a change to the
+# DECIMAL(30,12) accumulation edits one site and neither module needs to
+# import the other (that edge would close an import cycle through
+# queries.py's tail).
+_EMB_CTES = """
+elems AS (
+  SELECT vec_id, t.i AS pos, CAST(embedding[t.i] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+norms AS (
+  SELECT vec_id, CAST(SUM(CAST(val * val AS DECIMAL(30,12))) AS DOUBLE) AS norm_sq
+  FROM elems GROUP BY 1)
+"""
+
+# Full doc_lm_score oracle (CCNet-style add-one-smoothed bigram LM mean
+# log-prob per doc) — registered verbatim by plans/llm_ops.py and
+# composed as a subquery by the staged perplexity-tercile oracle
+# (staged_ops.py), which previously read ORACLES["doc_lm_score"] at
+# module-body time and broke when llm_ops was the first plans module
+# imported (its registrations land only after its own body resumes).
+_LM_SCORE_SQL = f"""
+WITH {_TOK_LIST_CTE},
+big AS (
+  SELECT doc_id, array_to_string(l[g:g+1], ' ') AS bigram
+  FROM tl, unnest(generate_series(1, greatest(len(l) - 1, 0))) s(g)),
+bgc AS (SELECT bigram, COUNT(*) AS c_bg FROM big GROUP BY 1),
+pre AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, CAST(SUM(c_bg) AS BIGINT) AS c_pre
+  FROM bgc GROUP BY 1),
+vocab AS (
+  SELECT CAST(COUNT(DISTINCT u.token) AS BIGINT) AS v
+  FROM (SELECT unnest(l) AS token FROM tl) u),
+probs AS (
+  SELECT b.bigram, ln((b.c_bg + 1.0) / (p.c_pre + v.v)) AS logp
+  FROM bgc b
+  JOIN pre p ON p.w1 = split_part(b.bigram, ' ', 1)
+  CROSS JOIN vocab v)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(pr.logp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS lm_score
+FROM big g JOIN probs pr ON pr.bigram = g.bigram
+GROUP BY 1
+"""
+
+
+# BM25 constants + base CTE text — shared by the live BM25 oracle
+# (plans/search_ops.py) and the staged RRF-fusion oracle
+# (plans/staged_ops.py), which builds its oracle at module-body time and
+# therefore cannot import search_ops (partially initialized when
+# search_ops itself is the first plans module imported).
+BM25_TERMS = ("spark", "join", "vector", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+_BM25_BASE_SQL = """
+tl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents),
+base AS (
+  SELECT doc_id, len(l) AS doclen,
+         {tf_cols}
+  FROM tl),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(doclen) AS DOUBLE) / COUNT(*) AS avgdl,
+         {df_cols}
+  FROM base)
+"""

@@ -1396,3 +1396,14 @@ from traffic_data_pipeline_spark.plans import mining_ops  # noqa: E402,F401
 from traffic_data_pipeline_spark.plans import analysis_ops  # noqa: E402,F401
 from traffic_data_pipeline_spark.plans import dss_ops  # noqa: E402,F401
 
+# Round-5 promotion (VERDICT r4 ask #1): the round-4 staging area is now
+# part of the live registry unconditionally. plans/staged_ops.py keeps its
+# own STAGED_QUERIES/STAGED_ORACLES dicts (the per-op semantic tests in
+# tests/test_staged_ops.py address ops by those names) and folds them into
+# QUERIES/ORACLES at the END of its own body — not here — so the merge is
+# complete in every import order (staged_ops.py:2389 imports extensions,
+# which imports this module: a fold here would run mid-staged-import and
+# capture a partial dict when staged_ops happens to be imported first).
+# The dry-run record for this merge is LOCAL_GATE_r04_staged.json.
+from traffic_data_pipeline_spark.plans import staged_ops  # noqa: E402,F401
+

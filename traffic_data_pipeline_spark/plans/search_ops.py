@@ -36,27 +36,17 @@ from traffic_data_pipeline_spark.sources.tables import load_table
 # BM25 keyword search
 # ---------------------------------------------------------------------------
 
-BM25_TERMS = ("spark", "join", "vector", "stream")
-BM25_K1 = 1.2
-BM25_B = 0.75
-BM25_TOP_K = 20
+# constants + base CTE single-sourced in plans/oracle_ctes.py (the staged
+# RRF oracle composes them too, and cannot import this module at body
+# time); re-exported here under their historical names.
+from traffic_data_pipeline_spark.plans.oracle_ctes import (  # noqa: E402
+    _BM25_BASE_SQL,
+    BM25_B,
+    BM25_K1,
+    BM25_TERMS,
+)
 
-_BM25_BASE_SQL = """
-tl AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                     x -> x <> '') AS l
-  FROM documents),
-base AS (
-  SELECT doc_id, len(l) AS doclen,
-         {tf_cols}
-  FROM tl),
-stats AS (
-  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-         CAST(SUM(doclen) AS DOUBLE) / COUNT(*) AS avgdl,
-         {df_cols}
-  FROM base)
-"""
+BM25_TOP_K = 20
 
 
 def _bm25_oracle() -> str:

@@ -736,7 +736,9 @@ _RRF_RANKER_K = 20  # depth of each input ranking
 
 
 def _hybrid_oracle() -> str:
-    from traffic_data_pipeline_spark.plans.search_ops import (
+    # shared constants come from oracle_ctes (NOT search_ops: this runs
+    # at module-body time, when search_ops may be mid-import)
+    from traffic_data_pipeline_spark.plans.oracle_ctes import (
         _BM25_BASE_SQL,
         BM25_B,
         BM25_K1,
@@ -2384,9 +2386,13 @@ PQ_K = 16            # centroids per subspace codebook
 PQ_QUERY_ID = 0      # query vector (also codebook seed 0 — ADC==exact for it)
 PQ_TOP = 10
 
-# single-sourced with the live embedding oracles (plans/extensions.py):
+# single-sourced with the live embedding oracles via plans/oracle_ctes.py:
 # elems = (vec_id, pos, val) spread, decimal-exact accumulation pattern
-from traffic_data_pipeline_spark.plans.extensions import _EMB_CTES  # noqa: E402
+# (NOT imported from extensions.py — that edge would close an import
+# cycle through queries.py's tail; oracle_ctes has no plans imports)
+from traffic_data_pipeline_spark.plans.oracle_ctes import (  # noqa: E402
+    _EMB_CTES,
+)
 
 _PQ_SQL = f"""
 WITH {_EMB_CTES},
@@ -3262,11 +3268,15 @@ def q_doc_kanonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _perp_oracle() -> str:
-    from traffic_data_pipeline_spark.plans.queries import ORACLES
+    # composed from the shared oracle text (plans/oracle_ctes.py), NOT a
+    # module-time ORACLES["doc_lm_score"] read: that lookup broke when
+    # llm_ops was the first plans module imported (its registration only
+    # lands after its own body resumes past the queries.py tail)
+    from traffic_data_pipeline_spark.plans.oracle_ctes import _LM_SCORE_SQL
     return f"""
 WITH lab AS (
   SELECT lm.doc_id, d.lang, lm.lm_score
-  FROM ({ORACLES["doc_lm_score"]}) lm
+  FROM ({_LM_SCORE_SQL}) lm
   JOIN documents d ON d.doc_id = lm.doc_id),
 cuts AS (
   SELECT lang,
@@ -3441,3 +3451,27 @@ def q_dedup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degrees(pairs).select(
         F.col("v").alias("doc_id"),
         F.col("deg").cast("bigint").alias("core_degree"))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 promotion fold (VERDICT r4 ask #1). This runs at the END of the
+# module body so every @staged registration above is complete before the
+# live registry absorbs it, in EVERY import order: when queries.py is
+# imported first its bottom `import staged_ops` executes this whole module
+# (including this fold) before queries.py finishes; when this module is
+# imported first, the mid-file `from plans.extensions import _EMB_CTES`
+# (line ~2389) fully loads queries.py — whose own fold is just a
+# side-effect import with no attribute access — and control returns here
+# to fold the by-then-complete dicts. Both paths end with the 195-name
+# registry; the update is idempotent if both run.
+# ---------------------------------------------------------------------------
+from traffic_data_pipeline_spark.plans.queries import (  # noqa: E402
+    ORACLES as _LIVE_ORACLES,
+    QUERIES as _LIVE_QUERIES,
+)
+
+_collide = {n for n in set(_LIVE_QUERIES) & set(STAGED_QUERIES)
+            if _LIVE_QUERIES[n] is not STAGED_QUERIES[n]}
+assert not _collide, f"staged names collide with registry: {_collide}"
+_LIVE_QUERIES.update(STAGED_QUERIES)
+_LIVE_ORACLES.update(STAGED_ORACLES)
