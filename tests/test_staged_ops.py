@@ -787,3 +787,28 @@ def test_kcore_matches_bruteforce_peel(spark, sf_dir_oracle):
                spark, sf_dir_oracle).collect()}
     assert got == want
     assert all(d >= KCORE_K for d in got.values())
+
+
+def test_kcore_oracle_self_checks_depth(sf_dir_oracle):
+    """The k-core oracle unrolls _KCORE_UNROLL peel rounds, which is only
+    exact while the fixture's graph converges within the bound (it is
+    sf-coupled). The oracle self-checks — its last two rounds must carry
+    equal edge counts — so an overrun at a larger scale factor reads as
+    an oracle-depth artifact, not an engine bug. Pin the loud-failure
+    path by rebuilding the oracle at depth 1 (non-converged at sf0.01)."""
+    import duckdb
+
+    import traffic_data_pipeline_spark.plans.staged_ops as so
+
+    orig = so._KCORE_UNROLL
+    so._KCORE_UNROLL = 1
+    try:
+        sql = so._kcore_oracle()
+    finally:
+        so._KCORE_UNROLL = orig
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir_oracle}/documents.parquet')")
+    with pytest.raises(Exception, match="_KCORE_UNROLL=1 too shallow"):
+        con.execute(sql).fetchall()
+    con.close()

@@ -3231,8 +3231,12 @@ def q_doc_kanonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01 — pinned by test), so the strict-< rule can't silently
     flip cross-engine.
 
-    Determinism: the length bucket is floor of an exact double division
-    (n_chars <= 2^53; NULL n_chars propagates to a NULL bucket, one
+    Determinism: the length bucket is floor of an identically-rounded
+    IEEE division — n_chars/100.0 is not exact in binary for general
+    n_chars, but both engines compute the same correctly-rounded
+    quotient, and it IS exact at the bucket boundaries (n_chars a
+    multiple of 100), which is what makes the floor agree
+    (NULL n_chars propagates to a NULL bucket, one
     group in BOTH engines — SQL GROUP BY and Spark groupBy agree on
     NULL grouping); everything else is integer counting; the one
     division is count/count with a never-zero denominator (every group
@@ -3353,8 +3357,17 @@ def q_doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 KCORE_K = 2           # minimum within-subgraph degree
-_KCORE_UNROLL = 6     # oracle peel depth; Spark's true convergence within
-                      # this bound is pinned by the brute-force test
+_KCORE_UNROLL = 6     # oracle peel depth — COUPLED TO THE FIXTURE SCALE:
+                      # Spark peels to a true fixpoint at any sf, but the
+                      # oracle unrolls exactly this many rounds, so it is
+                      # exact only while the fixture's near-dup graph
+                      # converges within the bound (pinned by the
+                      # brute-force test at sf0.01). The oracle is
+                      # self-checking: its final round asserts
+                      # e{N-1} == e{N} (equal edge counts) and raises a
+                      # DuckDB error naming this constant if a larger sf
+                      # ever needs deeper peeling — a depth overrun reads
+                      # as an oracle-depth artifact, not an engine bug.
 
 
 def _kcore_oracle() -> str:
@@ -3382,10 +3395,24 @@ e0 AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM mpairs WHERE agree / 8.0 >= 0.5
   UNION ALL
   SELECT doc_b, doc_a FROM mpairs WHERE agree / 8.0 >= 0.5),
-{",".join(rounds)}
+{",".join(rounds)},
+depth_ok AS (
+  -- convergence witness: the last two peel rounds must agree, else the
+  -- unroll is too shallow for this fixture and the result would silently
+  -- under-peel — fail loudly with the diagnosis instead
+  SELECT CASE
+    WHEN (SELECT COUNT(*) FROM e{_KCORE_UNROLL - 1})
+         = (SELECT COUNT(*) FROM e{_KCORE_UNROLL}) THEN 1
+    ELSE CAST(error('dedup_graph_kcore oracle: _KCORE_UNROLL={_KCORE_UNROLL} '
+               'too shallow for this scale factor — the peel has not '
+               'converged; raise the constant in plans/staged_ops.py')
+          AS INTEGER)
+  END AS ok)
 SELECT src AS doc_id,
        CAST(COUNT(*) AS BIGINT) AS core_degree
-FROM e{_KCORE_UNROLL} GROUP BY 1
+FROM e{_KCORE_UNROLL}, depth_ok
+WHERE depth_ok.ok = 1
+GROUP BY 1
 """
 
 
