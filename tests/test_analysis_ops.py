@@ -307,17 +307,18 @@ def test_seasonality_index_averages_to_one(spark, sf_dir):
 
 
 def test_wau_hll_accuracy_pinned(spark, sf_dir):
-    """The HLL rolling-WAU estimate tracks the exact twin within HLL's
-    error envelope (<=5% relative at lgConfigK=12; effectively exact at
-    fixture cardinalities via the sparse representation) over the
-    identical window-day set."""
+    """Since the round-5 oracle conversion the HLL query emits the exact
+    window count plus the in-plan <=5% witness; assert the exact values
+    equal the exact twin's over the identical window-day set and every
+    witness holds (the estimate's 5% envelope, lgConfigK=12)."""
     exact = {r["window_day"]: r["wau"] for r in
              QUERIES["events_rolling_wau"](spark, sf_dir).collect()}
-    est = {r["window_day"]: r["wau_est"] for r in
+    got = {r["window_day"]: r for r in
            QUERIES["events_rolling_wau_hll"](spark, sf_dir).collect()}
-    assert set(est) == set(exact)
+    assert set(got) == set(exact)
     for day, w in exact.items():
-        assert abs(est[day] - w) <= max(1, 0.05 * w), (day, est[day], w)
+        assert got[day]["wau"] == w, (day, got[day]["wau"], w)
+        assert got[day]["hll_ok"], day
 
 
 def test_ab_ttest_degenerate_cohort_parity(spark, tmp_path_factory):

@@ -1768,7 +1768,20 @@ def q_csv_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rolling WAU via mergeable HLL sketches (sketch twin of events_rolling_wau)
 # ---------------------------------------------------------------------------
 
-@register("events_rolling_wau_hll")
+_WAU_HLL_ORACLE = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+spread AS (
+  SELECT user_id, d + CAST(k.k AS INTEGER) AS window_day
+  FROM user_days, (SELECT unnest(generate_series(0, 6)) AS k) k)
+SELECT strftime(window_day, '%Y-%m-%d') AS window_day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau,
+       TRUE AS hll_ok
+FROM spread GROUP BY 1
+"""
+
+
+@register("events_rolling_wau_hll", _WAU_HLL_ORACLE)
 def q_events_rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rolling-distinct formulation that survives 100×: ONE HLL
     sketch per day (map-side mergeable, constant size), each daily
@@ -1777,29 +1790,57 @@ def q_events_rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events_rolling_wau) replicates USER-DAYS — linear in distinct
     users; this replicates DAILY SKETCHES — constant per day — which is
     the difference between shuffling the audience and shuffling ~1.5 KB
-    per day at planet-scale DAU. Rows-only by design (sketch estimates
-    are engine-specific); accuracy pinned against the exact twin in
-    tests/test_analysis_ops.py, same contract as doc_sketch_profile.
+    per day at planet-scale DAU.
 
-    Scale shape: one (day, sketch) aggregate over the event scan, a 7×
-    explode of the TINY daily-sketch table, one merge aggregate to one
-    row per window day."""
+    Oracle contract (VERDICT r4 ask #7 — previously rows-only): the
+    estimate itself is engine-specific, so the emitted columns are the
+    EXACT window count plus an in-plan witness ``hll_ok`` asserting the
+    sketch estimate lands within the 5% bound the accuracy test pins
+    (tests/test_analysis_ops.py). A sketch regression flips the boolean
+    and hash-mismatches the gate instead of hiding behind a rows-only
+    row. The exact branch exists for the gate; the production 100 TB
+    form is this plan minus that branch (sketches only), as documented
+    above — the sketch path still executes and is still what ``hll_ok``
+    measures.
+
+    Scale shape (sketch branch): one (day, sketch) aggregate over the
+    event scan, a 7× explode of the TINY daily-sketch table, one merge
+    aggregate to one row per window day."""
     ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.select(F.to_date("ts").alias("d"), "user_id")
-        .groupBy("d")
-        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    base = ev.select(F.to_date("ts").alias("d"), "user_id")
+    daily = base.groupBy("d").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
     )
-    spread = daily.select(
-        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"), "d", "sk"
-    ).select(F.date_add("d", F.col("k")).alias("window_day"), "sk")
-    return (
-        spread.groupBy("window_day")
+    sk = (
+        daily.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"), "d", "sk"
+        )
+        .select(F.date_add("d", F.col("k")).alias("window_day"), "sk")
+        .groupBy("window_day")
         .agg(F.expr("hll_union_agg(sk)").alias("m"))
         .select(
-            F.date_format("window_day", "yyyy-MM-dd").alias("window_day"),
+            "window_day",
             F.expr("hll_sketch_estimate(m)").cast("bigint").alias("wau_est"),
         )
+    )
+    exact = (
+        base.distinct()
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+            "d",
+        )
+        .select("user_id", F.date_add("d", F.col("k")).alias("window_day"))
+        .groupBy("window_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return exact.join(sk, "window_day").select(
+        F.date_format("window_day", "yyyy-MM-dd").alias("window_day"),
+        F.col("wau").cast("bigint").alias("wau"),
+        (
+            F.abs(F.col("wau_est") - F.col("wau"))
+            <= 0.05 * F.col("wau")
+        ).alias("hll_ok"),
     )
 
 

@@ -468,41 +468,82 @@ def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("doc_sketch_profile")  # no oracle: sketch outputs are engine-specific
+_SKETCH_PROFILE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+    FROM documents)
+  WHERE token != ''),
+tok_agg AS (
+  SELECT d.source, CAST(COUNT(DISTINCT t.token) AS BIGINT) AS n_distinct_tokens
+  FROM toks t JOIN documents d USING (doc_id) GROUP BY 1),
+len_agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         ROUND(quantile_cont(n_chars, 0.50), 6) AS p50_chars,
+         ROUND(quantile_cont(n_chars, 0.95), 6) AS p95_chars
+  FROM documents GROUP BY 1)
+SELECT l.source, l.n_docs,
+       COALESCE(t.n_distinct_tokens, 0) AS n_distinct_tokens,
+       l.p50_chars, l.p95_chars,
+       TRUE AS hll_ok, TRUE AS tdigest_ok
+FROM len_agg l LEFT JOIN tok_agg t USING (source)
+"""
+
+
+@register("doc_sketch_profile", _SKETCH_PROFILE_ORACLE)
 def q_doc_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source sketch profile: HyperLogLog++ distinct-token estimate
-    and t-digest char-length quantiles — the constant-memory profiling
-    pass that replaces exact distinct/percentile at 100 TB (both sketches
-    are map-side mergeable, so the plan is one map-side-combined shuffle
-    to |sources| rows; the exact forms need the full stream). No DuckDB
-    oracle BY DESIGN: sketch estimates are algorithm-specific — DuckDB's
-    approx_count_distinct gives a different estimate for the same set.
-    Accuracy is test-gated instead: tests/test_search_ops.py pins both
-    estimates within 5% of the exact answers at sf0.01."""
+    and GK char-length quantiles — the constant-memory profiling pass
+    that replaces exact distinct/percentile at 100 TB (both sketches are
+    map-side mergeable, so that plan is one map-side-combined shuffle to
+    |sources| rows; the exact forms need the full stream).
+
+    Oracle contract (VERDICT r4 ask #7 — previously rows-only): sketch
+    ESTIMATES are engine-specific (DuckDB's approx_count_distinct gives
+    a different number for the same set), so the emitted columns are the
+    EXACT per-source values plus in-plan witnesses ``hll_ok`` /
+    ``tdigest_ok`` asserting each sketch lands within the 5% bound the
+    accuracy test pins (tests/test_search_ops.py). A sketch regression
+    flips a boolean and hash-mismatches the gate instead of hiding
+    behind a rows-only row. The exact branches exist for the gate; the
+    production 100 TB form is this plan minus them (sketches only) —
+    the sketch paths still execute and are still what the witnesses
+    measure. Exact quantiles follow the lineitem_quantiles lerp
+    contract: ROUND(…, 6) on both engines (DEVIATIONS.md)."""
     from traffic_data_pipeline_spark.functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
     tok = tokens(docs).join(docs.select("doc_id", "source"), "doc_id")
-    tok_est = tok.groupBy("source").agg(
-        F.approx_count_distinct("token", 0.02).alias("approx_distinct_tokens")
+    tok_agg = tok.groupBy("source").agg(
+        F.countDistinct("token").alias("n_distinct_tokens"),
+        F.approx_count_distinct("token", 0.02).alias("_hll"),
     )
-    len_sketch = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
+    len_agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("percentile(n_chars, array(0.50D, 0.95D))").alias("_qx"),
         F.percentile_approx("n_chars", F.array(F.lit(0.5), F.lit(0.95)), 10_000)
-        .alias("_q"),
+        .alias("_qs"),
     )
-    # LEFT join: a source whose docs produce zero tokens must still
-    # appear in the profile (with 0 distinct tokens), not vanish
-    return (
-        len_sketch.join(tok_est, "source", "left")
-        .select(
-            "source",
-            "n_docs",
-            F.coalesce("approx_distinct_tokens", F.lit(0))
-            .alias("approx_distinct_tokens"),
-            F.col("_q")[0].cast("double").alias("p50_chars"),
-            F.col("_q")[1].cast("double").alias("p95_chars"),
+    exact = F.coalesce(F.col("n_distinct_tokens"), F.lit(0)).cast("bigint")
+    est = F.coalesce(F.col("_hll"), F.lit(0))
+    # a source whose docs produce zero tokens must still appear in the
+    # profile (with 0 distinct tokens), not vanish — hence the LEFT join,
+    # and both witnesses treat the empty set as trivially in-bound
+    within = [
+        (
+            F.abs(F.col("_qs")[i].cast("double") - F.col("_qx")[i])
+            <= 0.05 * F.col("_qx")[i] + F.lit(2.0)
         )
+        for i in range(2)
+    ]
+    return len_agg.join(tok_agg, "source", "left").select(
+        "source",
+        "n_docs",
+        exact.alias("n_distinct_tokens"),
+        F.round(F.col("_qx")[0], 6).alias("p50_chars"),
+        F.round(F.col("_qx")[1], 6).alias("p95_chars"),
+        (F.abs(est - exact) <= 0.05 * exact).alias("hll_ok"),
+        (within[0] & within[1]).alias("tdigest_ok"),
     )
 
 
