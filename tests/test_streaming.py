@@ -606,3 +606,84 @@ def test_cms_sketch_state_survives_restart(spark, tmp_path):
     assert len(landed) == CMS_D            # user 7: one cell per row
     assert all(r.cell == 3 for r in landed), [
         (r.r, r.b, r.cell) for r in landed]
+
+
+def test_cms_sketch_state_survives_restart(spark, tmp_path):
+    """Sketch-state restart recovery for streaming_cms_topk (VERDICT r4
+    ask #6, completing the restart discipline every other stateful query
+    has): events for ONE 6-hour window arrive across a stop/start
+    boundary on the same checkpoint; the windowed (r, b) cell counts must
+    merge across the restart, and the landed sketch must be CELL-FOR-CELL
+    identical to a single uninterrupted run over the same feed."""
+    import pyspark.sql.functions as F
+
+    from traffic_data_pipeline_spark.plans.staged_ops import (
+        CMS_WIN_S,
+        _cms_rb,
+    )
+
+    schema = "user_id long, ts timestamp, value double"
+
+    def write_batch(src, rows):
+        spark.createDataFrame(
+            rows, "user_id long, ts string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp")) \
+         .coalesce(1).write.mode("append").parquet(src)
+
+    def run_once(src, sink, ckpt):
+        win = F.window("ts", f"{CMS_WIN_S} seconds")
+        cells = (
+            spark.readStream.schema(schema).parquet(src)
+            .filter(F.col("ts").isNotNull())
+            .withWatermark("ts", "1 hour")
+            .select("ts", F.explode(_cms_rb(F.col("user_id"))).alias("rb"))
+            .groupBy(win.alias("win"), F.col("rb.r").alias("r"),
+                     F.col("rb.b").alias("b"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cell"))
+        )
+        q = (cells.writeStream.outputMode("append").format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(300)
+
+    def landed_cells(sink):
+        return {
+            (str(r.w), r.r, r.b, r.cell)
+            for r in spark.read.parquet(sink)
+            .select(F.col("win.start").alias("w"), "r", "b", "cell")
+            .filter(F.col("w") == "2024-01-01 00:00:00").collect()
+        }
+
+    batch1 = [(7, "2024-01-01 01:00:00", 1.0),
+              (7, "2024-01-01 02:00:00", 1.0),
+              (8, "2024-01-01 02:30:00", 1.0)]
+    batch2 = [(7, "2024-01-01 03:00:00", 1.0),
+              # clock advancer: pushes the watermark past 06:00 so the
+              # first window finalizes in run 2
+              (9, "2024-01-01 08:00:00", 1.0)]
+
+    # restarted: batch1 | stop | batch2 on the same checkpoint
+    src_a, sink_a, ckpt_a = (str(tmp_path / d) for d in
+                             ("src_a", "sink_a", "ckpt_a"))
+    write_batch(src_a, batch1)
+    run_once(src_a, sink_a, ckpt_a)   # window open: cells only in STATE
+    write_batch(src_a, batch2)
+    run_once(src_a, sink_a, ckpt_a)   # resumes from checkpoint
+    got = landed_cells(sink_a)
+
+    # uninterrupted twin: the whole feed in one run
+    src_b, sink_b, ckpt_b = (str(tmp_path / d) for d in
+                             ("src_b", "sink_b", "ckpt_b"))
+    write_batch(src_b, batch1)
+    write_batch(src_b, batch2)
+    run_once(src_b, sink_b, ckpt_b)
+    want = landed_cells(sink_b)
+
+    assert got == want
+    # and the merged state really carries all three user-7 increments:
+    # each of user 7's d cells counts 3 (possibly + collisions from 8)
+    u7 = spark.range(1).select(
+        F.explode(_cms_rb(F.lit(7).cast("long"))).alias("rb")
+    ).select("rb.r", "rb.b").collect()
+    by_rb = {(r, b): c for (_, r, b, c) in got}
+    assert all(by_rb[(r.r, r.b)] >= 3 for r in u7)
