@@ -25,6 +25,8 @@ NAMES = [
     "doc_boilerplate_coverage",
     "doc_winnowing_fingerprint",
     "doc_ngram_novelty",
+    "split_cluster_assign",     # CC iterations over the LSH pair stream
+    "dedup_graph_kcore",        # peel rounds over the same pair stream
 ]
 OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events", "embeddings"]
