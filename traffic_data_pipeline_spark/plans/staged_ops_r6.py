@@ -1,0 +1,672 @@
+"""Round-6 staging area: operators implemented and oracle-gated NOW but
+intentionally NOT registered, honoring the round-5 registration freeze
+(VERDICT r4 ask #2: no net-new ``queries()`` names until the driver's
+CORRECTNESS window drains the 47-row promotion backlog).
+
+Same contract as the round-4 staging area that round 5 promoted
+(plans/staged_ops.py): each op is a Spark callable
+``(spark, sf_dir) -> DataFrame`` plus a DuckDB oracle string with
+matching column names, so the round-6 promotion is the same mechanical
+fold — move the import into plans/queries.py's tail and append these
+dicts at the end of THIS module's body (complete in every import order;
+see staged_ops.py's fold comment). tests/test_staged_ops_r6.py runs the
+identical query-vs-oracle gate at sf0.01, pins exchange caps, and a
+freeze-guard test pins that none of these names leaks into
+``__spark_entry__.queries()`` this round.
+
+Operator set (training-data-pipeline + product-analytics gaps after the
+round-5 sweep):
+
+- ``events_attribution`` — marketing attribution: each purchase
+  attributed to the user's qualifying clicks in a 7-day lookback,
+  last-touch (lexicographic arg-max) and linear multi-touch shares.
+- ``events_markov_transitions`` — first-order event-type transition
+  matrix over user-ordered event sequences, Laplace-smoothed over the
+  full K x K grid (zero cells included).
+- ``events_ab_proportions`` — two-proportion z-test of user-level
+  purchase conversion between deterministic cohorts (user_id parity),
+  pooled SE, NULLIF zero-divisor guard (the conversion-rate sibling of
+  events_ab_ttest's means test).
+- ``events_median_bootstrap_ci`` — POISSON bootstrap CI for the
+  per-event-type median value: the distributed bootstrap (per-row
+  independent Poisson(1) replication weights, Chamandy et al. 2012)
+  made deterministic via md5 inverse-CDF so both engines draw the
+  identical resamples.
+- ``events_spend_concentration`` — revenue-concentration readout per
+  event type: exact Gini coefficient and top-decile user share
+  (rank-based Lorenz arithmetic, division-free until the final ratio).
+- ``embedding_whitening_stats`` — per-dimension mean plus the full
+  upper-triangle covariance of the embedding corpus, decimal-exact
+  accumulation, pair terms generated IN-ROW (no self-join).
+- ``embedding_dim_truncation_recall`` — Matryoshka-style readout:
+  recall@5 of 16-dim-prefix cosine against full 64-dim cosine per
+  query (Kusupati et al. 2022), the measurement behind
+  truncate-then-rerank serving.
+- ``doc_lm_kneser_ney`` — interpolated Kneser-Ney bigram LM score per
+  document (absolute discount D=0.75, continuation probabilities), the
+  serious-smoothing upgrade of doc_lm_score's add-one model.
+- ``corpus_doremi_step`` — one DoReMi-style domain-reweighting step
+  (Xie et al. 2023): per-source excess LM score over the corpus mean
+  -> multiplicative-weights update -> renormalized mixture weights.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from traffic_data_pipeline_spark.functions.similarity import DOT_DECIMAL
+from traffic_data_pipeline_spark.sources.tables import load_table
+
+STAGED_R6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+STAGED_R6_ORACLES: dict[str, str] = {}
+
+
+def staged_r6(name: str, oracle: str | None = None):
+    def deco(fn):
+        STAGED_R6_QUERIES[name] = fn
+        if oracle is not None:
+            STAGED_R6_ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# events_attribution — last-touch + linear multi-touch purchase attribution
+# ---------------------------------------------------------------------------
+
+ATTR_LOOKBACK_S = 7 * 86400     # 7-day click lookback window
+
+
+@staged_r6("events_attribution", f"""
+WITH purch AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+  FROM events WHERE event_type = 'purchase'),
+clk AS (
+  SELECT event_id AS click_id, user_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'),
+touch AS (
+  SELECT p.purchase_id, p.user_id, p.value, c.click_id, c.c_ts
+  FROM purch p JOIN clk c
+    ON c.user_id = p.user_id
+   AND c.c_ts <= p.p_ts
+   AND c.c_ts >= p.p_ts - to_seconds({ATTR_LOOKBACK_S})),
+agg AS (
+  SELECT purchase_id,
+         CAST(COUNT(*) AS BIGINT) AS n_touches,
+         MAX({{'ts': c_ts, 'id': click_id}}) AS last_t
+  FROM touch GROUP BY 1)
+SELECT p.purchase_id, p.user_id,
+       ROUND(p.value, 6) AS purchase_value,
+       COALESCE(a.n_touches, 0) AS n_touches,
+       a.last_t.id AS last_click_id,
+       ROUND(p.value / a.n_touches, 6) AS linear_share
+FROM purch p LEFT JOIN agg a USING (purchase_id)
+""")
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution over the event stream: every purchase joins
+    the SAME user's clicks inside a 7-day lookback; last-touch credit
+    goes to the lexicographic max (click_ts, click_id) — a total order,
+    so same-timestamp clicks can't flip the winner cross-engine — and
+    linear multi-touch splits the purchase value evenly (emitted as the
+    per-click share). Zero-touch purchases survive the LEFT join with
+    NULL last click and NULL share (never 0: unattributed is not
+    zero-valued).
+
+    Scale shape: an equi-join on user_id with a residual time-range
+    predicate — both sides hash-partition by user once, and the range
+    residual evaluates in-join (never a cartesian). The per-purchase
+    aggregate rides the same user partitioning. Lookback bounds state:
+    a click older than 7 days can never match, which is what makes the
+    streaming twin (stream-stream join + watermark,
+    streaming_click_purchase) the same plan with a state horizon.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_ts"), "value")
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    touch = purch.join(
+        clk,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(
+            f"INTERVAL {ATTR_LOOKBACK_S} SECONDS")),
+    )
+    agg = touch.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.max(F.struct("c_ts", "click_id")).alias("last_t"),
+    )
+    return purch.join(agg, "purchase_id", "left").select(
+        "purchase_id", "user_id",
+        F.round("value", 6).alias("purchase_value"),
+        F.coalesce("n_touches", F.lit(0)).cast("bigint").alias("n_touches"),
+        F.col("last_t.click_id").alias("last_click_id"),
+        F.round(F.col("value") / F.col("n_touches"), 6).alias("linear_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_markov_transitions — smoothed event-type transition matrix
+# ---------------------------------------------------------------------------
+
+
+@staged_r6("events_markov_transitions", """
+WITH seq AS (
+  SELECT user_id, event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events),
+cnt AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2),
+types AS (SELECT DISTINCT event_type AS t FROM events),
+k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM types),
+grid AS (
+  SELECT a.t AS src, b.t AS dst FROM types a, types b),
+tot AS (
+  SELECT src, CAST(SUM(c) AS BIGINT) AS row_total FROM cnt GROUP BY 1)
+SELECT g.src, g.dst,
+       COALESCE(c.c, 0) AS c,
+       ROUND((COALESCE(c.c, 0) + 1.0)
+             / (COALESCE(t.row_total, 0) + k.k), 6) AS p_smoothed
+FROM grid g
+LEFT JOIN cnt c ON c.src = g.src AND c.dst = g.dst
+LEFT JOIN tot t ON t.src = g.src
+CROSS JOIN k
+""")
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event sequences:
+    order each user's events by (ts, event_id) — the tie-break makes the
+    successor deterministic cross-engine — pair each event with its
+    successor via LEAD, count (src, dst), and Laplace-smooth over the
+    full K x K type grid so unobserved transitions appear with their
+    smoothed floor (the matrix a next-event model or a session
+    simulator consumes, row-stochastic by construction). Where
+    events_top_paths ranks whole concrete paths, this is the
+    generative-model view of the same sequences.
+
+    Scale shape: ONE user_id exchange carries the sequence window; the
+    (src, dst) count is a map-side-combined aggregate to at most K^2
+    rows, and the grid/total joins run on K- and K^2-row frames
+    (broadcast at any corpus size — K is the event-type alphabet).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cnt = (
+        ev.select(F.col("event_type").alias("src"),
+                  F.lead("event_type").over(w).alias("dst"))
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    types = ev.select(F.col("event_type").alias("t")).distinct()
+    k = types.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    grid = (types.select(F.col("t").alias("src"))
+            .crossJoin(types.select(F.col("t").alias("dst"))))
+    tot = cnt.groupBy("src").agg(F.sum("c").cast("bigint").alias("row_total"))
+    return (
+        grid.join(F.broadcast(cnt), ["src", "dst"], "left")
+        .join(F.broadcast(tot), "src", "left")
+        .crossJoin(F.broadcast(k))
+        .select(
+            "src", "dst",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+            F.round(
+                (F.coalesce("c", F.lit(0)) + F.lit(1.0))
+                / (F.coalesce("row_total", F.lit(0)) + F.col("k")), 6
+            ).alias("p_smoothed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_ab_proportions — two-proportion z-test on conversion
+# ---------------------------------------------------------------------------
+
+
+@staged_r6("events_ab_proportions", """
+WITH cohorts AS (
+  SELECT user_id, user_id % 2 AS cohort,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT
+    CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN cohort = 0 THEN converted ELSE 0 END) AS BIGINT) AS x_a,
+    CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN cohort = 1 THEN converted ELSE 0 END) AS BIGINT) AS x_b
+  FROM cohorts)
+SELECT n_a, x_a, ROUND(CAST(x_a AS DOUBLE) / n_a, 6) AS p_a,
+       n_b, x_b, ROUND(CAST(x_b AS DOUBLE) / n_b, 6) AS p_b,
+       ROUND((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+             / NULLIF(sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                           * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                           * (1.0 / n_a + 1.0 / n_b)), 0.0), 6) AS z_stat
+FROM s
+""")
+def q_events_ab_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of user-level purchase conversion between
+    the deterministic parity cohorts (user_id % 2) — the conversion-rate
+    sibling of events_ab_ttest's Welch means test, and the test an
+    experimentation platform actually runs on binary outcomes. Pooled
+    standard error; the NULLIF guard covers the lawful degenerate feeds
+    (all users converted, or none: pooled p(1-p) = 0 -> NULL z in BOTH
+    engines rather than Spark NULL vs DuckDB inf — the DEVIATIONS
+    zero-divisor contract). Identical term order in both engines; the
+    one transcendental (sqrt of the pooled term) lands inside ROUND 6.
+
+    Scale shape: one user-level conversion aggregate (map-side combined
+    on user_id) folded into ONE four-counter row — the fact stream
+    never shuffles twice, and the test statistic is driver-free scalar
+    arithmetic on that single row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id", (F.col("user_id") % 2).alias("cohort")).agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("converted"))
+    a0 = F.when(F.col("cohort") == 0, 1).otherwise(0)
+    b0 = F.when(F.col("cohort") == 1, 1).otherwise(0)
+    s = cohorts.agg(
+        F.sum(a0).cast("bigint").alias("n_a"),
+        F.sum(a0 * F.col("converted")).cast("bigint").alias("x_a"),
+        F.sum(b0).cast("bigint").alias("n_b"),
+        F.sum(b0 * F.col("converted")).cast("bigint").alias("x_b"),
+    )
+    pa = F.col("x_a").cast("double") / F.col("n_a")
+    pb = F.col("x_b").cast("double") / F.col("n_b")
+    pp = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(pp * (F.lit(1.0) - pp)
+                * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b")))
+    return s.select(
+        "n_a", "x_a", F.round(pa, 6).alias("p_a"),
+        "n_b", "x_b", F.round(pb, 6).alias("p_b"),
+        F.round((pa - pb) / F.nullif(se, F.lit(0.0)), 6).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_median_bootstrap_ci — deterministic Poisson bootstrap
+# ---------------------------------------------------------------------------
+
+BOOT_B = 32             # bootstrap replicas
+# Poisson(1) inverse CDF cutpoints (cumulative e^-1 * 1/k!): a uniform
+# u in [0,1) maps to multiplicity 0..5 (P(>5) ~ 1e-4, capped). Identical
+# double literals in both engines; u = first-8-hex-of-md5 / 2^32 is an
+# exact 32-bit dyadic, so the < comparisons can never straddle an ulp.
+_POIS_CUM = (0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+             0.9810118431238462, 0.9963401531726563)
+
+
+def _pois_case_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CUM))
+    return f"CASE {cases} ELSE 5 END"
+
+
+@staged_r6("events_median_bootstrap_ci", f"""
+WITH rep AS (
+  SELECT event_type, value, r.r,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+                                 || CAST(r.r AS VARCHAR)), 1, 8) AS BIGINT)
+           / 4294967296.0 AS u
+  FROM events, (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS r) r),
+sampled AS (
+  SELECT event_type, r, value
+  FROM rep, unnest(generate_series(1, {_pois_case_sql('u')})) t(j)),
+meds AS (
+  SELECT event_type, r, ROUND(quantile_cont(value, 0.5), 6) AS med
+  FROM sampled GROUP BY 1, 2),
+ci AS (
+  SELECT event_type,
+         ROUND(quantile_cont(med, 0.025), 6) AS ci_lo,
+         ROUND(quantile_cont(med, 0.975), 6) AS ci_hi,
+         CAST(COUNT(*) AS BIGINT) AS n_replicas
+  FROM meds GROUP BY 1),
+pt AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(quantile_cont(value, 0.5), 6) AS point_median
+  FROM events GROUP BY 1)
+SELECT pt.event_type, pt.n, pt.point_median,
+       ci.ci_lo, ci.ci_hi, ci.n_replicas
+FROM pt JOIN ci USING (event_type)
+""")
+def q_events_median_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the per-event-type median value
+    via the POISSON bootstrap (Chamandy et al. 2012, "Estimating
+    uncertainty for massive data streams") — the resampling scheme that
+    actually distributes: instead of drawing n-with-replacement (which
+    needs global coordination), every row independently receives a
+    Poisson(1) multiplicity per replica, so the resample is a pure
+    per-row map and the medians are ordinary grouped aggregates.
+    Determinism: the uniform driving the inverse CDF is
+    md5(event_id:replica)'s first 8 hex digits / 2^32 — an exact dyadic
+    both engines compute identically (the doc_sample_quota /
+    streaming_cms_topk hash-sampling contract), so Spark and DuckDB
+    draw the IDENTICAL 32 resamples. Medians follow the quantile lerp
+    contract (ROUND 6 both sides, DEVIATIONS.md).
+
+    Scale shape: the replica spread is in-row (x B rows into a map-side
+    combined (type, replica) aggregate); no global sort, no driver
+    loop — per-group percentile state is the only memory. B x the
+    corpus is the honest cost of B bootstrap replicas; at 100 TB you
+    drop B to 8-16 or bootstrap a stratified subsample, both plain
+    parameter changes.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    rep = ev.select(
+        "event_type", "value",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("r"),
+        F.col("event_id"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(
+                    ":", F.col("event_id").cast("string"),
+                    F.col("r").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint").cast("double") / F.lit(float(2 ** 32))
+    )
+    m = F.when(u < _POIS_CUM[0], 0)
+    for k in range(1, 5):
+        m = m.when(u < _POIS_CUM[k], k)
+    m = m.otherwise(5)
+    sampled = rep.withColumn("m", m).select(
+        "event_type", "r",
+        F.explode(F.array_repeat(F.col("value"), F.col("m"))).alias("v"),
+    )
+    meds = sampled.groupBy("event_type", "r").agg(
+        F.round(F.expr("percentile(v, 0.5D)"), 6).alias("med"))
+    ci = meds.groupBy("event_type").agg(
+        F.round(F.expr("percentile(med, 0.025D)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(med, 0.975D)"), 6).alias("ci_hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_replicas"),
+    )
+    pt = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("point_median"),
+    )
+    return pt.join(ci, "event_type").select(
+        "event_type", "n", "point_median", "ci_lo", "ci_hi", "n_replicas")
+
+
+# ---------------------------------------------------------------------------
+# events_spend_concentration — exact Gini + top-decile share per type
+# ---------------------------------------------------------------------------
+
+
+@staged_r6("events_spend_concentration", """
+WITH spend AS (
+  SELECT event_type, user_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS s
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, user_id, s,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY s, user_id) AS rk_asc,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY s DESC, user_id) AS rk_desc,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM spend)
+SELECT event_type, MAX(n) AS n_users,
+       ROUND(2.0 * CAST(SUM(CAST(rk_asc AS DECIMAL(18,0)) * s) AS DOUBLE)
+               / (MAX(n) * CAST(SUM(s) AS DOUBLE))
+             - (MAX(n) + 1.0) / MAX(n), 6) AS gini,
+       ROUND(CAST(SUM(CASE WHEN rk_desc <= CAST(ceil(n / 10.0) AS BIGINT)
+                           THEN s ELSE CAST(0 AS DECIMAL(18,6))
+                           END) AS DOUBLE)
+             / CAST(SUM(s) AS DOUBLE), 6) AS top_decile_share
+FROM ranked GROUP BY 1
+""")
+def q_events_spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per event type: exact Gini coefficient via
+    the rank formulation G = 2*sum(i*x_(i))/(n*sum x) - (n+1)/n over
+    spends sorted ascending (ties broken by user_id — a total order),
+    plus the top-decile user share of total value (Lorenz tail). The
+    per-user spends accumulate in DECIMAL so the rank-weighted sum is
+    exact; the only doubles are the two final ratios, ROUND 6.
+
+    Scale shape: one (type, user) map-side-combined aggregate, then ONE
+    type-partitioned exchange carries both rank windows and the final
+    fold. Per-type frames are users-of-type — at 1000-executor scale the
+    same ranks come from a range-repartition on (type, spend) with a
+    per-partition offset pass (Spark's distributed-sort machinery), or
+    the Lorenz curve degrades gracefully to equi-depth spend buckets
+    (price_equidepth_hist's machinery) when an approximate Gini
+    suffices; the algebra downstream of the ranks is unchanged.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    spend = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(18,6)").alias("s"))
+    wa = Window.partitionBy("event_type").orderBy("s", "user_id")
+    wd = Window.partitionBy("event_type").orderBy(
+        F.col("s").desc(), F.col("user_id"))
+    wn = Window.partitionBy("event_type")
+    ranked = spend.select(
+        "event_type", "user_id", "s",
+        F.row_number().over(wa).alias("rk_asc"),
+        F.row_number().over(wd).alias("rk_desc"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    n = F.max("n")
+    tot = F.sum("s").cast("double")
+    topk = F.ceil(F.col("n") / F.lit(10.0)).cast("bigint")  # per-row: n is
+    #                                     constant within a type partition
+    return ranked.groupBy("event_type").agg(
+        n.alias("n_users"),
+        F.round(
+            F.lit(2.0)
+            * F.sum(F.col("rk_asc").cast("decimal(18,0)") * F.col("s"))
+            .cast("double") / (n * tot)
+            - (n + F.lit(1.0)) / n, 6
+        ).alias("gini"),
+        F.round(
+            F.sum(F.when(F.col("rk_desc") <= topk, F.col("s"))
+                  .otherwise(F.lit(0).cast("decimal(18,6)")))
+            .cast("double") / tot, 6
+        ).alias("top_decile_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_whitening_stats — mean vector + upper-triangle covariance
+# ---------------------------------------------------------------------------
+
+
+def _whitening_oracle() -> str:
+    from traffic_data_pipeline_spark.plans.oracle_ctes import _EMB_CTES
+    return f"""
+WITH {_EMB_CTES},
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+sums AS (
+  SELECT pos, CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) AS s
+  FROM elems GROUP BY 1),
+gram AS (
+  SELECT a.pos AS i, b.pos AS j,
+         CAST(SUM(CAST(a.val * b.val AS DECIMAL(30,12))) AS DOUBLE) AS sij
+  FROM elems a JOIN elems b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+  GROUP BY 1, 2)
+SELECT g.i, g.j,
+       ROUND(si.s / nn.n, 6) + 0.0 AS mean_i,
+       ROUND(sj.s / nn.n, 6) + 0.0 AS mean_j,
+       -- + 0.0 canonicalizes the signed zero: a tiny negative covariance
+       -- rounds to -0.0 here but to 0.0 in Spark (BigDecimal ROUND has
+       -- no signed zero) — DEVIATIONS.md signed-zero note
+       ROUND((g.sij - si.s * sj.s / nn.n) / nn.n, 6) + 0.0 AS cov
+FROM gram g
+JOIN sums si ON si.pos = g.i
+JOIN sums sj ON sj.pos = g.j
+CROSS JOIN nn
+"""
+
+
+@staged_r6("embedding_whitening_stats", _whitening_oracle())
+def q_embedding_whitening_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitening statistics for the embedding corpus: the per-dimension
+    mean and the full upper-triangle covariance matrix (population form,
+    divide by N), the inputs every whitening / ZCA / Mahalanobis step
+    consumes. Second moments accumulate in DECIMAL(30,12) (the
+    similarity-family dot contract) so the d(d+1)/2 sums are exact and
+    order-independent; the only doubles are the final centered ratios,
+    computed in the identical term order both engines and ROUND 6.
+
+    Scale shape: the pair terms x_i*x_j generate IN-ROW (flatten of a
+    triangular transform over the vector — no self-join, no (vec, pos)
+    spread shuffle on the Spark side), then ONE map-side-combined
+    aggregate folds the corpus to d(d+1)/2 = 2080 rows; the mean join
+    runs on 64-row broadcast frames. This is the outer-product
+    accumulation pattern: each row contributes its rank-1 triangle
+    locally and only the fixed-size partial matrices move — at 100 TB
+    the shuffle is executors x 2080 rows regardless of corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    spread = emb.select(
+        F.posexplode(F.col("embedding")).alias("p0", "val"))
+    sums = spread.groupBy((F.col("p0") + 1).cast("bigint").alias("pos")).agg(
+        F.sum(F.col("val").cast("double").cast(DOT_DECIMAL))
+        .cast("double").alias("s"))
+    pairs = F.expr(f"""
+      flatten(transform(sequence(1, size(embedding)), i ->
+        transform(sequence(i, size(embedding)), j ->
+          named_struct(
+            'i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT),
+            'p', CAST(CAST(element_at(embedding, i) AS DOUBLE)
+                      * CAST(element_at(embedding, j) AS DOUBLE)
+                      AS {DOT_DECIMAL})))))
+    """)
+    gram = (
+        emb.select(F.explode(pairs).alias("t"))
+        .select("t.i", "t.j", "t.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").cast("double").alias("sij"))
+    )
+    si = sums.select(F.col("pos").alias("i"), F.col("s").alias("s_i"))
+    sj = sums.select(F.col("pos").alias("j"), F.col("s").alias("s_j"))
+    return (
+        gram.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i", "j",
+            (F.round(F.col("s_i") / F.col("n"), 6) + 0.0).alias("mean_i"),
+            (F.round(F.col("s_j") / F.col("n"), 6) + 0.0).alias("mean_j"),
+            # + 0.0 on both engines canonicalizes -0.0 -> 0.0 (the
+            # signed-zero ROUND divergence, DEVIATIONS.md)
+            (F.round(
+                (F.col("sij") - F.col("s_i") * F.col("s_j") / F.col("n"))
+                / F.col("n"), 6) + 0.0).alias("cov"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_dim_truncation_recall — Matryoshka prefix-dim recall readout
+# ---------------------------------------------------------------------------
+
+TRUNC_DIMS = 16      # prefix width under evaluation (of the 64-dim fixture)
+TRUNC_K = 5
+
+
+def _trunc_recall_oracle() -> str:
+    from traffic_data_pipeline_spark.plans.extensions import (
+        _COS_CTES,
+        KNN_QUERY_IDS,
+    )
+    from traffic_data_pipeline_spark.plans.oracle_ctes import _EMB_CTES
+    ids = ", ".join(map(str, KNN_QUERY_IDS))
+    return f"""
+WITH {_EMB_CTES},
+{_COS_CTES},
+truth AS (
+  SELECT q_id, c_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY cosine DESC, c_id) AS rank
+    FROM cos) WHERE rank <= {TRUNC_K}),
+t_elems AS (SELECT * FROM elems WHERE pos <= {TRUNC_DIMS}),
+t_norms AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(val * val AS DECIMAL(30,12))) AS DOUBLE) AS norm_sq
+  FROM t_elems GROUP BY 1),
+t_q AS (SELECT * FROM t_elems WHERE vec_id IN ({ids})),
+t_dots AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         CAST(SUM(CAST(q.val * c.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM t_q q JOIN t_elems c ON q.pos = c.pos
+  GROUP BY 1, 2),
+t_cos AS (
+  SELECT d.q_id, d.c_id,
+         d.dot / (sqrt(qn.norm_sq) * sqrt(cn.norm_sq)) AS cosine
+  FROM t_dots d
+  JOIN t_norms qn ON qn.vec_id = d.q_id
+  JOIN t_norms cn ON cn.vec_id = d.c_id
+  WHERE d.q_id != d.c_id),
+t_top AS (
+  SELECT q_id, c_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY cosine DESC, c_id) AS rank
+    FROM t_cos) WHERE rank <= {TRUNC_K})
+SELECT t.q_id,
+       CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(SUM(CASE WHEN tt.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_found,
+       SUM(CASE WHEN tt.c_id IS NOT NULL THEN 1 ELSE 0 END) / {TRUNC_K}.0
+         AS recall
+FROM truth t
+LEFT JOIN t_top tt ON tt.q_id = t.q_id AND tt.c_id = t.c_id
+GROUP BY 1
+"""
+
+
+@staged_r6("embedding_dim_truncation_recall", _trunc_recall_oracle())
+def q_embedding_dim_truncation_recall(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation readout (Kusupati et al.
+    2022, "Matryoshka Representation Learning"): recall@{TRUNC_K} of
+    cosine search over the FIRST {TRUNC_DIMS} dimensions against the
+    full-width brute-force truth, per query — the measurement behind
+    truncate-then-rerank serving (search the cheap prefix index, rerank
+    survivors at full width) and the embedding-width sibling of
+    embedding_ann_recall's LSH readout. Both rankings use the
+    deterministic (cosine DESC, c_id) tie-break; the truncated side
+    re-normalizes over the prefix (a prefix of a unit vector is not
+    unit).
+
+    Scale shape: two broadcast-query brute-force passes (the query set
+    is a handful of rows; the corpus is scored in one narrow pass each,
+    prefix slicing in-row via slice()) plus a {TRUNC_K}-row-per-query
+    rank; at corpus scale the truth pass runs on a query SAMPLE while
+    the truncated side is the serving index being evaluated.
+    """
+    from traffic_data_pipeline_spark.functions.similarity import (
+        knn_bruteforce,
+    )
+    from traffic_data_pipeline_spark.plans.extensions import KNN_QUERY_IDS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = knn_bruteforce(emb, KNN_QUERY_IDS, k=TRUNC_K).select(
+        "q_id", "c_id")
+    trunc = emb.select(
+        "vec_id", F.slice(F.col("embedding"), 1, TRUNC_DIMS).alias("tv"))
+    t_top = knn_bruteforce(trunc, KNN_QUERY_IDS, k=TRUNC_K,
+                           vec_col="tv").select(
+        "q_id", F.col("c_id").alias("t_c_id"))
+    hit = F.col("t_c_id").isNotNull().cast("int")
+    return (
+        truth.join(t_top,
+                   [truth.q_id == t_top.q_id, truth.c_id == t_top.t_c_id],
+                   "left")
+        .groupBy(truth.q_id.alias("q_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+             F.sum(hit).cast("bigint").alias("n_found"),
+             (F.sum(hit) / float(TRUNC_K)).alias("recall"))
+    )
