@@ -1,0 +1,298 @@
+"""Oracle gate + semantic checks for the round-6 staging area
+(plans/staged_ops_r6.py) — the same query-vs-oracle compare every
+registered query passes, run BEFORE these names enter the driver
+registry, plus a freeze guard pinning that they stay out of it this
+round (VERDICT r4 ask #2: the round-5 promotion backlog drains first)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.oracle import assert_matches_oracle
+from traffic_data_pipeline_spark.plans.staged_ops_r6 import (
+    BOOT_B,
+    STAGED_R6_ORACLES,
+    STAGED_R6_QUERIES,
+    TRUNC_K,
+)
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_R6_ORACLES))
+def test_staged_r6_matches_oracle(spark, sf_dir_oracle, name):
+    assert_matches_oracle(
+        STAGED_R6_QUERIES[name](spark, sf_dir_oracle),
+        STAGED_R6_ORACLES[name], sf_dir_oracle)
+
+
+# Exchange budgets (the test_plan_shapes contract, applied at staging
+# time so the round-6 promotion can't ship an unaudited plan): (max hash
+# exchanges, min broadcast exchanges) in the live plan at the smoke
+# fixture. Fold into tests/test_plan_shapes.py CAPS at promotion.
+STAGED_R6_CAPS = {
+    "events_attribution": (3, 0),        # purchase x click user-range
+                                         # join + per-purchase agg (AQE
+                                         # broadcasts a side at fixture
+                                         # scale; at corpus scale both
+                                         # sides co-key on user)
+    "events_markov_transitions": (5, 3), # ONE user window + (src,dst)
+                                         # agg + the cached K-row
+                                         # alphabet build; grid/total/K
+                                         # frames always broadcast
+    "events_ab_proportions": (1, 0),     # user-conversion agg folded to
+                                         # one four-counter row
+    "events_median_bootstrap_ci": (3, 1),  # in-row B-spread into a
+                                         # (type, replica) percentile agg
+                                         # + type re-agg; CI frame joins
+                                         # broadcast
+    "events_spend_concentration": (2, 0),  # (type,user) spend agg + ONE
+                                         # type exchange carrying both
+                                         # rank windows and the fold
+    "embedding_whitening_stats": (3, 3), # in-row triangle -> ONE 2080-row
+                                         # gram agg + the 64-row mean agg;
+                                         # mean/N frames always broadcast
+    "embedding_dim_truncation_recall": (9, 2),  # two brute-force passes
+                                         # (spread repartition + per-query
+                                         # rank each) + recall join/agg;
+                                         # query sides broadcast
+    "doc_lm_kneser_ney": (3, 4),         # bigram/prefix/continuation
+                                         # count aggs over the cached
+                                         # stream; scalar + model frames
+                                         # broadcast at fixture scale
+    "corpus_doremi_step": (15, 2),       # doc_lm_score's audited plan
+                                         # (cap 6) + source/corpus aggs +
+                                         # the #sources-row update; corpus
+                                         # scalar and normalizer always
+                                         # broadcast
+}
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_R6_CAPS))
+def test_staged_r6_exchange_budget(spark, sf_dir, name):
+    from tests import test_plan_shapes as shapes
+
+    max_exch, min_bcast = STAGED_R6_CAPS[name]
+    exch, bcast = shapes._count_live(STAGED_R6_QUERIES[name](spark, sf_dir))
+    assert exch <= max_exch, (
+        f"{name}: {exch} hash exchanges (cap {max_exch})")
+    assert bcast >= min_bcast, (
+        f"{name}: {bcast} broadcast exchanges (expected >= {min_bcast})")
+
+
+def test_staged_r6_names_not_registered():
+    """Round-5 registration freeze (VERDICT r4 ask #2): round-6 staged
+    ops must not leak into the driver registry until the promotion
+    backlog drains and round 6 promotes them."""
+    import __spark_entry__ as e
+
+    live = set(e.queries())
+    assert set(STAGED_R6_QUERIES).isdisjoint(live)
+    assert set(STAGED_R6_ORACLES) == set(STAGED_R6_QUERIES)
+    assert set(STAGED_R6_CAPS) == set(STAGED_R6_QUERIES)
+
+
+def test_attribution_shares_and_zero_touch(spark, sf_dir_oracle):
+    """linear_share * n_touches reconstructs the purchase value for every
+    attributed purchase (within the 6-dp rounding of the share), and
+    zero-touch purchases carry NULL last click + NULL share — never 0."""
+    rows = STAGED_R6_QUERIES["events_attribution"](
+        spark, sf_dir_oracle).collect()
+    assert rows
+    seen_zero = seen_multi = False
+    for r in rows:
+        if r.n_touches == 0:
+            seen_zero = True
+            assert r.last_click_id is None and r.linear_share is None
+        else:
+            seen_multi = seen_multi or r.n_touches > 1
+            assert r.last_click_id is not None
+            assert abs(r.linear_share * r.n_touches - r.purchase_value) \
+                <= 0.5e-6 * r.n_touches + 1e-9
+    assert seen_zero and seen_multi  # both classes materialize at sf0.01
+
+
+def test_markov_rows_stochastic_full_grid(spark, sf_dir_oracle):
+    """K x K rows (zero cells included) and every smoothed row sums to 1
+    within K half-ulps of the 6-dp rounding."""
+    rows = STAGED_R6_QUERIES["events_markov_transitions"](
+        spark, sf_dir_oracle).collect()
+    types = {r.src for r in rows}
+    assert len(rows) == len(types) ** 2
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.src, []).append(r.p_smoothed)
+    for src, ps in by_src.items():
+        assert len(ps) == len(types)
+        assert abs(sum(ps) - 1.0) <= len(types) * 0.5e-6, src
+
+
+def test_ab_proportions_recomputed(spark, sf_dir_oracle):
+    """Recompute the z statistic from the emitted counters with plain
+    python floats — an independent witness of the pooled-SE formula."""
+    r = STAGED_R6_QUERIES["events_ab_proportions"](
+        spark, sf_dir_oracle).collect()[0]
+    assert r.n_a > 0 and r.n_b > 0
+    pa, pb = r.x_a / r.n_a, r.x_b / r.n_b
+    pp = (r.x_a + r.x_b) / (r.n_a + r.n_b)
+    se = math.sqrt(pp * (1 - pp) * (1 / r.n_a + 1 / r.n_b))
+    want = (pa - pb) / se if se else None
+    if want is None:
+        assert r.z_stat is None
+    else:
+        assert abs(r.z_stat - want) <= 1e-5
+
+
+def test_bootstrap_ci_brackets_the_median(spark, sf_dir_oracle):
+    """Every event type carries exactly B replicas, an ordered CI, and —
+    at the fixture's per-type sample sizes — the interval brackets the
+    point median."""
+    rows = STAGED_R6_QUERIES["events_median_bootstrap_ci"](
+        spark, sf_dir_oracle).collect()
+    assert rows
+    for r in rows:
+        assert r.n_replicas == BOOT_B, r.event_type
+        assert r.ci_lo <= r.ci_hi, r.event_type
+        assert r.ci_lo <= r.point_median <= r.ci_hi, r.event_type
+
+
+def test_spend_concentration_matches_bruteforce(spark, sf_dir_oracle):
+    """Recompute Gini and the top-decile share for one event type with
+    plain python over the raw per-user spends."""
+    from decimal import Decimal
+
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    got = {r.event_type: r for r in STAGED_R6_QUERIES[
+        "events_spend_concentration"](spark, sf_dir_oracle).collect()}
+    ev = load_table(spark, sf_dir_oracle, "events").filter(
+        F.col("event_type") == "view")
+    spends = {}
+    for r in ev.select("user_id", "value").collect():
+        q = Decimal(repr(r.value)).quantize(Decimal("0.000001"))
+        spends[r.user_id] = spends.get(r.user_id, Decimal(0)) + q
+    xs = sorted(spends.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(xs)
+    tot = float(sum(v for _, v in xs))
+    gini = 2.0 * float(sum(Decimal(i + 1) * v
+                           for i, (_, v) in enumerate(xs))) \
+        / (n * tot) - (n + 1.0) / n
+    topk = math.ceil(n / 10.0)
+    top = sorted(spends.values(), reverse=True)[:topk]
+    share = float(sum(top)) / tot
+    r = got["view"]
+    assert r.n_users == n
+    assert abs(r.gini - gini) <= 1e-5
+    assert abs(r.top_decile_share - share) <= 1e-5
+    assert 0.0 <= r.gini < 1.0
+
+
+def test_whitening_diag_is_variance(spark, sf_dir_oracle):
+    """Full triangle (d(d+1)/2 rows), and the diagonal equals the plain
+    per-dimension population variance recomputed in python floats."""
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    rows = STAGED_R6_QUERIES["embedding_whitening_stats"](
+        spark, sf_dir_oracle).collect()
+    dims = max(r.i for r in rows)
+    assert len(rows) == dims * (dims + 1) // 2
+    assert all(r.i <= r.j for r in rows)
+    emb = [list(r.embedding) for r in
+           load_table(spark, sf_dir_oracle, "embeddings").collect()]
+    n = len(emb)
+    for d in (1, dims // 2, dims):
+        vals = [float(v[d - 1]) for v in emb]
+        mu = sum(vals) / n
+        var = sum((x - mu) ** 2 for x in vals) / n
+        got = next(r for r in rows if r.i == d and r.j == d)
+        assert abs(got.cov - var) <= 1e-4, d
+        assert abs(got.mean_i - mu) <= 1e-5, d
+        assert got.cov >= 0.0, d
+
+
+def test_truncation_recall_shape(spark, sf_dir_oracle):
+    """One row per query with n_truth == k and recall in [0, 1] — and the
+    prefix carries signal above chance. The fixture embeddings are
+    pseudo-noise (no Matryoshka training), so the 16-of-64 prefix holds
+    only ~1/4 of the energy and absolute recall is modest (~0.1
+    measured); chance for a random 5-of-499 pick is ~0.01, so > 0.03
+    mean asserts the prefix genuinely correlates with the full metric
+    without overfitting the fixture."""
+    rows = STAGED_R6_QUERIES["embedding_dim_truncation_recall"](
+        spark, sf_dir_oracle).collect()
+    assert len(rows) == 10
+    assert all(r.n_truth == TRUNC_K for r in rows)
+    assert all(0.0 <= r.recall <= 1.0 for r in rows)
+    assert sum(r.recall for r in rows) / len(rows) > 0.03
+
+
+def test_kneser_ney_aligns_with_addone_counts(spark, sf_dir_oracle):
+    """The KN score is a different smoother over the SAME bigram stream:
+    per-doc n_bigrams must equal doc_lm_score's exactly, every score is
+    a negative mean log-prob, and the two models must disagree on values
+    (if they ever collapsed to equal scores, the continuation term is
+    dead code)."""
+    from traffic_data_pipeline_spark.plans.queries import QUERIES
+
+    kn = {r.doc_id: r for r in STAGED_R6_QUERIES["doc_lm_kneser_ney"](
+        spark, sf_dir_oracle).collect()}
+    ao = {r.doc_id: r for r in QUERIES["doc_lm_score"](
+        spark, sf_dir_oracle).collect()}
+    assert set(kn) == set(ao)
+    assert all(kn[d].n_bigrams == ao[d].n_bigrams for d in kn)
+    assert all(kn[d].kn_score < 0 for d in kn)
+    assert any(abs(kn[d].kn_score - ao[d].lm_score) > 1e-4 for d in kn)
+
+
+def test_doremi_step_monotone_and_normalized(spark, sf_dir_oracle):
+    """Weights renormalize to 1 (within rounding), excess is nonnegative,
+    and the multiplicative update is monotone: a domain with larger
+    excess gets a strictly larger new/old weight ratio."""
+    rows = STAGED_R6_QUERIES["corpus_doremi_step"](
+        spark, sf_dir_oracle).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r.weight_new for r in rows) - 1.0) \
+        <= len(rows) * 0.5e-6
+    assert all(r.excess >= 0.0 for r in rows)
+    ratio = sorted((r.excess, r.weight_new / r.weight_old) for r in rows)
+    for (e1, r1), (e2, r2) in zip(ratio, ratio[1:]):
+        if e2 > e1:
+            assert r2 > r1
+
+
+@pytest.mark.parametrize("name", ["doc_lm_kneser_ney", "corpus_doremi_step"])
+def test_staged_r6_dirty_text_parity(spark, tmp_path_factory, sf_dir_oracle,
+                                     name):
+    """NULL and empty text rows must not diverge the engines (the
+    test_staged_dirty_text_parity contract): the gate re-runs on a
+    corpus with both planted."""
+    import os
+
+    import duckdb as _duck
+
+    from traffic_data_pipeline_spark.sources.tables import TABLES
+
+    out = tmp_path_factory.mktemp("dirty_docs_r6")
+    con = _duck.connect()
+    con.execute(f"""
+        COPY (
+          SELECT * FROM read_parquet('{sf_dir_oracle}/documents.parquet')
+          WHERE doc_id < 100
+          UNION ALL
+          SELECT * FROM (VALUES
+            (8801, NULL, 'en', 'src0', 0),
+            (8802, '', 'en', 'src0', 0),
+            (3, NULL, 'en', 'src0', 0))
+            v(doc_id, text, lang, source, n_chars)
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    for t in TABLES:
+        dst = out / f"{t}.parquet"
+        if not dst.exists():
+            os.symlink(f"{sf_dir_oracle}/{t}.parquet", dst)
+    assert_matches_oracle(
+        STAGED_R6_QUERIES[name](spark, str(out)),
+        STAGED_R6_ORACLES[name], str(out))

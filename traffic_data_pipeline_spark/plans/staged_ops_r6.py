@@ -196,6 +196,8 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, and the grid/total joins run on K- and K^2-row frames
     (broadcast at any corpus size — K is the event-type alphabet).
     """
+    from traffic_data_pipeline_spark.functions.execution import materialize
+
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     cnt = (
@@ -205,7 +207,10 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    types = ev.select(F.col("event_type").alias("t")).distinct()
+    # the K-row alphabet feeds three consumers (grid x2, k) — cache it so
+    # the fact is scanned once for the alphabet, not three times
+    types = materialize(
+        ev.select(F.col("event_type").alias("t")).distinct())
     k = types.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
     grid = (types.select(F.col("t").alias("src"))
             .crossJoin(types.select(F.col("t").alias("dst"))))
@@ -669,4 +674,218 @@ def q_embedding_dim_truncation_recall(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"),
              F.sum(hit).cast("bigint").alias("n_found"),
              (F.sum(hit) / float(TRUNC_K)).alias("recall"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc_lm_kneser_ney — interpolated Kneser-Ney bigram LM score per doc
+# ---------------------------------------------------------------------------
+
+KN_DISCOUNT = 0.75
+
+
+def _kn_oracle() -> str:
+    from traffic_data_pipeline_spark.plans.oracle_ctes import _TOK_LIST_CTE
+    return f"""
+WITH {_TOK_LIST_CTE},
+big AS (
+  SELECT doc_id, array_to_string(l[g:g+1], ' ') AS bigram
+  FROM tl, unnest(generate_series(1, greatest(len(l) - 1, 0))) s(g)),
+bgc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_bg FROM big GROUP BY 1),
+pre AS (
+  SELECT split_part(bigram, ' ', 1) AS w1,
+         CAST(SUM(c_bg) AS BIGINT) AS c_pre,
+         CAST(COUNT(*) AS BIGINT) AS n1f
+  FROM bgc GROUP BY 1),
+n1b AS (
+  SELECT split_part(bigram, ' ', 2) AS w2,
+         CAST(COUNT(*) AS BIGINT) AS n1b
+  FROM bgc GROUP BY 1),
+bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM bgc),
+probs AS (
+  SELECT b.bigram,
+         ln((greatest(b.c_bg - {KN_DISCOUNT}, 0.0)
+             + {KN_DISCOUNT} * p.n1f * (CAST(nb.n1b AS DOUBLE) / t.bt))
+            / CAST(p.c_pre AS DOUBLE)) AS logp
+  FROM bgc b
+  JOIN pre p ON p.w1 = split_part(b.bigram, ' ', 1)
+  JOIN n1b nb ON nb.w2 = split_part(b.bigram, ' ', 2)
+  CROSS JOIN bt t)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(pr.logp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS kn_score
+FROM big g JOIN probs pr ON pr.bigram = g.bigram
+GROUP BY 1
+"""
+
+
+@staged_r6("doc_lm_kneser_ney", _kn_oracle())
+def q_doc_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM score per document (Kneser &
+    Ney 1995; Chen & Goodman 1999's interpolated form): absolute
+    discount D={KN_DISCOUNT} off every observed bigram count, the mass
+    redistributed by CONTINUATION probability — how many distinct
+    contexts a word follows, not how often it occurs — which is what
+    makes KN the default serious n-gram smoother ("San Francisco" makes
+    "Francisco" frequent but not context-promiscuous). Trained on the
+    corpus itself (every scored bigram is observed, so the inner
+    scoring join is lossless), scored as mean token log-probability:
+    the upgrade path from doc_lm_score's add-one model, same contract.
+
+    Cross-engine float parity: every ln argument derives from INTEGER
+    counts through the identical expression tree (parenthesized
+    continuation ratio first, left-associated products), and per-bigram
+    log-probs round to DECIMAL(18,6) before the order-independent sum
+    (the dsum pattern doc_lm_score pins).
+
+    Scale shape: identical to doc_lm_score — in-row bigram projection,
+    THREE map-side-combined count aggregates (bigram, prefix,
+    continuation) instead of its two, the bigram-type total as one
+    broadcast scalar row, one scoring join keyed on the bigram.
+    """
+    from traffic_data_pipeline_spark.functions.execution import materialize
+    from traffic_data_pipeline_spark.functions.text import ngram_array
+    from traffic_data_pipeline_spark.plans.llm_ops import _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    stream = materialize(
+        docs.select("doc_id", F.explode(ngram_array("tok", 2)).alias("bigram")))
+    bgc = materialize(
+        stream.groupBy("bigram").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c_bg")))
+    w1 = F.substring_index("bigram", " ", 1)
+    w2 = F.substring_index("bigram", " ", -1)
+    pre = bgc.groupBy(w1.alias("w1")).agg(
+        F.sum("c_bg").cast("bigint").alias("c_pre"),
+        F.count(F.lit(1)).cast("bigint").alias("n1f"))
+    n1b = bgc.groupBy(w2.alias("w2")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1b"))
+    bt = bgc.agg(F.count(F.lit(1)).cast("bigint").alias("bt"))
+    probs = (
+        bgc.withColumn("w1", w1).withColumn("w2", w2)
+        .join(pre, "w1")
+        .join(n1b, "w2")
+        .crossJoin(F.broadcast(bt))
+        .select(
+            "bigram",
+            F.log(
+                (F.greatest(F.col("c_bg") - F.lit(KN_DISCOUNT), F.lit(0.0))
+                 + F.lit(KN_DISCOUNT) * F.col("n1f")
+                 * (F.col("n1b").cast("double") / F.col("bt")))
+                / F.col("c_pre").cast("double")
+            ).alias("logp"),
+        )
+    )
+    return (
+        stream.join(probs, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("logp").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)), 6,
+            ).alias("kn_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_doremi_step — one DoReMi-style domain-reweighting step
+# ---------------------------------------------------------------------------
+
+DOREMI_ETA = 1.0
+
+
+def _doremi_oracle() -> str:
+    from traffic_data_pipeline_spark.plans.oracle_ctes import _LM_SCORE_SQL
+    return f"""
+WITH lm AS ({_LM_SCORE_SQL}),
+scored AS (
+  SELECT d.source, lm.lm_score
+  FROM lm JOIN documents d ON d.doc_id = lm.doc_id),
+dom AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         ROUND(CAST(SUM(CAST(lm_score AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_lm
+  FROM scored GROUP BY 1),
+corpus AS (
+  SELECT ROUND(CAST(SUM(CAST(lm_score AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS corpus_mean,
+         CAST(COUNT(*) AS BIGINT) AS n_total
+  FROM scored),
+upd AS (
+  SELECT d.source, d.n_docs, d.mean_lm,
+         ROUND(greatest(c.corpus_mean - d.mean_lm, 0.0), 6) AS excess,
+         ROUND(CAST(d.n_docs AS DOUBLE) / c.n_total, 6) AS weight_old,
+         CAST(ROUND(CAST(d.n_docs AS DOUBLE) / c.n_total, 6)
+              * ROUND(exp({DOREMI_ETA}
+                          * ROUND(greatest(c.corpus_mean - d.mean_lm, 0.0),
+                                  6)), 6)
+              AS DECIMAL(18,12)) AS term
+  FROM dom d CROSS JOIN corpus c),
+norm AS (SELECT SUM(term) AS z FROM upd)
+SELECT u.source, u.n_docs, u.mean_lm, u.excess, u.weight_old,
+       ROUND(CAST(u.term AS DOUBLE) / CAST(n.z AS DOUBLE), 6) AS weight_new
+FROM upd u CROSS JOIN norm n
+"""
+
+
+@staged_r6("corpus_doremi_step", _doremi_oracle())
+def q_corpus_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi-style domain-reweighting step (Xie et al. 2023,
+    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining"): domains whose proxy-model quality lags the corpus
+    (here: per-source mean bigram-LM score below the corpus mean — the
+    lm_score stand-in for excess loss) get multiplicative-weights
+    upweighted, w' proportional to w * exp(eta * excess), then
+    renormalized — the mixture a curriculum/rebalance job feeds back
+    into sampling (doc_mixture_rebalance consumes exactly such
+    weights).
+
+    Float parity: the whole update is QUANTIZED stepwise — mean, excess,
+    exp factor, and old weight each ROUND 6 before entering the next
+    product, so the one transcendental (exp, not correctly rounded
+    cross-engine — the ln/log2 DEVIATIONS class) is rounded before it
+    can propagate; the normalizer accumulates DECIMAL(18,12) terms (the
+    dsum pattern over a #sources-row frame).
+
+    Scale shape: the LM scoring plan (doc_lm_score's audited shape)
+    plus TWO map-side-combined aggregates to #sources rows and one
+    broadcast scalar; the update arithmetic runs on a #sources-row
+    frame.
+    """
+    from traffic_data_pipeline_spark.plans.llm_ops import q_doc_lm_score
+
+    lm = q_doc_lm_score(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = lm.join(docs, "doc_id").select("source", "lm_score")
+    dom = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(F.col("lm_score").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)), 6).alias("mean_lm"),
+    )
+    corpus = scored.agg(
+        F.round(
+            F.sum(F.col("lm_score").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)), 6).alias("corpus_mean"),
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+    )
+    excess = F.round(
+        F.greatest(F.col("corpus_mean") - F.col("mean_lm"), F.lit(0.0)), 6)
+    w_old = F.round(F.col("n_docs").cast("double") / F.col("n_total"), 6)
+    term = (w_old * F.round(F.exp(F.lit(DOREMI_ETA) * excess), 6)) \
+        .cast("decimal(18,12)")
+    upd = dom.crossJoin(F.broadcast(corpus)).select(
+        "source", "n_docs", "mean_lm",
+        excess.alias("excess"), w_old.alias("weight_old"),
+        term.alias("term"),
+    )
+    norm = upd.agg(F.sum("term").alias("z"))
+    return upd.crossJoin(F.broadcast(norm)).select(
+        "source", "n_docs", "mean_lm", "excess", "weight_old",
+        F.round(
+            F.col("term").cast("double") / F.col("z").cast("double"), 6
+        ).alias("weight_new"),
     )
