@@ -1,5 +1,7 @@
 #!/usr/bin/env python3
-"""Timing probe for the round-5 staging area: run every STAGED query at
+"""Timing probe for the CURRENT staging area (round 6 since the round-5
+promotion moved plans/staged_ops.py into the live registry — this script
+now times plans/staged_ops_r6.py): run every staged query at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) with bench.py's
 warmup + prewarm + noop-sink + cache-release discipline and write a
 round-stamped BENCH_STAGED_r0N.json.
@@ -22,7 +24,9 @@ import os
 import re
 import time
 
-from traffic_data_pipeline_spark.plans.staged_ops import STAGED_QUERIES
+from traffic_data_pipeline_spark.plans.staged_ops_r6 import (
+    STAGED_R6_QUERIES as STAGED_QUERIES,
+)
 from traffic_data_pipeline_spark.session import get_spark
 
 

@@ -62,6 +62,14 @@ STAGED_R6_CAPS = {
                                          # count aggs over the cached
                                          # stream; scalar + model frames
                                          # broadcast at fixture scale
+    "events_time_zonemap_audit": (2, 1), # ONE (day) footer aggregate +
+                                         # the #files probe scalar always
+                                         # broadcast
+    "embedding_silhouette_by_label": (4, 1),  # (label,pos) centroid agg +
+                                         # per-vector distance agg + the
+                                         # a/b regroup; the centroid
+                                         # matrix ALWAYS broadcast
+                                         # (measured 3)
     "corpus_doremi_step": (15, 2),       # doc_lm_score's audited plan
                                          # (cap 6) + source/corpus aggs +
                                          # the #sources-row update; corpus
@@ -296,3 +304,66 @@ def test_staged_r6_dirty_text_parity(spark, tmp_path_factory, sf_dir_oracle,
     assert_matches_oracle(
         STAGED_R6_QUERIES[name](spark, str(out)),
         STAGED_R6_ORACLES[name], str(out))
+
+
+def test_zonemap_probe_classifies_and_prunes(spark, sf_dir_oracle):
+    """Every file day in the probe window is a hit, everything else is
+    prunable, and pruned_frac is exactly the non-hit share — recomputed
+    from the emitted rows themselves."""
+    from traffic_data_pipeline_spark.plans.staged_ops_r6 import (
+        ZONEMAP_PROBE_DAYS,
+    )
+
+    rows = STAGED_R6_QUERIES["events_time_zonemap_audit"](
+        spark, sf_dir_oracle).collect()
+    assert rows
+    lo, hi = ZONEMAP_PROBE_DAYS
+    hits = 0
+    for r in rows:
+        day = int(r.file_day.split("-")[2])
+        assert r.probe_hits == (lo <= day <= hi), r.file_day
+        hits += r.probe_hits
+        assert r.ts_lo[:10] == r.file_day and r.ts_hi[:10] == r.file_day
+    want = round(1.0 - hits / len(rows), 6)
+    assert all(abs(r.pruned_frac - want) <= 1e-9 for r in rows)
+    assert 0.0 < want < 1.0   # the probe neither reads nor skips all
+
+
+def test_silhouette_planted_geometry(spark, tmp_path_factory):
+    """On engineered geometry the readout must order correctly: two
+    tight, well-separated label clusters score near +1; a label whose
+    vectors sit ON another label's centroid scores negative."""
+    import os
+
+    import duckdb as _duck
+
+    out = tmp_path_factory.mktemp("sil_emb")
+    con = _duck.connect()
+    # label 0 near (10, 0, ...), label 1 near (-10, 0, ...): tight and
+    # far apart. label 2 sits exactly around label 0's centroid — its
+    # own spread is wide so its a > b (closest other centroid = label 0)
+    con.execute(f"""
+      COPY (
+        SELECT CAST(i AS BIGINT) AS vec_id,
+               CAST(CASE
+                 WHEN i % 3 = 0 THEN [10.0 + (i % 7) * 0.01, 0.0, 0.0, 0.0]
+                 WHEN i % 3 = 1 THEN [-10.0 - (i % 7) * 0.01, 0.0, 0.0, 0.0]
+                 ELSE [10.0, (i % 7) * 3.0 - 9.0, 0.0, 0.0]
+               END AS FLOAT[]) AS embedding,
+               CAST(i % 3 AS INTEGER) AS label
+        FROM unnest(generate_series(0, 59)) t(i)
+      ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents"]:
+        os.symlink(f"/root/testdata/sf0.01/{t}.parquet",
+                   out / f"{t}.parquet")
+    got = {r.label: r.mean_silhouette for r in STAGED_R6_QUERIES[
+        "embedding_silhouette_by_label"](spark, str(out)).collect()}
+    assert got[0] > 0.9 and got[1] > 0.9
+    assert got[2] < 0
+    # and the dirty-geometry corpus still hash-matches its oracle
+    assert_matches_oracle(
+        STAGED_R6_QUERIES["embedding_silhouette_by_label"](spark, str(out)),
+        STAGED_R6_ORACLES["embedding_silhouette_by_label"], str(out))

@@ -889,3 +889,178 @@ def q_corpus_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("term").cast("double") / F.col("z").cast("double"), 6
         ).alias("weight_new"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_time_zonemap_audit — 1-D time zonemap / partition-pruning readout
+# ---------------------------------------------------------------------------
+
+ZONEMAP_PROBE_DAYS = (10, 16)    # inclusive day-of-month probe window
+
+
+@staged_r6("events_time_zonemap_audit", f"""
+WITH files AS (
+  SELECT CAST(ts AS DATE) AS file_day,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS ts_lo,
+         strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS ts_hi
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+probe AS (
+  SELECT COUNT(*) AS n_files,
+         SUM(CASE WHEN day(file_day) BETWEEN {ZONEMAP_PROBE_DAYS[0]}
+                  AND {ZONEMAP_PROBE_DAYS[1]} THEN 1 ELSE 0 END) AS n_hit
+  FROM files)
+SELECT strftime(f.file_day, '%Y-%m-%d') AS file_day, f.n_rows,
+       f.ts_lo, f.ts_hi,
+       day(f.file_day) BETWEEN {ZONEMAP_PROBE_DAYS[0]}
+         AND {ZONEMAP_PROBE_DAYS[1]} AS probe_hits,
+       ROUND(1.0 - CAST(p.n_hit AS DOUBLE) / p.n_files, 6) AS pruned_frac
+FROM files f CROSS JOIN probe p
+""")
+def q_events_time_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side data-layout readout for the TIME dimension — the 1-D
+    sibling of lineitem_zorder_layout's 2-D Morton audit: partition the
+    fact by event day (the layout a date-partitioned table has on disk),
+    emit each daily file's row count and min/max timestamp footer
+    (exactly what parquet zonemaps store), and measure the skipping a
+    week-range probe achieves: which files the probe must open and the
+    fraction pruned. This is the audit behind choosing the partition
+    column — if pruned_frac is low for the hot probe shape, the layout
+    is wrong.
+
+    Event-time-less rows are excluded on both sides (they cannot carry a
+    zonemap). Timestamps format through the fmt_ts contract; the one
+    ratio is integer-derived, ROUND 6.
+
+    Scale shape: ONE map-side-combined (day) aggregate over the scan —
+    the footer stats fall out of the same pass that would write the
+    files — plus a #files-row scalar broadcast back. At 100 TB this is
+    a metadata-only query against the real footers; here it derives
+    them from the fixture feed.
+    """
+    from traffic_data_pipeline_spark.plans.queries import fmt_ts
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    files = ev.groupBy(F.to_date("ts").alias("file_day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        fmt_ts(F.min("ts")).alias("ts_lo"),
+        fmt_ts(F.max("ts")).alias("ts_hi"),
+    )
+    hit = F.dayofmonth("file_day").between(*ZONEMAP_PROBE_DAYS)
+    probe = files.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(hit.cast("int")).alias("n_hit"),
+    )
+    return files.crossJoin(F.broadcast(probe)).select(
+        F.date_format("file_day", "yyyy-MM-dd").alias("file_day"),
+        "n_rows", "ts_lo", "ts_hi",
+        hit.alias("probe_hits"),
+        F.round(
+            F.lit(1.0) - F.col("n_hit").cast("double") / F.col("n_files"), 6
+        ).alias("pruned_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_silhouette_by_label — cluster-quality readout over labels
+# ---------------------------------------------------------------------------
+
+
+def _silhouette_oracle() -> str:
+    from traffic_data_pipeline_spark.plans.oracle_ctes import _EMB_CTES
+    return f"""
+WITH {_EMB_CTES},
+cent AS (
+  SELECT e2.label, el.pos,
+         CAST(SUM(CAST(el.val AS DECIMAL(30,12))) AS DOUBLE)
+           / COUNT(*) AS c
+  FROM elems el JOIN embeddings e2 ON e2.vec_id = el.vec_id
+  GROUP BY 1, 2),
+d2 AS (
+  SELECT el.vec_id, e2.label AS own_label, c.label AS cand_label,
+         CAST(SUM(CAST((el.val - c.c) * (el.val - c.c)
+                       AS DECIMAL(30,12))) AS DOUBLE) AS dist2
+  FROM elems el
+  JOIN embeddings e2 ON e2.vec_id = el.vec_id
+  JOIN cent c ON c.pos = el.pos
+  GROUP BY 1, 2, 3),
+ab AS (
+  SELECT vec_id, own_label,
+         sqrt(MAX(CASE WHEN cand_label = own_label THEN dist2 END)) AS a,
+         sqrt(MIN(CASE WHEN cand_label != own_label THEN dist2 END)) AS b
+  FROM d2 GROUP BY 1, 2),
+s AS (
+  SELECT vec_id, own_label,
+         (b - a) / greatest(a, b) AS sil
+  FROM ab WHERE greatest(a, b) > 0)
+SELECT own_label AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(CAST(SUM(CAST(sil AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) + 0.0 AS mean_silhouette
+FROM s GROUP BY 1
+"""
+
+
+@staged_r6("embedding_silhouette_by_label", _silhouette_oracle())
+def q_embedding_silhouette_by_label(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label — the cluster
+    quality readout for a labeled embedding corpus: for each vector,
+    a = distance to its OWN label centroid, b = distance to the NEAREST
+    other centroid, s = (b - a)/max(a, b); the per-label mean says
+    whether the labels are geometrically coherent (the medoid-free
+    variant large-scale eval uses, since the classic pairwise
+    silhouette is O(N^2)). On the pseudo-noise fixture the labels are
+    arbitrary, so means hover near 0 — the op's value is the contract,
+    pinned by the planted-geometry test.
+
+    Float parity: centroid components and distance accumulations are
+    DECIMAL-exact; sqrt is IEEE-correctly-rounded (deterministic
+    cross-engine, unlike ln/exp — DEVIATIONS.md); the per-vector
+    silhouette rounds to DECIMAL(18,6) before the order-independent
+    mean, and the mean carries the signed-zero `+ 0.0` guard (a
+    near-zero mean can round negative-tiny).
+
+    Scale shape: centroids are ONE map-side-combined (label, pos)
+    aggregate to |labels| x d rows, broadcast everywhere after; each
+    vector's |labels| distances generate from the broadcast centroid
+    matrix (no pairwise vector joins), and the final fold is
+    |labels|-row. At 100 TB: one scan + one tiny broadcast — the
+    pairwise-free formulation IS the scale path.
+    """
+    from traffic_data_pipeline_spark.functions.execution import materialize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    spread = emb.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding")).alias("p0", "v"))
+    cent = materialize(
+        spread.groupBy("label", (F.col("p0") + 1).alias("pos")).agg(
+            (F.sum(F.col("v").cast("double").cast(DOT_DECIMAL))
+             .cast("double") / F.count(F.lit(1))).alias("c"))
+        .withColumnRenamed("label", "cand_label"))
+    d2 = (
+        spread.select("vec_id", F.col("label").alias("own_label"),
+                      (F.col("p0") + 1).alias("pos"),
+                      F.col("v").cast("double").alias("val"))
+        .join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "own_label", "cand_label")
+        .agg(F.sum(((F.col("val") - F.col("c"))
+                    * (F.col("val") - F.col("c"))).cast(DOT_DECIMAL))
+             .cast("double").alias("dist2"))
+    )
+    ab = d2.groupBy("vec_id", "own_label").agg(
+        F.sqrt(F.max(F.when(F.col("cand_label") == F.col("own_label"),
+                            F.col("dist2")))).alias("a"),
+        F.sqrt(F.min(F.when(F.col("cand_label") != F.col("own_label"),
+                            F.col("dist2")))).alias("b"),
+    )
+    sil = ab.filter(F.greatest("a", "b") > 0).select(
+        "own_label",
+        ((F.col("b") - F.col("a")) / F.greatest("a", "b")).alias("sil"))
+    return sil.groupBy(F.col("own_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        (F.round(
+            F.sum(F.col("sil").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)), 6) + 0.0).alias("mean_silhouette"),
+    )
