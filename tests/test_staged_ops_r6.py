@@ -70,6 +70,13 @@ STAGED_R6_CAPS = {
                                          # a/b regroup; the centroid
                                          # matrix ALWAYS broadcast
                                          # (measured 3)
+    "embedding_ood_score": (3, 2),       # (pos) moment agg + per-vector
+                                         # rescore agg + TakeOrdered
+                                         # top-k; moment frame ALWAYS
+                                         # broadcast (measured 2)
+    "events_conversion_latency": (2, 1), # user-co-keyed join + per-
+                                         # purchase max + ONE percentile
+                                         # row (measured 1)
     "corpus_doremi_step": (15, 2),       # doc_lm_score's audited plan
                                          # (cap 6) + source/corpus aggs +
                                          # the #sources-row update; corpus
@@ -367,3 +374,55 @@ def test_silhouette_planted_geometry(spark, tmp_path_factory):
     assert_matches_oracle(
         STAGED_R6_QUERIES["embedding_silhouette_by_label"](spark, str(out)),
         STAGED_R6_ORACLES["embedding_silhouette_by_label"], str(out))
+
+
+def test_ood_score_ranks_planted_outlier(spark, tmp_path_factory):
+    """A vector far outside the per-dimension spread must rank 1 with a
+    dominating score; ranks are contiguous 1..k."""
+    import os
+
+    import duckdb as _duck
+
+    from traffic_data_pipeline_spark.plans.staged_ops_r6 import OOD_TOP
+
+    out = tmp_path_factory.mktemp("ood_emb")
+    con = _duck.connect()
+    con.execute(f"""
+      COPY (
+        SELECT CAST(i AS BIGINT) AS vec_id,
+               CAST(CASE WHEN i = 7 THEN [500.0, -500.0, 500.0, -500.0]
+                    ELSE [CAST(hash(i * 31 + 1) % 100 AS DOUBLE) / 100.0,
+                          CAST(hash(i * 31 + 2) % 100 AS DOUBLE) / 100.0,
+                          CAST(hash(i * 31 + 3) % 100 AS DOUBLE) / 100.0,
+                          CAST(hash(i * 31 + 4) % 100 AS DOUBLE) / 100.0]
+               END AS FLOAT[]) AS embedding,
+               CAST(i % 3 AS INTEGER) AS label
+        FROM unnest(generate_series(0, 99)) t(i)
+      ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents"]:
+        os.symlink(f"/root/testdata/sf0.01/{t}.parquet",
+                   out / f"{t}.parquet")
+    rows = STAGED_R6_QUERIES["embedding_ood_score"](
+        spark, str(out)).orderBy("rank").collect()
+    assert [r.rank for r in rows] == list(range(1, OOD_TOP + 1))
+    assert rows[0].vec_id == 7
+    assert rows[0].mahalanobis_sq > 10 * rows[1].mahalanobis_sq
+    assert_matches_oracle(
+        STAGED_R6_QUERIES["embedding_ood_score"](spark, str(out)),
+        STAGED_R6_ORACLES["embedding_ood_score"], str(out))
+
+
+def test_conversion_latency_profile(spark, sf_dir_oracle):
+    """One row; latencies ordered p50 <= p90 <= max and nonnegative; the
+    converted count is bounded by the purchase count."""
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    r = STAGED_R6_QUERIES["events_conversion_latency"](
+        spark, sf_dir_oracle).collect()[0]
+    n_purch = load_table(spark, sf_dir_oracle, "events").filter(
+        F.col("event_type") == "purchase").count()
+    assert 0 < r.n_converted <= n_purch
+    assert 0 <= r.p50_latency_s <= r.p90_latency_s <= r.max_latency_s

@@ -1064,3 +1064,160 @@ def q_embedding_silhouette_by_label(
             F.sum(F.col("sil").cast("decimal(18,6)")).cast("double")
             / F.count(F.lit(1)), 6) + 0.0).alias("mean_silhouette"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_ood_score — diagonal-Mahalanobis outlier readout
+# ---------------------------------------------------------------------------
+
+OOD_TOP = 20
+
+
+def _ood_oracle() -> str:
+    from traffic_data_pipeline_spark.plans.oracle_ctes import _EMB_CTES
+    return f"""
+WITH {_EMB_CTES},
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+stats AS (
+  SELECT pos,
+         CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(val * val AS DECIMAL(30,12))) AS DOUBLE) AS s2
+  FROM elems GROUP BY 1),
+mv AS (
+  SELECT pos, s / nn.n AS mu, (s2 - s * s / nn.n) / nn.n AS var
+  FROM stats CROSS JOIN nn),
+d2 AS (
+  SELECT el.vec_id,
+         CAST(SUM(CAST((el.val - mv.mu) * (el.val - mv.mu) / mv.var
+                       AS DECIMAL(30,12))) AS DOUBLE) AS m2
+  FROM elems el JOIN mv ON mv.pos = el.pos
+  WHERE mv.var > 0
+  GROUP BY 1)
+SELECT vec_id, ROUND(m2, 6) AS mahalanobis_sq,
+       CAST(rk AS INTEGER) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY m2 DESC, vec_id) AS rk FROM d2)
+WHERE rk <= {OOD_TOP}
+"""
+
+
+@staged_r6("embedding_ood_score", _ood_oracle())
+def q_embedding_ood_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-distribution readout over the embedding corpus: squared
+    Mahalanobis distance to the corpus mean under a DIAGONAL covariance
+    (per-dimension z-scores, summed) — the standard cheap OOD/outlier
+    score for embedding QA (a full-covariance Mahalanobis needs a matrix
+    inverse, which is a driver-side solve of the 64x64
+    embedding_whitening_stats output, not a dataframe op; the diagonal
+    form is what runs in-plan at scale). Emits the top-{OOD_TOP} most
+    anomalous vectors with the deterministic (score DESC, vec_id)
+    tie-break. Zero-variance dimensions are excluded on both sides (a
+    constant dimension carries no anomaly signal and would divide by
+    zero).
+
+    Float parity: moment sums are DECIMAL-exact; mu/var derive through
+    the identical expression order; each per-dimension term rounds into
+    the DECIMAL(30,12) accumulator before the order-independent sum,
+    and the final score is ROUND 6.
+
+    Scale shape: one (pos) moment aggregate to 64 broadcast rows, one
+    in-row rescore pass over the spread, one map-side-combined
+    per-vector sum, and a TakeOrdered top-k — no pairwise anything.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    spread = emb.select(
+        "vec_id", (F.posexplode(F.col("embedding"))).alias("p0", "v")
+    ).select("vec_id", (F.col("p0") + 1).alias("pos"),
+             F.col("v").cast("double").alias("val"))
+    stats = spread.groupBy("pos").agg(
+        F.sum(F.col("val").cast(DOT_DECIMAL)).cast("double").alias("s"),
+        F.sum((F.col("val") * F.col("val")).cast(DOT_DECIMAL))
+        .cast("double").alias("s2"),
+    )
+    mv = stats.crossJoin(F.broadcast(n)).select(
+        "pos",
+        (F.col("s") / F.col("n")).alias("mu"),
+        ((F.col("s2") - F.col("s") * F.col("s") / F.col("n"))
+         / F.col("n")).alias("var"),
+    )
+    d2 = (
+        spread.join(F.broadcast(mv), "pos")
+        .filter(F.col("var") > 0)
+        .groupBy("vec_id")
+        .agg(F.sum(((F.col("val") - F.col("mu")) * (F.col("val") - F.col("mu"))
+                    / F.col("var")).cast(DOT_DECIMAL))
+             .cast("double").alias("m2"))
+    )
+    # TakeOrderedAndProject pulls the true top-k distributedly (per-
+    # partition heaps, no global sort); the rank window then runs on the
+    # k-row frame only
+    wr = Window.orderBy(F.col("m2").desc(), F.col("vec_id"))
+    return (
+        d2.orderBy(F.col("m2").desc(), F.col("vec_id")).limit(OOD_TOP)
+        .withColumn("rk", F.row_number().over(wr))
+        .select("vec_id", F.round("m2", 6).alias("mahalanobis_sq"),
+                F.col("rk").cast("int").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_conversion_latency — click -> purchase time-to-convert profile
+# ---------------------------------------------------------------------------
+
+
+@staged_r6("events_conversion_latency", """
+WITH purch AS (
+  SELECT user_id, event_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'),
+clk AS (
+  SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+lat AS (
+  -- floor(epoch()) on each side: the fixture timestamps carry
+  -- microseconds, DuckDB epoch() is fractional while Spark
+  -- unix_timestamp floors — whole seconds are the cross-engine contract
+  SELECT p.event_id,
+         CAST(floor(epoch(p.p_ts)) AS BIGINT)
+           - CAST(floor(epoch(MAX(c.c_ts))) AS BIGINT) AS latency_s
+  FROM purch p JOIN clk c
+    ON c.user_id = p.user_id AND c.c_ts <= p.p_ts
+  GROUP BY p.event_id, p.p_ts)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       ROUND(quantile_cont(latency_s, 0.50), 6) AS p50_latency_s,
+       ROUND(quantile_cont(latency_s, 0.90), 6) AS p90_latency_s,
+       CAST(MAX(latency_s) AS BIGINT) AS max_latency_s
+FROM lat
+""")
+def q_events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert profile: for every purchase preceded by a click
+    from the same user, the latency from the LAST preceding click
+    (epoch-second arithmetic — integer-exact in both engines), folded to
+    the median / p90 / max the funnel dashboard shows next to
+    events_funnel's step counts. Quantiles follow the lerp + ROUND 6
+    contract (DEVIATIONS.md).
+
+    Scale shape: the purchase x click equi-join co-keys on user_id with
+    a one-sided time residual, the per-purchase MAX rides the same
+    user partitioning, and the profile is ONE percentile aggregate to a
+    single row. The streaming twin of the match step is
+    streaming_click_purchase's stream-stream join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.col("ts").alias("p_ts"))
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    lat = (
+        purch.join(clk, (F.col("c_user") == F.col("user_id"))
+                   & (F.col("c_ts") <= F.col("p_ts")))
+        .groupBy("event_id", "p_ts")
+        .agg((F.unix_timestamp(F.col("p_ts"))
+              - F.unix_timestamp(F.max("c_ts"))).alias("latency_s"))
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.round(F.expr("percentile(latency_s, 0.50D)"), 6)
+        .alias("p50_latency_s"),
+        F.round(F.expr("percentile(latency_s, 0.90D)"), 6)
+        .alias("p90_latency_s"),
+        F.max("latency_s").cast("bigint").alias("max_latency_s"),
+    )
