@@ -209,11 +209,13 @@ def test_registry_complete_in_every_import_order(first):
     import subprocess
     import sys
 
+    from traffic_data_pipeline_spark.plans.queries import ORACLES, QUERIES
+
     code = (
         f"import traffic_data_pipeline_spark.plans.{first} as m\n"
         "import traffic_data_pipeline_spark.plans.queries as q\n"
-        "assert len(q.QUERIES) == 195, len(q.QUERIES)\n"
-        "assert len(q.ORACLES) == 188, len(q.ORACLES)\n"
+        f"assert len(q.QUERIES) == {len(QUERIES)}, len(q.QUERIES)\n"
+        f"assert len(q.ORACLES) == {len(ORACLES)}, len(q.ORACLES)\n"
     )
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, timeout=120)
