@@ -296,7 +296,8 @@ def test_staged_r6_dirty_text_parity(spark, tmp_path_factory, sf_dir_oracle,
           SELECT * FROM read_parquet('{sf_dir_oracle}/documents.parquet')
           WHERE doc_id < 100
           UNION ALL
-          SELECT * FROM (VALUES
+          SELECT event_id, ts, user_id, event_type,
+               CAST(value AS DOUBLE) AS value, props FROM (VALUES
             (8801, NULL, 'en', 'src0', 0),
             (8802, '', 'en', 'src0', 0),
             (3, NULL, 'en', 'src0', 0))
@@ -426,3 +427,46 @@ def test_conversion_latency_profile(spark, sf_dir_oracle):
         F.col("event_type") == "purchase").count()
     assert 0 < r.n_converted <= n_purch
     assert 0 <= r.p50_latency_s <= r.p90_latency_s <= r.max_latency_s
+
+
+def test_attribution_lookback_boundary(spark, tmp_path_factory):
+    """Clicks exactly ON both inclusive edges: one click at exactly
+    p_ts - 7 days (the lookback floor) and one at exactly p_ts must BOTH
+    attribute; a click one second older than the floor must not. The
+    planted feed runs through the full cross-engine gate too."""
+    import os
+
+    import duckdb as _duck
+
+    out = tmp_path_factory.mktemp("attr_edge")
+    con = _duck.connect()
+    con.execute(f"""
+      COPY (
+        SELECT event_id, ts, user_id, event_type,
+               CAST(value AS DOUBLE) AS value, props FROM (VALUES
+          (1, TIMESTAMP '2024-01-08 12:00:00', 7, 'purchase', 50.0, NULL),
+          -- exactly p_ts - 7 days: inside (inclusive floor)
+          (2, TIMESTAMP '2024-01-01 12:00:00', 7, 'click', 1.0, NULL),
+          -- one second older: outside
+          (3, TIMESTAMP '2024-01-01 11:59:59', 7, 'click', 1.0, NULL),
+          -- exactly p_ts: inside (inclusive ceiling), and the last touch
+          (4, TIMESTAMP '2024-01-08 12:00:00', 7, 'click', 1.0, NULL),
+          (5, TIMESTAMP '2024-01-05 00:00:00', 7, 'click', 1.0, NULL))
+          v(event_id, ts, user_id, event_type, value, props)
+      ) TO '{out}/events.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"]:
+        os.symlink(f"/root/testdata/sf0.01/{t}.parquet",
+                   out / f"{t}.parquet")
+    rows = STAGED_R6_QUERIES["events_attribution"](
+        spark, str(out)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_touches == 3          # clicks 2, 4, 5 — not 3
+    assert r.last_click_id == 4      # the at-purchase click wins last-touch
+    assert abs(r.linear_share - round(50.0 / 3, 6)) <= 1e-9
+    assert_matches_oracle(
+        STAGED_R6_QUERIES["events_attribution"](spark, str(out)),
+        STAGED_R6_ORACLES["events_attribution"], str(out))
