@@ -77,6 +77,10 @@ STAGED_R6_CAPS = {
     "events_conversion_latency": (2, 1), # user-co-keyed join + per-
                                          # purchase max + ONE percentile
                                          # row (measured 1)
+    "user_churn_hazard": (3, 1),         # per-user lifetime agg +
+                                         # histogram agg + the <=31-row
+                                         # reverse cumsum; horizon scalar
+                                         # broadcast
     "corpus_doremi_step": (15, 2),       # doc_lm_score's audited plan
                                          # (cap 6) + source/corpus aggs +
                                          # the #sources-row update; corpus
@@ -470,3 +474,57 @@ def test_attribution_lookback_boundary(spark, tmp_path_factory):
     assert_matches_oracle(
         STAGED_R6_QUERIES["events_attribution"](spark, str(out)),
         STAGED_R6_ORACLES["events_attribution"], str(out))
+
+
+def test_churn_hazard_censoring_and_monotone_risk(spark, tmp_path_factory):
+    """Kaplan-Meier denominator discipline on a planted cohort: the
+    at-risk count is non-increasing in lifetime, a user active within
+    the censor window is never a churn event but still holds a
+    denominator slot, and hazards recompute from the emitted integers."""
+    import os
+
+    import duckdb as _duck
+
+    from traffic_data_pipeline_spark.plans.staged_ops_r6 import (
+        CHURN_CENSOR_DAYS,
+    )
+
+    out = tmp_path_factory.mktemp("churn_edge")
+    con = _duck.connect()
+    # horizon = 2024-01-30. user 1: lifetime 2, churned long ago.
+    # user 2: lifetime 2, last event exactly horizon - CENSOR days
+    # (boundary: <= keeps it CHURNED). user 3: lifetime 2, last event
+    # horizon - CENSOR + 1 day (censored). user 4: lifetime 0 at the
+    # horizon itself (censored, holds the d=0 denominator slot).
+    con.execute(f"""
+      COPY (
+        SELECT event_id, ts, user_id, event_type,
+               CAST(1.0 AS DOUBLE) AS value, NULL AS props FROM (VALUES
+          (1, TIMESTAMP '2024-01-01 08:00:00', 1, 'view'),
+          (2, TIMESTAMP '2024-01-03 08:00:00', 1, 'view'),
+          (3, TIMESTAMP '2024-01-21 08:00:00', 2, 'view'),
+          (4, TIMESTAMP '2024-01-23 08:00:00', 2, 'view'),
+          (5, TIMESTAMP '2024-01-22 08:00:00', 3, 'view'),
+          (6, TIMESTAMP '2024-01-24 08:00:00', 3, 'view'),
+          (7, TIMESTAMP '2024-01-30 08:00:00', 4, 'view'))
+          v(event_id, ts, user_id, event_type)
+      ) TO '{out}/events.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"]:
+        os.symlink(f"/root/testdata/sf0.01/{t}.parquet",
+                   out / f"{t}.parquet")
+    rows = {r.lifetime_days: r for r in STAGED_R6_QUERIES[
+        "user_churn_hazard"](spark, str(out)).collect()}
+    assert set(rows) == {0, 2}
+    # d=2: users 1 (churned), 2 (boundary day: churned), 3 (censored)
+    assert rows[2].n_at_risk == 3 and rows[2].n_churned == 2
+    # d=0: user 4 censored at the horizon; everyone held a d>=0 slot
+    assert rows[0].n_at_risk == 4 and rows[0].n_churned == 0
+    for r in rows.values():
+        assert abs(r.hazard - round(r.n_churned / r.n_at_risk, 6)) <= 1e-9
+    assert CHURN_CENSOR_DAYS == 7
+    assert_matches_oracle(
+        STAGED_R6_QUERIES["user_churn_hazard"](spark, str(out)),
+        STAGED_R6_ORACLES["user_churn_hazard"], str(out))

@@ -1221,3 +1221,82 @@ def q_events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_latency_s"),
         F.max("latency_s").cast("bigint").alias("max_latency_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# user_churn_hazard — discrete-time survival/hazard curve over lifetimes
+# ---------------------------------------------------------------------------
+
+CHURN_CENSOR_DAYS = 7    # users active this close to the horizon are
+                         # censored (can't be called churned yet)
+
+
+@staged_r6("user_churn_hazard", f"""
+WITH life AS (
+  SELECT user_id,
+         date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+           AS d,
+         MAX(CAST(ts AS DATE)) AS last_day
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+horizon AS (SELECT MAX(last_day) AS m FROM life),
+hist AS (
+  SELECT l.d,
+         CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN l.last_day
+                       <= h.m - {CHURN_CENSOR_DAYS} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_churned
+  FROM life l CROSS JOIN horizon h GROUP BY 1),
+curve AS (
+  SELECT d, n_churned,
+         CAST(SUM(n_total) OVER (ORDER BY d DESC) AS BIGINT) AS n_at_risk
+  FROM hist)
+SELECT CAST(d AS BIGINT) AS lifetime_days, n_at_risk, n_churned,
+       ROUND(CAST(n_churned AS DOUBLE) / n_at_risk, 6) AS hazard
+FROM curve
+""")
+def q_user_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn hazard over user lifetimes (the survival-
+    analysis readout growth teams run): lifetime = days between a user's
+    first and last event; users whose last activity falls within
+    {CHURN_CENSOR_DAYS} days of the corpus horizon are CENSORED — they
+    count in the at-risk denominator at every offset they survived but
+    never as churn events (right-censoring, the Kaplan-Meier-style
+    denominator discipline — without it the hazard tail is biased up by
+    users who simply haven't had time to come back). hazard(d) =
+    churned-at-exactly-d / still-at-risk-at-d, where at-risk is the
+    reverse running sum over the lifetime histogram.
+
+    Everything is integer until the final ratio (ROUND 6); date_diff on
+    DATEs is exact in both engines. The one unpartitioned window runs
+    over the lifetime HISTOGRAM — at most horizon-days rows (~30 here,
+    bounded by the observation window, never by users).
+
+    Scale shape: one map-side-combined per-user aggregate, one
+    |offsets|-row histogram aggregate, and the tiny-frame reverse
+    cumsum; the horizon is a broadcast scalar.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    life = ev.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias("d"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    horizon = life.agg(F.max("last_day").alias("m"))
+    hist = life.crossJoin(F.broadcast(horizon)).groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(
+            (F.col("last_day") <= F.date_sub(F.col("m"), CHURN_CENSOR_DAYS))
+            .cast("int")
+        ).cast("bigint").alias("n_churned"),
+    )
+    w = Window.orderBy(F.col("d").desc()).rangeBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    curve = hist.select(
+        "d", "n_churned",
+        F.sum("n_total").over(w).cast("bigint").alias("n_at_risk"),
+    )
+    return curve.select(
+        F.col("d").cast("bigint").alias("lifetime_days"),
+        "n_at_risk", "n_churned",
+        F.round(F.col("n_churned").cast("double") / F.col("n_at_risk"), 6)
+        .alias("hazard"),
+    )
