@@ -204,7 +204,7 @@ def test_registry_complete_in_every_import_order(first):
     first plans module the interpreter loads (this bit the round-5
     promotion: staged_ops folded 6 of 31 ops when imported before
     queries). Pin: whichever module goes first, the finished registry is
-    the full 195/188. Runs in a subprocess so each order starts from a
+    the full registry. Runs in a subprocess so each order starts from a
     clean sys.modules."""
     import subprocess
     import sys
