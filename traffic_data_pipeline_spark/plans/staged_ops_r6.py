@@ -1300,3 +1300,124 @@ def q_user_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_churned").cast("double") / F.col("n_at_risk"), 6)
         .alias("hazard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming_session_funnel — per-session milestone funnel on the stream
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SRC_CACHE: dict[str, str] = {}
+
+
+def _funnel_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Typed events landing zone (user_id, ts, event_type) with the
+    far-future flush sentinel appended LAST (the _session_events_dir /
+    stream_source_dir rule: the file source consumes files in
+    modification-time order, so every real event must precede the
+    watermark-advancing row). Built once per sf_dir per process."""
+    from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
+    from traffic_data_pipeline_spark.plans.analysis_ops import FLUSH_USER
+
+    if sf_dir not in _FUNNEL_SRC_CACHE:
+        src = scratch_dir(prefix="tdp_funnel_events_")
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_type")
+        ev.write.mode("overwrite").parquet(src)
+        (ev.agg(F.max("ts").alias("m"))
+         .select(
+             F.lit(FLUSH_USER).cast("long").alias("user_id"),
+             (F.col("m") + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+             F.lit("view").alias("event_type"),
+         )
+         .write.mode("append").parquet(src))
+        _FUNNEL_SRC_CACHE[sf_dir] = src
+    return _FUNNEL_SRC_CACHE[sf_dir]
+
+
+@staged_r6("streaming_session_funnel", """
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+               OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered),
+spans AS (
+  SELECT user_id,
+         strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS fc,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+  FROM sess GROUP BY user_id, sid)
+SELECT user_id, session_start, n_events,
+       CAST(CASE
+         WHEN fv IS NULL THEN 0
+         WHEN fc IS NULL OR fc < fv THEN 1
+         WHEN fp IS NULL OR fp < fc THEN 2
+         ELSE 3
+       END AS INTEGER) AS funnel_stage
+FROM spans
+""")
+def q_streaming_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session milestone funnel ON THE STREAM: sessions form in the
+    stateful session_window (the shared session_spans builder — same
+    merge-on-exact-gap semantics, strict-> oracle split, executable spec
+    in tests/session_spec.py), and each landed session carries the FIRST
+    view/click/purchase timestamps, from which the funnel stage derives:
+    stage 1 = viewed, stage 2 = clicked at-or-after the first view,
+    stage 3 = purchased at-or-after that click (milestone ordering by
+    first occurrence — the standard product-funnel readout, here per
+    SESSION where events_funnel counts it per user). Timestamp
+    comparisons are exact microsecond equality in both engines; no
+    floats anywhere.
+
+    Scale shape: state is one open session per active user inside the
+    watermark horizon (the streaming_sessionize contract — conditional
+    MINs add three timestamps per open session, nothing keyed by event
+    count); the stage projection is stateless post-landing arithmetic.
+    """
+    from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
+    from traffic_data_pipeline_spark.operators.sessionize import session_spans
+    from traffic_data_pipeline_spark.plans.analysis_ops import FLUSH_USER
+    from traffic_data_pipeline_spark.plans.queries import (
+        fmt_ts,
+        run_available_now,
+    )
+
+    src = _funnel_events_dir(spark, sf_dir)
+    sink = scratch_dir(prefix="tdp_funnel_sink_")
+    ckpt = scratch_dir(prefix="tdp_funnel_ckpt_")
+    stream = (
+        spark.readStream
+        .schema("user_id long, ts timestamp, event_type string")
+        .parquet(src)
+        .filter(F.col("ts").isNotNull())
+    )
+    agg = session_spans(
+        stream.withWatermark("ts", "1 hour"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("fc"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("fp"),
+    )
+    # state: one open session per active user (+3 milestone timestamps)
+    run_available_now(spark, "streaming_session_funnel",
+                      agg=agg, sink=sink, ckpt=ckpt)
+    landed = spark.read.parquet(sink).filter(F.col("user_id") != FLUSH_USER)
+    stage = (
+        F.when(F.col("fv").isNull(), 0)
+        .when(F.col("fc").isNull() | (F.col("fc") < F.col("fv")), 1)
+        .when(F.col("fp").isNull() | (F.col("fp") < F.col("fc")), 2)
+        .otherwise(3)
+    )
+    return landed.select(
+        "user_id",
+        fmt_ts(F.col("s_start")).alias("session_start"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        stage.cast("int").alias("funnel_stage"),
+    )
