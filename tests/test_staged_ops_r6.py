@@ -304,8 +304,7 @@ def test_staged_r6_dirty_text_parity(spark, tmp_path_factory, sf_dir_oracle,
           SELECT * FROM read_parquet('{sf_dir_oracle}/documents.parquet')
           WHERE doc_id < 100
           UNION ALL
-          SELECT event_id, ts, user_id, event_type,
-               CAST(value AS DOUBLE) AS value, props FROM (VALUES
+          SELECT * FROM (VALUES
             (8801, NULL, 'en', 'src0', 0),
             (8802, '', 'en', 'src0', 0),
             (3, NULL, 'en', 'src0', 0))
