@@ -85,6 +85,10 @@ STAGED_R6_CAPS = {
                                          # post-landing projection; the
                                          # session shuffle is paid inside
                                          # the micro-batch run
+    "vocab_zipf_alpha": (1, 1),          # ONE token-count aggregate
+                                         # (the vocab_build shape) folded
+                                         # to a single row; vocab scalar
+                                         # broadcast
     "corpus_doremi_step": (15, 2),       # doc_lm_score's audited plan
                                          # (cap 6) + source/corpus aggs +
                                          # the #sources-row update; corpus
@@ -610,3 +614,29 @@ def test_session_funnel_milestones_merge_across_restart(spark, tmp_path):
            landed.select("s_start", stage.alias("stage")).collect()}
     assert got == {"2024-01-01 10:00:00": 3,   # merged across the restart
                    "2024-01-02 10:00:00": 1}   # click-before-view stops at 1
+
+
+def test_zipf_alpha_recomputed(spark, sf_dir_oracle):
+    """Recompute the Clauset-Shalizi-Newman discrete MLE from the raw
+    token counts with python floats; alpha must exceed 1 (the estimator
+    lower bound) and match within the 6-dp quantization slack."""
+    import math
+
+    from traffic_data_pipeline_spark.functions.text import tokens
+    from traffic_data_pipeline_spark.plans.staged_ops_r6 import ZIPF_XMIN
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    r = STAGED_R6_QUERIES["vocab_zipf_alpha"](
+        spark, sf_dir_oracle).collect()[0]
+    docs = load_table(spark, sf_dir_oracle, "documents")
+    counts = {}
+    for row in tokens(docs).collect():
+        counts[row.token] = counts.get(row.token, 0) + 1
+    tail = [c for c in counts.values() if c >= ZIPF_XMIN]
+    want = 1.0 + len(tail) / sum(
+        math.log(c / (ZIPF_XMIN - 0.5)) for c in tail)
+    assert r.v_total == len(counts)
+    assert r.c_max == max(counts.values())
+    assert r.n_tail == len(tail)
+    assert r.alpha > 1.0
+    assert abs(r.alpha - want) <= 1e-4

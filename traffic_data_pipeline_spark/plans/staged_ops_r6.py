@@ -1421,3 +1421,78 @@ def q_streaming_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         stage.cast("int").alias("funnel_stage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# vocab_zipf_alpha — discrete power-law (Zipf) tail exponent, Hill/MLE form
+# ---------------------------------------------------------------------------
+
+ZIPF_XMIN = 5    # tail threshold: tokens with count >= xmin enter the fit
+
+
+def _zipf_oracle() -> str:
+    from traffic_data_pipeline_spark.plans.oracle_ctes import _TOK_LIST_CTE
+    return f"""
+WITH {_TOK_LIST_CTE},
+tc AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(l) AS token FROM tl) GROUP BY 1),
+tail AS (
+  SELECT c, ROUND(ln(c / {ZIPF_XMIN - 0.5}), 6) AS lnterm
+  FROM tc WHERE c >= {ZIPF_XMIN}),
+vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_total,
+                 CAST(MAX(c) AS BIGINT) AS c_max FROM tc)
+SELECT v.v_total, v.c_max,
+       CAST(COUNT(*) AS BIGINT) AS n_tail,
+       CAST({ZIPF_XMIN} AS BIGINT) AS xmin,
+       ROUND(1.0 + COUNT(*)
+             / CAST(SUM(CAST(lnterm AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS alpha
+FROM tail CROSS JOIN vocab v
+GROUP BY v.v_total, v.c_max
+"""
+
+
+@staged_r6("vocab_zipf_alpha", _zipf_oracle())
+def q_vocab_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf/power-law tail exponent of the token-frequency distribution
+    via the discrete MLE (Clauset, Shalizi & Newman 2009, eq. 3.7:
+    alpha = 1 + n / sum ln(x_i / (xmin - 1/2))) — the corpus-statistics
+    readout behind vocabulary sizing and Heaps'-law extrapolation (a
+    natural-language corpus sits near alpha ~ 2; the fixture's tiny
+    closed vocabulary reads much flatter, which is itself the signal
+    the fixture documents). One row: vocabulary size, max count, tail
+    size at xmin={ZIPF_XMIN}, and alpha.
+
+    Float parity: each ln term is ROUNDed to 6 dp and accumulated in
+    DECIMAL (the doc_lm_score contract — ln is the not-correctly-
+    rounded transcendental class, DEVIATIONS.md), so the sum is
+    order-free and the ulp can't propagate; the final ratio is one
+    double division inside ROUND 6.
+
+    Scale shape: ONE map-side-combined token-count aggregate (the
+    vocab_build shuffle shape) folded to a single row; the tail filter
+    prunes before the fold. Nothing here grows with corpus size except
+    the one count aggregate every vocabulary pass already pays.
+    """
+    from traffic_data_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = tokens(docs).groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"))
+    from traffic_data_pipeline_spark.functions.execution import materialize
+    tc = materialize(tc)
+    vocab = tc.agg(F.count(F.lit(1)).cast("bigint").alias("v_total"),
+                   F.max("c").cast("bigint").alias("c_max"))
+    tail = tc.filter(F.col("c") >= ZIPF_XMIN).select(
+        F.round(F.log(F.col("c") / F.lit(ZIPF_XMIN - 0.5)), 6)
+        .alias("lnterm"))
+    return tail.crossJoin(F.broadcast(vocab)).groupBy(
+        "v_total", "c_max").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        F.lit(ZIPF_XMIN).cast("bigint").alias("xmin"),
+        F.round(
+            F.lit(1.0) + F.count(F.lit(1))
+            / F.sum(F.col("lnterm").cast("decimal(18,6)")).cast("double"),
+            6).alias("alpha"),
+    ).select("v_total", "c_max", "n_tail", "xmin", "alpha")
