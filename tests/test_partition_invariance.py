@@ -20,6 +20,9 @@ import pytest
 
 from traffic_data_pipeline_spark.plans.queries import QUERIES
 from traffic_data_pipeline_spark.plans.staged_ops import STAGED_QUERIES
+from traffic_data_pipeline_spark.plans.staged_ops_r6 import (
+    STAGED_R6_QUERIES,
+)
 
 CASES = [
     "sensor_impute",
@@ -97,6 +100,22 @@ CASES = [
     # iterative peel over checkpointed edge frames: the surviving core
     # and its degrees must not depend on how rounds were partitioned
     "dedup_graph_kcore",
+    # round-5 staged r6: decimal rank-weighted Gini sums under per-type
+    # rank windows (concentration), Poisson-bootstrap resamples whose
+    # medians must not depend on which partition replicated which row,
+    # in-row triangle Gram accumulation (whitening), lexicographic
+    # struct-max last-touch under an AQE-variable join side
+    # (attribution), per-user LEAD sequences (markov), decimal
+    # silhouette means off a broadcast centroid matrix
+    "events_spend_concentration",
+    "events_median_bootstrap_ci",
+    "embedding_whitening_stats",
+    "events_attribution",
+    "events_markov_transitions",
+    "embedding_silhouette_by_label",
+    # stepwise-quantized multiplicative weights: the normalizer's
+    # decimal terms merge across arbitrary partial splits
+    "corpus_doremi_step",
 ]
 
 
@@ -113,7 +132,8 @@ def test_partition_invariant(spark, sf_dir, name):
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     try:
-        fn = QUERIES.get(name) or STAGED_QUERIES[name]
+        fn = (QUERIES.get(name) or STAGED_QUERIES.get(name)
+              or STAGED_R6_QUERIES[name])
         spark.conf.set(key, "3")
         narrow = _rows(fn(spark, sf_dir))
         release()
