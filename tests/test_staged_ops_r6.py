@@ -89,6 +89,11 @@ STAGED_R6_CAPS = {
                                          # (the vocab_build shape) folded
                                          # to a single row; vocab scalar
                                          # broadcast
+    "corpus_heaps_law": (1, 1),          # live plan reads the cached
+                                         # 10-point log-log frame; the
+                                         # first-occurrence and count
+                                         # builds are paid at materialize
+                                         # time (vocab_build shapes)
     "corpus_doremi_step": (15, 2),       # doc_lm_score's audited plan
                                          # (cap 6) + source/corpus aggs +
                                          # the #sources-row update; corpus
@@ -640,3 +645,31 @@ def test_zipf_alpha_recomputed(spark, sf_dir_oracle):
     assert r.n_tail == len(tail)
     assert r.alpha > 1.0
     assert abs(r.alpha - want) <= 1e-4
+
+
+def test_heaps_law_recomputed(spark, sf_dir_oracle):
+    """Recompute the log-log OLS slope and the cumulative curves from
+    the raw token streams with python; cumulative curves must be
+    non-decreasing and the slope must match within quantization slack."""
+    import math
+
+    from traffic_data_pipeline_spark.functions.text import tokens
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    rows = sorted(STAGED_R6_QUERIES["corpus_heaps_law"](
+        spark, sf_dir_oracle).collect(), key=lambda r: r.k)
+    toks = [(r.doc_id, r.token) for r in
+            tokens(load_table(spark, sf_dir_oracle, "documents")).collect()]
+    for r in rows:
+        t = sum(1 for d, _ in toks if d <= r.cutoff)
+        v = len({tok for d, tok in toks if d <= r.cutoff})
+        assert (r.tokens_cum, r.vocab_cum) == (t, v), r.k
+    for a, b in zip(rows, rows[1:]):
+        assert a.tokens_cum <= b.tokens_cum and a.vocab_cum <= b.vocab_cum
+    pts = [(math.log(r.tokens_cum), math.log(r.vocab_cum)) for r in rows
+           if r.tokens_cum > 0 and r.vocab_cum > 0]
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+    want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert all(abs(r.heaps_beta - want) <= 1e-4 for r in rows)

@@ -1496,3 +1496,144 @@ def q_vocab_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.col("lnterm").cast("decimal(18,6)")).cast("double"),
             6).alias("alpha"),
     ).select("v_total", "c_max", "n_tail", "xmin", "alpha")
+
+
+# ---------------------------------------------------------------------------
+# corpus_heaps_law — vocabulary-growth exponent over id-range deciles
+# ---------------------------------------------------------------------------
+
+HEAPS_BINS = 10
+
+
+def _heaps_oracle() -> str:
+    from traffic_data_pipeline_spark.plans.oracle_ctes import _TOK_LIST_CTE
+    return f"""
+WITH {_TOK_LIST_CTE},
+bounds AS (
+  SELECT CAST(MIN(doc_id) AS BIGINT) AS lo, CAST(MAX(doc_id) AS BIGINT) AS hi
+  FROM documents),
+doc_tok AS (
+  SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tok FROM tl),
+firsts AS (
+  SELECT token, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+  FROM (SELECT doc_id, unnest(l) AS token FROM tl) GROUP BY 1),
+cuts AS (
+  SELECT k.k,
+         b.lo + ((b.hi - b.lo + 1) * k.k) // {HEAPS_BINS} - 1 AS cutoff
+  FROM (SELECT unnest(generate_series(1, {HEAPS_BINS})) AS k) k
+  CROSS JOIN bounds b),
+pts AS (
+  SELECT c.k, c.cutoff,
+         (SELECT CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM doc_tok d
+          WHERE d.doc_id <= c.cutoff) AS tokens_cum,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts f
+          WHERE f.first_doc <= c.cutoff) AS vocab_cum
+  FROM cuts c),
+lp AS (
+  SELECT k, cutoff, tokens_cum, vocab_cum,
+         ROUND(ln(tokens_cum), 6) AS x, ROUND(ln(vocab_cum), 6) AS y
+  FROM pts WHERE tokens_cum > 0 AND vocab_cum > 0),
+ols AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6)))
+              AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6)))
+              AS DOUBLE) AS sxx
+  FROM lp)
+SELECT lp.k, lp.cutoff, lp.tokens_cum, lp.vocab_cum,
+       ROUND((o.n * o.sxy - o.sx * o.sy)
+             / NULLIF(o.n * o.sxx - o.sx * o.sx, 0.0), 6) AS heaps_beta
+FROM lp CROSS JOIN ols o
+"""
+
+
+@staged_r6("corpus_heaps_law", _heaps_oracle())
+def q_corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit — the companion readout to
+    vocab_zipf_alpha: V(n) ~ K n^beta, beta estimated by OLS on the
+    log-log (cumulative tokens, cumulative vocabulary) curve sampled at
+    {HEAPS_BINS} id-range deciles (integer cutoffs over [min_id,
+    max_id] — deterministic, no data-rank window over the corpus). The
+    per-decile cumulative vocabulary needs NO per-cutoff scan: each
+    token's FIRST document is one aggregate, and V(c) is a histogram
+    fold over first-doc ids. Together the (Zipf alpha, Heaps beta) pair
+    is the standard health check that a synthetic/filtered corpus still
+    scales its vocabulary like text (the fixture's closed vocabulary
+    reads beta ~ 0, which is exactly the signal).
+
+    Float parity: x/y are ln of integers ROUNDed to 6 dp, OLS moments
+    accumulate those 6-dp decimals EXACTLY, the slope is one double
+    expression in identical term order with a NULLIF degenerate guard
+    (single-point curves).
+
+    Scale shape: one token first-occurrence aggregate (map-side
+    combined on the token key — the vocab_build shuffle), one per-doc
+    token-count projection, and two {HEAPS_BINS}-row broadcast
+    histogram folds; the OLS runs on <= {HEAPS_BINS} points.
+    """
+    from traffic_data_pipeline_spark.functions.execution import materialize
+    from traffic_data_pipeline_spark.functions.text import token_array, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(F.min("doc_id").cast("bigint").alias("lo"),
+                      F.max("doc_id").cast("bigint").alias("hi"))
+    doc_tok = docs.select(
+        "doc_id",
+        F.array_size(token_array(F.col("text"))).cast("bigint")
+        .alias("n_tok"))
+    firsts = tokens(docs).groupBy("token").agg(
+        F.min("doc_id").cast("bigint").alias("first_doc"))
+    # exact integer division (div), matching the oracle's // — a double
+    # round-trip would lose precision past 2^53 ids
+    cuts = materialize(
+        bounds.select(
+            F.explode(F.sequence(F.lit(1), F.lit(HEAPS_BINS))).alias("k"),
+            "lo", "hi")
+        .select(
+            "k",
+            (F.col("lo")
+             + F.expr(f"((hi - lo + 1) * k) div {HEAPS_BINS}")
+             - 1).cast("bigint").alias("cutoff"),
+        )
+    )
+    tok_cum = (
+        doc_tok.crossJoin(F.broadcast(cuts))
+        .filter(F.col("doc_id") <= F.col("cutoff"))
+        .groupBy("k", "cutoff")
+        .agg(F.sum("n_tok").cast("bigint").alias("tokens_cum"))
+    )
+    voc_cum = (
+        firsts.crossJoin(F.broadcast(cuts))
+        .filter(F.col("first_doc") <= F.col("cutoff"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab_cum"))
+    )
+    lp = (
+        tok_cum.join(voc_cum, "k")
+        .filter((F.col("tokens_cum") > 0) & (F.col("vocab_cum") > 0))
+        .select(
+            "k", "cutoff", "tokens_cum", "vocab_cum",
+            F.round(F.log("tokens_cum"), 6).alias("x"),
+            F.round(F.log("vocab_cum"), 6).alias("y"),
+        )
+    )
+    lp = materialize(lp)
+    xd = F.col("x").cast("decimal(18,6)")
+    yd = F.col("y").cast("decimal(18,6)")
+    ols = lp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+    )
+    slope = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.nullif(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
+                   F.lit(0.0)), 6)
+    return lp.crossJoin(F.broadcast(ols)).select(
+        "k", "cutoff", "tokens_cum", "vocab_cum",
+        slope.alias("heaps_beta"),
+    )
