@@ -57,6 +57,12 @@ def main() -> None:
     doc_band_index(spark, sf_dir).count()
     doc_lsh_pairs(spark, sf_dir).count()
     _session_events_dir(spark, sf_dir)
+    # r6: the funnel's typed landing zone (input synthesis is ingest-side
+    # setup — the measurement should time the streaming job)
+    from traffic_data_pipeline_spark.plans.staged_ops_r6 import (
+        _funnel_events_dir,
+    )
+    _funnel_events_dir(spark, sf_dir)
 
     from traffic_data_pipeline_spark.functions.execution import release
 
