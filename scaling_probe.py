@@ -27,6 +27,10 @@ NAMES = [
     "doc_ngram_novelty",
     "split_cluster_assign",     # CC iterations over the LSH pair stream
     "dedup_graph_kcore",        # peel rounds over the same pair stream
+    "doc_lm_kneser_ney",        # r6: three-count KN model build + scoring
+    "corpus_doremi_step",       # r6: LM build + domain reweighting
+    "vocab_zipf_alpha",         # r6: one token-count fold
+    "corpus_heaps_law",         # r6: first-occurrence histogram folds
 ]
 OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events", "embeddings"]
@@ -111,6 +115,8 @@ def build_emb_corpus(mult: int) -> str:
 
 EMB_NAMES = [
     "embedding_knn",            # registered brute-force top-k (N per query)
+    "embedding_whitening_stats",  # r6: in-row triangle -> 2080-row agg
+    "embedding_silhouette_by_label",  # r6: broadcast-centroid rescore
     "embedding_pq_adc",         # staged: code assignment ~N, probe ~N
     "embedding_margin_align",   # staged: bipartite brute force ~N^2 BY
                                 # DESIGN at fixture scale (the documented
@@ -122,6 +128,9 @@ def main() -> None:
     from traffic_data_pipeline_spark.functions.execution import release
     from traffic_data_pipeline_spark.plans.queries import QUERIES
     from traffic_data_pipeline_spark.plans.staged_ops import STAGED_QUERIES
+    from traffic_data_pipeline_spark.plans.staged_ops_r6 import (
+        STAGED_R6_QUERIES,
+    )
     from traffic_data_pipeline_spark.session import get_spark
 
     spark = get_spark("scaling-probe")
@@ -132,7 +141,8 @@ def main() -> None:
     for sf_dir, label in dirs:
         spark.read.parquet(f"{sf_dir}/documents.parquet").count()  # warm
         for name in NAMES:
-            fn = QUERIES.get(name) or STAGED_QUERIES[name]
+            fn = (QUERIES.get(name) or STAGED_QUERIES.get(name)
+                  or STAGED_R6_QUERIES[name])
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             results.setdefault(name, {})[label] = round(
@@ -146,7 +156,8 @@ def main() -> None:
     for sf_dir, label in emb_dirs:
         spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()  # warm
         for name in EMB_NAMES:
-            fn = QUERIES.get(name) or STAGED_QUERIES[name]
+            fn = (QUERIES.get(name) or STAGED_QUERIES.get(name)
+                  or STAGED_R6_QUERIES[name])
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             emb_results.setdefault(name, {})[label] = round(
