@@ -65,7 +65,15 @@ def _previously_checked() -> set[str]:
 # registry 195 names. The registration freeze on NET-NEW queries holds
 # again this round (VERDICT r4 ask #2) so the driver window can drain the
 # full backlog: 12 never-checked + 31 promoted + 2 stale-no_oracle
-# re-fronts = 45 rows <= the ~50-row window. Among the unchecked, the
+# re-fronts + 2 sketch-oracle conversions = 47 rows <= the ~50-row
+# window. Round 6: promote plans/staged_ops_r6.py (17 oracle-gated
+# operators held behind this freeze) the same way staged_ops was —
+# fold at the end of that module's body, move STAGED_R6_CAPS into
+# tests/test_plan_shapes.py, flip test_staged_r6_names_not_registered
+# to a promotion check, and queue the BENCH_STAGED_r05.json-costly
+# names (events_median_bootstrap_ci, embedding_whitening_stats,
+# corpus_doremi_step, embedding_dim_truncation_recall,
+# streaming_session_funnel) into _COSTLY_TAIL. Among the unchecked, the
 # per-query-costliest (streaming micro-batch machinery, cached-self-join
 # dedup families, the multi-stage funnel job, and the heavy staged set
 # sized from BENCH_STAGED_r04.json) queue LAST: if the driver window is
