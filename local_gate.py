@@ -63,7 +63,9 @@ def value_hash(columns, records):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--round", type=int, default=4)
+    ap.add_argument("--round", type=int, default=None,
+                    help="record stamp; default = highest BENCH_r*.json "
+                         "round + 1 (the driver's current round)")
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--only", nargs="*", default=None,
@@ -75,6 +77,16 @@ def main() -> int:
                          "muscle-memory compatibility; still writes the "
                          "_staged-suffixed record when passed)")
     args = ap.parse_args()
+
+    if args.round is None:
+        import glob as _glob
+        import re as _re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [int(m.group(1))
+                  for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+                  if (m := _re.search(r"BENCH_r(\d+)\.json$", p))]
+        args.round = max(rounds, default=0) + 1
 
     from traffic_data_pipeline_spark.plans.queries import ORACLES, QUERIES
     from traffic_data_pipeline_spark.session import get_spark
