@@ -94,6 +94,13 @@ STAGED_R6_CAPS = {
                                          # first-occurrence and count
                                          # builds are paid at materialize
                                          # time (vocab_build shapes)
+    "lang_id_confusion": (6, 1),         # the predictor's per-doc agg +
+                                         # label join + (true,pred) count
+                                         # + |langs|-row total broadcast
+                                         # (measured 5)
+    "orders_backlog_aging": (1, 1),      # pushed status filter + ONE
+                                         # four-row rollup; horizon
+                                         # scalar broadcast
     "corpus_doremi_step": (15, 2),       # doc_lm_score's audited plan
                                          # (cap 6) + source/corpus aggs +
                                          # the #sources-row update; corpus
@@ -673,3 +680,48 @@ def test_heaps_law_recomputed(spark, sf_dir_oracle):
     sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
     want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     assert all(abs(r.heaps_beta - want) <= 1e-4 for r in rows)
+
+
+def test_lang_confusion_consistent_with_predictor(spark, sf_dir_oracle):
+    """Cell counts must re-aggregate the registered predictor's exact
+    per-doc output, shares sum to 1 per true language, and every
+    diagonal share is that class's recall recomputed independently."""
+    from traffic_data_pipeline_spark.plans.queries import QUERIES
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    cells = STAGED_R6_QUERIES["lang_id_confusion"](
+        spark, sf_dir_oracle).collect()
+    pred = {r.doc_id: r.lang_pred for r in
+            QUERIES["doc_lang_id"](spark, sf_dir_oracle).collect()}
+    true = {r.doc_id: r.lang for r in load_table(
+        spark, sf_dir_oracle, "documents").select("doc_id", "lang").collect()}
+    want = {}
+    for d, p in pred.items():
+        want[(true[d], p)] = want.get((true[d], p), 0) + 1
+    got = {(r.true_lang, r.lang_pred): r.n for r in cells}
+    assert got == want
+    by_true = {}
+    for r in cells:
+        by_true.setdefault(r.true_lang, []).append(r.share)
+    for lang, shares in by_true.items():
+        assert abs(sum(shares) - 1.0) <= len(shares) * 0.5e-6, lang
+
+
+def test_backlog_aging_partitions_open_orders(spark, sf_dir_oracle):
+    """Buckets partition the open orders (counts sum to the status
+    filter's count), bucket max ages respect the edges, and 'F' orders
+    never enter the backlog."""
+    from traffic_data_pipeline_spark.plans.staged_ops_r6 import AGING_EDGES
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    rows = {r.age_bucket: r for r in STAGED_R6_QUERIES[
+        "orders_backlog_aging"](spark, sf_dir_oracle).collect()}
+    n_open = load_table(spark, sf_dir_oracle, "orders").filter(
+        F.col("o_orderstatus") != "F").count()
+    assert sum(r.n_orders for r in rows.values()) == n_open
+    edges = {"0-030d": AGING_EDGES[0], "031-090d": AGING_EDGES[1],
+             "091-180d": AGING_EDGES[2]}
+    for b, cap in edges.items():
+        if b in rows:
+            assert rows[b].max_age_days <= cap, b
+    assert all(r.backlog_value > 0 for r in rows.values())

@@ -1637,3 +1637,130 @@ def q_corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k", "cutoff", "tokens_cum", "vocab_cum",
         slope.alias("heaps_beta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# lang_id_confusion — classifier-eval confusion matrix for doc_lang_id
+# ---------------------------------------------------------------------------
+
+
+def _langconf_oracle() -> str:
+    # Safe to read the live registry here: this module is never imported
+    # from plans/queries.py's tail, so by the time any caller reaches
+    # this builder the full registry import has completed (the
+    # staged_ops partial-init hazard cannot occur through this module).
+    from traffic_data_pipeline_spark.plans.queries import ORACLES
+    return f"""
+WITH pred AS ({ORACLES["doc_lang_id"]}),
+j AS (
+  SELECT d.lang AS true_lang, p.lang_pred
+  FROM pred p JOIN documents d USING (doc_id)),
+cnt AS (
+  SELECT true_lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+  FROM j GROUP BY 1, 2),
+tot AS (
+  SELECT true_lang, CAST(SUM(n) AS BIGINT) AS true_total
+  FROM cnt GROUP BY 1)
+SELECT c.true_lang, c.lang_pred, c.n, t.true_total,
+       ROUND(CAST(c.n AS DOUBLE) / t.true_total, 6) AS share
+FROM cnt c JOIN tot t USING (true_lang)
+"""
+
+
+@staged_r6("lang_id_confusion", _langconf_oracle())
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation readout for the registered lang-id
+    heuristic: the confusion matrix of predicted vs labeled language
+    over the corpus, each cell with its share of the true-language row
+    (the diagonal shares ARE per-class recall) — the eval every
+    production language-ID deployment tracks next to the classifier
+    itself. Reuses the registered predictor verbatim (one owner of the
+    stopword-argmax semantics, functions/text.language_id; the oracle
+    composes the registered doc_lang_id oracle as a subquery for the
+    same single-ownership on the DuckDB side).
+
+    Scale shape: the predictor's one map-side-combined per-doc
+    aggregate, a broadcast label join, ONE (true, pred) count aggregate
+    to at most |langs|^2 rows, and a |langs|-row total join — nothing
+    beyond the predictor's own cost grows with the corpus.
+    """
+    from traffic_data_pipeline_spark.functions.text import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = language_id(docs).select("doc_id", "lang_pred")
+    j = pred.join(docs.select("doc_id", F.col("lang").alias("true_lang")),
+                  "doc_id")
+    cnt = j.groupBy("true_lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = cnt.groupBy("true_lang").agg(
+        F.sum("n").cast("bigint").alias("true_total"))
+    return cnt.join(F.broadcast(tot), "true_lang").select(
+        "true_lang", "lang_pred", "n", "true_total",
+        F.round(F.col("n").cast("double") / F.col("true_total"), 6)
+        .alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_backlog_aging — open-order aging buckets at the data horizon
+# ---------------------------------------------------------------------------
+
+AGING_EDGES = (30, 90, 180)     # bucket edges in days, inclusive upper
+
+
+@staged_r6("orders_backlog_aging", f"""
+WITH horizon AS (SELECT MAX(o_orderdate) AS h FROM orders),
+open_orders AS (
+  SELECT o.o_orderkey, o.o_totalprice,
+         date_diff('day', o.o_orderdate, h.h) AS age_days
+  FROM orders o CROSS JOIN horizon h
+  WHERE o.o_orderstatus <> 'F'),
+bucketed AS (
+  SELECT CASE WHEN age_days <= {AGING_EDGES[0]} THEN '0-030d'
+              WHEN age_days <= {AGING_EDGES[1]} THEN '031-090d'
+              WHEN age_days <= {AGING_EDGES[2]} THEN '091-180d'
+              ELSE '180d+' END AS age_bucket,
+         o_totalprice, age_days
+  FROM open_orders)
+SELECT age_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS backlog_value,
+       CAST(MAX(age_days) AS BIGINT) AS max_age_days
+FROM bucketed GROUP BY 1
+""")
+def q_orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging — the operations dashboard every order
+    pipeline runs: orders not yet fully shipped (status <> 'F'), aged
+    against the data horizon (max order date — the deterministic
+    stand-in for "today"), bucketed at {AGING_EDGES} days with order
+    counts and DECIMAL-exact backlog value per bucket. Bucket edges are
+    integer day comparisons (exact DATE arithmetic in both engines);
+    the one double is the decimal sum's final cast.
+
+    Scale shape: the status filter pushes to the parquet scan, the
+    horizon is one broadcast scalar, and the rollup is ONE
+    map-side-combined aggregate to four rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    horizon = orders.agg(F.max("o_orderdate").alias("h"))
+    open_o = (
+        orders.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "o_totalprice",
+            F.datediff(F.col("h"), F.col("o_orderdate")).alias("age_days"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= AGING_EDGES[0], "0-030d")
+        .when(F.col("age_days") <= AGING_EDGES[1], "031-090d")
+        .when(F.col("age_days") <= AGING_EDGES[2], "091-180d")
+        .otherwise("180d+")
+    )
+    return open_o.groupBy(bucket.alias("age_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+        .alias("backlog_value"),
+        F.max("age_days").cast("bigint").alias("max_age_days"),
+    )
