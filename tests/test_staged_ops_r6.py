@@ -725,3 +725,44 @@ def test_backlog_aging_partitions_open_orders(spark, sf_dir_oracle):
         if b in rows:
             assert rows[b].max_age_days <= cap, b
     assert all(r.backlog_value > 0 for r in rows.values())
+
+
+def test_zipf_xmin_boundary(spark, tmp_path_factory):
+    """Tokens at count exactly xmin enter the tail; exactly xmin-1 do
+    not. Planted corpus: 'edgefive' appears exactly 5 times, 'edgefour'
+    exactly 4 — the tail size and vocabulary must account for both, and
+    the planted feed re-runs the full cross-engine gate."""
+    import os
+
+    import duckdb as _duck
+
+    from traffic_data_pipeline_spark.plans.staged_ops_r6 import ZIPF_XMIN
+
+    assert ZIPF_XMIN == 5
+    out = tmp_path_factory.mktemp("zipf_edge")
+    con = _duck.connect()
+    con.execute(f"""
+      COPY (
+        SELECT * FROM (VALUES
+          (1, 'edgefive edgefive edgefive edgefive edgefive', 'en', 's0', 45),
+          (2, 'edgefour edgefour edgefour edgefour', 'en', 's0', 36),
+          (3, 'filler tokens here beyond threshold filler tokens here
+               beyond threshold filler tokens here beyond threshold
+               filler tokens here beyond threshold
+               filler tokens here beyond threshold', 'en', 's0', 100))
+          v(doc_id, text, lang, source, n_chars)
+      ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"]:
+        os.symlink(f"/root/testdata/sf0.01/{t}.parquet",
+                   out / f"{t}.parquet")
+    r = STAGED_R6_QUERIES["vocab_zipf_alpha"](spark, str(out)).collect()[0]
+    # tail: edgefive(5) + filler/tokens/here/beyond/threshold (5 each)
+    assert r.n_tail == 6
+    assert r.v_total == 7           # + edgefour, excluded from the tail
+    assert r.c_max == 5
+    assert_matches_oracle(
+        STAGED_R6_QUERIES["vocab_zipf_alpha"](spark, str(out)),
+        STAGED_R6_ORACLES["vocab_zipf_alpha"], str(out))
