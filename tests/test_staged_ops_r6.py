@@ -101,6 +101,9 @@ STAGED_R6_CAPS = {
     "orders_backlog_aging": (1, 1),      # pushed status filter + ONE
                                          # four-row rollup; horizon
                                          # scalar broadcast
+    "events_burst_flags": (1, 0),        # ONE user exchange carries the
+                                         # sliding-count frame, the max
+                                         # window, and the final fold
     "corpus_doremi_step": (15, 2),       # doc_lm_score's audited plan
                                          # (cap 6) + source/corpus aggs +
                                          # the #sources-row update; corpus
@@ -766,3 +769,63 @@ def test_zipf_xmin_boundary(spark, tmp_path_factory):
     assert_matches_oracle(
         STAGED_R6_QUERIES["vocab_zipf_alpha"](spark, str(out)),
         STAGED_R6_ORACLES["vocab_zipf_alpha"], str(out))
+
+
+def test_burst_flags_window_and_threshold_edges(spark, tmp_path_factory):
+    """The trailing window is [t-59, t] inclusive (an event exactly 59 s
+    back counts, exactly 60 s back does not) and the flag threshold is
+    >= BURST_FLAG_MIN exactly: a user with an 8-event burst flags, a
+    user with 7 does not."""
+    import os
+
+    import duckdb as _duck
+
+    from traffic_data_pipeline_spark.plans.staged_ops_r6 import (
+        BURST_FLAG_MIN,
+    )
+
+    assert BURST_FLAG_MIN == 8
+    out = tmp_path_factory.mktemp("burst_edge")
+    con = _duck.connect()
+    con.execute(f"""
+      COPY (
+        WITH flagged AS (  -- user 1: 8 events inside one minute
+          SELECT 100 + i AS event_id,
+                 TIMESTAMP '2024-01-01 10:00:00' + to_seconds(i * 7) AS ts,
+                 CAST(1 AS BIGINT) AS user_id, 'view' AS event_type,
+                 1.0 AS value, NULL AS props
+          FROM unnest(generate_series(0, 7)) t(i)),
+        under AS (         -- user 2: 7 events inside one minute
+          SELECT 200 + i, TIMESTAMP '2024-01-01 10:00:00' + to_seconds(i * 8),
+                 CAST(2 AS BIGINT), 'view', 1.0, NULL
+          FROM unnest(generate_series(0, 6)) t(i)),
+        edge AS (          -- user 3: pair exactly 59 s apart (in-window),
+                           -- then a third exactly 60 s after the first
+          SELECT * FROM (VALUES
+            (300, TIMESTAMP '2024-01-01 12:00:00', CAST(3 AS BIGINT),
+             'view', 1.0, NULL),
+            (301, TIMESTAMP '2024-01-01 12:00:59', CAST(3 AS BIGINT),
+             'view', 1.0, NULL),
+            (302, TIMESTAMP '2024-01-01 12:01:00', CAST(3 AS BIGINT),
+             'view', 1.0, NULL)) v(a, b, c, d, e, f))
+        SELECT * FROM flagged UNION ALL SELECT * FROM under
+        UNION ALL SELECT * FROM edge
+      ) TO '{out}/events.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"]:
+        os.symlink(f"/root/testdata/sf0.01/{t}.parquet",
+                   out / f"{t}.parquet")
+    got = {r.user_id: r for r in STAGED_R6_QUERIES["events_burst_flags"](
+        spark, str(out)).collect()}
+    assert got[1].max_burst_60s == 8 and got[1].flagged
+    assert got[2].max_burst_60s == 7 and not got[2].flagged
+    # 12:00:59 sees the 12:00:00 event (59 s back, inclusive); 12:01:00
+    # no longer sees it but still sees 12:00:59 — max burst 2, peak at
+    # the FIRST second achieving it
+    assert got[3].max_burst_60s == 2 and not got[3].flagged
+    assert got[3].burst_peak_at == "2024-01-01 12:00:59"
+    assert_matches_oracle(
+        STAGED_R6_QUERIES["events_burst_flags"](spark, str(out)),
+        STAGED_R6_ORACLES["events_burst_flags"], str(out))

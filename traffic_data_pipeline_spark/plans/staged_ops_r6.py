@@ -1764,3 +1764,75 @@ def q_orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("backlog_value"),
         F.max("age_days").cast("bigint").alias("max_age_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_burst_flags — 60-second sliding burst (velocity-abuse) detector
+# ---------------------------------------------------------------------------
+
+BURST_WINDOW_S = 60
+BURST_FLAG_MIN = 8    # max 60-s burst at/above this flags the user
+
+
+@staged_r6("events_burst_flags", f"""
+WITH es AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events WHERE ts IS NOT NULL),
+burst AS (
+  SELECT user_id, es,
+         CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY es
+                             RANGE BETWEEN {BURST_WINDOW_S - 1} PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS c
+  FROM es),
+mb AS (
+  SELECT user_id, es, c,
+         MAX(c) OVER (PARTITION BY user_id) AS max_c
+  FROM burst)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(c) AS BIGINT) AS max_burst_60s,
+       strftime(TIMESTAMP '1970-01-01 00:00:00'
+                + to_seconds(MIN(CASE WHEN c = max_c THEN es END)),
+                '%Y-%m-%d %H:%M:%S') AS burst_peak_at,
+       MAX(c) >= {BURST_FLAG_MIN} AS flagged
+FROM mb GROUP BY 1
+""")
+def q_events_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity-abuse pre-flight: per user, the maximum number of events
+    inside ANY trailing {BURST_WINDOW_S}-second window (an exact sliding
+    count via a RANGE frame over floored epoch seconds — value-range
+    frames count peers identically in both engines, so same-second
+    events can't diverge the window), the second at which that peak
+    first occurs (deterministic MIN over the argmax set), and a flag at
+    >= {BURST_FLAG_MIN} — the rate-limit/fraud signal every event
+    pipeline screens before modeling. Whole-second flooring is the
+    cross-engine timestamp contract (events_conversion_latency).
+
+    Scale shape: ONE user_id exchange carries the sliding-count frame,
+    the per-user max window, AND the final fold — the fact shuffles
+    once; everything else is integer arithmetic. The streaming twin is
+    a sliding event-time window count (streaming_sliding_volume's
+    machinery) with the flag as a filter on the landed aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    es = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("es"))
+    wr = (
+        Window.partitionBy("user_id").orderBy("es")
+        .rangeBetween(-(BURST_WINDOW_S - 1), 0)
+    )
+    burst = es.select(
+        "user_id", "es",
+        F.count(F.lit(1)).over(wr).cast("bigint").alias("c"))
+    wm = Window.partitionBy("user_id")
+    mb = burst.withColumn("max_c", F.max("c").over(wm))
+    return mb.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("c").cast("bigint").alias("max_burst_60s"),
+        F.date_format(
+            F.to_timestamp(
+                F.min(F.when(F.col("c") == F.col("max_c"), F.col("es")))),
+            "yyyy-MM-dd HH:mm:ss").alias("burst_peak_at"),
+        (F.max("c") >= BURST_FLAG_MIN).alias("flagged"),
+    )
