@@ -116,6 +116,9 @@ CASES = [
     # stepwise-quantized multiplicative weights: the normalizer's
     # decimal terms merge across arbitrary partial splits
     "corpus_doremi_step",
+    # sliding RANGE frame + per-user max + argmax-min fold must not
+    # depend on which partition sorted the user's seconds
+    "events_burst_flags",
 ]
 
 
