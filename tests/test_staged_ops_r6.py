@@ -104,6 +104,13 @@ STAGED_R6_CAPS = {
     "events_burst_flags": (1, 0),        # ONE user exchange carries the
                                          # sliding-count frame, the max
                                          # window, and the final fold
+    "events_did_estimate": (2, 1),       # ONE (cohort, period) agg to 4
+                                         # rows + the 4-row pivot
+                                         # broadcast back
+    "corpus_entropy_rate": (3, 4),       # unigram + bigram count aggs
+                                         # (cached) + prefix re-agg;
+                                         # scalars broadcast (measured 1
+                                         # live over the caches)
     "corpus_doremi_step": (15, 2),       # doc_lm_score's audited plan
                                          # (cap 6) + source/corpus aggs +
                                          # the #sources-row update; corpus
@@ -829,3 +836,49 @@ def test_burst_flags_window_and_threshold_edges(spark, tmp_path_factory):
     assert_matches_oracle(
         STAGED_R6_QUERIES["events_burst_flags"](spark, str(out)),
         STAGED_R6_ORACLES["events_burst_flags"], str(out))
+
+
+def test_did_estimate_recomputed(spark, sf_dir_oracle):
+    """Four cells (both cohorts x both periods at sf0.01), and the DiD
+    estimate recomputes exactly from the emitted 6-dp cell means."""
+    rows = STAGED_R6_QUERIES["events_did_estimate"](
+        spark, sf_dir_oracle).collect()
+    cells = {(r.cohort, r.period): r.mean_value for r in rows}
+    assert set(cells) == {(0, "pre"), (0, "post"), (1, "pre"), (1, "post")}
+    want = round((cells[(0, "post")] - cells[(0, "pre")])
+                 - (cells[(1, "post")] - cells[(1, "pre")]), 6) + 0.0
+    assert all(abs(r.did_estimate - want) <= 1e-9 for r in rows)
+    assert all(r.n > 0 for r in rows)
+
+
+def test_entropy_rate_recomputed(spark, sf_dir_oracle):
+    """Recompute both entropies from the raw token stream with python
+    floats; conditioning must not increase entropy (H(W2|W1) <= H(W)
+    within quantization slack on this fixture)."""
+    import math
+
+    from traffic_data_pipeline_spark.functions.text import tokens
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    r = STAGED_R6_QUERIES["corpus_entropy_rate"](
+        spark, sf_dir_oracle).collect()[0]
+    stream = {}
+    for row in tokens(load_table(spark, sf_dir_oracle, "documents"),
+                      ).select("doc_id", "token").collect():
+        stream.setdefault(row.doc_id, []).append(row.token)
+    uni, big, pre = {}, {}, {}
+    for toks in stream.values():
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+            pre[a] = pre.get(a, 0) + 1
+    tu = sum(uni.values())
+    h_u = -sum(c / tu * math.log(c / tu) for c in uni.values())
+    tb = sum(big.values())
+    h_c = -sum(c / tb * math.log(c / pre[a])
+               for (a, _), c in big.items())
+    assert r.vocab == len(uni) and r.n_tokens == tu
+    assert abs(r.h_unigram_nats - h_u) <= 1e-4
+    assert abs(r.h_bigram_cond_nats - h_c) <= 1e-4
+    assert r.h_bigram_cond_nats <= r.h_unigram_nats + 1e-3

@@ -1836,3 +1836,190 @@ def q_events_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yyyy-MM-dd HH:mm:ss").alias("burst_peak_at"),
         (F.max("c") >= BURST_FLAG_MIN).alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_did_estimate — difference-in-differences on purchase value
+# ---------------------------------------------------------------------------
+
+DID_SPLIT_DAY = 16    # period boundary: day-of-month >= this is "post"
+
+
+@staged_r6("events_did_estimate", f"""
+WITH purch AS (
+  SELECT user_id % 2 AS cohort,
+         CASE WHEN day(CAST(ts AS DATE)) >= {DID_SPLIT_DAY}
+              THEN 'post' ELSE 'pre' END AS period,
+         value
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL),
+cells AS (
+  SELECT cohort, period,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_value
+  FROM purch GROUP BY 1, 2),
+wide AS (
+  SELECT
+    MAX(CASE WHEN cohort = 0 AND period = 'pre' THEN mean_value END) AS a_pre,
+    MAX(CASE WHEN cohort = 0 AND period = 'post' THEN mean_value END) AS a_post,
+    MAX(CASE WHEN cohort = 1 AND period = 'pre' THEN mean_value END) AS b_pre,
+    MAX(CASE WHEN cohort = 1 AND period = 'post' THEN mean_value END) AS b_post
+  FROM cells)
+SELECT c.cohort, c.period, c.n, c.mean_value,
+       ROUND((w.a_post - w.a_pre) - (w.b_post - w.b_pre), 6) + 0.0
+         AS did_estimate
+FROM cells c CROSS JOIN wide w
+""")
+def q_events_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout on purchase value: parity
+    cohorts (the events_ab_* assignment) crossed with a pre/post period
+    split at day {DID_SPLIT_DAY}, cell means DECIMAL-exact, and the DiD
+    point estimate (A_post - A_pre) - (B_post - B_pre) — the causal-
+    inference companion to the t-test (means) and z-test (conversion):
+    it nets out the common time trend both cohorts share. Emits the
+    four cells with their sample sizes plus the estimate (the signed
+    estimate carries the `+ 0.0` zero canonicalization; cell means are
+    6-dp quantized BEFORE the estimate so the subtraction is over
+    identical doubles in both engines).
+
+    Scale shape: ONE map-side-combined (cohort, period) aggregate to
+    four rows; the pivot and the estimate are four-row arithmetic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+    ).select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.when(F.dayofmonth(F.to_date("ts")) >= DID_SPLIT_DAY, "post")
+        .otherwise("pre").alias("period"),
+        "value",
+    )
+    cells = purch.groupBy("cohort", "period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)), 6).alias("mean_value"),
+    )
+    def cell(c, p):
+        return F.max(F.when((F.col("cohort") == c) & (F.col("period") == p),
+                            F.col("mean_value")))
+    wide = cells.agg(
+        cell(0, "pre").alias("a_pre"), cell(0, "post").alias("a_post"),
+        cell(1, "pre").alias("b_pre"), cell(1, "post").alias("b_post"))
+    did = F.round(
+        (F.col("a_post") - F.col("a_pre"))
+        - (F.col("b_post") - F.col("b_pre")), 6) + 0.0
+    return cells.crossJoin(F.broadcast(wide)).select(
+        "cohort", "period", "n", "mean_value",
+        did.alias("did_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_entropy_rate — unigram entropy + bigram conditional entropy
+# ---------------------------------------------------------------------------
+
+
+def _entropy_oracle() -> str:
+    from traffic_data_pipeline_spark.plans.oracle_ctes import _TOK_LIST_CTE
+    return f"""
+WITH {_TOK_LIST_CTE},
+uni AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(l) AS token FROM tl) GROUP BY 1),
+ut AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM uni),
+h_uni AS (
+  SELECT CAST(SUM(CAST(ROUND(-(c / CAST(t AS DOUBLE))
+                             * ln(c / CAST(t AS DOUBLE)), 9)
+                       AS DECIMAL(18,9))) AS DOUBLE) AS h
+  FROM uni CROSS JOIN ut),
+big AS (
+  SELECT array_to_string(l[g:g+1], ' ') AS bigram
+  FROM tl, unnest(generate_series(1, greatest(len(l) - 1, 0))) s(g)),
+bgc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c FROM big GROUP BY 1),
+pre AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, CAST(SUM(c) AS BIGINT) AS c1
+  FROM bgc GROUP BY 1),
+bt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM bgc),
+h_cond AS (
+  SELECT CAST(SUM(CAST(ROUND(-(b.c / CAST(t.t AS DOUBLE))
+                             * ln(b.c / CAST(p.c1 AS DOUBLE)), 9)
+                       AS DECIMAL(18,9))) AS DOUBLE) AS h
+  FROM bgc b
+  JOIN pre p ON p.w1 = split_part(b.bigram, ' ', 1)
+  CROSS JOIN bt t)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM uni) AS vocab,
+       (SELECT t FROM ut) AS n_tokens,
+       ROUND((SELECT h FROM h_uni), 6) AS h_unigram_nats,
+       ROUND((SELECT h FROM h_cond), 6) AS h_bigram_cond_nats
+"""
+
+
+@staged_r6("corpus_entropy_rate", _entropy_oracle())
+def q_corpus_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus entropy readout — the third corpus law next to Zipf and
+    Heaps: unigram entropy H(W) = -sum p(w) ln p(w) and the bigram
+    conditional entropy (entropy RATE estimate)
+    H(W2|W1) = -sum p(w1,w2) ln p(w2|w1), both in nats. The gap between
+    them is the first-order predictability the bigram LM exploits —
+    the quantitative justification for doc_lm_score/doc_lm_kneser_ney
+    as quality signals, and the statistic that collapses when a corpus
+    is template spam (near-zero conditional entropy at normal unigram
+    entropy).
+
+    Float parity: every per-term -p*ln(p) is integer-ratio-derived,
+    computed in the identical expression order, ROUNDed to 9 dp, and
+    accumulated in DECIMAL(18,9) (ln is the not-correctly-rounded
+    class; 9-dp quantization keeps term-level sums order-free while
+    losing nothing at the 6-dp output), with the final entropies
+    ROUND 6.
+
+    Scale shape: one unigram count aggregate and one bigram count
+    aggregate (both map-side combined on vocabulary-bounded keys), a
+    prefix re-aggregate of the bigram table, two scalar totals — the
+    doc_lm_score model-build shape minus the scoring join.
+    """
+    from traffic_data_pipeline_spark.functions.execution import materialize
+    from traffic_data_pipeline_spark.functions.text import ngram_array
+    from traffic_data_pipeline_spark.plans.llm_ops import _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    # the spread frame carries the per-doc token ARRAY (tok); both count
+    # streams project from it in-row
+    uni = materialize(
+        docs.select(F.explode("tok").alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    ut = uni.agg(F.sum("c").cast("bigint").alias("t"))
+    vocab = uni.agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
+    p_u = F.col("c") / F.col("t").cast("double")
+    h_uni = (
+        uni.crossJoin(F.broadcast(ut))
+        .select(F.round(-p_u * F.log(p_u), 9)
+                .cast("decimal(18,9)").alias("term"))
+        .agg(F.sum("term").cast("double").alias("h"))
+    )
+    bgc = materialize(
+        docs.select(F.explode(ngram_array("tok", 2)).alias("bigram"))
+        .groupBy("bigram").agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    pre = bgc.groupBy(
+        F.substring_index("bigram", " ", 1).alias("w1")).agg(
+        F.sum("c").cast("bigint").alias("c1"))
+    bt = bgc.agg(F.sum("c").cast("bigint").alias("t"))
+    h_cond = (
+        bgc.withColumn("w1", F.substring_index("bigram", " ", 1))
+        .join(pre, "w1")
+        .crossJoin(F.broadcast(bt))
+        .select(
+            F.round(
+                -(F.col("c") / F.col("t").cast("double"))
+                * F.log(F.col("c") / F.col("c1").cast("double")), 9)
+            .cast("decimal(18,9)").alias("term"))
+        .agg(F.sum("term").cast("double").alias("h"))
+    )
+    return (
+        vocab.crossJoin(F.broadcast(ut.select(F.col("t").alias("n_tokens"))))
+        .crossJoin(F.broadcast(
+            h_uni.select(F.round("h", 6).alias("h_unigram_nats"))))
+        .crossJoin(F.broadcast(
+            h_cond.select(F.round("h", 6).alias("h_bigram_cond_nats"))))
+    )
