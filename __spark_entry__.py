@@ -71,9 +71,10 @@ def _previously_checked() -> set[str]:
 # fold at the end of that module's body, move STAGED_R6_CAPS into
 # tests/test_plan_shapes.py, flip test_staged_r6_names_not_registered
 # to a promotion check, and queue the BENCH_STAGED_r05.json-costly
-# names (events_median_bootstrap_ci, embedding_whitening_stats,
-# corpus_doremi_step, embedding_dim_truncation_recall,
-# streaming_session_funnel) into _COSTLY_TAIL. Among the unchecked, the
+# names (corpus_doremi_step, embedding_whitening_stats,
+# events_median_bootstrap_ci, embedding_silhouette_by_label,
+# corpus_entropy_rate, streaming_session_funnel,
+# embedding_dim_truncation_recall) into _COSTLY_TAIL. Among the unchecked, the
 # per-query-costliest (streaming micro-batch machinery, cached-self-join
 # dedup families, the multi-stage funnel job, and the heavy staged set
 # sized from BENCH_STAGED_r04.json) queue LAST: if the driver window is
