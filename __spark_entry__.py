@@ -60,26 +60,19 @@ def _previously_checked() -> set[str]:
     return seen
 
 
-# Round-5 promotion (VERDICT r4 ask #1): plans/staged_ops.py is folded
-# unconditionally into QUERIES/ORACLES by plans/queries.py, making the
-# registry 195 names. The registration freeze on NET-NEW queries holds
-# again this round (VERDICT r4 ask #2) so the driver window can drain the
-# full backlog: 12 never-checked + 31 promoted + 2 stale-no_oracle
-# re-fronts + 2 sketch-oracle conversions = 47 rows <= the ~50-row
-# window. Round 6: promote plans/staged_ops_r6.py (17 oracle-gated
-# operators held behind this freeze) the same way staged_ops was —
-# fold at the end of that module's body, move STAGED_R6_CAPS into
-# tests/test_plan_shapes.py, flip test_staged_r6_names_not_registered
-# to a promotion check, and queue the BENCH_STAGED_r05.json-costly
-# names (corpus_doremi_step, embedding_whitening_stats,
-# events_median_bootstrap_ci, embedding_silhouette_by_label,
-# corpus_entropy_rate, streaming_session_funnel,
-# embedding_dim_truncation_recall) into _COSTLY_TAIL. Among the unchecked, the
-# per-query-costliest (streaming micro-batch machinery, cached-self-join
-# dedup families, the multi-stage funnel job, and the heavy staged set
-# sized from BENCH_STAGED_r04.json) queue LAST: if the driver window is
-# time-bounded this ordering maximizes rows drained per round, and if it
-# is count-bounded the order is neutral.
+# Round-6 promotion (VERDICT r5 ask #1): plans/staged_ops_r6.py is folded
+# unconditionally into QUERIES/ORACLES (same tail-fold mechanism as
+# staged_ops.py), adding its 22 oracle-gated operators to the registry,
+# plus the ANN-backed margin-align twin (VERDICT r5 ask #2). With the
+# driver's cumulative record complete through round 5 (195/195), the
+# never-checked set this round is exactly these promotions — they fit the
+# ~50-row window with headroom. The round-7 staging area
+# (plans/staged_ops_r7.py) stays behind the same freeze. Among the
+# unchecked, the per-query-costliest (streaming micro-batch machinery,
+# cached-self-join dedup families, and the heavy r6 staged set sized from
+# BENCH_STAGED_r05.json) queue LAST: if the driver window is time-bounded
+# this ordering maximizes rows drained per round, and if it is
+# count-bounded the order is neutral.
 _COSTLY_TAIL = {
     "streaming_sessionize",
     "streaming_static_enrich",
@@ -100,6 +93,14 @@ _COSTLY_TAIL = {
     "embedding_margin_align",
     "doc_perplexity_buckets",
     "dedup_graph_kcore",
+    # heavy round-6 staged promotions, by the BENCH_STAGED_r05.json readout
+    "corpus_doremi_step",
+    "embedding_whitening_stats",
+    "events_median_bootstrap_ci",
+    "embedding_silhouette_by_label",
+    "corpus_entropy_rate",
+    "streaming_session_funnel",
+    "embedding_dim_truncation_recall",
 }
 
 

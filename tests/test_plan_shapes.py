@@ -332,6 +332,91 @@ CAPS = {
                                          # back) + hour agg — two-pass
                                          # distributed cummax, no global
                                          # data sort
+    # --- round-6 promotions (moved here from tests/test_staged_ops_r6.py
+    # at promotion time, per the documented path) ---
+    "events_attribution": (3, 0),        # purchase x click user-range
+                                         # join + per-purchase agg (AQE
+                                         # broadcasts a side at fixture
+                                         # scale; at corpus scale both
+                                         # sides co-key on user)
+    "events_markov_transitions": (5, 3), # ONE user window + (src,dst)
+                                         # agg + the cached K-row
+                                         # alphabet build; grid/total/K
+                                         # frames always broadcast
+    "events_ab_proportions": (1, 0),     # user-conversion agg folded to
+                                         # one four-counter row
+    "events_median_bootstrap_ci": (3, 1),  # in-row B-spread into a
+                                         # (type, replica) percentile agg
+                                         # + type re-agg; CI frame joins
+                                         # broadcast
+    "events_spend_concentration": (2, 0),  # (type,user) spend agg + ONE
+                                         # type exchange carrying both
+                                         # rank windows and the fold
+    "embedding_whitening_stats": (3, 3), # in-row triangle -> ONE 2080-row
+                                         # gram agg + the 64-row mean agg;
+                                         # mean/N frames always broadcast
+    "embedding_dim_truncation_recall": (9, 2),  # two brute-force passes
+                                         # (spread repartition + per-query
+                                         # rank each) + recall join/agg;
+                                         # query sides broadcast
+    "doc_lm_kneser_ney": (3, 4),         # bigram/prefix/continuation
+                                         # count aggs over the cached
+                                         # stream; scalar + model frames
+                                         # broadcast at fixture scale
+    "events_time_zonemap_audit": (2, 1), # ONE (day) footer aggregate +
+                                         # the #files probe scalar always
+                                         # broadcast
+    "embedding_silhouette_by_label": (4, 1),  # (label,pos) centroid agg +
+                                         # per-vector distance agg + the
+                                         # a/b regroup; the centroid
+                                         # matrix ALWAYS broadcast
+                                         # (measured 3)
+    "embedding_ood_score": (3, 2),       # (pos) moment agg + per-vector
+                                         # rescore agg + TakeOrdered
+                                         # top-k; moment frame ALWAYS
+                                         # broadcast (measured 2)
+    "events_conversion_latency": (2, 1), # user-co-keyed join + per-
+                                         # purchase max + ONE percentile
+                                         # row (measured 1)
+    "user_churn_hazard": (3, 1),         # per-user lifetime agg +
+                                         # histogram agg + the <=31-row
+                                         # reverse cumsum; horizon scalar
+                                         # broadcast
+    "streaming_session_funnel": (0, 0),  # live plan is the stateless
+                                         # post-landing projection; the
+                                         # session shuffle is paid inside
+                                         # the micro-batch run
+    "vocab_zipf_alpha": (1, 1),          # ONE token-count aggregate
+                                         # (the vocab_build shape) folded
+                                         # to a single row; vocab scalar
+                                         # broadcast
+    "corpus_heaps_law": (1, 1),          # live plan reads the cached
+                                         # 10-point log-log frame; the
+                                         # first-occurrence and count
+                                         # builds are paid at materialize
+                                         # time (vocab_build shapes)
+    "lang_id_confusion": (6, 1),         # the predictor's per-doc agg +
+                                         # label join + (true,pred) count
+                                         # + |langs|-row total broadcast
+                                         # (measured 5)
+    "orders_backlog_aging": (1, 1),      # pushed status filter + ONE
+                                         # four-row rollup; horizon
+                                         # scalar broadcast
+    "events_burst_flags": (1, 0),        # ONE user exchange carries the
+                                         # sliding-count frame, the max
+                                         # window, and the final fold
+    "events_did_estimate": (2, 1),       # ONE (cohort, period) agg to 4
+                                         # rows + the 4-row pivot
+                                         # broadcast back
+    "corpus_entropy_rate": (3, 4),       # unigram + bigram count aggs
+                                         # (cached) + prefix re-agg;
+                                         # scalars broadcast (measured 1
+                                         # live over the caches)
+    "corpus_doremi_step": (15, 2),       # doc_lm_score's audited plan
+                                         # (cap 6) + source/corpus aggs +
+                                         # the #sources-row update; corpus
+                                         # scalar and normalizer always
+                                         # broadcast
 }
 
 

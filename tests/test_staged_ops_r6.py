@@ -1,8 +1,8 @@
-"""Oracle gate + semantic checks for the round-6 staging area
-(plans/staged_ops_r6.py) — the same query-vs-oracle compare every
-registered query passes, run BEFORE these names enter the driver
-registry, plus a freeze guard pinning that they stay out of it this
-round (VERDICT r4 ask #2: the round-5 promotion backlog drains first)."""
+"""Oracle gate + semantic checks for the (round-6-promoted) staging area
+plans/staged_ops_r6.py — the same query-vs-oracle compare every
+registered query passes. Promoted into the live registry in round 6
+(VERDICT r5 ask #1): exchange caps moved to tests/test_plan_shapes.py,
+and the former freeze guard is now a promotion check."""
 
 from __future__ import annotations
 
@@ -28,119 +28,27 @@ def test_staged_r6_matches_oracle(spark, sf_dir_oracle, name):
         STAGED_R6_ORACLES[name], sf_dir_oracle)
 
 
-# Exchange budgets (the test_plan_shapes contract, applied at staging
-# time so the round-6 promotion can't ship an unaudited plan): (max hash
-# exchanges, min broadcast exchanges) in the live plan at the smoke
-# fixture. Fold into tests/test_plan_shapes.py CAPS at promotion.
-STAGED_R6_CAPS = {
-    "events_attribution": (3, 0),        # purchase x click user-range
-                                         # join + per-purchase agg (AQE
-                                         # broadcasts a side at fixture
-                                         # scale; at corpus scale both
-                                         # sides co-key on user)
-    "events_markov_transitions": (5, 3), # ONE user window + (src,dst)
-                                         # agg + the cached K-row
-                                         # alphabet build; grid/total/K
-                                         # frames always broadcast
-    "events_ab_proportions": (1, 0),     # user-conversion agg folded to
-                                         # one four-counter row
-    "events_median_bootstrap_ci": (3, 1),  # in-row B-spread into a
-                                         # (type, replica) percentile agg
-                                         # + type re-agg; CI frame joins
-                                         # broadcast
-    "events_spend_concentration": (2, 0),  # (type,user) spend agg + ONE
-                                         # type exchange carrying both
-                                         # rank windows and the fold
-    "embedding_whitening_stats": (3, 3), # in-row triangle -> ONE 2080-row
-                                         # gram agg + the 64-row mean agg;
-                                         # mean/N frames always broadcast
-    "embedding_dim_truncation_recall": (9, 2),  # two brute-force passes
-                                         # (spread repartition + per-query
-                                         # rank each) + recall join/agg;
-                                         # query sides broadcast
-    "doc_lm_kneser_ney": (3, 4),         # bigram/prefix/continuation
-                                         # count aggs over the cached
-                                         # stream; scalar + model frames
-                                         # broadcast at fixture scale
-    "events_time_zonemap_audit": (2, 1), # ONE (day) footer aggregate +
-                                         # the #files probe scalar always
-                                         # broadcast
-    "embedding_silhouette_by_label": (4, 1),  # (label,pos) centroid agg +
-                                         # per-vector distance agg + the
-                                         # a/b regroup; the centroid
-                                         # matrix ALWAYS broadcast
-                                         # (measured 3)
-    "embedding_ood_score": (3, 2),       # (pos) moment agg + per-vector
-                                         # rescore agg + TakeOrdered
-                                         # top-k; moment frame ALWAYS
-                                         # broadcast (measured 2)
-    "events_conversion_latency": (2, 1), # user-co-keyed join + per-
-                                         # purchase max + ONE percentile
-                                         # row (measured 1)
-    "user_churn_hazard": (3, 1),         # per-user lifetime agg +
-                                         # histogram agg + the <=31-row
-                                         # reverse cumsum; horizon scalar
-                                         # broadcast
-    "streaming_session_funnel": (0, 0),  # live plan is the stateless
-                                         # post-landing projection; the
-                                         # session shuffle is paid inside
-                                         # the micro-batch run
-    "vocab_zipf_alpha": (1, 1),          # ONE token-count aggregate
-                                         # (the vocab_build shape) folded
-                                         # to a single row; vocab scalar
-                                         # broadcast
-    "corpus_heaps_law": (1, 1),          # live plan reads the cached
-                                         # 10-point log-log frame; the
-                                         # first-occurrence and count
-                                         # builds are paid at materialize
-                                         # time (vocab_build shapes)
-    "lang_id_confusion": (6, 1),         # the predictor's per-doc agg +
-                                         # label join + (true,pred) count
-                                         # + |langs|-row total broadcast
-                                         # (measured 5)
-    "orders_backlog_aging": (1, 1),      # pushed status filter + ONE
-                                         # four-row rollup; horizon
-                                         # scalar broadcast
-    "events_burst_flags": (1, 0),        # ONE user exchange carries the
-                                         # sliding-count frame, the max
-                                         # window, and the final fold
-    "events_did_estimate": (2, 1),       # ONE (cohort, period) agg to 4
-                                         # rows + the 4-row pivot
-                                         # broadcast back
-    "corpus_entropy_rate": (3, 4),       # unigram + bigram count aggs
-                                         # (cached) + prefix re-agg;
-                                         # scalars broadcast (measured 1
-                                         # live over the caches)
-    "corpus_doremi_step": (15, 2),       # doc_lm_score's audited plan
-                                         # (cap 6) + source/corpus aggs +
-                                         # the #sources-row update; corpus
-                                         # scalar and normalizer always
-                                         # broadcast
-}
+# Exchange budgets for these ops live in tests/test_plan_shapes.py CAPS
+# (moved at promotion time, per the documented round-6 path); the oracle
+# gate above still addresses each op by its staged name.
 
 
-@pytest.mark.parametrize("name", sorted(STAGED_R6_CAPS))
-def test_staged_r6_exchange_budget(spark, sf_dir, name):
-    from tests import test_plan_shapes as shapes
-
-    max_exch, min_bcast = STAGED_R6_CAPS[name]
-    exch, bcast = shapes._count_live(STAGED_R6_QUERIES[name](spark, sf_dir))
-    assert exch <= max_exch, (
-        f"{name}: {exch} hash exchanges (cap {max_exch})")
-    assert bcast >= min_bcast, (
-        f"{name}: {bcast} broadcast exchanges (expected >= {min_bcast})")
-
-
-def test_staged_r6_names_not_registered():
-    """Round-5 registration freeze (VERDICT r4 ask #2): round-6 staged
-    ops must not leak into the driver registry until the promotion
-    backlog drains and round 6 promotes them."""
+def test_staged_r6_names_promoted():
+    """Round-6 promotion check (VERDICT r5 ask #1, flipped from the
+    round-5 freeze guard): every staged r6 op is registered in the
+    driver registry under the SAME function object and oracle, every
+    one carries a DuckDB oracle, and every one has an exchange cap in
+    tests/test_plan_shapes.py."""
     import __spark_entry__ as e
+    from tests.test_plan_shapes import CAPS
 
-    live = set(e.queries())
-    assert set(STAGED_R6_QUERIES).isdisjoint(live)
+    live = e.queries()
+    oracles = e.oracle_sql()
+    for name, fn in STAGED_R6_QUERIES.items():
+        assert live[name] is fn, name
+        assert oracles[name] == STAGED_R6_ORACLES[name], name
+        assert name in CAPS, name
     assert set(STAGED_R6_ORACLES) == set(STAGED_R6_QUERIES)
-    assert set(STAGED_R6_CAPS) == set(STAGED_R6_QUERIES)
 
 
 def test_attribution_shares_and_zero_touch(spark, sf_dir_oracle):

@@ -551,7 +551,7 @@ def test_stream_static_enrich_state_survives_restart(spark, tmp_path):
     assert rows == [("corrA", "2024-01-01 10:00:00", 3)]
 
 
-def test_cms_sketch_state_survives_restart(spark, tmp_path):
+def test_cms_cells_accumulate_across_restart(spark, tmp_path):
     """Windowed CMS state recovery (the staged streaming_cms_topk
     machinery): cell counts for a window whose events straddle a
     stop/start boundary must accumulate across BOTH runs — a restarted
@@ -559,7 +559,12 @@ def test_cms_sketch_state_survives_restart(spark, tmp_path):
     keys a heavy-hitter probe cares about. Run 1 delivers two events for
     user 7 in window W and no watermark advance; run 2 delivers one more
     plus a far-future flush. Every W cell must read 3 (one increment per
-    event in each of the 4 rows), not 1."""
+    event in each of the 4 rows), not 1.
+
+    (Renamed from test_cms_sketch_state_survives_restart, which a later
+    def of the same name silently shadowed — VERDICT r5 ask #3; the
+    duplicate-name guard in tests/test_no_shadowed_tests.py now pins
+    that this class of bug can't recur.)"""
     import pyspark.sql.functions as F
 
     from traffic_data_pipeline_spark.plans.staged_ops import (

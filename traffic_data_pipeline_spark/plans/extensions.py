@@ -569,10 +569,9 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_QUERY_IDS = list(range(10))
 
-# single-sourced in plans/oracle_ctes.py (also composed by staged_ops.py,
-# which must not import this module: extensions -> queries -> staged_ops
-# is already an import chain, and a back-edge would be a cycle)
-_EMB_CTES = _EMB_CTES  # noqa: PLW0127 — re-export under the local name
+# _EMB_CTES is single-sourced in plans/oracle_ctes.py and re-exported via
+# the `# noqa: F401` import block at the top of this module (ADVICE r5:
+# the former self-assignment here was a no-op).
 
 # Brute-force query-vs-corpus cosine CTEs (q/dots/cos) and the 4x16-bit
 # hyperplane code CTEs (pd/codes[/cand/cdots]) — each spelled ONCE and

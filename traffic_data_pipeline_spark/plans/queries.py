@@ -1396,14 +1396,18 @@ from traffic_data_pipeline_spark.plans import mining_ops  # noqa: E402,F401
 from traffic_data_pipeline_spark.plans import analysis_ops  # noqa: E402,F401
 from traffic_data_pipeline_spark.plans import dss_ops  # noqa: E402,F401
 
-# Round-5 promotion (VERDICT r4 ask #1): the round-4 staging area is now
-# part of the live registry unconditionally. plans/staged_ops.py keeps its
-# own STAGED_QUERIES/STAGED_ORACLES dicts (the per-op semantic tests in
-# tests/test_staged_ops.py address ops by those names) and folds them into
-# QUERIES/ORACLES at the END of its own body — not here — so the merge is
-# complete in every import order (staged_ops.py:2389 imports extensions,
-# which imports this module: a fold here would run mid-staged-import and
-# capture a partial dict when staged_ops happens to be imported first).
-# The dry-run record for this merge is LOCAL_GATE_r04_staged.json.
+# Round-5/round-6 promotions (VERDICT r4 ask #1 / r5 ask #1): the staging
+# areas are part of the live registry unconditionally. Each staged module
+# keeps its own STAGED*_QUERIES/STAGED*_ORACLES dicts (the per-op semantic
+# tests address ops by those names) and folds them into QUERIES/ORACLES at
+# the END of its own body — not here — so the merge is complete in every
+# import order: when a staged module is imported FIRST, its tail fold's own
+# `from plans.queries import QUERIES, ORACLES` fully executes this module
+# (these side-effect imports skip the in-progress staged module via
+# sys.modules, and the fold's attribute access happens only after this
+# module's dicts are bound), then control returns to the staged tail to
+# fold the by-then-complete dicts. A fold HERE would instead run
+# mid-staged-import and capture a partial dict.
 from traffic_data_pipeline_spark.plans import staged_ops  # noqa: E402,F401
+from traffic_data_pipeline_spark.plans import staged_ops_r6  # noqa: E402,F401
 

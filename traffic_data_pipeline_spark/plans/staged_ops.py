@@ -3486,11 +3486,14 @@ def q_dedup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # live registry absorbs it, in EVERY import order: when queries.py is
 # imported first its bottom `import staged_ops` executes this whole module
 # (including this fold) before queries.py finishes; when this module is
-# imported first, the mid-file `from plans.extensions import _EMB_CTES`
-# (line ~2389) fully loads queries.py — whose own fold is just a
-# side-effect import with no attribute access — and control returns here
-# to fold the by-then-complete dicts. Both paths end with the 195-name
-# registry; the update is idempotent if both run.
+# imported first, the fold's own `from plans.queries import ...` below
+# fully executes queries.py — whose tail imports of the staged modules are
+# side-effect imports with no attribute access, so the in-progress import
+# of THIS module is skipped via sys.modules — and control returns here to
+# fold the by-then-complete dicts (ADVICE r5: this import, not the
+# now-removed mid-file extensions import, is what completes queries.py on
+# this path). Both paths end with the same registry; the update is
+# idempotent if both run.
 # ---------------------------------------------------------------------------
 from traffic_data_pipeline_spark.plans.queries import (  # noqa: E402
     ORACLES as _LIVE_ORACLES,
@@ -3499,6 +3502,7 @@ from traffic_data_pipeline_spark.plans.queries import (  # noqa: E402
 
 _collide = {n for n in set(_LIVE_QUERIES) & set(STAGED_QUERIES)
             if _LIVE_QUERIES[n] is not STAGED_QUERIES[n]}
-assert not _collide, f"staged names collide with registry: {_collide}"
+if _collide:  # not assert: must survive python -O (ADVICE r5)
+    raise RuntimeError(f"staged names collide with registry: {_collide}")
 _LIVE_QUERIES.update(STAGED_QUERIES)
 _LIVE_ORACLES.update(STAGED_ORACLES)
