@@ -29,6 +29,8 @@ NAMES = [
     "dedup_graph_kcore",        # peel rounds over the same pair stream
     "doc_lm_kneser_ney",        # r6: three-count KN model build + scoring
     "corpus_doremi_step",       # r6: LM build + domain reweighting
+    "doc_perplexity_buckets",   # promoted heavy: shared LM build +
+                                # broadcast-cutpoint tier assignment
     "vocab_zipf_alpha",         # r6: one token-count fold
     "corpus_heaps_law",         # r6: first-occurrence histogram folds
 ]
@@ -121,6 +123,46 @@ EMB_NAMES = [
     "embedding_margin_align",   # staged: bipartite brute force ~N^2 BY
                                 # DESIGN at fixture scale (the documented
                                 # 100 TB path swaps in ANN candidates)
+    "embedding_margin_align_ann",  # r6: the registered ANN swap — banded
+                                # adaptive-width LSH candidates ~N*k
+]
+
+
+def build_events_corpus(mult: int) -> str:
+    """2x/4x event corpora by deterministic synthesis of INDEPENDENT new
+    users (shifted user_id space, hash-jittered within-day timestamps)
+    — not duplication, which would double every session in place and
+    fake sub-linear streaming-state growth."""
+    out = f"/tmp/scale_ev_x{mult}"
+    os.makedirs(out, exist_ok=True)
+    reps = ",".join(str(k) for k in range(1, mult))
+    con = duckdb.connect()
+    con.execute(f"""
+      COPY (
+        SELECT event_id, ts, user_id, event_type, value, props
+        FROM read_parquet('{SRC}/events.parquet')
+        UNION ALL
+        SELECT e.event_id + k.k * 10000000 AS event_id,
+               e.ts + INTERVAL (CAST(hash(e.event_id * 131071 + k.k)
+                                     % 86400 AS INTEGER)) SECOND AS ts,
+               e.user_id + k.k * 1000000 AS user_id,
+               e.event_type, e.value, e.props
+        FROM read_parquet('{SRC}/events.parquet') e,
+             (SELECT unnest([{reps}]) AS k) k
+      ) TO '{out}/events.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"]:
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SRC}/{t}.parquet", dst)
+    return out
+
+
+EVENT_NAMES = [
+    "streaming_session_funnel",  # r6: stateful session stream + stage
+                                 # projection — state ~ active users
 ]
 
 
@@ -163,8 +205,22 @@ def main() -> None:
             emb_results.setdefault(name, {})[label] = round(
                 time.perf_counter() - t0, 2)
             release()
+    ev_dirs = [(SRC, "x1"), (build_events_corpus(2), "x2"),
+               (build_events_corpus(4), "x4")]
+    ev_results: dict[str, dict[str, float]] = {}
+    for sf_dir, label in ev_dirs:
+        spark.read.parquet(f"{sf_dir}/events.parquet").count()  # warm
+        for name in EVENT_NAMES:
+            fn = (QUERIES.get(name) or STAGED_QUERIES.get(name)
+                  or STAGED_R6_QUERIES[name])
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            ev_results.setdefault(name, {})[label] = round(
+                time.perf_counter() - t0, 2)
+            release()
     print(json.dumps({"timings_s": results, "lsh_pairs": pairs,
-                      "emb_timings_s": emb_results}, indent=1))
+                      "emb_timings_s": emb_results,
+                      "event_timings_s": ev_results}, indent=1))
 
 
 if __name__ == "__main__":

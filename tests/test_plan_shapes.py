@@ -417,6 +417,18 @@ CAPS = {
                                          # the #sources-row update; corpus
                                          # scalar and normalizer always
                                          # broadcast
+    "embedding_margin_align_ann": (8, 2),  # two plane-dot aggs + two
+                                         # band-code aggs over the
+                                         # cached sides + band-code
+                                         # equi-join + cand distinct +
+                                         # vector join-backs + the
+                                         # shared rank/normalizer
+                                         # windows; the <=96-row
+                                         # live-planes grid ALWAYS
+                                         # broadcast into both code
+                                         # builds (measured (7, 6) —
+                                         # AQE broadcasts the fixture
+                                         # sides too)
 }
 
 

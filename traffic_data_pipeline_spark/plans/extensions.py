@@ -46,6 +46,7 @@ from traffic_data_pipeline_spark.sources.tables import load_table
 # registration modules can import them without ordering hazards)
 from traffic_data_pipeline_spark.plans.oracle_ctes import (  # noqa: F401
     _DOC_CTES,
+    _LANG_ID_SQL,
     _EMB_CTES,
     _MH_PAIRS_CTE,
     _MINHASH_CTES,
@@ -84,24 +85,7 @@ def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(docs)
 
 
-@register("doc_lang_id", f"""
-WITH {_DOC_CTES}
-SELECT doc_id,
-       CAST(SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_EN)}) THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
-       CAST(SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_ES)}) THEN 1 ELSE 0 END) AS BIGINT) AS es_hits,
-       CAST(SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_DE)}) THEN 1 ELSE 0 END) AS BIGINT) AS de_hits,
-       CASE WHEN SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_EN)}) THEN 1 ELSE 0 END) = 0
-             AND SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_ES)}) THEN 1 ELSE 0 END) = 0
-             AND SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_DE)}) THEN 1 ELSE 0 END) = 0 THEN 'und'
-            WHEN SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_EN)}) THEN 1 ELSE 0 END)
-                 >= SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_ES)}) THEN 1 ELSE 0 END)
-             AND SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_EN)}) THEN 1 ELSE 0 END)
-                 >= SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_DE)}) THEN 1 ELSE 0 END) THEN 'en'
-            WHEN SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_ES)}) THEN 1 ELSE 0 END)
-                 >= SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_DE)}) THEN 1 ELSE 0 END) THEN 'es'
-            ELSE 'de' END AS lang_pred
-FROM toks GROUP BY doc_id
-""")
+@register("doc_lang_id", _LANG_ID_SQL)
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return language_id(docs)
@@ -567,30 +551,16 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
 
-KNN_QUERY_IDS = list(range(10))
-
-# _EMB_CTES is single-sourced in plans/oracle_ctes.py and re-exported via
-# the `# noqa: F401` import block at the top of this module (ADVICE r5:
-# the former self-assignment here was a no-op).
-
-# Brute-force query-vs-corpus cosine CTEs (q/dots/cos) and the 4x16-bit
-# hyperplane code CTEs (pd/codes[/cand/cdots]) — each spelled ONCE and
-# composed by every embedding oracle, so a change to the plane constants,
-# the DECIMAL(30,12) accumulation, or the tie-break edits one site
-# (the _MH_PAIRS_CTE/_GRAMS8_CTE precedent).
-_COS_CTES = f"""q AS (SELECT * FROM elems WHERE vec_id IN ({", ".join(map(str, KNN_QUERY_IDS))})),
-dots AS (
-  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-         CAST(SUM(CAST(q.val * c.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
-  FROM q JOIN elems c ON q.pos = c.pos
-  GROUP BY 1, 2),
-cos AS (
-  SELECT d.q_id, d.c_id,
-         d.dot / (sqrt(qn.norm_sq) * sqrt(cn.norm_sq)) AS cosine
-  FROM dots d
-  JOIN norms qn ON qn.vec_id = d.q_id
-  JOIN norms cn ON cn.vec_id = d.c_id
-  WHERE d.q_id != d.c_id)"""
+# KNN_QUERY_IDS and _COS_CTES moved to plans/oracle_ctes.py (round 6):
+# staged_ops_r6's oracle builders import them at module-body time, and a
+# user importing plans.extensions as the FIRST plans module would hit
+# this block before it was bound (extensions -> queries -> staged_ops_r6
+# -> extensions partial). oracle_ctes has no plans imports, so it is
+# always safe to import first. Re-exported here (the _EMB_CTES pattern).
+from traffic_data_pipeline_spark.plans.oracle_ctes import (  # noqa: F401,E402
+    _COS_CTES,
+    KNN_QUERY_IDS,
+)
 
 # identical full oracle for the brute-force and full-probe-IVF twins
 _COS_TOPK_SQL = f"""

@@ -152,3 +152,71 @@ stats AS (
          {df_cols}
   FROM base)
 """
+
+
+# Brute-force query-vs-corpus cosine CTEs over the _EMB_CTES frames
+# (moved from plans/extensions.py in round 6 so staged-module oracle
+# builders can import them without the extensions -> queries ->
+# staged_ops_r6 circular-import hazard).
+KNN_QUERY_IDS = list(range(10))
+
+# _EMB_CTES is single-sourced in plans/oracle_ctes.py and re-exported via
+# the `# noqa: F401` import block at the top of this module (ADVICE r5:
+# the former self-assignment here was a no-op).
+
+# Brute-force query-vs-corpus cosine CTEs (q/dots/cos) and the 4x16-bit
+# hyperplane code CTEs (pd/codes[/cand/cdots]) — each spelled ONCE and
+# composed by every embedding oracle, so a change to the plane constants,
+# the DECIMAL(30,12) accumulation, or the tie-break edits one site
+# (the _MH_PAIRS_CTE/_GRAMS8_CTE precedent).
+_COS_CTES = f"""q AS (SELECT * FROM elems WHERE vec_id IN ({", ".join(map(str, KNN_QUERY_IDS))})),
+dots AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         CAST(SUM(CAST(q.val * c.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM q JOIN elems c ON q.pos = c.pos
+  GROUP BY 1, 2),
+cos AS (
+  SELECT d.q_id, d.c_id,
+         d.dot / (sqrt(qn.norm_sq) * sqrt(cn.norm_sq)) AS cosine
+  FROM dots d
+  JOIN norms qn ON qn.vec_id = d.q_id
+  JOIN norms cn ON cn.vec_id = d.c_id
+  WHERE d.q_id != d.c_id)"""
+
+
+# Full doc_lang_id oracle (stopword-vote language heuristic) — registered
+# verbatim by plans/extensions.py and composed as a subquery by the
+# round-6 confusion-matrix oracle (staged_ops_r6.py), which previously
+# read ORACLES["doc_lang_id"] at module-body time and broke when
+# extensions was the first plans module imported (the _LM_SCORE_SQL
+# precedent, same fix). functions.text is not a plans module, so the
+# no-plans-imports rule holds.
+from traffic_data_pipeline_spark.functions.text import (  # noqa: E402
+    STOPWORDS_DE,
+    STOPWORDS_EN,
+    STOPWORDS_ES,
+)
+
+
+def _sql_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+_LANG_ID_SQL = f"""
+WITH {_DOC_CTES}
+SELECT doc_id,
+       CAST(SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_EN)}) THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
+       CAST(SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_ES)}) THEN 1 ELSE 0 END) AS BIGINT) AS es_hits,
+       CAST(SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_DE)}) THEN 1 ELSE 0 END) AS BIGINT) AS de_hits,
+       CASE WHEN SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_EN)}) THEN 1 ELSE 0 END) = 0
+             AND SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_ES)}) THEN 1 ELSE 0 END) = 0
+             AND SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_DE)}) THEN 1 ELSE 0 END) = 0 THEN 'und'
+            WHEN SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_EN)}) THEN 1 ELSE 0 END)
+                 >= SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_ES)}) THEN 1 ELSE 0 END)
+             AND SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_EN)}) THEN 1 ELSE 0 END)
+                 >= SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_DE)}) THEN 1 ELSE 0 END) THEN 'en'
+            WHEN SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_ES)}) THEN 1 ELSE 0 END)
+                 >= SUM(CASE WHEN token IN ({_sql_list(STOPWORDS_DE)}) THEN 1 ELSE 0 END) THEN 'es'
+            ELSE 'de' END AS lang_pred
+FROM toks GROUP BY doc_id
+"""

@@ -237,7 +237,37 @@ def run_available_now(spark: SparkSession, name: str, agg: DataFrame = None,
     if not ok:
         q.stop()
         raise TimeoutError(f"{name}: availableNow run exceeded {timeout}s")
+    _record_stream_progress(name, q)
     return q
+
+
+# Per-query batch-level timing evidence from the LAST availableNow run
+# (VERDICT r5 ask #5: streaming_15min_agg's official number whipsawed
+# 6.3 -> 29.3 s on state-store disk contention the min-of-2 couldn't
+# absorb; the batch durations make that inflation attributable).
+# bench.py snapshots this into BENCH_DETAIL after each pass.
+LAST_STREAM_PROGRESS: dict[str, list[dict]] = {}
+
+
+def _record_stream_progress(name: str, q) -> None:
+    import json as _json
+
+    try:
+        out = []
+        for p in q.recentProgress:
+            if isinstance(p, str):
+                p = _json.loads(p)
+            dur = p.get("durationMs") or {}
+            out.append({
+                "batch": p.get("batchId"),
+                "trigger_ms": dur.get("triggerExecution"),
+                "state_commit_ms": dur.get("commitOffsets"),
+                "add_batch_ms": dur.get("addBatch"),
+                "rows": p.get("numInputRows"),
+            })
+        LAST_STREAM_PROGRESS[name] = out
+    except Exception:
+        pass  # diagnostics only: never fail a run over progress parsing
 
 
 @register("streaming_15min_agg", _SENSOR_15MIN_ORACLE)

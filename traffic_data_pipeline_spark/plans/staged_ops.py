@@ -2660,6 +2660,235 @@ def q_embedding_margin_align(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# embedding_margin_align_ann — the ANN-candidate form of the margin aligner
+# ---------------------------------------------------------------------------
+
+ALIGN_NB = 16      # LSH bands
+ALIGN_RMAX = 6     # hyperplanes allotted per band (ALIGN_NB * ALIGN_RMAX = 96)
+ALIGN_TARGET = 8   # target B-side occupancy per band bucket (sets code width)
+
+_ALIGN_ANN_SQL = f"""
+WITH {_EMB_CTES},
+la AS (
+  SELECT e.vec_id FROM embeddings e JOIN norms n ON n.vec_id = e.vec_id
+  WHERE e.label = {ALIGN_LAB_A} AND len(e.embedding) > 0 AND n.norm_sq > 0),
+lb AS (
+  SELECT e.vec_id FROM embeddings e JOIN norms n ON n.vec_id = e.vec_id
+  WHERE e.label = {ALIGN_LAB_B} AND len(e.embedding) > 0 AND n.norm_sq > 0),
+rb AS (
+  SELECT CAST(LEAST(GREATEST(CEIL(LOG2(GREATEST(
+           COUNT(*) / {ALIGN_TARGET}.0, 1.0))), 1), {ALIGN_RMAX}) AS INTEGER) AS r
+  FROM lb),
+side AS (SELECT vec_id FROM la UNION ALL SELECT vec_id FROM lb),
+pd AS (
+  SELECT e.vec_id, p.p,
+         CAST(SUM(CAST(e.val * (((p.p * 73856093 + e.pos * 19349663) % 1000003)
+                                / 1000003.0 - 0.5) AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM elems e
+  JOIN side s ON s.vec_id = e.vec_id,
+       (SELECT unnest(generate_series(0, {ALIGN_NB * ALIGN_RMAX - 1})) AS p) p
+  GROUP BY 1, 2),
+codes AS (
+  SELECT vec_id, CAST(p // {ALIGN_RMAX} AS INTEGER) AS band,
+         CAST(SUM(CASE WHEN (p % {ALIGN_RMAX}) < r AND dot >= 0
+                       THEN (CAST(1 AS BIGINT) << CAST(p % {ALIGN_RMAX} AS INTEGER))
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS code
+  FROM pd, rb GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT ca.vec_id AS a_id, cb.vec_id AS b_id
+  FROM codes ca
+  JOIN la ON la.vec_id = ca.vec_id
+  JOIN codes cb ON cb.band = ca.band AND cb.code = ca.code
+  JOIN lb ON lb.vec_id = cb.vec_id),
+pairs AS (
+  SELECT cd.a_id, cd.b_id,
+         CAST(SUM(CAST(ea.val * eb.val AS DECIMAL(30,12))) AS DOUBLE)
+           / (sqrt(na.norm_sq) * sqrt(nb.norm_sq)) AS cosine
+  FROM cand cd
+  JOIN elems ea ON ea.vec_id = cd.a_id
+  JOIN elems eb ON eb.vec_id = cd.b_id AND eb.pos = ea.pos
+  JOIN norms na ON na.vec_id = cd.a_id
+  JOIN norms nb ON nb.vec_id = cd.b_id
+  GROUP BY cd.a_id, cd.b_id, na.norm_sq, nb.norm_sq),
+fwd AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
+                               ORDER BY cosine DESC, b_id) AS rk
+  FROM pairs),
+bwd AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY b_id
+                               ORDER BY cosine DESC, a_id) AS rk
+  FROM pairs),
+ka AS (
+  SELECT a_id, CAST(SUM(CAST(cosine AS DECIMAL(30,12))) AS DOUBLE)
+                 / COUNT(*) AS knn_a
+  FROM fwd WHERE rk <= {ALIGN_K} GROUP BY 1),
+kb AS (
+  SELECT b_id, CAST(SUM(CAST(cosine AS DECIMAL(30,12))) AS DOUBLE)
+                 / COUNT(*) AS knn_b
+  FROM bwd WHERE rk <= {ALIGN_K} GROUP BY 1)
+SELECT f.a_id, f.b_id, ROUND(f.cosine, 6) AS cosine,
+       ROUND(f.cosine / NULLIF((ka.knn_a + kb.knn_b) / 2, 0), 6) AS margin
+FROM fwd f
+JOIN bwd ON bwd.a_id = f.a_id AND bwd.b_id = f.b_id AND bwd.rk = 1
+JOIN ka ON ka.a_id = f.a_id
+JOIN kb ON kb.b_id = f.b_id
+WHERE f.rk = 1
+"""
+
+
+def _align_band_codes_df(side, id_alias, planes, rb):
+    """(id, band, code) rows for one population: the oracle's elems x
+    planes shape. The 96 plane dots run as ONE narrow explode ->
+    broadcast-grid -> two map-side-combined aggregates pipeline (decimal
+    terms, codegen hash aggs) instead of 96 interpreted HOF folds inside
+    a single projection — the expression-tree form took Catalyst ~30 s
+    to analyze PER QUERY at any scale; this shape is milliseconds of
+    planning and keyed rows stay at N x NB_PLANES. The adaptive width r
+    masks each band to its low r bits exactly like the oracle's
+    (p % RMAX) < r predicate."""
+    el = side.select(F.col("vec_id").alias(id_alias),
+                     F.posexplode("embedding").alias("pos0", "val"))
+    w = ((((F.col("p").cast("bigint") * 73856093
+            + (F.col("pos0") + 1).cast("bigint") * 19349663) % 1000003)
+          / 1000003.0) - 0.5)
+    # planes masked out by the adaptive width are never computed at all
+    # (the oracle computes then discards them — same candidate sets):
+    # at the fixture's r=3 this halves the element x plane grid
+    live_planes = (planes.crossJoin(F.broadcast(rb))
+                   .filter((F.col("p") % ALIGN_RMAX) < F.col("r"))
+                   .select("p"))
+    pd = (
+        el.crossJoin(F.broadcast(live_planes))
+        .select(id_alias, "p",
+                (F.col("val").cast("double") * w).cast(DOT_DECIMAL)
+                .alias("term"))
+        .groupBy(id_alias, "p")
+        .agg(F.sum("term").cast(DOT_DECIMAL).cast("double").alias("dot")))
+    return (
+        pd.groupBy(id_alias,
+                   F.expr(f"CAST(p DIV {ALIGN_RMAX} AS INT)").alias("band"))
+        .agg(F.sum(
+            F.when(F.col("dot") >= 0,
+                   F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                          f"CAST(p % {ALIGN_RMAX} AS INT))"))
+            .otherwise(F.lit(0).cast("bigint"))).alias("code")))
+
+
+@staged("embedding_margin_align_ann", _ALIGN_ANN_SQL)
+def q_embedding_margin_align_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN-candidate form of ``embedding_margin_align`` (VERDICT r5
+    ask #2): identical margin/mutuality semantics, but the |A| x |B|
+    brute-force pair stream — the registry's one measured-quadratic plan,
+    ~N^1.8 at SCALING.md — is replaced by banded random-hyperplane LSH
+    candidates, so the pair stream is ~N * k and the plan survives 100x
+    data. Pinned against the brute twin at sf0.01 in
+    tests/test_margin_align_ann.py (pair recall 21/23 = 0.91 measured).
+
+    Candidate rule (deterministic, replicated exactly by the DuckDB
+    oracle): ALIGN_NB=16 bands over 96 fixed pseudo-noise hyperplanes
+    (the embedding_ann_lsh plane family); each band's code keeps
+    r = clamp(ceil(log2(|B| / ALIGN_TARGET)), 1, ALIGN_RMAX) sign bits,
+    so the number of band buckets GROWS with the B side (2^r ~ |B|/8)
+    and per-band bucket occupancy stays ~ALIGN_TARGET — candidates per
+    vector stay ~NB * TARGET instead of ~|B|. A pair is a candidate if
+    ANY band code matches. The margin normalizer averages the top
+    min(ALIGN_K, #candidates) candidate cosines (the brute twin always
+    has >= K partners; the ANN twin may retrieve fewer).
+
+    Determinism: plane dots and cosines follow the decimal-dot contract;
+    the code width r is one integer computed identically from COUNT(*);
+    ranks use the (cosine DESC, id) total order — every emitted margin is
+    ONE identically-rounded double expression in both engines.
+
+    Scale shape: the code build is a narrow in-row pass over the two
+    label slices (96 decimal plane dots per row, embarrassingly
+    parallel); candidates come from ONE (band, code) equi-join whose
+    bucket occupancy is held at ~TARGET by the adaptive width; exact
+    cosines are computed on candidates only; the rank windows and
+    normalizers then ride the candidate stream exactly as the brute twin
+    rides its full pair stream. At 100 TB the brute twin is the
+    correctness oracle on samples; THIS is the plan that runs.
+    """
+    from traffic_data_pipeline_spark.functions.execution import materialize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Spread-then-materialize (the ann_lsh_pairs discipline): a
+    # single-file scan is ONE partition and everything downstream is
+    # per-row compute. Repartition BEFORE the norm filters so even the
+    # norm_sq HOFs run 32-way. The cache is read five times (the r
+    # scalar, two code builds, two pair join-backs).
+    clean = materialize(
+        emb.select("vec_id", "embedding", "label")
+        .filter(F.col("label").isin(ALIGN_LAB_A, ALIGN_LAB_B))
+        .repartition(spark.sparkContext.defaultParallelism, F.col("vec_id"))
+        .filter(F.size("embedding") > 0)
+        .filter(norm_sq(F.col("embedding")) > 0)
+        .select("vec_id", "embedding", "label",
+                F.sqrt(norm_sq(F.col("embedding"))).alias("nrm")))
+    a = clean.filter(F.col("label") == ALIGN_LAB_A).select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"))
+    b = clean.filter(F.col("label") == ALIGN_LAB_B).select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"))
+    # adaptive code width from the B-side cardinality — ONE broadcast
+    # scalar, no driver round-trip
+    rb = clean.filter(F.col("label") == ALIGN_LAB_B).agg(
+        F.least(
+            F.greatest(
+                F.ceil(F.log2(F.greatest(
+                    F.count(F.lit(1)) / ALIGN_TARGET, F.lit(1.0)))),
+                F.lit(1).cast("bigint")),
+            F.lit(ALIGN_RMAX).cast("bigint")).cast("int").alias("r"))
+    planes = spark.range(ALIGN_NB * ALIGN_RMAX).select(
+        F.col("id").cast("int").alias("p"))
+    a_codes = _align_band_codes_df(
+        clean.filter(F.col("label") == ALIGN_LAB_A), "a_id", planes, rb)
+    b_codes = _align_band_codes_df(
+        clean.filter(F.col("label") == ALIGN_LAB_B), "b_id", planes, rb)
+    cand = (a_codes.join(b_codes, ["band", "code"])
+            .select("a_id", "b_id").distinct())
+    pairs = (
+        cand.join(a, "a_id").join(b, "b_id")
+        .select(
+            "a_id", "b_id",
+            (dot_product(F.col("va"), F.col("vb"))
+             / (F.col("na") * F.col("nb"))).alias("cosine"))
+    )
+    wf = Window.partitionBy("a_id").orderBy(F.col("cosine").desc(), "b_id")
+    wb = Window.partitionBy("b_id").orderBy(F.col("cosine").desc(), "a_id")
+    pa, pb = Window.partitionBy("a_id"), Window.partitionBy("b_id")
+    top_f = F.when(F.col("rk_f") <= ALIGN_K,
+                   F.col("cosine").cast(DOT_DECIMAL))
+    top_b = F.when(F.col("rk_b") <= ALIGN_K,
+                   F.col("cosine").cast(DOT_DECIMAL))
+    # normalizers ride the SAME two partition exchanges as the ranks; the
+    # divisor is COUNT of the top rows = min(K, #candidates), never K
+    # blindly — an a with 2 candidates averages 2 cosines in both engines
+    ranked = (
+        pairs.select(
+            "a_id", "b_id", "cosine",
+            F.row_number().over(wf).alias("rk_f"),
+            F.row_number().over(wb).alias("rk_b"))
+        .select(
+            "a_id", "b_id", "cosine", "rk_f", "rk_b",
+            (F.sum(top_f).over(pa).cast(DOT_DECIMAL).cast("double")
+             / F.count(top_f).over(pa)).alias("knn_a"),
+            (F.sum(top_b).over(pb).cast(DOT_DECIMAL).cast("double")
+             / F.count(top_b).over(pb)).alias("knn_b"))
+    )
+    return (
+        ranked.filter((F.col("rk_f") == 1) & (F.col("rk_b") == 1))
+        .select(
+            "a_id", "b_id", F.round("cosine", 6).alias("cosine"),
+            F.round(F.col("cosine")
+                    / F.nullif((F.col("knn_a") + F.col("knn_b")) / 2,
+                               F.lit(0.0)), 6)
+            .alias("margin"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # events_key_skew_report — pre-flight join/agg skew diagnostics
 # ---------------------------------------------------------------------------
 

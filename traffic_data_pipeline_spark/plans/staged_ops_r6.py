@@ -583,11 +583,11 @@ TRUNC_K = 5
 
 
 def _trunc_recall_oracle() -> str:
-    from traffic_data_pipeline_spark.plans.extensions import (
+    from traffic_data_pipeline_spark.plans.oracle_ctes import (
         _COS_CTES,
+        _EMB_CTES,
         KNN_QUERY_IDS,
     )
-    from traffic_data_pipeline_spark.plans.oracle_ctes import _EMB_CTES
     ids = ", ".join(map(str, KNN_QUERY_IDS))
     return f"""
 WITH {_EMB_CTES},
@@ -655,7 +655,7 @@ def q_embedding_dim_truncation_recall(
     from traffic_data_pipeline_spark.functions.similarity import (
         knn_bruteforce,
     )
-    from traffic_data_pipeline_spark.plans.extensions import KNN_QUERY_IDS
+    from traffic_data_pipeline_spark.plans.oracle_ctes import KNN_QUERY_IDS
 
     emb = load_table(spark, sf_dir, "embeddings")
     truth = knn_bruteforce(emb, KNN_QUERY_IDS, k=TRUNC_K).select(
@@ -1645,13 +1645,14 @@ def q_corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _langconf_oracle() -> str:
-    # Safe to read the live registry here: this module is never imported
-    # from plans/queries.py's tail, so by the time any caller reaches
-    # this builder the full registry import has completed (the
-    # staged_ops partial-init hazard cannot occur through this module).
-    from traffic_data_pipeline_spark.plans.queries import ORACLES
+    # Composed from the single-sourced oracle string (round 6): reading
+    # the live ORACLES dict here broke when plans.extensions was the
+    # first plans module imported — since the round-6 promotion THIS
+    # module IS imported from plans/queries.py's tail, inside
+    # extensions' own registration pass, before doc_lang_id lands.
+    from traffic_data_pipeline_spark.plans.oracle_ctes import _LANG_ID_SQL
     return f"""
-WITH pred AS ({ORACLES["doc_lang_id"]}),
+WITH pred AS ({_LANG_ID_SQL}),
 j AS (
   SELECT d.lang AS true_lang, p.lang_pred
   FROM pred p JOIN documents d USING (doc_id)),
