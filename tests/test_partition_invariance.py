@@ -23,6 +23,9 @@ from traffic_data_pipeline_spark.plans.staged_ops import STAGED_QUERIES
 from traffic_data_pipeline_spark.plans.staged_ops_r6 import (
     STAGED_R6_QUERIES,
 )
+from traffic_data_pipeline_spark.plans.staged_ops_r7 import (
+    STAGED_R7_QUERIES,
+)
 
 CASES = [
     "sensor_impute",
@@ -119,6 +122,16 @@ CASES = [
     # sliding RANGE frame + per-user max + argmax-min fold must not
     # depend on which partition sorted the user's seconds
     "events_burst_flags",
+    # round-6 staged r7: gaps-and-islands span merges whose lag frontier
+    # must not depend on which partition sorted the positions (exact
+    # spans), md5-ranked in-stratum reservoir under a broadcast quota
+    # (sample), 40 decimal-quantized value iterations over checkpointed
+    # K-row frames (markov), banded adaptive-width code aggregates + the
+    # new ANN margin twin's candidate windows
+    "dedup_exact_substring_spans",
+    "corpus_stratified_sample",
+    "events_markov_removal_effect",
+    "embedding_margin_align_ann",
 ]
 
 
@@ -136,7 +149,7 @@ def test_partition_invariant(spark, sf_dir, name):
     prev = spark.conf.get(key)
     try:
         fn = (QUERIES.get(name) or STAGED_QUERIES.get(name)
-              or STAGED_R6_QUERIES[name])
+              or STAGED_R6_QUERIES.get(name) or STAGED_R7_QUERIES[name])
         spark.conf.set(key, "3")
         narrow = _rows(fn(spark, sf_dir))
         release()

@@ -1,0 +1,327 @@
+"""Oracle gate + semantic checks for the round-7 staging area
+(plans/staged_ops_r7.py) — the same query-vs-oracle compare every
+registered query passes, run BEFORE these names enter the driver
+registry, plus a freeze guard pinning that they stay out of it this
+round (the round-6 promotion backlog drains first)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.oracle import assert_matches_oracle
+from traffic_data_pipeline_spark.plans.staged_ops_r7 import (
+    SAMPLE_BUDGET,
+    SPAN_L,
+    STAGED_R7_ORACLES,
+    STAGED_R7_QUERIES,
+)
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_R7_ORACLES))
+def test_staged_r7_matches_oracle(spark, sf_dir_oracle, name):
+    assert_matches_oracle(
+        STAGED_R7_QUERIES[name](spark, sf_dir_oracle),
+        STAGED_R7_ORACLES[name], sf_dir_oracle)
+
+
+# Exchange budgets (the test_plan_shapes contract, applied at staging
+# time): (max hash exchanges, min broadcast exchanges) in the live plan
+# at the smoke fixture. Fold into tests/test_plan_shapes.py at promotion.
+STAGED_R7_CAPS = {
+    "lang_fertility_drift": (3, 1),      # ONE (snap, lang) agg over the
+                                         # in-row counts + #langs self-join
+    "dedup_exact_substring_spans": (4, 1),  # gram df agg + dup semi-join
+                                         # + ONE doc window carrying both
+                                         # island stages
+    "corpus_stratified_sample": (6, 3),  # strata agg + quota arithmetic
+                                         # (broadcast back) + ONE
+                                         # per-stratum rank window
+    "dedup_cross_source_matrix": (3, 2), # rides the cached pair stream;
+                                         # two source join-backs + ONE
+                                         # (src, src) count; total scalar
+                                         # broadcast
+    "embedding_ivf_balance_report": (3, 2),  # assignment argmax + K-row
+                                         # count over the cached spread;
+                                         # centroids + total broadcast
+    "events_value_benford": (8, 1),      # (type, digit) count + type
+                                         # totals + chi regroup; tot/chi
+                                         # frames broadcast
+    "events_retention_cohorts": (6, 2),  # (user, day) distinct + cohort
+                                         # min + co-keyed return join;
+                                         # the 4-row offset frame ALWAYS
+                                         # broadcast
+    "doc_repetition_profile": (6, 0),    # every aggregate/window keys by
+                                         # doc_id — ONE spread exchange
+                                         # fans into the gram counts,
+                                         # run islands, and join-backs
+    "events_markov_removal_effect": (2, 1),  # live plan reads the
+                                         # checkpointed orbit; the 40
+                                         # value iterations are paid at
+                                         # build on K-row frames
+    "dedup_threshold_sweep": (5, 3),     # pair stream x 5-row threshold
+                                         # broadcast + (thr, doc) canon
+                                         # agg + survivor regroup
+    "corpus_lang_source_coverage": (7, 3),  # ONE (lang, source) count;
+                                         # marginals re-aggregate the
+                                         # tiny cell frame; scalars
+                                         # broadcast
+    "streaming_minhash_index": (0, 0),   # live plan reads the landed
+                                         # pair parquet; the per-batch
+                                         # index joins run inside the
+                                         # micro-batches
+}
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_R7_CAPS))
+def test_staged_r7_exchange_budget(spark, sf_dir, name):
+    from tests import test_plan_shapes as shapes
+
+    max_exch, min_bcast = STAGED_R7_CAPS[name]
+    exch, bcast = shapes._count_live(STAGED_R7_QUERIES[name](spark, sf_dir))
+    assert exch <= max_exch, (
+        f"{name}: {exch} hash exchanges (cap {max_exch})")
+    assert bcast >= min_bcast, (
+        f"{name}: {bcast} broadcast exchanges (expected >= {min_bcast})")
+
+
+def test_staged_r7_names_not_registered():
+    """Round-6 registration freeze: round-7 staged ops must not leak into
+    the driver registry until the round-6 promotion backlog drains and
+    round 7 promotes them."""
+    import __spark_entry__ as e
+
+    live = set(e.queries())
+    assert set(STAGED_R7_QUERIES).isdisjoint(live)
+    assert set(STAGED_R7_ORACLES) == set(STAGED_R7_QUERIES)
+    assert set(STAGED_R7_CAPS) == set(STAGED_R7_QUERIES)
+
+
+def test_fertility_drift_nonzero_for_edited_langs(spark, sf_dir_oracle):
+    """The recrawl marker adds tokens, so every language containing an
+    edited doc must show nonzero drift, and fertility stays >= 1 (the
+    BPE regex never merges whitespace tokens)."""
+    rows = STAGED_R7_QUERIES["lang_fertility_drift"](
+        spark, sf_dir_oracle).collect()
+    assert rows
+    assert any(r.drift != 0 for r in rows)
+    for r in rows:
+        assert r.fertility_old >= 1.0 and r.fertility_new >= 1.0, r.lang
+        assert r.n_docs_new >= r.n_docs_old, r.lang
+        assert abs(r.drift - round(r.fertility_new - r.fertility_old, 6)) \
+            < 1e-9, r.lang
+
+
+def test_exact_spans_are_maximal_and_disjoint(spark, sf_dir_oracle):
+    """Per doc: spans sorted by start must be disjoint with gaps > SPAN_L
+    between island starts (maximality: two mergeable spans would have
+    been one), and every span covers >= SPAN_L tokens."""
+    rows = STAGED_R7_QUERIES["dedup_exact_substring_spans"](
+        spark, sf_dir_oracle).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        assert r.span_tokens >= SPAN_L
+        assert r.span_end == r.span_start + r.span_tokens - 1
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for doc, spans in by_doc.items():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            # next island's first gram start must exceed prev island's
+            # last gram start by more than SPAN_L (the merge rule)
+            assert s2 - (e1 - SPAN_L + 1) > SPAN_L, (doc, spans)
+
+
+def test_stratified_sample_budget_exact(spark, sf_dir_oracle):
+    """The sample hits the budget exactly, honors per-stratum quotas of
+    the Hamilton allocation, and sample_rank is 1..q per stratum."""
+    rows = STAGED_R7_QUERIES["corpus_stratified_sample"](
+        spark, sf_dir_oracle).collect()
+    assert len(rows) == SAMPLE_BUDGET
+    per = {}
+    for r in rows:
+        per.setdefault((r.source, r.lang), []).append(r.sample_rank)
+    for key, ranks in per.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), key
+
+
+def test_cross_source_shares_sum_to_one(spark, sf_dir_oracle):
+    rows = STAGED_R7_QUERIES["dedup_cross_source_matrix"](
+        spark, sf_dir_oracle).collect()
+    assert rows
+    assert all(r.source_a <= r.source_b for r in rows)
+    assert abs(sum(r.pair_share for r in rows) - 1.0) <= len(rows) * 0.5e-6
+    assert sum(r.n_pairs for r in rows) > 0
+
+
+def test_ivf_balance_consistency(spark, sf_dir_oracle):
+    from traffic_data_pipeline_spark.plans.staged_ops_r7 import IVF_K
+
+    rows = STAGED_R7_QUERIES["embedding_ivf_balance_report"](
+        spark, sf_dir_oracle).collect()
+    assert len(rows) == IVF_K
+    assert abs(sum(r.share for r in rows) - 1.0) <= IVF_K * 0.5e-6
+    for r in rows:
+        assert abs(r.imbalance - round(r.share * IVF_K, 6)) <= 1.5e-6
+
+
+def test_benford_digits_and_chi2(spark, sf_dir_oracle):
+    import math
+
+    rows = STAGED_R7_QUERIES["events_value_benford"](
+        spark, sf_dir_oracle).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.digit <= 9
+        assert abs(r.benford_share
+                   - round(math.log10(1 + 1 / r.digit), 6)) <= 1e-9
+        assert r.chi2_type >= 0
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.share)
+    for t, shares in by_type.items():
+        assert abs(sum(shares) - 1.0) <= len(shares) * 0.5e-6, t
+
+
+def test_retention_day_zero_is_full(spark, sf_dir_oracle):
+    rows = STAGED_R7_QUERIES["events_retention_cohorts"](
+        spark, sf_dir_oracle).collect()
+    assert rows
+    for r in rows:
+        if r.day_offset == 0:
+            assert r.retention == 1.0 and r.n_retained == r.n_cohort
+        assert 0.0 <= r.retention <= 1.0
+        assert r.n_retained <= r.n_cohort
+
+
+def test_repetition_profile_bounds(spark, sf_dir_oracle):
+    rows = STAGED_R7_QUERIES["doc_repetition_profile"](
+        spark, sf_dir_oracle).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.distinct_ratio <= 1.0
+        if r.top_bigram_share is not None:
+            assert 0.0 < r.top_bigram_share <= 1.0
+        if r.dup_trigram_frac is not None:
+            assert 0.0 <= r.dup_trigram_frac <= 1.0
+        assert 1 <= r.max_token_run <= r.n_tokens
+    # synthetic docs repeat tokens heavily: some doc must show a dup
+    # trigram and some doc a run >= 2, or the signals are dead
+    assert any(r.dup_trigram_frac and r.dup_trigram_frac > 0 for r in rows)
+    assert any(r.max_token_run >= 2 for r in rows)
+
+
+def test_markov_removal_is_contraction(spark, sf_dir_oracle):
+    """Pinning a state to 0 can only reduce absorption probability, so
+    every removal effect sits in [0, 1] and p_removed <= p_base."""
+    rows = STAGED_R7_QUERIES["events_markov_removal_effect"](
+        spark, sf_dir_oracle).collect()
+    assert rows
+    channels = {r.channel for r in rows}
+    assert "purchase" not in channels and "(none)" not in channels
+    for r in rows:
+        assert 0.0 < r.p_conv_base <= 1.0
+        assert 0.0 <= r.p_conv_removed <= r.p_conv_base + 1e-9, r.channel
+        assert 0.0 <= r.removal_effect <= 1.0, r.channel
+
+
+def test_threshold_sweep_monotone(spark, sf_dir_oracle):
+    rows = sorted(STAGED_R7_QUERIES["dedup_threshold_sweep"](
+        spark, sf_dir_oracle).collect(), key=lambda r: r.agree_min)
+    assert len(rows) == 5
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi.n_pairs <= lo.n_pairs
+        assert hi.n_survivors >= lo.n_survivors
+        assert hi.n_demoted <= lo.n_demoted
+    assert rows[0].n_pairs > rows[-1].n_pairs  # the curve actually moves
+
+
+def test_coverage_pmi_matches_lift(spark, sf_dir_oracle):
+    import math
+
+    rows = STAGED_R7_QUERIES["corpus_lang_source_coverage"](
+        spark, sf_dir_oracle).collect()
+    assert rows
+    for r in rows:
+        if r.lift > 0:
+            assert abs(r.pmi - round(math.log(r.lift), 6)) <= 2e-6, \
+                (r.lang, r.source)
+
+
+def test_streaming_minhash_index_restart_recovery(spark, sf_dir_oracle, tmp_path):
+    """Index-state restart recovery: run the stream over the FIRST file
+    only, stop, then resume on the same checkpoint with all files —
+    the final pair set must equal a single uninterrupted batch run
+    (the oracle), i.e. the restart neither loses index rows nor
+    re-emits pairs."""
+    from traffic_data_pipeline_spark.functions.dedup import (
+        minhash_bands,
+        minhash_signatures,
+        shingle_sets,
+    )
+    from traffic_data_pipeline_spark.plans.queries import run_available_now
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir_oracle, "documents").select(
+        "doc_id", "text")
+    src = str(tmp_path / "src")
+    index_dir = str(tmp_path / "index")
+    pair_dir = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    schema_frame = minhash_bands(minhash_signatures(shingle_sets(empty)))
+    schema_frame.write.mode("overwrite").parquet(index_dir)
+    schema_frame.limit(0).selectExpr(
+        "doc_id AS doc_a", "doc_id AS doc_b",
+        "CAST(0.0 AS DOUBLE) AS est_sim").write.mode("overwrite") \
+        .parquet(pair_dir)
+
+    def handle(batch_df, batch_id):
+        bl = minhash_bands(minhash_signatures(shingle_sets(batch_df)))
+        bl = bl.persist()
+        if bl.count() == 0:
+            bl.unpersist()
+            return
+        combined = spark.read.parquet(index_dir).unionByName(bl)
+        a, b = bl.alias("a"), combined.alias("b")
+        est = sum((F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int")
+                  for i in range(8)) / 8.0
+        pairs = (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+                        & (F.col("a.doc_id") != F.col("b.doc_id")))
+                 .select(F.least(F.col("a.doc_id"), F.col("b.doc_id"))
+                         .alias("doc_a"),
+                         F.greatest(F.col("a.doc_id"), F.col("b.doc_id"))
+                         .alias("doc_b"),
+                         est.alias("est_sim"))
+                 .filter(F.col("est_sim") >= 0.5).distinct())
+        pairs.write.mode("append").parquet(pair_dir)
+        bl.write.mode("append").parquet(index_dir)
+        bl.unpersist()
+
+    def run_once():
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        run_available_now(
+            spark, "streaming_minhash_index_test",
+            start=lambda: (stream.writeStream.foreachBatch(handle)
+                           .option("checkpointLocation", ckpt)
+                           .trigger(availableNow=True).start()))
+
+    # file 1 only -> run -> stop; files 2+3 land -> resume on same ckpt
+    docs.filter(F.col("doc_id") % 3 == 0).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run_once()
+    for r in (1, 2):
+        docs.filter(F.col("doc_id") % 3 == r).coalesce(1) \
+            .write.mode("append").parquet(src)
+    run_once()
+
+    got = {(r.doc_a, r.doc_b, r.est_sim)
+           for r in spark.read.parquet(pair_dir).collect()}
+    from traffic_data_pipeline_spark.plans.extensions import doc_lsh_pairs
+
+    want = {(r.doc_a, r.doc_b, r.est_sim)
+            for r in doc_lsh_pairs(spark, sf_dir_oracle).collect()}
+    assert got == want

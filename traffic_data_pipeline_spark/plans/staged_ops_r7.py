@@ -442,3 +442,836 @@ def q_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source_a", "source_b", "n_pairs",
         F.round(F.col("n_pairs").cast("double") / F.col("t"), 6)
         .alias("pair_share"))
+
+
+# ---------------------------------------------------------------------------
+# embedding_ivf_balance_report — inverted-list health audit
+# ---------------------------------------------------------------------------
+
+IVF_K = 8          # the registered knn_ivf centroid count
+
+
+@staged_r7("embedding_ivf_balance_report", f"""
+WITH elems AS (
+  SELECT vec_id, t.i AS pos, CAST(embedding[t.i] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+norms AS (
+  SELECT vec_id, CAST(SUM(CAST(val * val AS DECIMAL(30,12))) AS DOUBLE) AS norm_sq
+  FROM elems GROUP BY 1),
+cents AS (
+  SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT {IVF_K}),
+live AS (
+  SELECT n.vec_id FROM norms n WHERE n.norm_sq > 0),
+dots AS (
+  SELECT v.vec_id, c.cid,
+         CAST(SUM(CAST(ev.val * ec.val AS DECIMAL(30,12))) AS DOUBLE)
+           / (sqrt(nv.norm_sq) * sqrt(nc.norm_sq)) AS cosine
+  FROM live v
+  CROSS JOIN cents c
+  JOIN elems ev ON ev.vec_id = v.vec_id
+  JOIN elems ec ON ec.vec_id = c.cid AND ec.pos = ev.pos
+  JOIN norms nv ON nv.vec_id = v.vec_id
+  JOIN norms nc ON nc.vec_id = c.cid
+  GROUP BY v.vec_id, c.cid, nv.norm_sq, nc.norm_sq),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cosine DESC, cid) AS rk
+    FROM dots) WHERE rk = 1),
+counts AS (
+  SELECT c.cid AS centroid_id,
+         CAST(COUNT(a.vec_id) AS BIGINT) AS n_assigned
+  FROM cents c LEFT JOIN assign a ON a.cid = c.cid
+  GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_assigned) AS BIGINT) AS n FROM counts)
+SELECT c.centroid_id, c.n_assigned,
+       ROUND(CAST(c.n_assigned AS DOUBLE) / t.n, 6) AS share,
+       ROUND(CAST(c.n_assigned * {IVF_K} AS DOUBLE) / t.n, 6) AS imbalance
+FROM counts c, tot t
+""")
+def q_embedding_ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health audit: inverted-list sizes under the registered
+    deterministic centroid seeding (the knn_ivf contract — {IVF_K}
+    lowest ids, nearest-by-cosine assignment, ties to the smaller
+    centroid id), per-list corpus share, and the imbalance factor
+    (n * K / N; 1.0 = perfectly balanced, K = everything in one list).
+    A skewed report means probe cost concentrates in hot lists — the
+    pre-flight that decides re-seeding before queries pay for it.
+    Zero-norm vectors are excluded (their cosine is NULL-guarded
+    everywhere); empty lists DO report (n_assigned = 0) — an empty
+    list is precisely the index-health signal.
+
+    Determinism: assignment is the decimal-dot cosine argmax with the
+    (cosine DESC, cid) total order — identical to ivf_assign's
+    max_by(struct(cos, -cid)); counts are integers; two ROUND-6
+    divisions per row.
+
+    Scale shape: centroids broadcast; corpus scanned once for the K
+    dots per vector (the ivf_assign plan); ONE argmax window keyed by
+    vec_id and ONE K-row count aggregate. The report is K rows.
+    """
+    from traffic_data_pipeline_spark.functions.execution import materialize
+    from traffic_data_pipeline_spark.functions.similarity import (
+        ivf_assign,
+        norm_sq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    live = materialize(
+        emb.select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("vec_id"))
+        .select("vec_id", "embedding", norm_sq(F.col("embedding")).alias("_n2"))
+        .filter(F.col("_n2") > 0))
+    cents = live.orderBy("vec_id").limit(IVF_K).select("vec_id", "embedding")
+    assign = ivf_assign(live.select("vec_id", "embedding"), cents,
+                        with_norm=live)
+    counts = (cents.select(F.col("vec_id").alias("centroid_id"))
+              .join(assign.groupBy("centroid_id")
+                    .agg(F.count(F.lit(1)).cast("bigint").alias("n")),
+                    "centroid_id", "left")
+              .select("centroid_id",
+                      F.coalesce("n", F.lit(0).cast("bigint"))
+                      .alias("n_assigned")))
+    tot = counts.agg(F.sum("n_assigned").cast("bigint").alias("t"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "centroid_id", "n_assigned",
+        F.round(F.col("n_assigned").cast("double") / F.col("t"), 6)
+        .alias("share"),
+        F.round((F.col("n_assigned") * IVF_K).cast("double") / F.col("t"), 6)
+        .alias("imbalance"))
+
+
+# ---------------------------------------------------------------------------
+# events_value_benford — first-significant-digit audit of event values
+# ---------------------------------------------------------------------------
+
+@staged_r7("events_value_benford", """
+WITH cents AS (
+  SELECT event_type,
+         CAST(ROUND(ABS(value) * 100) AS BIGINT) AS m
+  FROM events WHERE value IS NOT NULL),
+digits AS (
+  SELECT event_type,
+         CAST(substr(CAST(m AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM cents WHERE m > 0),
+cnt AS (
+  SELECT event_type, digit, CAST(COUNT(*) AS BIGINT) AS n
+  FROM digits GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS nt FROM cnt GROUP BY 1),
+scored AS (
+  SELECT c.event_type, c.digit, c.n, t.nt,
+         ROUND(CAST(c.n AS DOUBLE) / t.nt, 6) AS share,
+         ROUND(LN(1.0 + 1.0 / c.digit) / LN(10.0), 6) AS benford_share
+  FROM cnt c JOIN tot t USING (event_type)),
+chi AS (
+  SELECT event_type,
+         CAST(SUM(CAST(ROUND(
+             (n - benford_share * nt) * (n - benford_share * nt)
+               / (benford_share * nt), 9) AS DECIMAL(18,9))) AS DOUBLE)
+           AS chi2
+  FROM scored GROUP BY 1)
+SELECT s.event_type, s.digit, s.n, s.share, s.benford_share,
+       ROUND(ch.chi2, 6) AS chi2_type
+FROM scored s JOIN chi ch USING (event_type)
+""")
+def q_events_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of event values, per event
+    type: observed digit shares vs the log10(1 + 1/d) law and the
+    chi-square distance — the classic synthetic-data / fraud / unit-mix
+    pre-flight (a value column that was generated uniform, or re-scaled
+    mid-stream, jumps straight out of the Benford curve).
+
+    Determinism: values quantize to integer cents FIRST
+    (ROUND(|v| * 100) — one double multiply + one half-up rounding of
+    the identical double in both engines), the leading digit comes from
+    the INTEGER's decimal text (never from printing a double), zero
+    cents drop, and the chi-square terms quantize to 9 dp and accumulate
+    in DECIMAL(18,9) so the 9-term sum is order-free. benford_share is
+    LN(1 + 1/d)/LN(10) ROUND 6 — d is one of nine small integers, far
+    from any rounding boundary.
+
+    Scale shape: ONE (type, digit) map-side-combined count over an
+    in-row projection; everything after is arithmetic on <= 9 x |types|
+    rows. Nothing is corpus-wide state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.round(F.abs(F.col("value")) * 100).cast("bigint").alias("m"))
+    digits = cents.filter(F.col("m") > 0).select(
+        "event_type",
+        F.substring(F.col("m").cast("string"), 1, 1).cast("int")
+        .alias("digit"))
+    cnt = digits.groupBy("event_type", "digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("nt"))
+    scored = cnt.join(F.broadcast(tot), "event_type").select(
+        "event_type", "digit", "n", "nt",
+        F.round(F.col("n").cast("double") / F.col("nt"), 6).alias("share"),
+        F.round(F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)), 6)
+        .alias("benford_share"))
+    dev = F.col("n") - F.col("benford_share") * F.col("nt")
+    chi = scored.groupBy("event_type").agg(
+        F.sum(F.round(dev * dev / (F.col("benford_share") * F.col("nt")), 9)
+              .cast("decimal(18,9)")).cast("double").alias("chi2"))
+    return (scored.join(F.broadcast(chi), "event_type")
+            .select("event_type", "digit", "n", "share", "benford_share",
+                    F.round("chi2", 6).alias("chi2_type")))
+
+
+# ---------------------------------------------------------------------------
+# events_retention_cohorts — the cohort retention triangle
+# ---------------------------------------------------------------------------
+
+RETENTION_OFFSETS = (0, 1, 7, 14)
+
+
+@staged_r7("events_retention_cohorts", f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+  FROM events WHERE ts IS NOT NULL),
+cohort AS (
+  SELECT user_id, MIN(d) AS c0 FROM ud GROUP BY 1),
+size AS (
+  SELECT c0, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM cohort GROUP BY 1),
+offs AS (SELECT unnest([{", ".join(map(str, RETENTION_OFFSETS))}]) AS off),
+ret AS (
+  SELECT c.c0, o.off,
+         CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_retained
+  FROM cohort c
+  JOIN offs o ON TRUE
+  JOIN ud u ON u.user_id = c.user_id
+            AND u.d = c.c0 + CAST(o.off AS INTEGER)
+  GROUP BY 1, 2)
+SELECT strftime(s.c0, '%Y-%m-%d') AS cohort_date,
+       CAST(o.off AS INTEGER) AS day_offset,
+       s.n_cohort,
+       COALESCE(r.n_retained, 0) AS n_retained,
+       ROUND(CAST(COALESCE(r.n_retained, 0) AS DOUBLE) / s.n_cohort, 6)
+         AS retention
+FROM size s
+CROSS JOIN offs o
+LEFT JOIN ret r ON r.c0 = s.c0 AND r.off = o.off
+""")
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users cohorted by first-activity date;
+    for each day offset in {RETENTION_OFFSETS}, the share of the cohort
+    active exactly cohort_date + offset days later — the
+    product-analytics counterpart of user_churn_hazard (hazard models
+    time-to-silence; this reads raw return rates per acquisition
+    cohort). Zero-retention (cohort, offset) cells DO report (the
+    triangle's empty corner is the signal).
+
+    Determinism: date arithmetic and distinct counts only; ONE ROUND-6
+    division per cell; dates format to text (the fmt_ts contract).
+
+    Scale shape: ONE (user, day) distinct projection (map-side
+    combined), a per-user MIN, and a co-keyed user join back — the
+    offset fan-out is a 4-row broadcast. At 100 TB the (user, day)
+    frame is the standard activity rollup every retention job already
+    materializes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = (ev.filter(F.col("ts").isNotNull())
+          .select("user_id", F.to_date("ts").alias("d")).distinct())
+    cohort = ud.groupBy("user_id").agg(F.min("d").alias("c0"))
+    size = cohort.groupBy("c0").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cohort"))
+    offs = spark.range(len(RETENTION_OFFSETS)).select(
+        F.element_at(F.array(*[F.lit(o) for o in RETENTION_OFFSETS]),
+                     (F.col("id") + 1).cast("int")).cast("int").alias("off"))
+    ret = (cohort.crossJoin(F.broadcast(offs))
+           .join(ud, ((ud.user_id == cohort.user_id)
+                      & (ud.d == F.date_add(F.col("c0"), F.col("off")))))
+           .groupBy("c0", "off")
+           .agg(F.count_distinct(cohort.user_id).cast("bigint")
+                .alias("n_retained")))
+    grid = size.crossJoin(F.broadcast(offs))
+    return (grid.join(ret, ["c0", "off"], "left")
+            .select(F.date_format("c0", "yyyy-MM-dd").alias("cohort_date"),
+                    F.col("off").cast("int").alias("day_offset"),
+                    "n_cohort",
+                    F.coalesce("n_retained", F.lit(0).cast("bigint"))
+                    .alias("n_retained"),
+                    F.round(F.coalesce("n_retained", F.lit(0)).cast("double")
+                            / F.col("n_cohort"), 6).alias("retention")))
+
+
+# ---------------------------------------------------------------------------
+# doc_repetition_profile — the Gopher rep-* family doc_gopher_quality skips
+# ---------------------------------------------------------------------------
+
+@staged_r7("doc_repetition_profile", f"""
+WITH {_TOK_LIST_CTE},
+base AS (
+  SELECT doc_id, l, len(l) AS n FROM tl),
+uni AS (
+  SELECT doc_id, CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct
+  FROM base),
+g2 AS (
+  SELECT doc_id, array_to_string(l[g:g+1], ' ') AS gram
+  FROM base, unnest(generate_series(1, greatest(n - 1, 0))) s(g)),
+top2 AS (
+  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top2
+  FROM (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2)
+  GROUP BY 1),
+g3 AS (
+  SELECT doc_id, array_to_string(l[g:g+2], ' ') AS gram
+  FROM base, unnest(generate_series(1, greatest(n - 2, 0))) s(g)),
+dup3 AS (
+  SELECT doc_id, CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+           AS dup_pos
+  FROM (SELECT doc_id, gram, COUNT(*) AS c FROM g3 GROUP BY 1, 2)
+  GROUP BY 1),
+runs AS (
+  SELECT doc_id, CAST(MAX(rl) AS BIGINT) AS max_run FROM (
+    SELECT doc_id, island, COUNT(*) AS rl FROM (
+      SELECT doc_id, i,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM (
+        SELECT b.doc_id, s.i, b.l[s.i] AS tok,
+               CASE WHEN s.i = 1 OR b.l[s.i] != b.l[s.i - 1]
+                    THEN 1 ELSE 0 END AS brk
+        FROM base b, unnest(generate_series(1, greatest(b.n, 0))) s(i)))
+    GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT b.doc_id,
+       CAST(b.n AS BIGINT) AS n_tokens,
+       ROUND(CAST(u.n_distinct AS DOUBLE) / NULLIF(b.n, 0), 6)
+         AS distinct_ratio,
+       ROUND(CAST(t.top2 AS DOUBLE) / NULLIF(b.n - 1, 0), 6)
+         AS top_bigram_share,
+       ROUND(CAST(COALESCE(d.dup_pos, 0) AS DOUBLE) / NULLIF(b.n - 2, 0), 6)
+         AS dup_trigram_frac,
+       COALESCE(r.max_run, 0) AS max_token_run
+FROM base b
+JOIN uni u USING (doc_id)
+LEFT JOIN top2 t USING (doc_id)
+LEFT JOIN dup3 d USING (doc_id)
+LEFT JOIN runs r USING (doc_id)
+""")
+def q_doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals — the Gopher rep-* rule family
+    that doc_gopher_quality (deliberately repetition-free) leaves out:
+    distinct-token ratio, top-bigram share of all bigram positions,
+    fraction of trigram positions inside repeated trigrams, and the
+    longest same-token run. High repetition at normal length is the
+    template-spam signature corpus_entropy_rate sees corpus-wide,
+    here attributed per document so the filter can act.
+
+    Determinism: integer counts and island arithmetic; ROUND-6
+    divisions with NULLIF guards for degenerate lengths (n < 2 bigram,
+    n < 3 trigram denominators go NULL in both engines).
+
+    Scale shape: everything is doc-local — gram counts and run islands
+    key by doc_id, so every aggregate and window rides ONE doc-keyed
+    exchange of the spread corpus; no cross-document state at all.
+    """
+    from traffic_data_pipeline_spark.functions.text import ngram_array
+    from traffic_data_pipeline_spark.plans.llm_ops import _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", "tok", F.size("tok").alias("n"))
+    uni = base.select(
+        "doc_id",
+        F.size(F.array_distinct("tok")).cast("bigint").alias("n_distinct"))
+    g2 = base.select("doc_id", F.explode(ngram_array("tok", 2)).alias("gram"))
+    top2 = (g2.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id").agg(F.max("c").cast("bigint").alias("top2")))
+    g3 = base.select("doc_id", F.explode(ngram_array("tok", 3)).alias("gram"))
+    dup3 = (g3.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+                 .cast("bigint").alias("dup_pos")))
+    toks = base.select("doc_id", F.posexplode("tok").alias("pos0", "tok1"))
+    w = Window.partitionBy("doc_id").orderBy("pos0")
+    runs = (toks.select(
+        "doc_id", "pos0",
+        F.when(F.lag("tok1").over(w).isNull()
+               | (F.col("tok1") != F.lag("tok1").over(w)), 1)
+        .otherwise(0).alias("brk"))
+        .select("doc_id", "pos0",
+                F.sum("brk").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0))
+                .alias("island"))
+        .groupBy("doc_id", "island").agg(F.count(F.lit(1)).alias("rl"))
+        .groupBy("doc_id").agg(F.max("rl").cast("bigint").alias("max_run")))
+    nn = F.col("n").cast("bigint")
+    return (base.select("doc_id", "n")
+            .join(uni, "doc_id")
+            .join(top2, "doc_id", "left")
+            .join(dup3, "doc_id", "left")
+            .join(runs, "doc_id", "left")
+            .select(
+                "doc_id", nn.alias("n_tokens"),
+                F.round(F.col("n_distinct").cast("double")
+                        / F.nullif(nn, F.lit(0).cast("bigint")), 6)
+                .alias("distinct_ratio"),
+                F.round(F.col("top2").cast("double")
+                        / F.nullif(nn - 1, F.lit(0).cast("bigint")), 6)
+                .alias("top_bigram_share"),
+                F.round(F.coalesce("dup_pos", F.lit(0)).cast("double")
+                        / F.nullif(nn - 2, F.lit(0).cast("bigint")), 6)
+                .alias("dup_trigram_frac"),
+                F.coalesce("max_run", F.lit(0).cast("bigint"))
+                .alias("max_token_run")))
+
+
+# ---------------------------------------------------------------------------
+# corpus_lang_source_coverage — joint composition vs independence
+# ---------------------------------------------------------------------------
+
+@staged_r7("corpus_lang_source_coverage", """
+WITH cnt AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2),
+lm AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_l FROM cnt GROUP BY 1),
+sm AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_s FROM cnt GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM cnt)
+SELECT c.lang, c.source, c.n,
+       ROUND(CAST(l.n_l AS DOUBLE) * s.n_s / t.nt, 6) AS expected,
+       ROUND(CAST(c.n AS DOUBLE) * t.nt / (l.n_l * s.n_s), 6) AS lift,
+       ROUND(LN(CAST(c.n AS DOUBLE) * t.nt / (l.n_l * s.n_s)), 6) AS pmi
+FROM cnt c
+JOIN lm l USING (lang)
+JOIN sm s USING (source)
+CROSS JOIN tot t
+""")
+def q_corpus_lang_source_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint (lang, source) corpus composition vs the independence
+    expectation: observed cell count, expected count under
+    p(lang) x p(source), the lift ratio, and PMI = ln(lift) — the
+    composition diagnostic behind mixture reweighting (a source whose
+    language mix diverges hard from the corpus marginals is exactly
+    where temperature/mixture weights need a joint grain, which
+    corpus_stratified_sample then samples at). Only observed cells
+    report (PMI of an empty cell is -inf by definition; absence shows
+    up in the stratified sampler's quota table instead).
+
+    Determinism: integer marginals; lift is ONE double expression in
+    identical operation order; PMI is LN of that same expression,
+    ROUND 6 (ln is the not-correctly-rounded class, but the argument is
+    an exact small-integer ratio shared by both engines and the 6-dp
+    output sits far from rounding boundaries at fixture scale — the
+    vocab_zipf_alpha contract).
+
+    Scale shape: ONE (lang, source) map-side-combined count; marginals
+    re-aggregate the tiny cell frame; everything after is arithmetic on
+    |langs| x |sources| rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    lm = cnt.groupBy("lang").agg(F.sum("n").cast("bigint").alias("n_l"))
+    sm = cnt.groupBy("source").agg(F.sum("n").cast("bigint").alias("n_s"))
+    tot = cnt.agg(F.sum("n").cast("bigint").alias("nt"))
+    lift = F.col("n").cast("double") * F.col("nt") / (F.col("n_l") * F.col("n_s"))
+    return (cnt.join(F.broadcast(lm), "lang")
+            .join(F.broadcast(sm), "source")
+            .crossJoin(F.broadcast(tot))
+            .select("lang", "source", "n",
+                    F.round(F.col("n_l").cast("double") * F.col("n_s")
+                            / F.col("nt"), 6).alias("expected"),
+                    F.round(lift, 6).alias("lift"),
+                    F.round(F.log(lift), 6).alias("pmi")))
+
+
+# ---------------------------------------------------------------------------
+# dedup_threshold_sweep — survivors-vs-threshold what-if curve
+# ---------------------------------------------------------------------------
+
+SWEEP_AGREES = (4, 5, 6, 7, 8)      # agree-of-8 thresholds >= the family 0.5
+
+
+@staged_r7("dedup_threshold_sweep", f"""
+WITH {_MINHASH_CTES},
+{_MH_PAIRS_CTE},
+thr AS (SELECT unnest([{", ".join(map(str, SWEEP_AGREES))}]) AS agree_min),
+tp AS (
+  SELECT t.agree_min, m.doc_a, m.doc_b
+  FROM mpairs m JOIN thr t ON m.agree >= t.agree_min),
+stats AS (
+  SELECT agree_min, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM tp GROUP BY 1),
+neigh AS (
+  SELECT agree_min, doc_a AS doc_id, doc_b AS nb FROM tp
+  UNION ALL
+  SELECT agree_min, doc_b, doc_a FROM tp),
+canon AS (
+  SELECT t.agree_min, d.doc_id,
+         LEAST(d.doc_id, COALESCE(MIN(n.nb), d.doc_id)) AS canonical_id
+  FROM documents d
+  CROSS JOIN thr t
+  LEFT JOIN neigh n ON n.doc_id = d.doc_id AND n.agree_min = t.agree_min
+  GROUP BY t.agree_min, d.doc_id),
+surv AS (
+  SELECT agree_min,
+         CAST(COUNT(DISTINCT canonical_id) AS BIGINT) AS n_survivors,
+         CAST(SUM(CASE WHEN canonical_id != doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_demoted
+  FROM canon GROUP BY 1)
+SELECT t.agree_min,
+       ROUND(t.agree_min / 8.0, 6) AS threshold,
+       COALESCE(s.n_pairs, 0) AS n_pairs,
+       sv.n_survivors, sv.n_demoted
+FROM thr t
+LEFT JOIN stats s USING (agree_min)
+JOIN surv sv USING (agree_min)
+""")
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup what-if curve: for each MinHash agreement threshold at or
+    above the family floor (agree >= 4 of 8, est_sim >= 0.5), the
+    candidate-pair count and the corpus that would survive one-round
+    min-id canonicalization (the registered bounded rule from
+    dedup_embedding_cosine) plus how many docs it demotes — the curve a
+    dedup owner reads to pick a threshold BEFORE committing the full
+    connected-components run. Monotone by construction (pairs shrink,
+    survivors grow with the threshold); a cliff between two thresholds
+    localizes where near-dup mass sits.
+
+    Determinism: integer agree counts; LEAST/MIN canonical ids; one
+    ROUND-6 division for the threshold label.
+
+    Scale shape: ONE pass over the session-persisted pair stream
+    fanned out by a 5-row broadcast threshold frame; the canonical
+    aggregate keys by (threshold, doc) — 5x the one-round dedup
+    aggregate every nightly run already pays, with no new pair
+    generation and no iteration.
+    """
+    from traffic_data_pipeline_spark.plans.extensions import doc_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # est_sim is agree/8 — recover the integer agree for exact compares
+    pairs = doc_lsh_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b",
+        F.round(F.col("est_sim") * 8).cast("int").alias("agree"))
+    thr = spark.range(len(SWEEP_AGREES)).select(
+        F.element_at(F.array(*[F.lit(a) for a in SWEEP_AGREES]),
+                     (F.col("id") + 1).cast("int")).cast("int")
+        .alias("agree_min"))
+    tp = (pairs.crossJoin(F.broadcast(thr))
+          .filter(F.col("agree") >= F.col("agree_min"))
+          .select("agree_min", "doc_a", "doc_b"))
+    stats = tp.groupBy("agree_min").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    neigh = (tp.select("agree_min", F.col("doc_a").alias("doc_id"),
+                       F.col("doc_b").alias("nb"))
+             .unionByName(tp.select(
+                 "agree_min", F.col("doc_b").alias("doc_id"),
+                 F.col("doc_a").alias("nb"))))
+    canon = (docs.crossJoin(F.broadcast(thr))
+             .join(neigh, ["agree_min", "doc_id"], "left")
+             .groupBy("agree_min", "doc_id")
+             .agg(F.least(F.col("doc_id"),
+                          F.coalesce(F.min("nb"), F.col("doc_id")))
+                  .alias("canonical_id")))
+    surv = canon.groupBy("agree_min").agg(
+        F.count_distinct("canonical_id").cast("bigint").alias("n_survivors"),
+        F.sum(F.when(F.col("canonical_id") != F.col("doc_id"), 1)
+              .otherwise(0)).cast("bigint").alias("n_demoted"))
+    return (thr.join(stats, "agree_min", "left")
+            .join(surv, "agree_min")
+            .select("agree_min",
+                    F.round(F.col("agree_min") / 8.0, 6).alias("threshold"),
+                    F.coalesce("n_pairs", F.lit(0).cast("bigint"))
+                    .alias("n_pairs"),
+                    "n_survivors", "n_demoted"))
+
+
+# ---------------------------------------------------------------------------
+# events_markov_removal_effect — Markov attribution over user journeys
+# ---------------------------------------------------------------------------
+
+MARKOV_ITERS = 40        # fixed-horizon absorption iterations (both engines)
+_MKV_DEC = "decimal(20,12)"
+
+
+def _markov_oracle() -> str:
+    return f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE ts IS NOT NULL),
+cut AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'purchase' THEN rn END) AS prn
+  FROM seq GROUP BY 1),
+j AS (
+  SELECT s.user_id, s.event_type, s.rn
+  FROM seq s JOIN cut c USING (user_id)
+  WHERE c.prn IS NULL OR s.rn <= c.prn),
+hops AS (
+  SELECT user_id, event_type AS from_state,
+         COALESCE(LEAD(event_type) OVER (PARTITION BY user_id ORDER BY rn),
+                  'END') AS to_state
+  FROM j),
+alltrans AS (
+  SELECT 'START' AS from_state, event_type AS to_state FROM j WHERE rn = 1
+  UNION ALL
+  SELECT from_state, to_state FROM hops WHERE from_state != 'purchase'),
+tc AS (
+  SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS c
+  FROM alltrans GROUP BY 1, 2),
+tmat AS (
+  SELECT t.from_state, t.to_state, t.c, r.ct
+  FROM tc t JOIN (SELECT from_state, CAST(SUM(c) AS BIGINT) AS ct
+                  FROM tc GROUP BY 1) r USING (from_state)
+  UNION ALL SELECT 'purchase', 'purchase', 1, 1
+  UNION ALL SELECT 'END', 'END', 1, 1),
+states AS (
+  SELECT DISTINCT from_state AS s FROM tmat),
+channels AS (
+  SELECT DISTINCT event_type AS ch FROM events
+  WHERE event_type IS NOT NULL AND event_type != 'purchase'),
+variants AS (SELECT '(none)' AS removed UNION ALL SELECT ch FROM channels),
+it(iter, removed, state, p) AS (
+  SELECT 0, v.removed, s.s,
+         CAST(CASE WHEN s.s = 'purchase' THEN 1 ELSE 0 END
+              AS {_MKV_DEC.upper().replace("DECIMAL", "DECIMAL")})
+  FROM variants v, states s
+  UNION ALL
+  SELECT i.iter + 1, i.removed, t.from_state,
+         CASE WHEN t.from_state = i.removed
+              THEN CAST(0 AS DECIMAL(20,12))
+              ELSE CAST(SUM(CAST(ROUND(
+                     CAST(t.c AS DOUBLE) / t.ct * CAST(i.p AS DOUBLE), 12)
+                   AS DECIMAL(20,12))) AS DECIMAL(20,12)) END
+  FROM it i
+  JOIN tmat t ON t.to_state = i.state
+  WHERE i.iter < {MARKOV_ITERS}
+  GROUP BY i.iter, i.removed, t.from_state,
+           CASE WHEN t.from_state = i.removed THEN 1 ELSE 0 END),
+fin AS (SELECT removed, state, p FROM it WHERE iter = {MARKOV_ITERS}),
+base AS (SELECT CAST(p AS DOUBLE) AS pb FROM fin
+         WHERE removed = '(none)' AND state = 'START')
+SELECT f.removed AS channel,
+       ROUND(b.pb, 6) AS p_conv_base,
+       ROUND(CAST(f.p AS DOUBLE), 6) AS p_conv_removed,
+       ROUND((b.pb - CAST(f.p AS DOUBLE)) / NULLIF(b.pb, 0), 6)
+         AS removal_effect
+FROM fin f, base b
+WHERE f.removed != '(none)' AND f.state = 'START'
+"""
+
+
+@staged_r7("events_markov_removal_effect", _markov_oracle())
+def q_events_markov_removal_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain attribution (removal effects): model user journeys
+    as a first-order chain over event types — START -> events (truncated
+    at the first purchase, which absorbs) -> END — and score each
+    channel by how much the START -> purchase absorption probability
+    drops when that channel is removed (its state pinned to 0, the
+    standard removal-effect construction behind data-driven attribution,
+    complementing events_attribution's rule-based last-touch/linear).
+
+    Absorption probabilities come from {MARKOV_ITERS} fixed value
+    iterations p <- T p with BOTH absorbing states given self-loops
+    (purchase = 1, END = 0 are then fixed points of the same update), so
+    the whole orbit is one join rule. Every term quantizes to 12 dp and
+    accumulates in DECIMAL(20,12) — both engines walk the identical
+    orbit, making this a fixed-horizon estimate with EXACT cross-engine
+    parity rather than a converged-within-epsilon one (the documented
+    deliberate choice; at the fixture's mixing rate the horizon is far
+    past 6-dp convergence).
+
+    Scale shape: the corpus-sized work is ONE user-keyed window pass
+    (sequence + truncation + lead) and ONE (from, to) count aggregate —
+    at most (K+1)^2 + 2 rows out. The iteration then runs on that tiny
+    broadcast frame: per round, one broadcast join + one K-row
+    aggregate; every 8 rounds a localCheckpoint keeps the plan flat
+    (the connected-components discipline).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (ev.filter(F.col("ts").isNotNull())
+           .select("user_id", "event_type", "ts", "event_id",
+                   F.row_number().over(w).alias("rn")))
+    cut = seq.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "purchase", F.col("rn")))
+        .alias("prn"))
+    j = (seq.join(cut, "user_id")
+         .filter(F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))))
+    wo = Window.partitionBy("user_id").orderBy("rn")
+    hops = j.select(
+        F.col("event_type").alias("from_state"),
+        F.coalesce(F.lead("event_type").over(wo), F.lit("END"))
+        .alias("to_state"))
+    first = j.filter(F.col("rn") == 1).select(
+        F.lit("START").alias("from_state"),
+        F.col("event_type").alias("to_state"))
+    alltrans = hops.filter(F.col("from_state") != "purchase").unionByName(first)
+    tc = alltrans.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"))
+    rowsum = tc.groupBy("from_state").agg(
+        F.sum("c").cast("bigint").alias("ct"))
+    loops = spark.createDataFrame(
+        [("purchase", "purchase", 1, 1), ("END", "END", 1, 1)],
+        "from_state string, to_state string, c bigint, ct bigint")
+    tmat = (tc.join(rowsum, "from_state")
+            .select("from_state", "to_state", "c", "ct")
+            .unionByName(loops)).localCheckpoint(eager=True)
+    states = tmat.select(F.col("from_state").alias("state")).distinct()
+    channels = (ev.filter(F.col("event_type").isNotNull()
+                          & (F.col("event_type") != "purchase"))
+                .select(F.col("event_type").alias("removed")).distinct())
+    variants = channels.unionByName(
+        spark.createDataFrame([("(none)",)], "removed string"))
+    p = (variants.crossJoin(states)
+         .select("removed", "state",
+                 F.when(F.col("state") == "purchase", F.lit(1))
+                 .otherwise(F.lit(0)).cast(_MKV_DEC).alias("p"))
+         ).localCheckpoint(eager=True)
+    term = F.round(
+        F.col("c").cast("double") / F.col("ct") * F.col("p").cast("double"),
+        12).cast(_MKV_DEC)
+    for i in range(MARKOV_ITERS):
+        p = (F.broadcast(tmat)
+             .join(p, tmat.to_state == p.state)
+             .groupBy("removed", "from_state")
+             .agg(F.sum(term).cast(_MKV_DEC).alias("p_next"))
+             .select("removed",
+                     F.col("from_state").alias("state"),
+                     F.when(F.col("from_state") == F.col("removed"),
+                            F.lit(0).cast(_MKV_DEC))
+                     .otherwise(F.col("p_next")).alias("p")))
+        if i % 8 == 7:
+            p = p.localCheckpoint(eager=True)
+    fin = p
+    base = (fin.filter((F.col("removed") == "(none)")
+                       & (F.col("state") == "START"))
+            .select(F.col("p").cast("double").alias("pb")))
+    return (fin.filter((F.col("removed") != "(none)")
+                       & (F.col("state") == "START"))
+            .crossJoin(F.broadcast(base))
+            .select(F.col("removed").alias("channel"),
+                    F.round(F.col("pb"), 6).alias("p_conv_base"),
+                    F.round(F.col("p").cast("double"), 6)
+                    .alias("p_conv_removed"),
+                    F.round((F.col("pb") - F.col("p").cast("double"))
+                            / F.nullif(F.col("pb"), F.lit(0.0)), 6)
+                    .alias("removal_effect")))
+
+
+# ---------------------------------------------------------------------------
+# streaming_minhash_index — incremental MinHash index maintenance ON THE STREAM
+# ---------------------------------------------------------------------------
+
+_MINHASH_STREAM_CACHE: dict[str, str] = {}
+
+
+def _minhash_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Landing zone for the document stream: three parquet files split by
+    doc_id residue, so maxFilesPerTrigger=1 yields three micro-batches.
+    Built once per sf_dir per process (ingest-side setup, the
+    _dup_events_dir pattern)."""
+    if sf_dir not in _MINHASH_STREAM_CACHE:
+        from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
+
+        src = scratch_dir(prefix="tdp_mh_stream_")
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        for r in range(3):
+            docs.filter(F.col("doc_id") % 3 == r).coalesce(1) \
+                .write.mode("append").parquet(src)
+        _MINHASH_STREAM_CACHE[sf_dir] = src
+    return _MINHASH_STREAM_CACHE[sf_dir]
+
+
+@staged_r7("streaming_minhash_index", f"""
+WITH {_MINHASH_CTES},
+{_MH_PAIRS_CTE}
+SELECT doc_a, doc_b, agree / 8.0 AS est_sim
+FROM mpairs WHERE agree / 8.0 >= 0.5
+""")
+def q_streaming_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-native incremental MinHash index maintenance (VERDICT r5
+    ask #6): documents arrive in micro-batches; each batch computes its
+    shingle MinHash band rows, joins them against the ACCUMULATED index
+    (plus itself, for same-batch pairs), emits the NEW candidate pairs
+    at the family threshold (est_sim >= 0.5), and appends its band rows
+    to the index — the nightly batch dedup (dedup_minhash_lsh) turned
+    into the always-on ingestion form. Every pair emits exactly once, at
+    the LATER document's batch (earlier-vs-index pairs can't re-emit;
+    same-batch pairs canonicalize + distinct inside the batch), so the
+    union over batches equals the batch pair stream EXACTLY — the oracle
+    is dedup_minhash_lsh's SQL verbatim, the strongest possible
+    streaming==batch equivalence.
+
+    State here is the index itself (a parquet table of band rows —
+    exactly what a production run persists), not Spark operator state:
+    foreachBatch reads/appends it, and the availableNow checkpoint makes
+    re-runs process only unseen files. The per-batch index append and
+    the offset commit are not one transaction (a crash BETWEEN them
+    re-emits one batch's pairs on restart); production would stamp
+    batchId into the append path and dedup on read — the documented
+    at-least-once caveat shared by every foreachBatch sink.
+
+    Scale shape: per batch, band rows move once into a band_key
+    equi-join against the index (the incremental delta-vs-index join
+    lsh_pairs_from_bands documents); the index grows by batch size;
+    nothing ever pairs corpus x corpus. est_sim is the integer agree
+    count / 8 from the signatures both sides carry.
+    """
+    from traffic_data_pipeline_spark.functions.dedup import (
+        minhash_bands,
+        minhash_signatures,
+        shingle_sets,
+    )
+    from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
+
+    src = _minhash_stream_dir(spark, sf_dir)
+    index_dir = scratch_dir(prefix="tdp_mh_index_")
+    pair_dir = scratch_dir(prefix="tdp_mh_pairs_")
+    ckpt = scratch_dir(prefix="tdp_mh_ckpt_")
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    bands_schema = minhash_bands(minhash_signatures(shingle_sets(empty)))
+    # pre-seed both sinks with empty frames so every read below is valid
+    bands_schema.write.mode("overwrite").parquet(index_dir)
+    bands_schema.limit(0).selectExpr(
+        "doc_id AS doc_a", "doc_id AS doc_b",
+        "CAST(0.0 AS DOUBLE) AS est_sim",
+    ).write.mode("overwrite").parquet(pair_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        bl = minhash_bands(minhash_signatures(shingle_sets(batch_df)))
+        bl = bl.persist()
+        n = bl.count()                 # materialize once; two readers below
+        if n == 0:
+            bl.unpersist()
+            return
+        combined = spark.read.parquet(index_dir).unionByName(bl)
+        a, b = bl.alias("a"), combined.alias("b")
+        est = sum(
+            (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int")
+            for i in range(8)
+        ) / 8.0
+        pairs = (
+            a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") != F.col("b.doc_id")))
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id"))
+                .alias("doc_b"),
+                est.alias("est_sim"))
+            .filter(F.col("est_sim") >= 0.5)
+            .distinct())
+        pairs.write.mode("append").parquet(pair_dir)
+        bl.write.mode("append").parquet(index_dir)
+        bl.unpersist()
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src))
+    from traffic_data_pipeline_spark.plans.queries import run_available_now
+
+    run_available_now(
+        spark, "streaming_minhash_index",
+        start=lambda: (stream.writeStream.foreachBatch(handle)
+                       .option("checkpointLocation", ckpt)
+                       .trigger(availableNow=True).start()))
+    return spark.read.parquet(pair_dir).select("doc_a", "doc_b", "est_sim")
