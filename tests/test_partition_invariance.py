@@ -132,6 +132,10 @@ CASES = [
     "corpus_stratified_sample",
     "events_markov_removal_effect",
     "embedding_margin_align_ann",
+    # decimal centroid moments merged across arbitrary splits; chunk
+    # votes + doc-keyed majority windows
+    "embedding_centroid_drift",
+    "doc_language_purity",
 ]
 
 

@@ -71,6 +71,18 @@ STAGED_R7_CAPS = {
                                          # pair parquet; the per-batch
                                          # index joins run inside the
                                          # micro-batches
+    "corpus_length_filter_curve": (2, 2),  # ONE percentile agg to a
+                                         # 10-row broadcast + ONE
+                                         # (decile) count over the fan
+    "embedding_centroid_drift": (8, 2),  # (snap,label,pos) decimal agg
+                                         # + centroid-frame joins; the
+                                         # tiny n/centroid frames
+                                         # broadcast at fixture scale
+    "doc_language_purity": (2, 0),       # ONE (doc, chunk) vote agg +
+                                         # the doc-keyed majority
+                                         # window/fold riding it
+    "events_interarrival_burstiness": (2, 0),  # ONE type ordering window
+                                         # + ONE 128-bit moment agg
 }
 
 
@@ -325,3 +337,52 @@ def test_streaming_minhash_index_restart_recovery(spark, sf_dir_oracle, tmp_path
     want = {(r.doc_a, r.doc_b, r.est_sim)
             for r in doc_lsh_pairs(spark, sf_dir_oracle).collect()}
     assert got == want
+
+
+def test_length_filter_curve_monotone(spark, sf_dir_oracle):
+    rows = sorted(STAGED_R7_QUERIES["corpus_length_filter_curve"](
+        spark, sf_dir_oracle).collect(), key=lambda r: r.decile)
+    assert len(rows) == 10
+    assert rows[0].doc_share == 1.0 and rows[0].token_share == 1.0
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi.threshold_chars >= lo.threshold_chars
+        assert hi.docs_kept <= lo.docs_kept
+        assert hi.tokens_kept <= lo.tokens_kept
+    # token share must fall SLOWER than doc share (short docs are
+    # token-light) at the top decile
+    assert rows[-1].token_share >= rows[-1].doc_share
+
+
+def test_centroid_drift_bounds(spark, sf_dir_oracle):
+    rows = STAGED_R7_QUERIES["embedding_centroid_drift"](
+        spark, sf_dir_oracle).collect()
+    assert rows
+    for r in rows:
+        assert r.n_new >= r.n_old > 0, r.label
+        assert r.centroid_cos is None or -1.0 - 1e-9 <= r.centroid_cos <= 1.0 + 1e-9
+        assert r.l2_shift >= 0.0
+        # the snapshots share ~6/7 of their vectors: centroids must stay
+        # strongly aligned
+        assert r.centroid_cos is not None and r.centroid_cos > 0.5, r.label
+
+
+def test_language_purity_consistency(spark, sf_dir_oracle):
+    rows = STAGED_R7_QUERIES["doc_language_purity"](
+        spark, sf_dir_oracle).collect()
+    assert rows
+    for r in rows:
+        assert r.n_chunks >= 1
+        assert 0 <= r.n_langs <= 3
+        assert 0.0 < r.majority_share <= 1.0
+        assert r.is_mixed == (1 if r.n_langs >= 2 else 0)
+
+
+def test_burstiness_in_range(spark, sf_dir_oracle):
+    rows = STAGED_R7_QUERIES["events_interarrival_burstiness"](
+        spark, sf_dir_oracle).collect()
+    assert rows
+    for r in rows:
+        assert r.n_gaps > 0
+        assert r.mean_gap_s > 0
+        assert r.cv is None or r.cv >= 0
+        assert r.burstiness is None or -1.0 <= r.burstiness <= 1.0

@@ -75,6 +75,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from traffic_data_pipeline_spark.functions.similarity import DOT_DECIMAL
 from traffic_data_pipeline_spark.plans.oracle_ctes import (
     _MH_PAIRS_CTE,
     _MINHASH_CTES,
@@ -1275,3 +1276,386 @@ def q_streaming_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .option("checkpointLocation", ckpt)
                        .trigger(availableNow=True).start()))
     return spark.read.parquet(pair_dir).select("doc_a", "doc_b", "est_sim")
+
+
+# ---------------------------------------------------------------------------
+# corpus_length_filter_curve — tokens retained per length-decile threshold
+# ---------------------------------------------------------------------------
+
+@staged_r7("corpus_length_filter_curve", """
+WITH qs AS (
+  SELECT ROUND(quantile_cont(n_chars, 0.0), 6) AS t0,
+         ROUND(quantile_cont(n_chars, 0.1), 6) AS t1,
+         ROUND(quantile_cont(n_chars, 0.2), 6) AS t2,
+         ROUND(quantile_cont(n_chars, 0.3), 6) AS t3,
+         ROUND(quantile_cont(n_chars, 0.4), 6) AS t4,
+         ROUND(quantile_cont(n_chars, 0.5), 6) AS t5,
+         ROUND(quantile_cont(n_chars, 0.6), 6) AS t6,
+         ROUND(quantile_cont(n_chars, 0.7), 6) AS t7,
+         ROUND(quantile_cont(n_chars, 0.8), 6) AS t8,
+         ROUND(quantile_cont(n_chars, 0.9), 6) AS t9
+  FROM documents),
+q AS (
+  SELECT ds.d,
+         CASE ds.d WHEN 0 THEN t0 WHEN 1 THEN t1 WHEN 2 THEN t2 WHEN 3 THEN t3 WHEN 4 THEN t4 WHEN 5 THEN t5 WHEN 6 THEN t6 WHEN 7 THEN t7 WHEN 8 THEN t8 WHEN 9 THEN t9 END AS thr
+  FROM qs, (SELECT unnest(generate_series(0, 9)) AS d) ds),
+toks AS (
+  SELECT doc_id, n_chars,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              t -> t != '')) AS BIGINT) AS n_tok
+  FROM documents),
+kept AS (
+  SELECT q.d, ROUND(q.thr, 6) AS threshold_chars,
+         CAST(COUNT(*) AS BIGINT) AS docs_kept,
+         CAST(SUM(t.n_tok) AS BIGINT) AS tokens_kept
+  FROM q JOIN toks t ON t.n_chars >= q.thr
+  GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(n_tok) AS BIGINT) AS nt
+  FROM toks)
+SELECT CAST(k.d AS INTEGER) AS decile, k.threshold_chars,
+       k.docs_kept, k.tokens_kept,
+       ROUND(CAST(k.docs_kept AS DOUBLE) / t.nd, 6) AS doc_share,
+       ROUND(CAST(k.tokens_kept AS DOUBLE) / t.nt, 6) AS token_share
+FROM kept k, tot t
+""")
+def q_corpus_length_filter_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-filter what-if curve: for each n_chars decile threshold,
+    how many documents AND how many whitespace tokens survive a
+    keep-if-longer filter — the curve a pipeline owner reads before
+    setting a min-length rule, because doc counts and token counts fall
+    at very different rates (short docs are many but token-light). The
+    dedup_threshold_sweep pattern applied to the quality axis.
+
+    Determinism: decile thresholds ROUND to 6 dp before comparing (the
+    doc_quality_tiers lerp-parity contract); counts are integers; two
+    ROUND-6 divisions per row. The d=0 row (threshold = min) keeps
+    everything — a built-in self-check that token_share starts at 1.
+
+    Scale shape: ONE percentile aggregate to a 10-row broadcast
+    threshold frame, then ONE pass over the corpus fanned by that
+    broadcast with a (decile) map-side-combined count. No sort, no
+    ntile, no per-doc window.
+    """
+    from traffic_data_pipeline_spark.functions.text import TOKEN_SPLIT_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "n_chars",
+        F.array_size(
+            F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE),
+                     lambda t: t != "")).cast("bigint").alias("n_tok"))
+    q = docs.agg(*[
+        F.round(F.expr(f"percentile(n_chars, {d / 10.0})"), 6)
+        .alias(f"t{d}") for d in range(10)])
+    thr = q.select(F.explode(F.array(*[
+        F.struct(F.lit(d).alias("d"), F.col(f"t{d}").alias("thr"))
+        for d in range(10)])).alias("s")).select("s.d", "s.thr")
+    kept = (toks.crossJoin(F.broadcast(thr))
+            .filter(F.col("n_chars") >= F.col("thr"))
+            .groupBy("d", "thr")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("docs_kept"),
+                 F.sum("n_tok").cast("bigint").alias("tokens_kept")))
+    tot = toks.agg(F.count(F.lit(1)).cast("bigint").alias("nd"),
+                   F.sum("n_tok").cast("bigint").alias("nt"))
+    return (kept.crossJoin(F.broadcast(tot))
+            .select(F.col("d").cast("int").alias("decile"),
+                    F.round("thr", 6).alias("threshold_chars"),
+                    "docs_kept", "tokens_kept",
+                    F.round(F.col("docs_kept").cast("double") / F.col("nd"),
+                            6).alias("doc_share"),
+                    F.round(F.col("tokens_kept").cast("double") / F.col("nt"),
+                            6).alias("token_share")))
+
+
+# ---------------------------------------------------------------------------
+# embedding_centroid_drift — per-label centroid shift across snapshots
+# ---------------------------------------------------------------------------
+
+@staged_r7("embedding_centroid_drift", """
+WITH vers AS (
+  SELECT vec_id, label, embedding, 'old' AS snap
+  FROM embeddings WHERE vec_id % 7 != 0
+  UNION ALL
+  SELECT vec_id, label, embedding, 'new' AS snap FROM embeddings),
+elems AS (
+  SELECT snap, label, vec_id, t.i AS pos,
+         CAST(embedding[t.i] AS DOUBLE) AS val
+  FROM vers, unnest(generate_series(1, len(embedding))) t(i)),
+cent AS (
+  SELECT snap, label, pos,
+         CAST(CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE)
+              / COUNT(DISTINCT vec_id) AS DOUBLE) AS c
+  FROM elems GROUP BY 1, 2, 3),
+n AS (
+  SELECT snap, label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+  FROM vers GROUP BY 1, 2),
+paired AS (
+  SELECT o.label, o.pos, o.c AS co, ne.c AS cn
+  FROM cent o JOIN cent ne ON ne.label = o.label AND ne.pos = o.pos
+  WHERE o.snap = 'old' AND ne.snap = 'new'),
+moments AS (
+  SELECT label,
+         CAST(SUM(CAST(co * cn AS DECIMAL(30,12))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(co * co AS DECIMAL(30,12))) AS DOUBLE) AS no2,
+         CAST(SUM(CAST(cn * cn AS DECIMAL(30,12))) AS DOUBLE) AS nn2,
+         CAST(SUM(CAST((co - cn) * (co - cn) AS DECIMAL(30,12))) AS DOUBLE)
+           AS d2
+  FROM paired GROUP BY 1)
+SELECT m.label,
+       no.n_vecs AS n_old, nn.n_vecs AS n_new,
+       ROUND(m.dot / NULLIF(sqrt(m.no2) * sqrt(m.nn2), 0), 6)
+         AS centroid_cos,
+       ROUND(sqrt(m.d2), 6) AS l2_shift
+FROM moments m
+JOIN n no ON no.label = m.label AND no.snap = 'old'
+JOIN n nn ON nn.label = m.label AND nn.snap = 'new'
+""")
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: per label, the cosine and
+    L2 distance between the class centroid of the previous snapshot
+    (vec_id % 7 != 0, the corpus_snapshot_diff residue convention) and
+    the current one — the cheap first-line check that a re-embedded or
+    re-crawled corpus still lives in the same region of embedding space
+    before ANN indexes, dedup thresholds, or OOD scores trained on the
+    old snapshot are trusted on the new one.
+
+    Determinism: per-dimension centroid components are decimal-exact
+    sums over the snapshot divided once by the integer count; the
+    cross-centroid moments re-accumulate the component products in
+    DECIMAL(30,12) (order-free); one sqrt + one NULLIF-guarded division
+    per label.
+
+    Scale shape: ONE (snap, label, pos) decimal aggregate over the
+    exploded corpus (map-side combined, keys bounded by
+    2 x |labels| x dims), then arithmetic on centroid-sized frames.
+    """
+    from traffic_data_pipeline_spark.sources.tables import load_table as _lt
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    vers = (emb.filter(F.col("vec_id") % 7 != 0)
+            .select("vec_id", "label", "embedding",
+                    F.lit("old").alias("snap"))
+            .unionByName(emb.select("vec_id", "label", "embedding",
+                                    F.lit("new").alias("snap"))))
+    el = vers.select(
+        "snap", "label", "vec_id",
+        F.posexplode("embedding").alias("pos0", "val"))
+    cent = (el.groupBy("snap", "label", (F.col("pos0") + 1).alias("pos"))
+            .agg((F.sum(F.col("val").cast("double").cast(DOT_DECIMAL))
+                  .cast("double")
+                  / F.count_distinct("vec_id")).cast("double").alias("c")))
+    n = vers.groupBy("snap", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    o = cent.filter(F.col("snap") == "old").select(
+        "label", "pos", F.col("c").alias("co"))
+    ne = cent.filter(F.col("snap") == "new").select(
+        "label", "pos", F.col("c").alias("cn"))
+    paired = o.join(ne, ["label", "pos"])
+    dec = lambda e: e.cast(DOT_DECIMAL)  # noqa: E731
+    moments = paired.groupBy("label").agg(
+        F.sum(dec(F.col("co") * F.col("cn"))).cast("double").alias("dot"),
+        F.sum(dec(F.col("co") * F.col("co"))).cast("double").alias("no2"),
+        F.sum(dec(F.col("cn") * F.col("cn"))).cast("double").alias("nn2"),
+        F.sum(dec((F.col("co") - F.col("cn"))
+                  * (F.col("co") - F.col("cn")))).cast("double").alias("d2"))
+    no = n.filter(F.col("snap") == "old").select(
+        "label", F.col("n_vecs").alias("n_old"))
+    nn = n.filter(F.col("snap") == "new").select(
+        "label", F.col("n_vecs").alias("n_new"))
+    return (moments.join(no, "label").join(nn, "label")
+            .select("label", "n_old", "n_new",
+                    F.round(F.col("dot")
+                            / F.nullif(F.sqrt("no2") * F.sqrt("nn2"),
+                                       F.lit(0.0)), 6)
+                    .alias("centroid_cos"),
+                    F.round(F.sqrt("d2"), 6).alias("l2_shift")))
+
+
+# ---------------------------------------------------------------------------
+# doc_language_purity — chunk-grain code-switch detection
+# ---------------------------------------------------------------------------
+
+PURITY_CHUNK = 32       # tokens per language-vote chunk
+
+
+@staged_r7("doc_language_purity", f"""
+WITH {_TOK_LIST_CTE},
+chunks AS (
+  SELECT doc_id, CAST((s.i - 1) // {PURITY_CHUNK} AS BIGINT) AS chunk_id,
+         lower(l[s.i]) AS token
+  FROM tl, unnest(generate_series(1, len(l))) s(i)),
+votes AS (
+  SELECT doc_id, chunk_id,
+         SUM(CASE WHEN token IN ('the','a','of','and','to','in','is','it',
+                                 'for','on') THEN 1 ELSE 0 END) AS en,
+         SUM(CASE WHEN token IN ('el','la','de','y','que','en','un','es',
+                                 'por','con') THEN 1 ELSE 0 END) AS es,
+         SUM(CASE WHEN token IN ('der','die','das','und','zu','in','ist',
+                                 'ein','mit','von') THEN 1 ELSE 0 END) AS de
+  FROM chunks GROUP BY 1, 2),
+pred AS (
+  SELECT doc_id, chunk_id,
+         CASE WHEN en = 0 AND es = 0 AND de = 0 THEN 'und'
+              WHEN en >= es AND en >= de THEN 'en'
+              WHEN es >= de THEN 'es'
+              ELSE 'de' END AS chunk_lang
+  FROM votes),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(COUNT(DISTINCT CASE WHEN chunk_lang != 'und'
+                                  THEN chunk_lang END) AS BIGINT) AS n_langs,
+         CAST(MAX(c) AS BIGINT) AS top_chunks,
+         CAST(SUM(CASE WHEN chunk_lang != 'und' THEN c_once ELSE 0 END)
+              AS BIGINT) AS n_voted
+  FROM (
+    SELECT doc_id, chunk_lang,
+           COUNT(*) OVER (PARTITION BY doc_id, chunk_lang) AS c,
+           1 AS c_once,
+           CASE WHEN chunk_lang = 'und' THEN 0 ELSE 1 END AS voted
+    FROM pred) x
+  GROUP BY 1)
+SELECT doc_id, n_chunks, n_langs,
+       ROUND(CAST(top_chunks AS DOUBLE) / n_chunks, 6) AS majority_share,
+       CAST(CASE WHEN n_langs >= 2 THEN 1 ELSE 0 END AS INTEGER) AS is_mixed
+FROM agg
+""")
+def q_doc_language_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-grain language purity (code-switch detection): each doc's
+    token stream splits into {PURITY_CHUNK}-token chunks, each chunk
+    votes a language with the registered stopword heuristic
+    (doc_lang_id's rule at chunk grain, same tie order en > es > de,
+    zero-evidence chunks vote 'und'), and the doc reports how many
+    distinct languages its chunks claim, the majority-chunk share, and
+    a mixed flag. Doc-level lang-id averages code-switched documents
+    into ONE label; this is the filter that catches them — the purity
+    gate multilingual corpus pipelines run between lang-id and routing.
+
+    Determinism: integer votes, fixed tie order, integer chunk ids; one
+    ROUND-6 division. The majority share counts 'und' chunks in the
+    denominator (a doc of noise chunks is low-purity by construction).
+
+    Scale shape: ONE (doc, chunk) vote aggregate over the exploded
+    token stream (map-side combined; chunk keys are doc-local), one
+    doc-keyed window for the majority count, one doc-grain fold —
+    the doc_lang_id plan with one extra doc-local key level.
+    """
+    from traffic_data_pipeline_spark.functions.text import (
+        STOPWORDS_DE,
+        STOPWORDS_EN,
+        STOPWORDS_ES,
+    )
+    from traffic_data_pipeline_spark.plans.llm_ops import _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    chunks = docs.select(
+        "doc_id", F.posexplode("tok").alias("pos0", "token")).select(
+        "doc_id", (F.col("pos0") / PURITY_CHUNK).cast("bigint")
+        .alias("chunk_id"), F.lower("token").alias("token"))
+    votes = chunks.groupBy("doc_id", "chunk_id").agg(
+        F.sum(F.col("token").isin(STOPWORDS_EN).cast("int")).alias("en"),
+        F.sum(F.col("token").isin(STOPWORDS_ES).cast("int")).alias("es"),
+        F.sum(F.col("token").isin(STOPWORDS_DE).cast("int")).alias("de"))
+    pred = votes.select(
+        "doc_id", "chunk_id",
+        F.when((F.col("en") == 0) & (F.col("es") == 0) & (F.col("de") == 0),
+               F.lit("und"))
+        .when((F.col("en") >= F.col("es")) & (F.col("en") >= F.col("de")),
+              F.lit("en"))
+        .when(F.col("es") >= F.col("de"), F.lit("es"))
+        .otherwise(F.lit("de")).alias("chunk_lang"))
+    wl = Window.partitionBy("doc_id", "chunk_lang")
+    agg = (pred.select(
+        "doc_id", "chunk_lang",
+        F.count(F.lit(1)).over(wl).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+             F.count_distinct(
+                 F.when(F.col("chunk_lang") != "und", F.col("chunk_lang")))
+             .cast("bigint").alias("n_langs"),
+             F.max("c").cast("bigint").alias("top_chunks")))
+    return agg.select(
+        "doc_id", "n_chunks", "n_langs",
+        F.round(F.col("top_chunks").cast("double") / F.col("n_chunks"), 6)
+        .alias("majority_share"),
+        (F.col("n_langs") >= 2).cast("int").alias("is_mixed"))
+
+
+# ---------------------------------------------------------------------------
+# events_interarrival_burstiness — arrival-process regularity per type
+# ---------------------------------------------------------------------------
+
+@staged_r7("events_interarrival_burstiness", """
+WITH ordered AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events WHERE ts IS NOT NULL),
+gaps AS (
+  SELECT event_type, us - prev_us AS gap
+  FROM ordered WHERE prev_us IS NOT NULL),
+mom AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(CAST(gap AS HUGEINT)) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS s2
+  FROM gaps GROUP BY 1),
+stats AS (
+  SELECT event_type, n_gaps,
+         CAST(s1 AS DOUBLE) / n_gaps AS mu,
+         sqrt((CAST(n_gaps AS DOUBLE) * CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE))) AS sigma
+  FROM mom)
+SELECT event_type, n_gaps,
+       ROUND(mu / 1000000.0, 6) AS mean_gap_s,
+       ROUND(sigma / NULLIF(mu, 0), 6) AS cv,
+       ROUND((sigma - mu) / NULLIF(sigma + mu, 0), 6) AS burstiness
+FROM stats
+""")
+def q_events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-process regularity per event type: mean inter-arrival
+    gap, coefficient of variation, and the Goh-Barabasi burstiness
+    index B = (sigma - mu)/(sigma + mu) — B ~ -1 is a metronome
+    (synthetic/scheduled traffic), B ~ 0 is Poisson, B -> 1 is heavy
+    bursting. Complements events_burst_flags (per-user sliding-window
+    flags) with the population-level statistic, and is the
+    synthetic-data tell next to events_value_benford: real user traffic
+    is near-Poisson within a type, generators are either too regular or
+    too bursty.
+
+    Determinism: gaps are exact integer microseconds (epoch_us /
+    unix_micros); moments accumulate in 128-bit integers
+    (DECIMAL(38,0) / HUGEINT — the sensor_volume_trend contract); the
+    variance identity (n*s2 - s1^2)/n^2, the sqrt, and the three
+    ROUND-6 divisions are each ONE identical double expression.
+
+    Scale shape: ONE per-type ordering window for the lag + ONE
+    map-side-combined integer-moment aggregate to |types| rows — the
+    same two-exchange shape as every moments query in the repo.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    big = "decimal(38,0)"
+    gaps = (ev.filter(F.col("ts").isNotNull())
+            .select("event_type", F.unix_micros("ts").alias("us"),
+                    F.lag(F.unix_micros("ts")).over(w).alias("prev_us"))
+            .filter(F.col("prev_us").isNotNull())
+            .select("event_type", (F.col("us") - F.col("prev_us"))
+                    .alias("gap")))
+    mom = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum(F.col("gap").cast(big)).cast(big).alias("s1"),
+        F.sum(F.col("gap").cast(big) * F.col("gap")).cast(big).alias("s2"))
+    n_d = F.col("n_gaps").cast("double")
+    mu = F.col("s1").cast("double") / F.col("n_gaps")
+    sigma = F.sqrt((n_d * F.col("s2").cast("double")
+                    - F.col("s1").cast("double") * F.col("s1").cast("double"))
+                   / (n_d * n_d))
+    return mom.select(
+        "event_type", "n_gaps",
+        F.round(mu / 1000000.0, 6).alias("mean_gap_s"),
+        F.round(sigma / F.nullif(mu, F.lit(0.0)), 6).alias("cv"),
+        F.round((sigma - mu) / F.nullif(sigma + mu, F.lit(0.0)), 6)
+        .alias("burstiness"))
