@@ -154,7 +154,10 @@ def q_lang_fertility_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (snap, lang) map-side-combined aggregate, and a #langs-row
     self-join — nothing keyed wider than 2 x |langs|.
     """
-    from traffic_data_pipeline_spark.functions.text import bpe_token_count
+    from traffic_data_pipeline_spark.functions.text import (
+        BPE_TOKEN_RE,
+        TOKEN_SPLIT_RE,
+    )
     from traffic_data_pipeline_spark.plans.staged_ops import (
         SNAP_ADD_MOD,
         SNAP_EDIT_MOD,
@@ -170,17 +173,8 @@ def q_lang_fertility_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text")).alias("text"),
         F.lit("new").alias("snap"))
     vers = old.unionByName(new)
-    counted = bpe_token_count(vers, id_col="snap").select(
-        "snap", "n_bpe_tokens", "n_ws_tokens").join(
-        vers.select("snap", "lang", "text").drop("text"), "snap")
-    # bpe_token_count keys by one column; recompute inline instead to
-    # keep (snap, lang, doc) granularity without a join — see below
-    del counted
-    from traffic_data_pipeline_spark.functions.text import (
-        BPE_TOKEN_RE,
-        TOKEN_SPLIT_RE,
-    )
-
+    # the counter expressions are functions.text.bpe_token_count's,
+    # inlined at (snap, lang) grain (that helper keys by one id column)
     percounts = vers.select(
         "snap", "lang",
         F.array_size(F.regexp_extract_all(
