@@ -31,6 +31,9 @@ NAMES = [
     "corpus_doremi_step",       # r6: LM build + domain reweighting
     "doc_perplexity_buckets",   # promoted heavy: shared LM build +
                                 # broadcast-cutpoint tier assignment
+    "dedup_exact_substring_spans",  # r7: gram-keyed df + island merge —
+                                # pair-free by construction
+    "doc_repetition_profile",   # r7: doc-local gram/run aggregates
     "vocab_zipf_alpha",         # r6: one token-count fold
     "corpus_heaps_law",         # r6: first-occurrence histogram folds
 ]
@@ -163,6 +166,9 @@ def build_events_corpus(mult: int) -> str:
 EVENT_NAMES = [
     "streaming_session_funnel",  # r6: stateful session stream + stage
                                  # projection — state ~ active users
+    "events_markov_removal_effect",  # r7: corpus work is one window pass
+                                 # + one count; 40 value iterations on
+                                 # K-row frames are N-INDEPENDENT
 ]
 
 
@@ -172,6 +178,9 @@ def main() -> None:
     from traffic_data_pipeline_spark.plans.staged_ops import STAGED_QUERIES
     from traffic_data_pipeline_spark.plans.staged_ops_r6 import (
         STAGED_R6_QUERIES,
+    )
+    from traffic_data_pipeline_spark.plans.staged_ops_r7 import (
+        STAGED_R7_QUERIES,
     )
     from traffic_data_pipeline_spark.session import get_spark
 
@@ -184,7 +193,8 @@ def main() -> None:
         spark.read.parquet(f"{sf_dir}/documents.parquet").count()  # warm
         for name in NAMES:
             fn = (QUERIES.get(name) or STAGED_QUERIES.get(name)
-                  or STAGED_R6_QUERIES[name])
+                  or STAGED_R6_QUERIES.get(name)
+                  or STAGED_R7_QUERIES[name])
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             results.setdefault(name, {})[label] = round(
@@ -199,7 +209,8 @@ def main() -> None:
         spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()  # warm
         for name in EMB_NAMES:
             fn = (QUERIES.get(name) or STAGED_QUERIES.get(name)
-                  or STAGED_R6_QUERIES[name])
+                  or STAGED_R6_QUERIES.get(name)
+                  or STAGED_R7_QUERIES[name])
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             emb_results.setdefault(name, {})[label] = round(
@@ -212,7 +223,8 @@ def main() -> None:
         spark.read.parquet(f"{sf_dir}/events.parquet").count()  # warm
         for name in EVENT_NAMES:
             fn = (QUERIES.get(name) or STAGED_QUERIES.get(name)
-                  or STAGED_R6_QUERIES[name])
+                  or STAGED_R6_QUERIES.get(name)
+                  or STAGED_R7_QUERIES[name])
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             ev_results.setdefault(name, {})[label] = round(
