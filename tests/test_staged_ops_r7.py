@@ -83,6 +83,9 @@ STAGED_R7_CAPS = {
                                          # window/fold riding it
     "events_interarrival_burstiness": (2, 0),  # ONE type ordering window
                                          # + ONE 128-bit moment agg
+    "doc_readability": (3, 1),          # TWO (lang, source) aggs over the
+                                         # same in-row counts + a tiny
+                                         # group-frame broadcast join
 }
 
 
@@ -386,3 +389,22 @@ def test_burstiness_in_range(spark, sf_dir_oracle):
         assert r.mean_gap_s > 0
         assert r.cv is None or r.cv >= 0
         assert r.burstiness is None or -1.0 <= r.burstiness <= 1.0
+
+
+def test_readability_recomposes_and_bounds(spark, sf_dir_oracle):
+    """The two readability outputs must recompose from the reported
+    group ratios (same linear formulas), and shares/counts stay lawful."""
+    rows = STAGED_R7_QUERIES["doc_readability"](
+        spark, sf_dir_oracle).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs > 0
+        assert 0.0 <= r.hard_share <= 1.0
+        assert r.words_per_sentence > 0
+        assert r.syllables_per_word > 0
+        ease = 206.835 - 1.015 * r.words_per_sentence \
+            - 84.6 * r.syllables_per_word
+        grade = 0.39 * r.words_per_sentence \
+            + 11.8 * r.syllables_per_word - 15.59
+        assert abs(ease - r.flesch_ease) < 1e-3
+        assert abs(grade - r.fk_grade) < 1e-3

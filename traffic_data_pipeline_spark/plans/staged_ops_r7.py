@@ -1653,3 +1653,119 @@ def q_events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFr
         F.round(sigma / F.nullif(mu, F.lit(0.0)), 6).alias("cv"),
         F.round((sigma - mu) / F.nullif(sigma + mu, F.lit(0.0)), 6)
         .alias("burstiness"))
+
+
+# ---------------------------------------------------------------------------
+# doc_readability — Flesch reading-ease / Flesch-Kincaid grade profile
+# ---------------------------------------------------------------------------
+
+_SENT_RE = "[.!?]+"
+_SYL_RE = "[aeiouy]+"
+
+
+@staged_r7("doc_readability", f"""
+WITH per AS (
+  SELECT lang, source,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t != '')) AS w,
+         greatest(len(regexp_extract_all(text, '{_SENT_RE}')), 1) AS s,
+         len(regexp_extract_all(lower(text), '{_SYL_RE}')) AS y
+  FROM documents),
+flt AS (SELECT * FROM per WHERE w > 0),
+doc AS (
+  SELECT lang, source,
+         CASE WHEN 0.39 * ROUND(CAST(w AS DOUBLE) / s, 6)
+                   + 11.8 * ROUND(CAST(y AS DOUBLE) / w, 6)
+                   - 15.59 >= 12.0
+              THEN 1 ELSE 0 END AS hard
+  FROM flt),
+tot AS (
+  SELECT lang, source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(w) AS BIGINT) AS tw,
+         CAST(SUM(s) AS BIGINT) AS ts,
+         CAST(SUM(y) AS BIGINT) AS ty
+  FROM flt GROUP BY 1, 2),
+hrd AS (
+  SELECT lang, source, CAST(SUM(hard) AS BIGINT) AS n_hard
+  FROM doc GROUP BY 1, 2)
+SELECT t.lang, t.source, t.n_docs,
+       ROUND(CAST(t.tw AS DOUBLE) / t.ts, 6) AS words_per_sentence,
+       ROUND(CAST(t.ty AS DOUBLE) / t.tw, 6) AS syllables_per_word,
+       ROUND(206.835 - 1.015 * (CAST(t.tw AS DOUBLE) / t.ts)
+             - 84.6 * (CAST(t.ty AS DOUBLE) / t.tw), 6) AS flesch_ease,
+       ROUND(0.39 * (CAST(t.tw AS DOUBLE) / t.ts)
+             + 11.8 * (CAST(t.ty AS DOUBLE) / t.tw) - 15.59, 6)
+         AS fk_grade,
+       ROUND(CAST(h.n_hard AS DOUBLE) / t.n_docs, 6) AS hard_share
+FROM tot t JOIN hrd h ON h.lang = t.lang AND h.source = t.source
+""")
+def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability profile per (lang, source): Flesch reading ease and
+    Flesch-Kincaid grade over the group's pooled counts — words per
+    sentence and syllables per word, with syllables approximated as
+    vowel groups (the standard regex surrogate) — plus the share of
+    documents whose OWN grade is >= 12 ("hard"). The curriculum /
+    audience signal the quality-filter family (doc_gopher_quality,
+    doc_quality_filter) does not carry: those gate on junk, this one
+    measures difficulty of the text that SURVIVES, which is what a
+    readability-stratified mixture or curriculum schedule keys on.
+
+    Determinism: group-level ratios divide INTEGER sums (full-entropy
+    doubles at small magnitude, the DEVIATIONS.md safe class — means of
+    pre-rounded 6-dp values are deliberately avoided because a 6-dp sum
+    over a 2-doc group divided by 2 lands EXACTLY on a ROUND midpoint,
+    where the engines disagree); the per-doc hard flag compares one
+    double expression over two ROUND-6 ratios against the literal 12.0
+    and aggregates as an integer. Zero-word docs are excluded (w > 0)
+    before any ratio; a doc with no sentence punctuation counts as one
+    sentence (GREATEST 1).
+
+    Scale shape: all three counts are in-row regexp_extract_all sizes —
+    no explode, no per-token rows — then TWO map-side-combined
+    (lang, source) aggregates over the same narrow pass (integer totals
+    + hard count) and a |groups|-row self-join. The fact streams once;
+    nothing is keyed wider than |langs| x |sources|.
+    """
+    from traffic_data_pipeline_spark.functions.text import TOKEN_SPLIT_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang", "source",
+        F.array_size(
+            F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE),
+                     lambda t: t != "")).alias("w"),
+        F.greatest(
+            F.array_size(F.regexp_extract_all(
+                F.col("text"), F.lit(_SENT_RE), 0)),
+            F.lit(1)).alias("s"),
+        F.array_size(F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(_SYL_RE), 0)).alias("y"),
+    ).filter(F.col("w") > 0)
+    doc_grade = (F.lit(0.39)
+                 * F.round(F.col("w").cast("double") / F.col("s"), 6)
+                 + F.lit(11.8)
+                 * F.round(F.col("y").cast("double") / F.col("w"), 6)
+                 - F.lit(15.59))
+    tot = per.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("tw"),
+        F.sum("s").cast("bigint").alias("ts"),
+        F.sum("y").cast("bigint").alias("ty"))
+    hrd = (per.select(
+               "lang", "source",
+               F.when(doc_grade >= 12.0, 1).otherwise(0).alias("hard"))
+           .groupBy("lang", "source")
+           .agg(F.sum("hard").cast("bigint").alias("n_hard")))
+    wps = F.col("tw").cast("double") / F.col("ts")
+    spw = F.col("ty").cast("double") / F.col("tw")
+    return tot.join(hrd, ["lang", "source"]).select(
+        "lang", "source", "n_docs",
+        F.round(wps, 6).alias("words_per_sentence"),
+        F.round(spw, 6).alias("syllables_per_word"),
+        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6)
+        .alias("flesch_ease"),
+        F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6)
+        .alias("fk_grade"),
+        F.round(F.col("n_hard").cast("double") / F.col("n_docs"), 6)
+        .alias("hard_share"))
