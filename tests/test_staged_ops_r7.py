@@ -86,6 +86,10 @@ STAGED_R7_CAPS = {
     "doc_readability": (3, 1),          # TWO (lang, source) aggs over the
                                          # same in-row counts + a tiny
                                          # group-frame broadcast join
+    "doc_nb_langid": (10, 5),            # train/eval pipeline: the wide
+                                         # exchanges are the (lang,gram) /
+                                         # (doc,gram) counts; model, vocab,
+                                         # and lang frames all broadcast
 }
 
 
@@ -408,3 +412,32 @@ def test_readability_recomposes_and_bounds(spark, sf_dir_oracle):
             + 11.8 * r.syllables_per_word - 15.59
         assert abs(ease - r.flesch_ease) < 1e-3
         assert abs(grade - r.fk_grade) < 1e-3
+
+
+def test_nb_langid_covers_every_eligible_test_doc(spark, sf_dir_oracle):
+    """Every held-out doc long enough to produce a trigram is classified
+    exactly once; per-true-lang shares sum to 1; predictions only name
+    trained languages."""
+    from traffic_data_pipeline_spark.plans.staged_ops_r7 import (
+        NB_GRAM,
+        NB_TEST_MOD,
+    )
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    rows = STAGED_R7_QUERIES["doc_nb_langid"](spark, sf_dir_oracle).collect()
+    assert rows
+    docs = load_table(spark, sf_dir_oracle, "documents")
+    eligible = docs.filter(
+        (F.col("doc_id") % NB_TEST_MOD == 0)
+        & (F.length(F.lower(F.col("text"))) >= NB_GRAM)).count()
+    assert sum(r.n_docs for r in rows) == eligible
+    train_langs = {
+        r.lang for r in docs.filter(F.col("doc_id") % NB_TEST_MOD != 0)
+        .select("lang").distinct().collect()}
+    by_true = {}
+    for r in rows:
+        assert r.pred_lang in train_langs
+        by_true.setdefault(r.true_lang, 0.0)
+        by_true[r.true_lang] += r.share
+    for lang, tot in by_true.items():
+        assert abs(tot - 1.0) < 1e-4, (lang, tot)

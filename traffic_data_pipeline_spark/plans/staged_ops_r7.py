@@ -1769,3 +1769,182 @@ def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fk_grade"),
         F.round(F.col("n_hard").cast("double") / F.col("n_docs"), 6)
         .alias("hard_share"))
+
+
+# ---------------------------------------------------------------------------
+# doc_nb_langid — trained Naive Bayes char-trigram language classifier
+# ---------------------------------------------------------------------------
+
+NB_TEST_MOD = 5      # held-out docs: doc_id % 5 == 0 (1-in-5 eval split)
+NB_GRAM = 3          # char n-gram width
+NB_VOCAB = 256       # model vocabulary: top grams by train frequency —
+                     # sized BELOW the fixture's distinct-gram count so the
+                     # frequency cut and the OOV default term carry real
+                     # traffic in the oracle gate (377 grams at sf0.01)
+
+_NB_DEC = "decimal(20,9)"
+_NB_INT = "decimal(20,0)"
+
+
+@staged_r7("doc_nb_langid", f"""
+WITH low AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+tr AS (SELECT * FROM low WHERE doc_id % {NB_TEST_MOD} != 0),
+te AS (SELECT * FROM low WHERE doc_id % {NB_TEST_MOD} = 0),
+trg AS (
+  SELECT lang, substr(t, g, {NB_GRAM}) AS g3
+  FROM tr, unnest(generate_series(1, greatest(length(t) - {NB_GRAM - 1}, 0))) s(g)),
+cnt AS (SELECT lang, g3, CAST(COUNT(*) AS BIGINT) AS c FROM trg GROUP BY 1, 2),
+gtot AS (SELECT g3, SUM(c) AS gc FROM cnt GROUP BY 1),
+vocab AS (
+  SELECT g3 FROM (
+    SELECT g3, ROW_NUMBER() OVER (ORDER BY gc DESC, g3) AS rk FROM gtot)
+  WHERE rk <= {NB_VOCAB}),
+vsz AS (SELECT COUNT(*) + 1 AS v FROM vocab),
+model AS (SELECT c.lang, c.g3, c.c FROM cnt c JOIN vocab USING (g3)),
+tots AS (SELECT lang, SUM(c) AS tot FROM model GROUP BY 1),
+ndocs AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd FROM tr GROUP BY 1),
+ntot AS (SELECT SUM(nd) AS n FROM ndocs),
+langs AS (
+  SELECT d.lang,
+         CAST(ROUND(ln(CAST(d.nd AS DOUBLE) / n.n), 9) AS {_NB_DEC}) AS prior,
+         CAST(ROUND(ln(1.0 / (t.tot + v.v)), 9) AS {_NB_DEC}) AS dll
+  FROM ndocs d, ntot n, vsz v
+  JOIN tots t ON t.lang = d.lang),
+ll AS (
+  SELECT m.lang, m.g3,
+         CAST(ROUND(ln((m.c + 1.0) / (t.tot + v.v)), 9) AS {_NB_DEC}) AS ll
+  FROM model m
+  JOIN tots t ON t.lang = m.lang, vsz v),
+teg AS (
+  SELECT doc_id, lang AS true_lang, substr(t, g, {NB_GRAM}) AS g3
+  FROM te, unnest(generate_series(1, greatest(length(t) - {NB_GRAM - 1}, 0))) s(g)),
+tegc AS (
+  SELECT doc_id, true_lang, g3, CAST(COUNT(*) AS BIGINT) AS n_g
+  FROM teg GROUP BY 1, 2, 3),
+dtot AS (SELECT doc_id, true_lang, SUM(n_g) AS nd FROM tegc GROUP BY 1, 2),
+matched AS (
+  SELECT t.doc_id, l.lang,
+         SUM(CAST(t.n_g AS {_NB_INT}) * l.ll) AS msum,
+         SUM(t.n_g) AS mn
+  FROM tegc t JOIN ll l ON l.g3 = t.g3
+  GROUP BY 1, 2),
+scored AS (
+  SELECT d.doc_id, d.true_lang, lg.lang,
+         lg.prior + COALESCE(m.msum, CAST(0 AS {_NB_DEC}))
+           + CAST(d.nd - COALESCE(m.mn, 0) AS {_NB_INT}) * lg.dll AS score
+  FROM dtot d CROSS JOIN langs lg
+  LEFT JOIN matched m ON m.doc_id = d.doc_id AND m.lang = lg.lang),
+pred AS (
+  SELECT true_lang, lang AS pred_lang
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, lang) AS rk
+        FROM scored)
+  WHERE rk = 1),
+conf AS (
+  SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY 1, 2)
+SELECT true_lang, pred_lang, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE)
+             / SUM(n_docs) OVER (PARTITION BY true_lang), 6) AS share
+FROM conf
+""")
+def q_doc_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language identification as pure aggregation: a Naive
+    Bayes char-trigram classifier is fit on the 4-in-5 train split
+    (add-one smoothing over a capped top-{NB_VOCAB}-gram vocabulary)
+    and evaluated on the held-out 1-in-5 split, emitting the confusion
+    matrix. Complements lang_id_confusion (which evaluates the FIXED
+    stopword-heuristic classifier): this is the train-then-score loop a
+    corpus pipeline runs when it fits its own lang-id model on labeled
+    data — both the training pass (count aggregation) and inference
+    (log-likelihood join-sum-argmax) are DataFrame plans, no model
+    object, no UDF.
+
+    Determinism: every log-likelihood is ONE ROUND-9 of a
+    small-magnitude ln (the DEVIATIONS.md regression-pinned safe
+    class), quantized to DECIMAL(20,9); per-(doc, lang) scores are
+    DECIMAL sums of integer-count x decimal products (order-free,
+    exact), so the argmax is over exact decimals with a lang-name
+    tiebreak. Unseen grams — OOV or vocab grams unseen for that lang —
+    fold into one default term, (N_doc - matched) x ln(1/(tot+V)),
+    computed without materializing the doc x vocab complement. Docs
+    shorter than {NB_GRAM} chars produce no grams and are excluded from
+    the eval (no score is defined for them).
+
+    Scale shape: training is ONE (lang, gram) map-side-combined count;
+    the vocabulary cut is a window over DISTINCT GRAMS (bounded by the
+    alphabet cubed, not the corpus — a constant-size frame); the model
+    (<= vocab x |langs| rows) and the per-lang prior/default frame are
+    fixed-size broadcasts. Inference streams test grams once into a
+    (doc, gram) count, joins the BROADCAST model, and folds to
+    (doc, lang) with one aggregate + one per-doc argmax window; the
+    confusion matrix is a |langs|^2 regroup. Nothing shuffles wider
+    than (doc, gram).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.lower(F.col("text")).alias("t"))
+    tr = docs.filter(F.col("doc_id") % NB_TEST_MOD != 0)
+    te = docs.filter(F.col("doc_id") % NB_TEST_MOD == 0)
+    gram_list = F.transform(
+        F.sequence(F.lit(1),
+                   F.greatest(F.length("t") - (NB_GRAM - 1), F.lit(0))),
+        lambda i: F.col("t").substr(i, F.lit(NB_GRAM)))
+
+    cnt = (tr.select("lang", F.explode(gram_list).alias("g3"))
+           .groupBy("lang", "g3")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    cnt = cnt.localCheckpoint(eager=True)  # model built once, read twice
+    gtot = cnt.groupBy("g3").agg(F.sum("c").alias("gc"))
+    vocab = (gtot.orderBy(F.desc("gc"), F.asc("g3")).limit(NB_VOCAB)
+             .select("g3"))
+    vocab = vocab.localCheckpoint(eager=True)
+    v = vocab.count() + 1  # smoothing denominator: vocab + OOV bucket
+    model = cnt.join(F.broadcast(vocab), "g3")
+    tots = model.groupBy("lang").agg(F.sum("c").alias("tot"))
+    ndocs = tr.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"))
+    n_train = tr.count()
+    langs = (ndocs.join(tots, "lang")
+             .select(
+                 "lang",
+                 F.round(F.log(F.col("nd").cast("double") / F.lit(n_train)),
+                         9).cast(_NB_DEC).alias("prior"),
+                 F.round(F.log(F.lit(1.0) / (F.col("tot") + F.lit(v))),
+                         9).cast(_NB_DEC).alias("dll")))
+    ll = (model.join(tots, "lang")
+          .select("lang", "g3",
+                  F.round(F.log((F.col("c") + F.lit(1.0))
+                                / (F.col("tot") + F.lit(v))),
+                          9).cast(_NB_DEC).alias("ll")))
+
+    tegc = (te.select("doc_id", F.col("lang").alias("true_lang"),
+                      F.explode(gram_list).alias("g3"))
+            .groupBy("doc_id", "true_lang", "g3")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_g")))
+    tegc = tegc.localCheckpoint(eager=True)  # read by dtot AND matched
+    dtot = tegc.groupBy("doc_id", "true_lang").agg(
+        F.sum("n_g").alias("nd"))
+    matched = (tegc.join(F.broadcast(ll), "g3")
+               .groupBy("doc_id", "lang")
+               .agg(F.sum(F.col("n_g").cast(_NB_INT) * F.col("ll"))
+                    .alias("msum"),
+                    F.sum("n_g").alias("mn")))
+    scored = (dtot.crossJoin(F.broadcast(langs))
+              .join(matched, ["doc_id", "lang"], "left")
+              .select(
+                  "doc_id", "true_lang", "lang",
+                  (F.col("prior")
+                   + F.coalesce(F.col("msum"), F.lit(0).cast(_NB_DEC))
+                   + (F.col("nd") - F.coalesce(F.col("mn"), F.lit(0)))
+                   .cast(_NB_INT) * F.col("dll")).alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    pred = (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("true_lang", F.col("lang").alias("pred_lang")))
+    conf = pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    wt = Window.partitionBy("true_lang")
+    return conf.select(
+        "true_lang", "pred_lang", "n_docs",
+        F.round(F.col("n_docs").cast("double")
+                / F.sum("n_docs").over(wt), 6).alias("share"))
