@@ -90,6 +90,10 @@ STAGED_R7_CAPS = {
                                          # exchanges are the (lang,gram) /
                                          # (doc,gram) counts; model, vocab,
                                          # and lang frames all broadcast
+    "embedding_ivfpq_query": (4, 3),     # live plan reads checkpointed
+                                         # assignment/code frames; coarse
+                                         # centroids, probe list, codebook
+                                         # and ADC table all broadcast
 }
 
 
@@ -441,3 +445,37 @@ def test_nb_langid_covers_every_eligible_test_doc(spark, sf_dir_oracle):
         by_true[r.true_lang] += r.share
     for lang, tot in by_true.items():
         assert abs(tot - 1.0) < 1e-4, (lang, tot)
+
+
+def test_ivfpq_constants_match():
+    """The IVFPQ oracle duplicates the PQ geometry as literals (the
+    staged_ops tail-cycle makes a top-level import unsafe at module
+    import time) — pin them to the embedding_pq_adc source of truth."""
+    from traffic_data_pipeline_spark.plans import staged_ops as so
+    from traffic_data_pipeline_spark.plans import staged_ops_r7 as r7
+
+    assert r7.IVFPQ_DSUB == so.PQ_DSUB
+    assert r7.IVFPQ_K == so.PQ_K
+    assert r7.IVFPQ_QUERY_ID == so.PQ_QUERY_ID
+    assert r7.IVFPQ_TOP == so.PQ_TOP
+
+
+def test_ivfpq_prunes_and_stays_in_probed_lists(spark, sf_dir_oracle):
+    """Every result sits in one of the NPROBE probed lists; the probed
+    set includes the query's own list (it is centroid 0); and pruning is
+    real — results cover < KC distinct lists."""
+    from traffic_data_pipeline_spark.plans.staged_ops_r7 import (
+        IVFPQ_KC,
+        IVFPQ_NPROBE,
+        IVFPQ_QUERY_ID,
+        IVFPQ_TOP,
+    )
+
+    rows = STAGED_R7_QUERIES["embedding_ivfpq_query"](
+        spark, sf_dir_oracle).collect()
+    assert 0 < len(rows) <= IVFPQ_TOP
+    lists = {r.list_id for r in rows}
+    assert len(lists) <= IVFPQ_NPROBE < IVFPQ_KC
+    for r in rows:
+        assert r.vec_id != IVFPQ_QUERY_ID
+        assert r.adc_d2 >= 0.0 and r.exact_d2 >= 0.0

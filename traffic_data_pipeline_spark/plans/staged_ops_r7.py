@@ -1948,3 +1948,189 @@ def q_doc_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_lang", "pred_lang", "n_docs",
         F.round(F.col("n_docs").cast("double")
                 / F.sum("n_docs").over(wt), 6).alias("share"))
+
+
+# ---------------------------------------------------------------------------
+# embedding_ivfpq_query — IVF list pruning + PQ ADC scan, composed
+# ---------------------------------------------------------------------------
+
+# PQ geometry mirrors plans/staged_ops.py's embedding_pq_adc (parity
+# pinned by tests/test_staged_ops_r7.py::test_ivfpq_constants_match);
+# duplicated as literals because this module's oracle f-string needs them
+# at import time and a top-level staged_ops import would enter the
+# queries.py tail cycle.
+IVFPQ_DSUB = 8       # dims per subspace
+IVFPQ_K = 16         # centroids per subspace codebook (vec_id < 16 seeds)
+IVFPQ_QUERY_ID = 0   # query vector
+IVFPQ_TOP = 10
+IVFPQ_KC = 8         # coarse centroids / inverted lists (vec_id < 8 seeds)
+IVFPQ_NPROBE = 2     # probed lists per query
+
+from traffic_data_pipeline_spark.plans.oracle_ctes import _EMB_CTES  # noqa: E402
+
+
+@staged_r7("embedding_ivfpq_query", f"""
+WITH {_EMB_CTES},
+ccent AS (SELECT vec_id AS cc, pos, val FROM elems WHERE vec_id < {IVFPQ_KC}),
+cd2 AS (
+  SELECT e.vec_id, c.cc,
+         CAST(SUM(CAST((e.val - c.val) * (e.val - c.val)
+                       AS DECIMAL(30,12))) AS DOUBLE) AS d2
+  FROM elems e JOIN ccent c ON c.pos = e.pos
+  GROUP BY 1, 2),
+assign AS (
+  SELECT vec_id, cc AS list_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cc) AS rk FROM cd2)
+  WHERE rk = 1),
+probe AS (
+  SELECT cc AS list_id FROM (
+    SELECT cc, ROW_NUMBER() OVER (ORDER BY d2, cc) AS rk
+    FROM cd2 WHERE vec_id = {IVFPQ_QUERY_ID})
+  WHERE rk <= {IVFPQ_NPROBE}),
+cand AS (
+  SELECT a.vec_id, a.list_id
+  FROM assign a JOIN probe p ON p.list_id = a.list_id
+  WHERE a.vec_id != {IVFPQ_QUERY_ID}),
+sub AS (
+  SELECT vec_id, CAST(FLOOR((pos - 1) / {IVFPQ_DSUB}.0) AS INTEGER) AS m,
+         (pos - 1) % {IVFPQ_DSUB} AS j, val
+  FROM elems),
+cent AS (SELECT vec_id AS cid, m, j, val FROM sub WHERE vec_id < {IVFPQ_K}),
+d2 AS (
+  SELECT s.vec_id, s.m, c.cid,
+         CAST(SUM(CAST((s.val - c.val) * (s.val - c.val)
+                       AS DECIMAL(30,12))) AS DOUBLE) AS d2
+  FROM sub s JOIN cent c ON c.m = s.m AND c.j = s.j
+  WHERE s.vec_id IN (SELECT vec_id FROM cand)
+     OR s.vec_id = {IVFPQ_QUERY_ID}
+  GROUP BY 1, 2, 3),
+codes AS (
+  SELECT vec_id, m, cid AS code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d2, cid) AS rk FROM d2)
+  WHERE rk = 1 AND vec_id != {IVFPQ_QUERY_ID}),
+qd2 AS (SELECT m, cid, d2 FROM d2 WHERE vec_id = {IVFPQ_QUERY_ID}),
+adc AS (
+  SELECT k.vec_id,
+         CAST(SUM(CAST(q.d2 AS DECIMAL(30,12))) AS DOUBLE) AS adc_d2
+  FROM codes k JOIN qd2 q ON q.m = k.m AND q.cid = k.code
+  GROUP BY 1),
+exact AS (
+  SELECT s.vec_id,
+         CAST(SUM(CAST((s.val - q.val) * (s.val - q.val)
+                       AS DECIMAL(30,12))) AS DOUBLE) AS exact_d2
+  FROM sub s JOIN sub q ON q.vec_id = {IVFPQ_QUERY_ID}
+                       AND q.m = s.m AND q.j = s.j
+  WHERE s.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY 1)
+SELECT c.vec_id, c.list_id,
+       ROUND(a.adc_d2, 6) AS adc_d2, ROUND(e.exact_d2, 6) AS exact_d2
+FROM cand c
+JOIN adc a ON a.vec_id = c.vec_id
+JOIN exact e ON e.vec_id = c.vec_id
+ORDER BY a.adc_d2, c.vec_id LIMIT {IVFPQ_TOP}
+""")
+def q_embedding_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production ANN shape (Jegou et al.'s IVFADC): a
+    coarse quantizer prunes the corpus to NPROBE of KC inverted lists,
+    and ONLY the surviving candidates take the PQ asymmetric-distance
+    scan — the two registered halves (embedding_knn_ivf's list pruning,
+    embedding_pq_adc's code scan) wired together the way a 100 TB
+    vector store actually serves a query. Codes are PQ on RAW vectors
+    (the embedding_pq_adc convention, shared codebook seeding
+    vec_id < K); residual encoding is the same frame with
+    (val - coarse_centroid) in the sub spread and is deliberately NOT
+    used here so the two staged halves stay oracle-comparable.
+
+    Determinism: both argmins (coarse assignment, code assignment) are
+    row_number over decimal-exact distances with id tiebreaks; the ADC
+    total re-sums table doubles through DECIMAL(30,12) (order-free);
+    top-k is totally ordered (pre-round adc_d2, vec_id). The query
+    vector is centroid 0 AND list-0 seed, so list 0 is always probed
+    and the planted self-match case stays in-family with pq_adc.
+
+    Scale shape: coarse assignment is corpus x (KC broadcast) — one
+    narrow pass, computed once at ingest and PERSISTED AS THE PARTITION
+    KEY at 100 TB (list_id is the partition column, so probing NPROBE
+    lists is partition pruning, not a scan-and-filter); here the
+    candidate filter is a broadcast semi-join standing in for that
+    pruning. The PQ stages then touch ~NPROBE/KC of the corpus instead
+    of all of it — the entire point of the composition — with the
+    M x K ADC table a fixed-size broadcast and the final top-k a
+    TakeOrdered gather. The exact_d2 column is the fixture-scale audit
+    the production scan drops.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "v")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"),
+             F.col("v").cast("double").alias("val"))
+    ccent = elems.filter(F.col("vec_id") < IVFPQ_KC).select(
+        F.col("vec_id").alias("cc"), F.col("pos").alias("cpos"),
+        F.col("val").alias("cval"))
+    cdiff = F.col("val") - F.col("cval")
+    cd2 = (elems.join(F.broadcast(ccent), F.col("cpos") == F.col("pos"))
+           .groupBy("vec_id", "cc")
+           .agg(F.sum((cdiff * cdiff).cast(DOT_DECIMAL)).cast(DOT_DECIMAL)
+                .cast("double").alias("d2")))
+    cd2 = cd2.localCheckpoint(eager=True)  # assignment + probe read it
+    wv = Window.partitionBy("vec_id").orderBy("d2", "cc")
+    assign = (cd2.withColumn("rk", F.row_number().over(wv))
+              .filter(F.col("rk") == 1)
+              .select("vec_id", F.col("cc").alias("list_id")))
+    probe = (cd2.filter(F.col("vec_id") == IVFPQ_QUERY_ID)
+             .orderBy("d2", "cc").limit(IVFPQ_NPROBE)
+             .select(F.col("cc").alias("list_id")))
+    cand = (assign.join(F.broadcast(probe), "list_id")
+            .filter(F.col("vec_id") != IVFPQ_QUERY_ID)
+            .select("vec_id", "list_id"))
+    cand = cand.localCheckpoint(eager=True)  # read by d2/exact/final
+
+    sub = elems.select(
+        "vec_id",
+        F.floor((F.col("pos") - 1) / IVFPQ_DSUB).cast("int").alias("m"),
+        ((F.col("pos") - 1) % IVFPQ_DSUB).alias("j"),
+        "val")
+    keep = sub.join(
+        F.broadcast(cand.select("vec_id")), "vec_id", "left_semi"
+    ).unionByName(sub.filter(F.col("vec_id") == IVFPQ_QUERY_ID))
+    cent = sub.filter(F.col("vec_id") < IVFPQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("m").alias("cm"),
+        F.col("j").alias("cj"), F.col("val").alias("cval"))
+    diff = F.col("val") - F.col("cval")
+    d2 = (keep.join(F.broadcast(cent),
+                    (F.col("cm") == F.col("m")) & (F.col("cj") == F.col("j")))
+          .groupBy("vec_id", "m", "cid")
+          .agg(F.sum((diff * diff).cast(DOT_DECIMAL)).cast(DOT_DECIMAL)
+               .cast("double").alias("d2")))
+    d2 = d2.localCheckpoint(eager=True)  # codes + qd2 read it
+    wmin = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
+    codes = (d2.withColumn("rk", F.row_number().over(wmin))
+             .filter((F.col("rk") == 1)
+                     & (F.col("vec_id") != IVFPQ_QUERY_ID))
+             .select("vec_id", "m", F.col("cid").alias("code")))
+    qd2 = d2.filter(F.col("vec_id") == IVFPQ_QUERY_ID).select(
+        F.col("m").alias("qm"), F.col("cid").alias("qcid"),
+        F.col("d2").alias("qd2"))
+    adc = (codes.join(F.broadcast(qd2),
+                      (F.col("qm") == F.col("m"))
+                      & (F.col("qcid") == F.col("code")))
+           .groupBy("vec_id")
+           .agg(F.sum(F.col("qd2").cast(DOT_DECIMAL)).cast(DOT_DECIMAL)
+                .cast("double").alias("adc_d2")))
+    q = sub.filter(F.col("vec_id") == IVFPQ_QUERY_ID).select(
+        F.col("m").alias("qm"), F.col("j").alias("qj"),
+        F.col("val").alias("qval"))
+    qdiff = F.col("val") - F.col("qval")
+    exact = (keep.filter(F.col("vec_id") != IVFPQ_QUERY_ID)
+             .join(F.broadcast(q),
+                   (F.col("qm") == F.col("m")) & (F.col("qj") == F.col("j")))
+             .groupBy("vec_id")
+             .agg(F.sum((qdiff * qdiff).cast(DOT_DECIMAL)).cast(DOT_DECIMAL)
+                  .cast("double").alias("exact_d2")))
+    return (cand.join(adc, "vec_id").join(exact, "vec_id")
+            .orderBy("adc_d2", "vec_id").limit(IVFPQ_TOP)
+            .select("vec_id", "list_id",
+                    F.round("adc_d2", 6).alias("adc_d2"),
+                    F.round("exact_d2", 6).alias("exact_d2")))
