@@ -136,6 +136,10 @@ CASES = [
     # votes + doc-keyed majority windows
     "embedding_centroid_drift",
     "doc_language_purity",
+    # decimal PSI terms and OLS moment sums merged across arbitrary
+    # partial splits; the anchor rank must not depend on partitioning
+    "corpus_token_psi_drift",
+    "part_price_elasticity",
 ]
 
 

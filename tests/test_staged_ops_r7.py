@@ -94,6 +94,18 @@ STAGED_R7_CAPS = {
                                          # assignment/code frames; coarse
                                          # centroids, probe list, codebook
                                          # and ADC table all broadcast
+    "corpus_token_psi_drift": (3, 1),    # live plan reads the
+                                         # checkpointed token-count /
+                                         # bucket frames; anchors +
+                                         # per-lang totals broadcast
+    "events_ewma_forecast": (3, 2),      # ONE (type, day) count; span
+                                         # scalar + filled spine
+                                         # broadcast; final |types| fold
+    "part_price_elasticity": (2, 1),     # part broadcast into the scan
+                                         # + ONE five-moment aggregate
+    "supplier_share_hhi": (2, 2),        # live plan reads the
+                                         # checkpointed (type, supp)
+                                         # cents frame; totals broadcast
 }
 
 
@@ -479,3 +491,115 @@ def test_ivfpq_prunes_and_stays_in_probed_lists(spark, sf_dir_oracle):
     for r in rows:
         assert r.vec_id != IVFPQ_QUERY_ID
         assert r.adc_d2 >= 0.0 and r.exact_d2 >= 0.0
+
+
+def test_psi_nonnegative_and_zero_without_drift(spark, sf_dir_oracle,
+                                                tmp_path):
+    """Every PSI term (p_new - p_old)*ln(p_new/p_old) is >= 0, so psi >= 0
+    on the real fixture; on a planted corpus where NO doc is dropped from
+    the old snapshot (doc_id % 7 != 0) and NONE is re-crawled
+    (doc_id % 11 != 0) the snapshots are identical and psi == 0 exactly."""
+    from traffic_data_pipeline_spark.plans.staged_ops_r7 import PSI_ANCHORS
+
+    rows = STAGED_R7_QUERIES["corpus_token_psi_drift"](
+        spark, sf_dir_oracle).collect()
+    assert rows
+    for r in rows:
+        assert r.psi >= 0, r.lang
+        assert 0.0 <= r.other_share_new <= 1.0, r.lang
+        assert r.n_buckets <= PSI_ANCHORS + 1, r.lang
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", "en", "web", 22)
+         for i in (1, 2, 3, 4, 5, 6)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    flat = STAGED_R7_QUERIES["corpus_token_psi_drift"](
+        spark, str(tmp_path)).collect()
+    assert len(flat) == 1
+    assert flat[0].psi == 0.0
+    assert flat[0].n_tokens_old == flat[0].n_tokens_new == 24
+
+
+def test_ewma_constant_series_is_the_constant(spark, tmp_path):
+    """On a constant daily series the smoothing fixed point is the
+    constant itself at BOTH alphas (the weight ladder sums to 1), so
+    fast == slow == the daily count and momentum == 0."""
+    import datetime as dt
+
+    rows = [(d * 10 + k, dt.datetime(2024, 3, 1 + d, 12, 0, 0), k,
+             "click", 1.0, "{}")
+            for d in range(9) for k in range(3)]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = STAGED_R7_QUERIES["events_ewma_forecast"](
+        spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_days == 9 and r.last_day_count == 3
+    assert r.ewma_fast == 3.0 and r.ewma_slow == 3.0
+    assert r.momentum == 0.0
+
+
+def test_elasticity_recovers_planted_power_law(spark, tmp_path):
+    """Line items planted exactly on q = C * u^-2 (u = unit price) must
+    regress to elasticity -2 with r2 ~ 1."""
+    import math
+
+    pts = []
+    for i, u in enumerate(math.exp(0.3 * k) for k in range(12)):
+        q = 512.0 / (u * u)
+        pts.append((1 + i, 1, 1, 1, q, u * q, 0.0, 0.0, "N", "O",
+                    __import__("datetime").datetime(2024, 1, 1)))
+    spark.createDataFrame(
+        pts, "l_orderkey long, l_partkey long, l_suppkey long, "
+             "l_linenumber int, l_quantity double, l_extendedprice double, "
+             "l_discount double, l_tax double, l_returnflag string, "
+             "l_linestatus string, l_shipdate timestamp"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, "p", "B", "PLANTED", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    out = STAGED_R7_QUERIES["part_price_elasticity"](
+        spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_lines == 12
+    assert abs(r.elasticity - (-2.0)) < 1e-4
+    assert r.r2 > 0.9999
+
+
+def test_hhi_monopoly_and_uniform_split(spark, tmp_path):
+    """A single-supplier type is a monopoly (hhi 10000, 1 effective
+    supplier, top share 1); four equal suppliers give hhi 2500,
+    4 effective suppliers, top share 0.25."""
+    import datetime as dt
+
+    li = [(1, 1, 7, 1, 1.0, 50.0, 0.0, 0.0, "N", "O",
+           dt.datetime(2024, 1, 1))]
+    li += [(2 + s, 2, 100 + s, 1, 1.0, 25.0, 0.0, 0.0, "N", "O",
+            dt.datetime(2024, 1, 1)) for s in range(4)]
+    spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_linenumber int, l_quantity double, l_extendedprice double, "
+            "l_discount double, l_tax double, l_returnflag string, "
+            "l_linestatus string, l_shipdate timestamp"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, "p1", "B", "MONO", 1, 1.0), (2, "p2", "B", "QUAD", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    out = {r.p_type: r for r in STAGED_R7_QUERIES["supplier_share_hhi"](
+        spark, str(tmp_path)).collect()}
+    assert out["MONO"].hhi == 10000.0
+    assert out["MONO"].effective_suppliers == 1.0
+    assert out["MONO"].top_share == 1.0
+    assert out["QUAD"].n_suppliers == 4
+    assert out["QUAD"].hhi == 2500.0
+    assert out["QUAD"].effective_suppliers == 4.0
+    assert out["QUAD"].top_share == 0.25

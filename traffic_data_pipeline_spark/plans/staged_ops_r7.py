@@ -65,6 +65,18 @@ gaps after the round-6 sweep):
   maintenance: documents arrive in micro-batches, each batch's band
   keys join the accumulated index, NEW candidate pairs emit per batch;
   the union over batches must equal the batch pair stream exactly.
+
+Later additions (same contract; see each docstring): four composition /
+drift monitors (``corpus_length_filter_curve``,
+``embedding_centroid_drift``, ``doc_language_purity``,
+``events_interarrival_burstiness``), a Flesch/FK readability profile
+(``doc_readability``), a trained Naive Bayes char-trigram language
+classifier (``doc_nb_langid``), the composed IVF+PQ query path
+(``embedding_ivfpq_query``), snapshot-PSI drift
+(``corpus_token_psi_drift``), fast/slow exponential smoothing with
+momentum (``events_ewma_forecast``), closed-form log-log demand
+elasticity (``part_price_elasticity``), and supplier-concentration HHI
+(``supplier_share_hhi``).
 """
 
 from __future__ import annotations
@@ -2134,3 +2146,459 @@ def q_embedding_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "list_id",
                     F.round("adc_d2", 6).alias("adc_d2"),
                     F.round("exact_d2", 6).alias("exact_d2")))
+
+
+# ---------------------------------------------------------------------------
+# corpus_token_psi_drift — population-stability-index drift across snapshots
+# ---------------------------------------------------------------------------
+
+PSI_ANCHORS = 40  # top-K old-snapshot tokens anchoring the PSI buckets
+
+
+@staged_r7("corpus_token_psi_drift", f"""
+WITH vers AS (
+  SELECT doc_id, lang, text, 'old' AS snap
+  FROM documents WHERE doc_id % 7 != 0
+  UNION ALL
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' [recrawled]'
+              ELSE text END AS text,
+         'new' AS snap
+  FROM documents),
+tok AS (
+  SELECT snap, lang,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> t != '')) AS token
+  FROM vers),
+cnt AS (
+  SELECT snap, lang, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY 1, 2, 3),
+anch AS (
+  SELECT lang, token FROM (
+    SELECT lang, token,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY c DESC, token) AS rn
+    FROM cnt WHERE snap = 'old') WHERE rn <= {PSI_ANCHORS}),
+bkt AS (
+  SELECT c.snap, c.lang,
+         CASE WHEN a.token IS NOT NULL THEN c.token
+              ELSE '<other>' END AS bucket,
+         CAST(SUM(c.c) AS BIGINT) AS c
+  FROM cnt c
+  LEFT JOIN anch a ON a.lang = c.lang AND a.token = c.token
+  GROUP BY 1, 2, 3),
+wide AS (
+  SELECT lang, bucket,
+         CAST(COALESCE(SUM(CASE WHEN snap = 'old' THEN c END), 0)
+              AS BIGINT) AS c_old,
+         CAST(COALESCE(SUM(CASE WHEN snap = 'new' THEN c END), 0)
+              AS BIGINT) AS c_new
+  FROM bkt GROUP BY 1, 2),
+lt AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS nb,
+         CAST(SUM(c_old) AS BIGINT) AS t_old,
+         CAST(SUM(c_new) AS BIGINT) AS t_new
+  FROM wide GROUP BY 1),
+terms AS (
+  SELECT w.lang, l.nb, l.t_old, l.t_new,
+         CAST((CAST(w.c_new + 1 AS DOUBLE) / (l.t_new + l.nb)
+             - CAST(w.c_old + 1 AS DOUBLE) / (l.t_old + l.nb))
+            * ln((CAST(w.c_new + 1 AS DOUBLE) / (l.t_new + l.nb))
+               / (CAST(w.c_old + 1 AS DOUBLE) / (l.t_old + l.nb)))
+           AS DECIMAL(18,12)) AS term,
+         CASE WHEN w.bucket = '<other>' THEN w.c_new ELSE 0 END AS onew
+  FROM wide w JOIN lt l ON l.lang = w.lang)
+SELECT lang,
+       nb AS n_buckets,
+       t_old AS n_tokens_old,
+       t_new AS n_tokens_new,
+       ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi,
+       ROUND(CAST(SUM(onew) AS DOUBLE) / t_new, 6) AS other_share_new
+FROM terms GROUP BY 1, 2, 3, 4
+""")
+def q_corpus_token_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index across corpus snapshots, per language:
+    the drift monitor model-risk teams run on feature distributions,
+    applied to the token unigram distribution between the previous
+    crawl and the current one. Buckets are the old snapshot's top-K
+    tokens per language (count DESC, token ASC — deterministic ties)
+    plus a single '<other>' bucket, so new-crawl tokens never seen in
+    the old snapshot land in '<other>' and PUSH psi up — exactly the
+    regression a crawl-encoding break produces. Distinct from
+    corpus_kl_drift (source-vs-corpus blend, same snapshot): this is
+    snapshot-vs-snapshot with anchored buckets and the SYMMETRIC PSI
+    statistic (every term (p_new-p_old)*ln(p_new/p_old) >= 0), the form
+    with standing alerting thresholds (0.1 / 0.25) in drift practice.
+    Snapshots follow corpus_snapshot_diff's deterministic convention
+    (old = doc_id % 7 != 0; new = all docs, 1-in-11 texts re-crawled).
+
+    Determinism: bucket counts are integers; shares add-one-smooth over
+    (total + n_buckets) so ln never sees 0; each PSI term quantizes to
+    DECIMAL(18,12) before the per-language sum (<= K+1 terms, order-
+    free), the house class for ln-bearing accumulations.
+
+    Scale shape: ONE (snap, lang, token) map-side-combined count is the
+    only corpus-wide shuffle; the anchor window ranks the OLD side of
+    that vocab-bounded frame per language; anchors (|langs| x K rows)
+    and the per-language totals broadcast back; everything after the
+    bucket fold is <= |langs| x (K+1) rows.
+    """
+    from traffic_data_pipeline_spark.functions.text import TOKEN_SPLIT_RE
+    from traffic_data_pipeline_spark.plans.staged_ops import (
+        SNAP_ADD_MOD,
+        SNAP_EDIT_MOD,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % SNAP_ADD_MOD != 0).select(
+        "lang", "text", F.lit("old").alias("snap"))
+    new = docs.select(
+        "lang",
+        F.when(F.col("doc_id") % SNAP_EDIT_MOD == 0,
+               F.concat(F.col("text"), F.lit(" [recrawled]")))
+        .otherwise(F.col("text")).alias("text"),
+        F.lit("new").alias("snap"))
+    tok = (old.unionByName(new)
+           .select("snap", "lang",
+                   F.explode(F.filter(
+                       F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE),
+                       lambda t: t != "")).alias("token")))
+    cnt = (tok.groupBy("snap", "lang", "token")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+           # the ONE corpus-wide shuffle, read by BOTH the anchor rank
+           # and the bucket fold — checkpoint so the token count runs
+           # once, not once per branch
+           .localCheckpoint(eager=True))
+    w_anch = Window.partitionBy("lang").orderBy(
+        F.desc("c"), F.asc("token"))
+    anch = (cnt.filter(F.col("snap") == "old")
+            .withColumn("rn", F.row_number().over(w_anch))
+            .filter(F.col("rn") <= PSI_ANCHORS)
+            .select(F.col("lang").alias("a_lang"),
+                    F.col("token").alias("a_token")))
+    bkt = (cnt.join(F.broadcast(anch),
+                    (F.col("a_lang") == F.col("lang"))
+                    & (F.col("a_token") == F.col("token")), "left")
+           .select("lang", "snap", "c",
+                   F.when(F.col("a_token").isNotNull(), F.col("token"))
+                   .otherwise(F.lit("<other>")).alias("bucket"))
+           .groupBy("lang", "snap", "bucket")
+           .agg(F.sum("c").cast("bigint").alias("c")))
+    wide = (bkt.groupBy("lang", "bucket")
+            .agg(F.coalesce(F.sum(F.when(F.col("snap") == "old",
+                                         F.col("c"))), F.lit(0))
+                 .cast("bigint").alias("c_old"),
+                 F.coalesce(F.sum(F.when(F.col("snap") == "new",
+                                         F.col("c"))), F.lit(0))
+                 .cast("bigint").alias("c_new"))
+            # <= |langs| x (K+1) rows, read by the totals AND the terms
+            .localCheckpoint(eager=True))
+    lt = (wide.groupBy("lang")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("nb"),
+               F.sum("c_old").cast("bigint").alias("t_old"),
+               F.sum("c_new").cast("bigint").alias("t_new")))
+    p_new = (F.col("c_new") + 1).cast("double") / (F.col("t_new") + F.col("nb"))
+    p_old = (F.col("c_old") + 1).cast("double") / (F.col("t_old") + F.col("nb"))
+    terms = (wide.join(F.broadcast(lt), "lang")
+             .select("lang", "nb", "t_old", "t_new",
+                     ((p_new - p_old) * F.log(p_new / p_old))
+                     .cast("decimal(18,12)").alias("term"),
+                     F.when(F.col("bucket") == "<other>", F.col("c_new"))
+                     .otherwise(F.lit(0)).alias("onew")))
+    return (terms.groupBy("lang", "nb", "t_old", "t_new")
+            .agg(F.round(F.sum("term").cast("double"), 6).alias("psi"),
+                 F.round(F.sum("onew").cast("double") / F.col("t_new"), 6)
+                 .alias("other_share_new"))
+            .select("lang", F.col("nb").alias("n_buckets"),
+                    F.col("t_old").alias("n_tokens_old"),
+                    F.col("t_new").alias("n_tokens_new"),
+                    "psi", "other_share_new"))
+
+
+# ---------------------------------------------------------------------------
+# events_ewma_forecast — fast/slow exponential smoothing + momentum
+# ---------------------------------------------------------------------------
+
+EWMA_FAST = 0.5   # both alphas are binary rationals, so every weight
+EWMA_SLOW = 0.25  # alpha*(1-alpha)^i is an EXACT double (see docstring)
+
+
+@staged_r7("events_ewma_forecast", """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+span AS (
+  SELECT MIN(day) AS d0, MAX(day) AS d1,
+         date_diff('day', MIN(day), MAX(day)) + 1 AS t
+  FROM daily),
+types AS (SELECT DISTINCT event_type FROM daily),
+spine AS (
+  SELECT ty.event_type, CAST(g.day AS DATE) AS day,
+         date_diff('day', s.d0, CAST(g.day AS DATE)) AS d, s.t
+  FROM types ty, span s,
+       unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+                              CAST(s.d1 AS TIMESTAMP),
+                              INTERVAL 1 DAY)) g(day)),
+fill AS (
+  SELECT sp.event_type, sp.d, sp.t, COALESCE(dy.y, 0) AS y
+  FROM spine sp
+  LEFT JOIN daily dy
+    ON dy.event_type = sp.event_type AND dy.day = sp.day),
+terms AS (
+  SELECT event_type, t, d, y,
+         CAST(y * ROUND(CASE WHEN d = 0 THEN power(0.5, t - 1)
+                             ELSE 0.5 * power(0.5, t - 1 - d) END, 12)
+              AS DECIMAL(28,16)) AS tf,
+         CAST(y * ROUND(CASE WHEN d = 0 THEN power(0.75, t - 1)
+                             ELSE 0.25 * power(0.75, t - 1 - d) END, 12)
+              AS DECIMAL(28,16)) AS ts
+  FROM fill)
+SELECT event_type,
+       CAST(MAX(t) AS BIGINT) AS n_days,
+       CAST(MAX(CASE WHEN d = t - 1 THEN y END) AS BIGINT)
+         AS last_day_count,
+       ROUND(CAST(SUM(tf) AS DOUBLE), 6) AS ewma_fast,
+       ROUND(CAST(SUM(ts) AS DOUBLE), 6) AS ewma_slow,
+       ROUND(ROUND(CAST(SUM(tf) AS DOUBLE), 6)
+             - ROUND(CAST(SUM(ts) AS DOUBLE), 6), 6) AS momentum
+FROM terms GROUP BY 1
+""")
+def q_events_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type exponentially-weighted daily-volume level, at a fast
+    (alpha=1/2) and a slow (alpha=1/4) horizon, plus their difference —
+    the MACD-style momentum readout. The fast level IS the one-step
+    simple-exponential-smoothing forecast of tomorrow's volume; a
+    positive momentum means volume is accelerating beyond its slow
+    baseline (launch, incident, bot burst), negative means decay. The
+    time-series smoothing/forecast primitive the anomaly family
+    (events_mad_anomaly, events_zscore_anomaly) doesn't carry: those
+    flag points against a static spread, this tracks a moving level.
+
+    Determinism: the recursion s_t = a*y_t + (1-a)*s_(t-1) unrolls to
+    the closed form s_T = sum_d w_d * y_d with w_d = a*(1-a)^(T-1-d)
+    (and the d=0 seed weight (1-a)^(T-1)). Both alphas are binary
+    rationals, so every (1-a)^i = 3^i/4^i is an EXACT double while
+    3^i < 2^53; pow may still be off by 1 ulp in either engine, so
+    weights quantize at ROUND-12 (ties are impossible: the exact
+    decimal expansion of 75^i/100^i never lands on a 5 at the cut
+    digit), each term y*w quantizes to DECIMAL(28,16), and the
+    per-type sum is order-free. Missing days fill y=0 from the
+    calendar spine, so the weight ladder is gap-correct.
+
+    Scale shape: ONE (type, day) map-side-combined count is the only
+    corpus-wide shuffle; the span scalar and day spine broadcast; the
+    filled frame is |types| x |days| rows (bounded by calendar, not
+    corpus) and folds to |types| output rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.select("event_type",
+                       F.to_date(F.date_trunc("day", F.col("ts")))
+                       .alias("day"))
+             .groupBy("event_type", "day")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
+    span = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1"),
+        (F.datediff(F.max("day"), F.min("day")) + 1).alias("t"))
+    types = daily.select("event_type").distinct()
+    spine = (types.crossJoin(F.broadcast(span))
+             .select("event_type", "t",
+                     F.explode(F.sequence(
+                         F.col("d0"), F.col("d1"),
+                         F.expr("interval 1 day"))).alias("day"),
+                     F.col("d0"))
+             .select("event_type", "t", "day",
+                     F.datediff(F.col("day"), F.col("d0")).alias("d")))
+    fill = (spine.join(
+        F.broadcast(daily.select(F.col("event_type").alias("de"),
+                                 F.col("day").alias("dd"), "y")),
+        (F.col("de") == F.col("event_type")) & (F.col("dd") == F.col("day")),
+        "left")
+        .select("event_type", "t", "d",
+                F.coalesce("y", F.lit(0)).cast("bigint").alias("y")))
+    w_fast = F.round(
+        F.when(F.col("d") == 0, F.pow(F.lit(0.5), F.col("t") - 1))
+        .otherwise(0.5 * F.pow(F.lit(0.5), F.col("t") - 1 - F.col("d"))), 12)
+    w_slow = F.round(
+        F.when(F.col("d") == 0, F.pow(F.lit(0.75), F.col("t") - 1))
+        .otherwise(0.25 * F.pow(F.lit(0.75), F.col("t") - 1 - F.col("d"))),
+        12)
+    terms = fill.select(
+        "event_type", "t", "d", "y",
+        (F.col("y") * w_fast).cast("decimal(28,16)").alias("tf"),
+        (F.col("y") * w_slow).cast("decimal(28,16)").alias("ts"))
+    ef = F.round(F.sum("tf").cast("double"), 6)
+    es = F.round(F.sum("ts").cast("double"), 6)
+    return (terms.groupBy("event_type")
+            .agg(F.max("t").cast("bigint").alias("n_days"),
+                 F.max(F.when(F.col("d") == F.col("t") - 1, F.col("y")))
+                 .cast("bigint").alias("last_day_count"),
+                 ef.alias("ewma_fast"),
+                 es.alias("ewma_slow"),
+                 F.round(ef - es, 6).alias("momentum")))
+
+
+# ---------------------------------------------------------------------------
+# part_price_elasticity — log-log OLS demand elasticity per part type
+# ---------------------------------------------------------------------------
+
+
+@staged_r7("part_price_elasticity", """
+WITH pts AS (
+  SELECT p.p_type,
+         ROUND(ln(l.l_extendedprice / l.l_quantity), 12) AS x,
+         ROUND(ln(l.l_quantity), 12) AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_quantity > 0 AND l.l_extendedprice > 0),
+m AS (
+  SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(x AS DECIMAL(20,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(20,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(24,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(24,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(24,12))) AS DOUBLE) AS syy
+  FROM pts GROUP BY 1)
+SELECT p_type, n_lines,
+       ROUND((n_lines * sxy - sx * sy)
+             / NULLIF(n_lines * sxx - sx * sx, 0), 6) AS elasticity,
+       ROUND(((n_lines * sxy - sx * sy) * (n_lines * sxy - sx * sy))
+             / NULLIF((n_lines * sxx - sx * sx)
+                      * (n_lines * syy - sy * sy), 0), 6) AS r2
+FROM m
+""")
+def q_part_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity of demand per part type: the OLS slope of
+    ln(quantity) on ln(unit price) across line items, with r-squared —
+    the closed-form log-log regression a pricing or demand model starts
+    from. Negative slope = normal demand curve; r2 says how much of the
+    quantity variance price explains. Distinct from
+    sensor_theilsen_trend (robust median-of-slopes over TIME): this is
+    cross-sectional least squares from five moment sums, the
+    map-reduce-friendly form of regression.
+
+    Determinism: ln(unit price) and ln(quantity) quantize at ROUND-12
+    per row (the house class for ln terms — a 1-ulp libm disagreement
+    sits ~1e3 below the cut digit); products of the two quantized
+    doubles are IEEE-identical in both engines, every moment quantizes
+    to DECIMAL before the order-free sum, and slope/r2 are one shared
+    double expression over the identical decimal moments, rounded once.
+
+    Scale shape: part broadcasts into the lineitem scan; ONE
+    (p_type) map-side-combined moment aggregate collapses the fact
+    table to |types| rows; no second pass, no window, no join after
+    the fold. The five-moment trick is what makes OLS a single
+    shuffle at 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    x = F.round(F.log(F.col("l_extendedprice") / F.col("l_quantity")), 12)
+    y = F.round(F.log(F.col("l_quantity")), 12)
+    pts = (li.filter((F.col("l_quantity") > 0)
+                     & (F.col("l_extendedprice") > 0))
+           .join(F.broadcast(pt), pt.p_partkey == li.l_partkey)
+           .select("p_type", x.alias("x"), y.alias("y")))
+    m = (pts.groupBy("p_type")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+              F.sum(F.col("x").cast("decimal(20,12)"))
+              .cast("double").alias("sx"),
+              F.sum(F.col("y").cast("decimal(20,12)"))
+              .cast("double").alias("sy"),
+              F.sum((F.col("x") * F.col("y")).cast("decimal(24,12)"))
+              .cast("double").alias("sxy"),
+              F.sum((F.col("x") * F.col("x")).cast("decimal(24,12)"))
+              .cast("double").alias("sxx"),
+              F.sum((F.col("y") * F.col("y")).cast("decimal(24,12)"))
+              .cast("double").alias("syy")))
+    num = F.col("n_lines") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_lines") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n_lines") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "p_type", "n_lines",
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("elasticity"),
+        F.round((num * num) / F.nullif(den * deny, F.lit(0.0)), 6)
+        .alias("r2"))
+
+
+# ---------------------------------------------------------------------------
+# supplier_share_hhi — Herfindahl-Hirschman supplier concentration
+# ---------------------------------------------------------------------------
+
+
+@staged_r7("supplier_share_hhi", """
+WITH rev AS (
+  SELECT p.p_type, l.l_suppkey,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2),
+tot AS (
+  SELECT p_type,
+         CAST(SUM(cents) AS BIGINT) AS tot_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(MAX(cents) AS BIGINT) AS max_cents
+  FROM rev GROUP BY 1),
+hh AS (
+  SELECT r.p_type,
+         SUM(CAST((CAST(r.cents AS DOUBLE) / t.tot_cents)
+                * (CAST(r.cents AS DOUBLE) / t.tot_cents)
+              AS DECIMAL(20,14))) AS hhi_frac
+  FROM rev r JOIN tot t ON t.p_type = r.p_type
+  GROUP BY 1)
+SELECT t.p_type, t.n_suppliers,
+       ROUND(CAST(h.hhi_frac AS DOUBLE) * 10000, 6) AS hhi,
+       ROUND(1.0 / CAST(h.hhi_frac AS DOUBLE), 6) AS effective_suppliers,
+       ROUND(CAST(t.max_cents AS DOUBLE) / t.tot_cents, 6) AS top_share
+FROM tot t JOIN hh h ON h.p_type = t.p_type
+""")
+def q_supplier_share_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain concentration per part type: the Herfindahl-
+    Hirschman index of supplier revenue shares (0..10000, the antitrust
+    scale), the equivalent-equal-supplier count 1/sum(share^2), and the
+    top supplier's share. The procurement-risk readout next to
+    part_supplier_diversity (which counts suppliers; HHI weights them —
+    ten suppliers where one ships 95% is a monopoly in disguise) and
+    distinct from events_spend_concentration's Gini (inequality of a
+    ranked distribution vs sum-of-squared-shares market power).
+
+    Determinism: revenue quantizes to integer cents FIRST (the
+    events_value_benford contract — ROUND(x*100) of the identical
+    double in both engines), shares are integer-cents ratios, each
+    squared share quantizes to DECIMAL(20,14) before the order-free
+    per-type sum, and hhi / effective_suppliers / top_share are single
+    rounded projections of those exact sums.
+
+    Scale shape: part broadcasts into the fact scan; ONE
+    (p_type, suppkey) map-side-combined cents aggregate is the only
+    corpus-wide shuffle; totals re-aggregate that bounded frame
+    (<= |types| x |suppliers|) and broadcast back for the share fold.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (li.join(F.broadcast(pt), pt.p_partkey == li.l_partkey)
+           .select("p_type", "l_suppkey",
+                   F.round(F.col("l_extendedprice") * 100)
+                   .cast("bigint").alias("c"))
+           .groupBy("p_type", "l_suppkey")
+           .agg(F.sum("c").cast("bigint").alias("cents"))
+           # the ONE corpus-wide shuffle, read by the totals AND the
+           # share fold — checkpoint so the fact scan runs once
+           .localCheckpoint(eager=True))
+    tot = (rev.groupBy("p_type")
+           .agg(F.sum("cents").cast("bigint").alias("tot_cents"),
+                F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+                F.max("cents").cast("bigint").alias("max_cents"))
+           .localCheckpoint(eager=True))  # |types| rows, read twice
+    share = F.col("cents").cast("double") / F.col("tot_cents")
+    hh = (rev.join(F.broadcast(tot.select("p_type", "tot_cents")), "p_type")
+          .select("p_type",
+                  (share * share).cast("decimal(20,14)").alias("sq"))
+          .groupBy("p_type")
+          .agg(F.sum("sq").alias("hhi_frac")))
+    return (tot.join(F.broadcast(hh), "p_type")
+            .select("p_type", "n_suppliers",
+                    F.round(F.col("hhi_frac").cast("double") * 10000, 6)
+                    .alias("hhi"),
+                    F.round(1.0 / F.col("hhi_frac").cast("double"), 6)
+                    .alias("effective_suppliers"),
+                    F.round(F.col("max_cents").cast("double")
+                            / F.col("tot_cents"), 6).alias("top_share")))
