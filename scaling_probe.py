@@ -36,6 +36,10 @@ NAMES = [
     "doc_repetition_profile",   # r7: doc-local gram/run aggregates
     "vocab_zipf_alpha",         # r6: one token-count fold
     "corpus_heaps_law",         # r6: first-occurrence histogram folds
+    "corpus_token_psi_drift",   # r7: ONE (snap, lang, token) count,
+                                # checkpointed; buckets vocab-bounded
+    "doc_nb_langid",            # r7: (lang, gram) likelihood counts
+                                # bounded by |langs| x |trigrams|
 ]
 OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events", "embeddings"]
@@ -169,6 +173,8 @@ EVENT_NAMES = [
     "events_markov_removal_effect",  # r7: corpus work is one window pass
                                  # + one count; 40 value iterations on
                                  # K-row frames are N-INDEPENDENT
+    "events_ewma_forecast",      # r7: ONE (type, day) count; the weight
+                                 # fold is calendar-bounded
 ]
 
 
