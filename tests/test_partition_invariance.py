@@ -140,6 +140,11 @@ CASES = [
     # partial splits; the anchor rank must not depend on partitioning
     "corpus_token_psi_drift",
     "part_price_elasticity",
+    # DECIMAL(38,0) cross-series moments merged across splits; the MMR
+    # greedy orbit (pool cut + argmax rounds) must not depend on how
+    # the relevance scan was partitioned
+    "events_lead_lag_correlation",
+    "embedding_mmr_topk",
 ]
 
 

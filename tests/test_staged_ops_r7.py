@@ -106,6 +106,13 @@ STAGED_R7_CAPS = {
     "supplier_share_hhi": (2, 2),        # live plan reads the
                                          # checkpointed (type, supp)
                                          # cents frame; totals broadcast
+    "events_lead_lag_correlation": (2, 1),  # ONE (type, day) count
+                                         # (checkpointed); the lag grid +
+                                         # spine self-join broadcast
+    "embedding_mmr_topk": (1, 0),        # live plan reads the final
+                                         # checkpointed selection; the
+                                         # greedy rounds join
+                                         # pool-constant frames
 }
 
 
@@ -603,3 +610,68 @@ def test_hhi_monopoly_and_uniform_split(spark, tmp_path):
     assert out["QUAD"].hhi == 2500.0
     assert out["QUAD"].effective_suppliers == 4.0
     assert out["QUAD"].top_share == 0.25
+
+
+def test_lead_lag_planted_shift_correlates_at_its_lag(spark, tmp_path):
+    """Type B's daily volume is EXACTLY type A's shifted 2 days later, so
+    corr(A -> B, lag=2) == 1.0 and the lag-0 correlation is weaker."""
+    import datetime as dt
+
+    counts = [5, 9, 2, 11, 4, 8, 3, 10, 6, 7, 1, 12]
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts):
+        for k in range(c):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 5, 1 + d, 10, 0, 0),
+                         k, "alpha", 1.0, "{}"))
+    for d, c in enumerate(counts):
+        for k in range(c):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 5, 3 + d, 10, 0, 0),
+                         k, "beta", 1.0, "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {(r.type_a, r.type_b, r.lag): r
+           for r in STAGED_R7_QUERIES["events_lead_lag_correlation"](
+               spark, str(tmp_path)).collect()}
+    hit = out[("alpha", "beta", 2)]
+    assert hit.corr == 1.0
+    # the shifted overlap spans the 12 planted days of alpha
+    assert hit.n_days == 12
+    assert out[("alpha", "beta", 0)].corr < 1.0
+
+
+def test_mmr_prefers_diversity_over_redundant_relevance(spark, tmp_path):
+    """Pool: a near-clone pair of highly relevant vectors plus a less
+    relevant but orthogonal one. Plain top-k would return both clones
+    first; MMR must pick one clone, then the orthogonal vector, and
+    demote the second clone to last."""
+    from traffic_data_pipeline_spark.plans.staged_ops_r7 import (
+        MMR_QUERY_ID,
+    )
+
+    dim = 8
+    # query points along (1, 1): candidate 1 covers the first axis,
+    # candidate 2 is COLINEAR with 1 (sim = 1, zero marginal value),
+    # candidate 3 covers the second axis (sim(1,3) = 0) at a hair less
+    # relevance — raw top-k returns [1, 2, ...]; MMR must defer 2
+    q = [1.0, 1.0] + [0.0] * (dim - 2)
+    cand_1 = [1.0, 0.0] + [0.0] * (dim - 2)
+    clone_2 = [0.999, 0.0] + [0.0] * (dim - 2)   # colinear with 1
+    diverse_3 = [0.0, 1.0, 0.05] + [0.0] * (dim - 3)  # tilted: rel a
+    # hair below cand_1's (cosine is scale-invariant, so only the tilt
+    # lowers it), sim(1, 3) = 0
+    rows = [(MMR_QUERY_ID, q, 0), (1, cand_1, 0), (2, clone_2, 0),
+            (3, diverse_3, 1)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = sorted(STAGED_R7_QUERIES["embedding_mmr_topk"](
+        spark, str(tmp_path)).collect(), key=lambda r: r.pick_rank)
+    assert [r.vec_id for r in out] == [1, 3, 2]
+    assert out[0].relevance > out[1].relevance  # 3 picked DESPITE lower rel
+    for r in out:
+        assert abs(r.mmr_score) <= 1.0

@@ -75,8 +75,11 @@ classifier (``doc_nb_langid``), the composed IVF+PQ query path
 (``embedding_ivfpq_query``), snapshot-PSI drift
 (``corpus_token_psi_drift``), fast/slow exponential smoothing with
 momentum (``events_ewma_forecast``), closed-form log-log demand
-elasticity (``part_price_elasticity``), and supplier-concentration HHI
-(``supplier_share_hhi``).
+elasticity (``part_price_elasticity``), supplier-concentration HHI
+(``supplier_share_hhi``), directional lead-lag cross-correlation
+between event-type daily series (``events_lead_lag_correlation``),
+and Maximal-Marginal-Relevance diverse retrieval
+(``embedding_mmr_topk``).
 """
 
 from __future__ import annotations
@@ -2602,3 +2605,289 @@ def q_supplier_share_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("effective_suppliers"),
                     F.round(F.col("max_cents").cast("double")
                             / F.col("tot_cents"), 6).alias("top_share")))
+
+
+# ---------------------------------------------------------------------------
+# events_lead_lag_correlation — directional cross-correlation at day lags
+# ---------------------------------------------------------------------------
+
+LEAD_LAG_MAX = 3  # correlate a_t against b_(t+lag) for lag 0..3
+
+
+@staged_r7("events_lead_lag_correlation", f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+types AS (SELECT DISTINCT event_type FROM daily),
+spine AS (
+  SELECT ty.event_type, CAST(g.day AS DATE) AS day,
+         date_diff('day', s.d0, CAST(g.day AS DATE)) AS d
+  FROM types ty, span s,
+       unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+                              CAST(s.d1 AS TIMESTAMP),
+                              INTERVAL 1 DAY)) g(day)),
+fill AS (
+  SELECT sp.event_type, sp.d, COALESCE(dy.y, 0) AS y
+  FROM spine sp
+  LEFT JOIN daily dy
+    ON dy.event_type = sp.event_type AND dy.day = sp.day),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+         a.y AS xa, b.y AS xb
+  FROM fill a
+  JOIN (SELECT unnest(generate_series(0, {LEAD_LAG_MAX})) AS lag) l ON TRUE
+  JOIN fill b
+    ON b.event_type != a.event_type AND b.d = a.d + l.lag),
+m AS (
+  SELECT type_a, type_b, lag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(xa AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(xb AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(xa AS DECIMAL(38,0)) * xb) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(xa AS DECIMAL(38,0)) * xa) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(xb AS DECIMAL(38,0)) * xb) AS DOUBLE) AS syy
+  FROM pairs GROUP BY 1, 2, 3)
+SELECT type_a, type_b, lag, n AS n_days,
+       ROUND((n * sxy - sx * sy)
+             / NULLIF(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy),
+                      0), 6) AS corr
+FROM m
+""")
+def q_events_lead_lag_correlation(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Directional lead-lag analysis between event-type daily series:
+    Pearson correlation of a's volume on day t against b's on day
+    t+lag, for every ordered type pair and lag 0..3 — the diagnostic
+    that surfaces 'errors spike two days after signups surge' style
+    causal candidates, which same-day correlation (lag 0) and
+    single-series autocorrelation (sensor_autocorr) both miss.
+
+    Determinism: daily counts are integers zero-filled from the
+    calendar spine; ALL five moments accumulate in DECIMAL(38,0)
+    (products of bigint counts — exact, order-free); the correlation
+    is one shared double expression over those exact moments (sqrt is
+    IEEE-correctly-rounded in both engines, no libm transcendentals)
+    rounded once. Zero-variance series yield NULL via the NULLIF
+    guard instead of a divide error.
+
+    Scale shape: ONE (type, day) map-side-combined count collapses
+    the stream; the filled frame is |types| x |days| rows
+    (calendar-bounded) and self-joins under a broadcast with the
+    (LEAD_LAG_MAX+1)-row lag grid; output is bounded by
+    |types|^2 x lags. Nothing downstream of the first aggregate
+    touches corpus-sized data.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.select("event_type",
+                       F.to_date(F.date_trunc("day", F.col("ts")))
+                       .alias("day"))
+             .groupBy("event_type", "day")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+             # the one corpus-wide shuffle, read by the span probe AND
+             # both sides of the pair join
+             .localCheckpoint(eager=True))
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    types = daily.select("event_type").distinct()
+    fill = (types.crossJoin(F.broadcast(span))
+            .select("event_type",
+                    F.explode(F.sequence(
+                        F.col("d0"), F.col("d1"),
+                        F.expr("interval 1 day"))).alias("day"),
+                    F.col("d0"))
+            .join(F.broadcast(daily.select(
+                F.col("event_type").alias("de"),
+                F.col("day").alias("dd"), "y")),
+                (F.col("de") == F.col("event_type"))
+                & (F.col("dd") == F.col("day")), "left")
+            .select("event_type",
+                    F.datediff(F.col("day"), F.col("d0")).alias("d"),
+                    F.coalesce("y", F.lit(0)).cast("bigint").alias("y"))
+            .localCheckpoint(eager=True))  # tiny; read by both join sides
+    lags = spark.range(0, LEAD_LAG_MAX + 1).select(
+        F.col("id").cast("int").alias("lag"))
+    a = fill.select(F.col("event_type").alias("type_a"),
+                    F.col("d").alias("da"), F.col("y").alias("xa"))
+    b = fill.select(F.col("event_type").alias("type_b"),
+                    F.col("d").alias("db"), F.col("y").alias("xb"))
+    pairs = (a.crossJoin(F.broadcast(lags))
+             .join(F.broadcast(b),
+                   (F.col("type_b") != F.col("type_a"))
+                   & (F.col("db") == F.col("da") + F.col("lag"))))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = (pairs.groupBy("type_a", "type_b", "lag")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.sum(dec("xa")).cast("double").alias("sx"),
+              F.sum(dec("xb")).cast("double").alias("sy"),
+              F.sum(dec("xa") * F.col("xb")).cast("double").alias("sxy"),
+              F.sum(dec("xa") * F.col("xa")).cast("double").alias("sxx"),
+              F.sum(dec("xb") * F.col("xb")).cast("double").alias("syy")))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = (F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+           * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")))
+    return m.select("type_a", "type_b", "lag",
+                    F.col("n").alias("n_days"),
+                    F.round(num / F.nullif(den, F.lit(0.0)), 6)
+                    .alias("corr"))
+
+
+# ---------------------------------------------------------------------------
+# embedding_mmr_topk — Maximal Marginal Relevance diverse retrieval
+# ---------------------------------------------------------------------------
+
+MMR_QUERY_ID = 0   # the KNN_QUERY_IDS convention: query vector 0
+MMR_POOL = 25      # relevance-ranked candidate pool fed to the greedy
+MMR_K = 10         # picks emitted
+_MMR_LAM = "CAST(0.7 AS DECIMAL(2,1))"
+_MMR_MU = "CAST(0.3 AS DECIMAL(2,1))"
+
+
+def _mmr_oracle() -> str:
+    from traffic_data_pipeline_spark.plans.oracle_ctes import _EMB_CTES
+
+    head = f"""
+WITH {_EMB_CTES},
+qdots AS (
+  SELECT c.vec_id AS c_id,
+         CAST(SUM(CAST(q.val * c.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM elems q JOIN elems c ON q.pos = c.pos
+  WHERE q.vec_id = {MMR_QUERY_ID} AND c.vec_id != {MMR_QUERY_ID}
+  GROUP BY 1),
+rel AS (
+  SELECT d.c_id,
+         CAST(ROUND(d.dot / (sqrt(qn.norm_sq) * sqrt(cn.norm_sq)), 9)
+              AS DECIMAL(20,9)) AS rel
+  FROM qdots d, norms qn, norms cn
+  WHERE qn.vec_id = {MMR_QUERY_ID} AND cn.vec_id = d.c_id),
+pool AS MATERIALIZED (SELECT c_id, rel FROM rel ORDER BY rel DESC, c_id LIMIT {MMR_POOL}),
+pdots AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         CAST(SUM(CAST(a.val * b.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM elems a
+  JOIN elems b ON a.pos = b.pos AND a.vec_id != b.vec_id
+  JOIN pool pa ON pa.c_id = a.vec_id
+  JOIN pool pb ON pb.c_id = b.vec_id
+  GROUP BY 1, 2),
+sims AS MATERIALIZED (
+  SELECT p.a, p.b,
+         CAST(ROUND(p.dot / (sqrt(na.norm_sq) * sqrt(nb.norm_sq)), 9)
+              AS DECIMAL(20,9)) AS sim
+  FROM pdots p
+  JOIN norms na ON na.vec_id = p.a
+  JOIN norms nb ON nb.vec_id = p.b),
+p1 AS (
+  SELECT 1 AS rk, c_id, rel,
+         {_MMR_LAM} * rel - {_MMR_MU} * CAST(0 AS DECIMAL(20,9)) AS score
+  FROM pool ORDER BY rel DESC, c_id LIMIT 1),
+sel1 AS MATERIALIZED (SELECT rk, c_id, rel, score FROM p1)"""
+    steps = []
+    for k in range(2, MMR_K + 1):
+        steps.append(f""",
+ms{k} AS (
+  SELECT s.a AS c_id, MAX(s.sim) AS ms
+  FROM sims s JOIN sel{k - 1} t ON t.c_id = s.b GROUP BY 1),
+p{k} AS (
+  SELECT {k} AS rk, c.c_id, c.rel,
+         {_MMR_LAM} * c.rel - {_MMR_MU} * m.ms AS score
+  FROM pool c JOIN ms{k} m ON m.c_id = c.c_id
+  WHERE c.c_id NOT IN (SELECT c_id FROM sel{k - 1})
+  ORDER BY score DESC, c.c_id LIMIT 1),
+sel{k} AS MATERIALIZED (SELECT * FROM sel{k - 1} UNION ALL SELECT * FROM p{k})""")
+    tail = f"""
+SELECT rk AS pick_rank, c_id AS vec_id,
+       CAST(rel AS DOUBLE) AS relevance,
+       CAST(score AS DOUBLE) AS mmr_score
+FROM sel{MMR_K}"""
+    return head + "".join(steps) + tail
+
+
+@staged_r7("embedding_mmr_topk", _mmr_oracle())
+def q_embedding_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance retrieval (Carbonell & Goldstein 1998):
+    greedily pick K results that balance relevance to the query against
+    redundancy with what is already picked — score = 0.7*cos(d, q) -
+    0.3*max_cos(d, selected). The diversity-aware retrieval layer the
+    plain top-k family (embedding_knn, embedding_ann_lsh) lacks: a
+    near-duplicate of an already-returned hit is demoted even when it
+    out-scores everything else on raw relevance. Pool = the top
+    {MMR_POOL} by relevance; both stages ride the decimal-exact dot
+    helpers shared with the kNN ops.
+
+    Determinism: relevance and pairwise similarities quantize at
+    ROUND-9 into DECIMAL(20,9) (dot products are decimal-exact; the
+    norm division is sqrt/divide of identical doubles, IEEE-identical
+    in both engines); the greedy score is EXACT decimal arithmetic
+    (0.7*rel - 0.3*maxsim), so both engines walk the identical
+    selection orbit with a vec_id tiebreak — the
+    events_markov_removal_effect contract applied to a greedy argmax
+    instead of a fixed-point orbit. The oracle unrolls the {MMR_K}
+    picks as chained CTEs.
+
+    Scale shape: ONE corpus-wide pass scores relevance (query vector
+    broadcast, decimal dots in-row, TakeOrdered pool cut); everything
+    after is bounded by the pool constant — pairwise sims are
+    {MMR_POOL}^2 rows, and each greedy round is a join + limit-1 on
+    checkpointed pool-sized frames ({MMR_K} tiny jobs, corpus-size-
+    independent). At 100 TB the pool cut would ride the registered ANN
+    index instead of brute force; the greedy stages are unchanged.
+    """
+    from traffic_data_pipeline_spark.functions.similarity import (
+        _cosine,
+        dot_product,
+        norm_sq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm_sq(F.col("embedding")).alias("n2"))
+    q = emb.filter(F.col("vec_id") == MMR_QUERY_ID).select(
+        F.col("embedding").alias("qv"), F.col("n2").alias("qn"))
+    rel = (emb.filter(F.col("vec_id") != MMR_QUERY_ID)
+           .crossJoin(F.broadcast(q))
+           .select(F.col("vec_id").alias("c_id"), "embedding", "n2",
+                   F.round(_cosine(
+                       dot_product(F.col("embedding"), F.col("qv")),
+                       F.col("n2"), F.col("qn")), 9)
+                   .cast("decimal(20,9)").alias("rel")))
+    pool = (rel.orderBy(F.desc("rel"), F.asc("c_id")).limit(MMR_POOL)
+            .localCheckpoint(eager=True))
+    a = pool.select(F.col("c_id").alias("a"),
+                    F.col("embedding").alias("va"), F.col("n2").alias("na"))
+    b = pool.select(F.col("c_id").alias("b"),
+                    F.col("embedding").alias("vb"), F.col("n2").alias("nb"))
+    sims = (a.join(F.broadcast(b), F.col("a") != F.col("b"))
+            .select("a", "b",
+                    F.round(_cosine(dot_product(F.col("va"), F.col("vb")),
+                                    F.col("na"), F.col("nb")), 9)
+                    .cast("decimal(20,9)").alias("sim"))
+            .localCheckpoint(eager=True))
+    cand = pool.select("c_id", "rel")
+    lam = F.expr("CAST(0.7 AS DECIMAL(2,1))")
+    mu = F.expr("CAST(0.3 AS DECIMAL(2,1))")
+    sel = None
+    for rk in range(1, MMR_K + 1):
+        if sel is None:
+            scored = cand.select(
+                "c_id", "rel",
+                (lam * F.col("rel")
+                 - mu * F.lit(0).cast("decimal(20,9)")).alias("score"))
+        else:
+            ms = (sims.join(F.broadcast(sel.select(
+                      F.col("c_id").alias("b"))), "b")
+                  .groupBy("a").agg(F.max("sim").alias("ms"))
+                  .withColumnRenamed("a", "c_id"))
+            scored = (cand.join(sel.select("c_id"), "c_id", "left_anti")
+                      .join(ms, "c_id")
+                      .select("c_id", "rel",
+                              (lam * F.col("rel") - mu * F.col("ms"))
+                              .alias("score")))
+        pick = (scored.orderBy(F.desc("score"), F.asc("c_id")).limit(1)
+                .select(F.lit(rk).alias("rk"), "c_id", "rel",
+                        F.col("score").cast("decimal(23,10)")
+                        .alias("score")))
+        sel = (pick if sel is None
+               else sel.unionByName(pick)).localCheckpoint(eager=True)
+    return sel.select(F.col("rk").alias("pick_rank"),
+                      F.col("c_id").alias("vec_id"),
+                      F.col("rel").cast("double").alias("relevance"),
+                      F.col("score").cast("double").alias("mmr_score"))
