@@ -102,12 +102,13 @@ _COSTLY_TAIL = {
     "streaming_session_funnel",
     "embedding_dim_truncation_recall",
 }
-# Round-7 promotion note (for the next round's fold): by the
-# BENCH_STAGED_r06.json readout the staged names to queue into this tail
-# are events_markov_removal_effect (24.5 s — 40 checkpointed value
-# iterations, corpus-size-independent), streaming_minhash_index (7.1 s —
-# micro-batch machinery), dedup_threshold_sweep, doc_nb_langid,
-# embedding_ivfpq_query, and part_price_elasticity (4.4-5.6 s each).
+# Round-7 promotion note (for the next round's fold): by the final
+# BENCH_STAGED_r06.json readout (25 ops, 56.3 s at sf0.1, quiet box)
+# the staged names to queue into this tail are
+# events_markov_removal_effect (9.0 s — 40 checkpointed value
+# iterations, corpus-size-independent), streaming_minhash_index (7.5 s —
+# micro-batch machinery), doc_nb_langid, embedding_ivfpq_query, and
+# part_price_elasticity (4.1-5.2 s each).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
