@@ -145,6 +145,9 @@ CASES = [
     # the relevance scan was partitioned
     "events_lead_lag_correlation",
     "embedding_mmr_topk",
+    # the calibration order statistic (rank window over residuals) must
+    # not depend on how the daily-count frame was partitioned
+    "events_conformal_volume",
 ]
 
 

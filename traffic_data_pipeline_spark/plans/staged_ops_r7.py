@@ -78,8 +78,11 @@ momentum (``events_ewma_forecast``), closed-form log-log demand
 elasticity (``part_price_elasticity``), supplier-concentration HHI
 (``supplier_share_hhi``), directional lead-lag cross-correlation
 between event-type daily series (``events_lead_lag_correlation``),
-and Maximal-Marginal-Relevance diverse retrieval
-(``embedding_mmr_topk``).
+Maximal-Marginal-Relevance diverse retrieval (``embedding_mmr_topk``),
+split-conformal daily-volume prediction intervals
+(``events_conformal_volume``), and the EWMA level maintained ON THE
+STREAM with the batch fold as its verbatim oracle
+(``streaming_ewma_level``).
 """
 
 from __future__ import annotations
@@ -2400,6 +2403,14 @@ def q_events_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("day"))
              .groupBy("event_type", "day")
              .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
+    return _ewma_from_daily(daily)
+
+
+def _ewma_from_daily(daily: DataFrame) -> DataFrame:
+    """Closed-form fast/slow EWMA fold over a (event_type, day, y)
+    daily-count frame — the one owner of the weight ladder, shared by
+    the batch op above and the stream-maintained twin below (whose
+    final state must equal this fold exactly)."""
     span = daily.agg(
         F.min("day").alias("d0"), F.max("day").alias("d1"),
         (F.datediff(F.max("day"), F.min("day")) + 1).alias("t"))
@@ -2891,3 +2902,258 @@ def q_embedding_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("c_id").alias("vec_id"),
                       F.col("rel").cast("double").alias("relevance"),
                       F.col("score").cast("double").alias("mmr_score"))
+
+
+# ---------------------------------------------------------------------------
+# streaming_ewma_level — the EWMA level maintained ON THE STREAM
+# ---------------------------------------------------------------------------
+
+_EWMA_STREAM_CACHE: dict[str, str] = {}
+
+
+def _ewma_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Landing zone for the event stream: three parquet files split by
+    event_id residue so maxFilesPerTrigger=1 yields three micro-batches
+    (the _minhash_stream_dir pattern). Only (ts, event_type) lands —
+    the level maintenance needs nothing else."""
+    if sf_dir not in _EWMA_STREAM_CACHE:
+        from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
+
+        src = scratch_dir(prefix="tdp_ewma_stream_")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type")
+        for r in range(3):
+            ev.filter(F.col("event_id") % 3 == r).select(
+                "ts", "event_type").coalesce(1) \
+                .write.mode("append").parquet(src)
+        _EWMA_STREAM_CACHE[sf_dir] = src
+    return _EWMA_STREAM_CACHE[sf_dir]
+
+
+@staged_r7("streaming_ewma_level", STAGED_R7_ORACLES["events_ewma_forecast"])
+def q_streaming_ewma_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_ewma_forecast turned into the always-on monitoring form:
+    events arrive in micro-batches; each batch folds its (type, day)
+    partial counts into a state table (a parquet of daily partials —
+    what a production monitor persists), recomputes the closed-form
+    fast/slow EWMA levels over the ACCUMULATED state, and publishes
+    them — so after the final batch the published levels EQUAL the
+    batch op on the full history, and the batch op's DuckDB oracle is
+    this op's oracle VERBATIM (the streaming_minhash_index
+    streaming==batch equivalence contract applied to a numeric fold,
+    where the per-step quantization makes bit-equality non-trivial).
+    Both paths share one plan owner (_ewma_from_daily), so the weight
+    ladder cannot drift between the nightly and streaming forms.
+
+    State is calendar-bounded — (type, day) partials, merged by sum on
+    read — so replaying 100 TB of history grows the state table by
+    |types| x |days| rows, not by events. The state append and the
+    offset commit are not one transaction: a crash between them
+    double-appends one batch's partials on restart (the documented
+    foreachBatch at-least-once caveat); production would stamp batchId
+    into the append path and dedup on read. The restart-recovery test
+    pins that a stop/resume run still converges to the batch fold.
+
+    Scale shape: per batch, ONE map-side-combined (type, day) count of
+    the batch, then the EWMA fold on the calendar-bounded state frame;
+    the live registered plan just reads the published levels.
+    """
+    from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
+    from traffic_data_pipeline_spark.plans.queries import run_available_now
+
+    src = _ewma_stream_dir(spark, sf_dir)
+    state_dir = scratch_dir(prefix="tdp_ewma_state_")
+    level_dir = scratch_dir(prefix="tdp_ewma_levels_")
+    ckpt = scratch_dir(prefix="tdp_ewma_ckpt_")
+
+    empty = spark.createDataFrame([], "event_type string, day date, y long")
+    empty.write.mode("overwrite").parquet(state_dir)
+    spark.createDataFrame(
+        [], "event_type string, n_days long, last_day_count long, "
+            "ewma_fast double, ewma_slow double, momentum double"
+    ).write.mode("overwrite").parquet(level_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        part = (batch_df
+                .groupBy("event_type",
+                         F.to_date(F.date_trunc("day", F.col("ts")))
+                         .alias("day"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
+        part.write.mode("append").parquet(state_dir)
+        daily = (spark.read.parquet(state_dir)
+                 .groupBy("event_type", "day")
+                 .agg(F.sum("y").cast("bigint").alias("y")))
+        _ewma_from_daily(daily).write.mode("overwrite").parquet(level_dir)
+
+    stream = (spark.readStream
+              .schema("ts timestamp, event_type string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src))
+    run_available_now(
+        spark, "streaming_ewma_level",
+        start=lambda: (stream.writeStream.foreachBatch(handle)
+                       .option("checkpointLocation", ckpt)
+                       .trigger(availableNow=True).start()))
+    return spark.read.parquet(level_dir).select(
+        "event_type", "n_days", "last_day_count",
+        "ewma_fast", "ewma_slow", "momentum")
+
+
+# ---------------------------------------------------------------------------
+# events_conformal_volume — split-conformal daily-volume intervals
+# ---------------------------------------------------------------------------
+
+CONF_ALPHA_NUM = 8   # nominal coverage 8/10 (kept as an integer ratio
+CONF_ALPHA_DEN = 10  # so the k-th-order-statistic index is exact)
+
+
+@staged_r7("events_conformal_volume", f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+types AS (SELECT DISTINCT event_type FROM daily),
+spine AS (
+  SELECT ty.event_type, CAST(g.day AS DATE) AS day,
+         date_diff('day', s.d0, CAST(g.day AS DATE)) AS d
+  FROM types ty, span s,
+       unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+                              CAST(s.d1 AS TIMESTAMP),
+                              INTERVAL 1 DAY)) g(day)),
+fill AS (
+  SELECT sp.event_type, sp.d, sp.d % 7 AS wd, COALESCE(dy.y, 0) AS y
+  FROM spine sp
+  LEFT JOIN daily dy
+    ON dy.event_type = sp.event_type AND dy.day = sp.day),
+pred AS (
+  SELECT event_type, wd,
+         ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS yhat,
+         CAST(COUNT(*) AS BIGINT) AS n_tr
+  FROM fill WHERE d % 2 = 0 GROUP BY 1, 2),
+cal AS (
+  SELECT f.event_type, f.d, ABS(f.y - p.yhat) AS r
+  FROM fill f JOIN pred p
+    ON p.event_type = f.event_type AND p.wd = f.wd
+  WHERE f.d % 4 = 1),
+qh AS (
+  SELECT event_type, r AS qhat, n_cal FROM (
+    SELECT event_type, r,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY r, d) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+             AS n_cal
+    FROM cal)
+  WHERE rn = LEAST(CAST(ceil((n_cal + 1) * {CONF_ALPHA_NUM}
+                             / {CONF_ALPHA_DEN}.0) AS BIGINT), n_cal)),
+ev AS (
+  SELECT f.event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_eval,
+         CAST(SUM(CASE WHEN ABS(f.y - p.yhat) <= q.qhat
+                       THEN 1 ELSE 0 END) AS BIGINT) AS covered
+  FROM fill f
+  JOIN pred p ON p.event_type = f.event_type AND p.wd = f.wd
+  JOIN qh q ON q.event_type = f.event_type
+  WHERE f.d % 4 = 3
+  GROUP BY 1),
+ntr AS (
+  SELECT event_type, CAST(SUM(n_tr) AS BIGINT) AS n_train
+  FROM pred GROUP BY 1)
+SELECT e.event_type, t.n_train, q.n_cal, e.n_eval,
+       ROUND(q.qhat, 6) AS qhat,
+       ROUND(CAST(e.covered AS DOUBLE) / e.n_eval, 6) AS coverage
+FROM ev e
+JOIN qh q ON q.event_type = e.event_type
+JOIN ntr t ON t.event_type = e.event_type
+""")
+def q_events_conformal_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals for daily event volume: a
+    deterministic weekday-profile predictor (per-type mean volume at
+    each day-index-mod-7 class over the TRAIN days) is calibrated on a
+    held-out split — qhat is the ceil((n+1)*0.8)-th smallest absolute
+    residual, the finite-sample-valid conformal quantile — and the
+    EVAL split reports empirical coverage of yhat +/- qhat. The
+    uncertainty-quantification readout nothing else in the registry
+    carries: the anomaly family flags points, the forecast family
+    (events_ewma_forecast) emits levels, this one says HOW WRONG the
+    prediction is allowed to be at 80% validity, from data alone.
+
+    Splits are day-index arithmetic (train d%2=0, calibrate d%4=1,
+    evaluate d%4=3 — interleaved so every weekday class reaches every
+    split); the weekday class is d % 7 (pure index arithmetic, sidestepping
+    the Spark-vs-DuckDB dayofweek origin mismatch entirely).
+
+    Determinism: predictions divide INTEGER sums (ROUND-6 once);
+    residuals are |int - 6dp| (exact 6-dp values), so the calibration
+    order statistic and the <= coverage comparisons are exact in both
+    engines; the rank index is integer arithmetic on the exact 8/10
+    nominal level. Zero-filled spine keeps per-type split sizes
+    identical.
+
+    Scale shape: ONE (type, day) map-side-combined count is the only
+    corpus-wide shuffle (checkpointed; three split consumers read it);
+    predictor, calibration ranks, and coverage all fold frames bounded
+    by |types| x |days|.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.select("event_type",
+                       F.to_date(F.date_trunc("day", F.col("ts")))
+                       .alias("day"))
+             .groupBy("event_type", "day")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+             .localCheckpoint(eager=True))
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    types = daily.select("event_type").distinct()
+    fill = (types.crossJoin(F.broadcast(span))
+            .select("event_type",
+                    F.explode(F.sequence(
+                        F.col("d0"), F.col("d1"),
+                        F.expr("interval 1 day"))).alias("day"),
+                    F.col("d0"))
+            .join(F.broadcast(daily.select(
+                F.col("event_type").alias("de"),
+                F.col("day").alias("dd"), "y")),
+                (F.col("de") == F.col("event_type"))
+                & (F.col("dd") == F.col("day")), "left")
+            .select("event_type",
+                    F.datediff(F.col("day"), F.col("d0")).alias("d"),
+                    (F.datediff(F.col("day"), F.col("d0")) % 7).alias("wd"),
+                    F.coalesce("y", F.lit(0)).cast("bigint").alias("y"))
+            .localCheckpoint(eager=True))  # read by all three splits
+    pred = (fill.filter(F.col("d") % 2 == 0)
+            .groupBy("event_type", "wd")
+            .agg(F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6)
+                 .alias("yhat"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_tr")))
+    cal = (fill.filter(F.col("d") % 4 == 1)
+           .join(F.broadcast(pred), ["event_type", "wd"])
+           .select("event_type", "d",
+                   F.abs(F.col("y") - F.col("yhat")).alias("r")))
+    w_rn = Window.partitionBy("event_type").orderBy("r", "d")
+    w_n = Window.partitionBy("event_type")
+    k = F.least(
+        F.ceil((F.col("n_cal") + 1) * CONF_ALPHA_NUM
+               / F.lit(float(CONF_ALPHA_DEN))).cast("bigint"),
+        F.col("n_cal"))
+    qh = (cal.select("event_type", "r",
+                     F.row_number().over(w_rn).alias("rn"),
+                     F.count(F.lit(1)).over(w_n).cast("bigint")
+                     .alias("n_cal"))
+          .filter(F.col("rn") == k)
+          .select("event_type", F.col("r").alias("qhat"), "n_cal"))
+    evl = (fill.filter(F.col("d") % 4 == 3)
+           .join(F.broadcast(pred), ["event_type", "wd"])
+           .join(F.broadcast(qh), "event_type")
+           .groupBy("event_type")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+                F.sum(F.when(F.abs(F.col("y") - F.col("yhat"))
+                             <= F.col("qhat"), 1).otherwise(0))
+                .cast("bigint").alias("covered")))
+    ntr = pred.groupBy("event_type").agg(
+        F.sum("n_tr").cast("bigint").alias("n_train"))
+    return (evl.join(F.broadcast(qh), "event_type")
+            .join(F.broadcast(ntr), "event_type")
+            .select("event_type", "n_train", "n_cal", "n_eval",
+                    F.round("qhat", 6).alias("qhat"),
+                    F.round(F.col("covered").cast("double")
+                            / F.col("n_eval"), 6).alias("coverage")))
