@@ -148,6 +148,10 @@ CASES = [
     # the calibration order statistic (rank window over residuals) must
     # not depend on how the daily-count frame was partitioned
     "events_conformal_volume",
+    # the greedy merge orbit folds vocab-frame pair counts each round;
+    # variance decimal sums merge across arbitrary splits
+    "bpe_train_merges",
+    "events_weekday_decomposition",
 ]
 
 

@@ -121,6 +121,14 @@ STAGED_R7_CAPS = {
     "streaming_ewma_level": (0, 0),      # live plan reads the published
                                          # levels parquet; per-batch
                                          # folds run inside foreachBatch
+    "bpe_train_merges": (0, 0),          # live plan reads the final
+                                         # checkpointed merge rows; each
+                                         # round's vocab-frame pair agg
+                                         # is paid at build
+    "events_weekday_decomposition": (6, 4),  # ONE (type, day) count
+                                         # (checkpointed, three
+                                         # consumers); mean/variance
+                                         # frames broadcast
 }
 
 
@@ -790,3 +798,65 @@ def test_streaming_ewma_restart_recovery(spark, sf_dir_oracle, tmp_path):
     # the mid-stream snapshot was a DIFFERENT (partial-history) level
     # for at least one type, i.e. the resume really added state
     assert any(mid.get(t) != f for (t, _, _, f, _, _) in want)
+
+
+def test_bpe_planted_banana_merge_sequence(spark, tmp_path):
+    """On a corpus of N x 'banana' the merge orbit is hand-derivable:
+    round 1 merges (a, n) — pairs an:2 na:2 ba:1 per word, tie an < na —
+    giving b|an|an|a; round 2's pairs (b,an) (an,an) (an,a) all tie at
+    N, and 'an a' < 'an an' < 'b an' picks (an, a) -> b|an|ana;
+    round 3 ties again and 'an ana' < 'b an' picks (an, ana)."""
+    docs = spark.createDataFrame(
+        [(i, "banana", "en", "web", 6) for i in range(7)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = sorted(STAGED_R7_QUERIES["bpe_train_merges"](
+        spark, str(tmp_path)).collect(), key=lambda r: r.rank)
+    got = [(r.rank, r.left_sym, r.right_sym, r.cnt) for r in rows[:3]]
+    assert got == [(1, "a", "n", 14), (2, "an", "a", 7), (3, "an", "ana", 7)]
+    # every later merge only sees what's left of the single word
+    for r in rows[3:]:
+        assert r.cnt == 7
+
+
+def test_bpe_merge_count_is_nonincreasing_on_fixture(spark, sf_dir_oracle):
+    """Greedy BPE always merges the CURRENT most frequent pair, and a
+    merge can only destroy or preserve other pairs' counts at the
+    moment it is chosen — so the chosen counts are non-increasing over
+    rounds, and every emitted rank is present exactly once."""
+    rows = sorted(STAGED_R7_QUERIES["bpe_train_merges"](
+        spark, sf_dir_oracle).collect(), key=lambda r: r.rank)
+    from traffic_data_pipeline_spark.plans.staged_ops_r7 import (
+        BPE_TRAIN_ROUNDS,
+    )
+
+    assert [r.rank for r in rows] == list(range(1, BPE_TRAIN_ROUNDS + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a.cnt >= b.cnt, (a, b)
+
+
+def test_weekday_decomposition_planted_periodic_series(spark, tmp_path):
+    """An exactly weekday-periodic series is fully explained by the
+    weekday profile: var_explained == 1.0 and each class's
+    seasonal_index equals its planted level over the overall mean."""
+    import datetime as dt
+
+    per_wd = [2, 4, 6, 8, 10, 12, 14]   # overall mean 8
+    rows, eid = [], 0
+    for d in range(28):
+        for k in range(per_wd[d % 7]):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 6, 1, 9, 0, 0)
+                         + dt.timedelta(days=d), k, "click", 1.0, "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.wd: r for r in STAGED_R7_QUERIES["events_weekday_decomposition"](
+        spark, str(tmp_path)).collect()}
+    assert len(out) == 7
+    for wd, r in out.items():
+        assert r.var_explained == 1.0
+        assert r.overall_mean == 8.0
+        assert r.wd_mean == float(per_wd[wd])
+        assert r.seasonal_index == round(per_wd[wd] / 8.0, 6)

@@ -80,9 +80,12 @@ elasticity (``part_price_elasticity``), supplier-concentration HHI
 between event-type daily series (``events_lead_lag_correlation``),
 Maximal-Marginal-Relevance diverse retrieval (``embedding_mmr_topk``),
 split-conformal daily-volume prediction intervals
-(``events_conformal_volume``), and the EWMA level maintained ON THE
+(``events_conformal_volume``), the EWMA level maintained ON THE
 STREAM with the batch fold as its verbatim oracle
-(``streaming_ewma_level``).
+(``streaming_ewma_level``), the FULL iterated BPE merge-training loop
+(``bpe_train_merges``), and weekly seasonal decomposition with the
+variance share the weekday profile explains
+(``events_weekday_decomposition``).
 """
 
 from __future__ import annotations
@@ -3157,3 +3160,253 @@ def q_events_conformal_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("qhat", 6).alias("qhat"),
                     F.round(F.col("covered").cast("double")
                             / F.col("n_eval"), 6).alias("coverage")))
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_merges — the FULL iterated BPE merge-training loop
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_ROUNDS = 6
+
+
+def _bpe_oracle() -> str:
+    head = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x != '')) AS token
+  FROM documents),
+wc0 AS MATERIALIZED (
+  SELECT '·' || array_to_string(
+           list_transform(generate_series(1, len(token)),
+                          i -> substr(token, CAST(i AS INTEGER), 1)),
+           '··') || '·' AS seg,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1)"""
+    steps = []
+    for k in range(1, BPE_TRAIN_ROUNDS + 1):
+        steps.append(f""",
+sy{k} AS (
+  SELECT string_split(trim(seg, '·'), '··') AS syms, c
+  FROM wc{k - 1}),
+pr{k} AS MATERIALIZED (
+  SELECT syms[CAST(i AS INTEGER)] AS a,
+         syms[CAST(i AS INTEGER) + 1] AS b,
+         CAST(SUM(c) AS BIGINT) AS cnt
+  FROM sy{k}, unnest(generate_series(1, len(syms) - 1)) u(i)
+  WHERE len(syms) >= 2
+  GROUP BY 1, 2),
+tp{k} AS MATERIALIZED (
+  SELECT {k} AS rank, a, b, cnt FROM pr{k}
+  ORDER BY cnt DESC, a, b LIMIT 1),
+wc{k} AS MATERIALIZED (
+  SELECT replace(w.seg,
+                 '·' || t.a || '··' || t.b || '·',
+                 '·' || t.a || t.b || '·') AS seg, w.c
+  FROM wc{k - 1} w, tp{k} t)""")
+    tail = ("\nSELECT rank, a AS left_sym, b AS right_sym, cnt FROM ("
+            + " UNION ALL ".join(
+                f"SELECT * FROM tp{k}"
+                for k in range(1, BPE_TRAIN_ROUNDS + 1)) + ")")
+    return head + "".join(steps) + tail
+
+
+@staged_r7("bpe_train_merges", _bpe_oracle())
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL byte-pair-encoding merge-training loop, iterated for
+    {BPE_TRAIN_ROUNDS} rounds over the corpus word-frequency table —
+    the tokenizer-training process bpe_merge_step (one step, registered)
+    demonstrates one rung of. Each round counts adjacent symbol pairs on
+    the CURRENT segmentation, merges the most frequent pair everywhere
+    (greedy leftmost non-overlapping — textbook Sennrich et al. 2016
+    apply), and re-segments; the output is the ordered merge table a
+    real tokenizer would serialize.
+
+    The segmentation state encodes symbol boundaries with a middle-dot
+    scheme — seg = '·' + symbols joined by '··' +
+    '·' — so applying a merge is ONE literal string replace
+    ('·a··b·' -> '·ab·'): each symbol
+    owns one delimiter dot per side, the pair's INNER dots are consumed
+    and the OUTER dots stay with the neighbors, which makes the plain
+    left-to-right replace-all EXACTLY the BPE greedy pass ('a a a a'
+    merges twice, 'a a a' once) and impossible to false-match inside
+    multi-character symbols. Both engines' replace() scan left-to-right
+    non-overlapping, so the orbits agree string-for-string (the
+    events_markov_removal_effect contract on a string rewrite system).
+
+    Determinism: integer pair counts; top pair by (cnt DESC, a, b) —
+    binary string order in both engines over [a-z0-9] symbols.
+
+    Scale shape: the corpus collapses to the word-frequency table ONCE
+    (the bpe_merge_step / vocab_build shuffle); every round then runs
+    one vocabulary-sized pair aggregate (bounded by Heaps' law, not the
+    corpus), one 1-row TakeOrdered, and one in-row replace, with
+    localCheckpoint keeping the plan flat — {BPE_TRAIN_ROUNDS} rounds
+    of vocab-frame work after a single corpus pass.
+    """
+    from traffic_data_pipeline_spark.functions.text import tokens
+
+    wc = (tokens(load_table(spark, sf_dir, "documents"))
+          .groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+          .select(
+              F.expr("concat('·', array_join(transform("
+                     "sequence(1, length(token)),"
+                     " i -> substring(token, i, 1)), '··'),"
+                     " '·')").alias("seg"),
+              "c")
+          .localCheckpoint(eager=True))
+    merges = None
+    for k in range(1, BPE_TRAIN_ROUNDS + 1):
+        syms = F.split(F.expr("trim(BOTH '·' FROM seg)"),
+                       "··")
+        pairs = (wc.select(syms.alias("syms"), "c")
+                 .filter(F.size("syms") >= 2)
+                 .select("c", F.explode(F.expr(
+                     "transform(sequence(0, size(syms) - 2),"
+                     " i -> struct(syms[i] AS a, syms[i + 1] AS b))"))
+                     .alias("p"))
+                 .select("c", F.col("p.a").alias("a"),
+                         F.col("p.b").alias("b"))
+                 .groupBy("a", "b")
+                 .agg(F.sum("c").cast("bigint").alias("cnt")))
+        top = (pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+               .limit(1)
+               .select(F.lit(k).cast("int").alias("rank"), "a", "b", "cnt")
+               .localCheckpoint(eager=True))
+        wc = (wc.crossJoin(F.broadcast(top.select(
+                  F.col("a").alias("ta"), F.col("b").alias("tb"))))
+              .select(F.expr(
+                  "replace(seg,"
+                  " concat('·', ta, '··', tb, '·'),"
+                  " concat('·', ta, tb, '·'))").alias("seg"),
+                  "c")
+              .localCheckpoint(eager=True))
+        merges = top if merges is None else merges.unionByName(top)
+    return merges.select("rank", F.col("a").alias("left_sym"),
+                         F.col("b").alias("right_sym"), "cnt")
+
+
+# ---------------------------------------------------------------------------
+# events_weekday_decomposition — weekday seasonal profile + variance share
+# ---------------------------------------------------------------------------
+
+
+@staged_r7("events_weekday_decomposition", """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+types AS (SELECT DISTINCT event_type FROM daily),
+spine AS (
+  SELECT ty.event_type, CAST(g.day AS DATE) AS day,
+         date_diff('day', s.d0, CAST(g.day AS DATE)) AS d
+  FROM types ty, span s,
+       unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+                              CAST(s.d1 AS TIMESTAMP),
+                              INTERVAL 1 DAY)) g(day)),
+fill AS MATERIALIZED (
+  SELECT sp.event_type, sp.d % 7 AS wd, COALESCE(dy.y, 0) AS y
+  FROM spine sp
+  LEFT JOIN daily dy
+    ON dy.event_type = sp.event_type AND dy.day = sp.day),
+overall AS MATERIALIZED (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM fill GROUP BY 1),
+wdm AS MATERIALIZED (
+  SELECT event_type, wd, CAST(COUNT(*) AS BIGINT) AS n_wd,
+         ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS wd_mean
+  FROM fill GROUP BY 1, 2),
+var AS (
+  SELECT f.event_type,
+         SUM(CAST((f.y - o.m) * (f.y - o.m) AS DECIMAL(28,10))) AS sst,
+         SUM(CAST((f.y - w.wd_mean) * (f.y - w.wd_mean)
+             AS DECIMAL(28,10))) AS sse
+  FROM fill f
+  JOIN overall o ON o.event_type = f.event_type
+  JOIN wdm w ON w.event_type = f.event_type AND w.wd = f.wd
+  GROUP BY 1)
+SELECT w.event_type, w.wd, w.n_wd, w.wd_mean,
+       o.n_days, o.m AS overall_mean,
+       ROUND(w.wd_mean / NULLIF(o.m, 0), 6) AS seasonal_index,
+       ROUND(1.0 - CAST(v.sse AS DOUBLE) / NULLIF(CAST(v.sst AS DOUBLE), 0),
+             6) AS var_explained
+FROM wdm w
+JOIN overall o ON o.event_type = w.event_type
+JOIN var v ON v.event_type = w.event_type
+""")
+def q_events_weekday_decomposition(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Classical weekly decomposition of daily event volume: per type,
+    the weekday seasonal profile (each day-index-mod-7 class's mean and
+    its index vs the overall mean, 1.0 = flat) plus the share of total
+    variance the weekday profile explains (1 - SSE/SST, the eta-squared
+    of the weekday factor). The weekly sibling of orders_seasonality's
+    monthly index, carrying the decomposition diagnostic that one
+    doesn't: a var_explained near 0 says the weekly shape is noise and
+    a forecaster (events_ewma_forecast) shouldn't key on weekday.
+
+    Determinism: means divide INTEGER sums (ROUND-6 once); residuals
+    are int-minus-6dp (exact), squares quantize to DECIMAL(28,10)
+    before the order-free sums; index and variance share are single
+    rounded projections with NULLIF zero guards. Weekday class is
+    d % 7 index arithmetic (the events_conformal_volume convention) —
+    no engine dayofweek origin in play.
+
+    Scale shape: ONE (type, day) map-side-combined count is the only
+    corpus-wide shuffle (checkpointed; three consumers); the profile,
+    the variance fold, and the final join all work |types| x |days|
+    calendar-bounded frames with the tiny mean frames broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.select("event_type",
+                       F.to_date(F.date_trunc("day", F.col("ts")))
+                       .alias("day"))
+             .groupBy("event_type", "day")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+             .localCheckpoint(eager=True))
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    types = daily.select("event_type").distinct()
+    fill = (types.crossJoin(F.broadcast(span))
+            .select("event_type",
+                    F.explode(F.sequence(
+                        F.col("d0"), F.col("d1"),
+                        F.expr("interval 1 day"))).alias("day"),
+                    F.col("d0"))
+            .join(F.broadcast(daily.select(
+                F.col("event_type").alias("de"),
+                F.col("day").alias("dd"), "y")),
+                (F.col("de") == F.col("event_type"))
+                & (F.col("dd") == F.col("day")), "left")
+            .select("event_type",
+                    (F.datediff(F.col("day"), F.col("d0")) % 7).alias("wd"),
+                    F.coalesce("y", F.lit(0)).cast("bigint").alias("y"))
+            .localCheckpoint(eager=True))  # read by profile + variance
+    overall = (fill.groupBy("event_type")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_days"),
+                    F.round(F.sum("y").cast("double") / F.count(F.lit(1)),
+                            6).alias("m")))
+    wdm = (fill.groupBy("event_type", "wd")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_wd"),
+                F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6)
+                .alias("wd_mean")))
+    rt = F.col("y") - F.col("m")
+    rw = F.col("y") - F.col("wd_mean")
+    var = (fill.join(F.broadcast(overall.select("event_type", "m")),
+                     "event_type")
+           .join(F.broadcast(wdm.select("event_type", "wd", "wd_mean")),
+                 ["event_type", "wd"])
+           .groupBy("event_type")
+           .agg(F.sum((rt * rt).cast("decimal(28,10)")).alias("sst"),
+                F.sum((rw * rw).cast("decimal(28,10)")).alias("sse")))
+    return (wdm.join(F.broadcast(overall), "event_type")
+            .join(F.broadcast(var), "event_type")
+            .select("event_type", "wd", "n_wd", "wd_mean", "n_days",
+                    F.col("m").alias("overall_mean"),
+                    F.round(F.col("wd_mean")
+                            / F.nullif(F.col("m"), F.lit(0.0)), 6)
+                    .alias("seasonal_index"),
+                    F.round(F.lit(1.0) - F.col("sse").cast("double")
+                            / F.nullif(F.col("sst").cast("double"),
+                                       F.lit(0.0)), 6)
+                    .alias("var_explained")))
