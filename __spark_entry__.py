@@ -103,12 +103,14 @@ _COSTLY_TAIL = {
     "embedding_dim_truncation_recall",
 }
 # Round-7 promotion note (for the next round's fold): by the final
-# BENCH_STAGED_r06.json readout (25 ops, 56.3 s at sf0.1, quiet box)
-# the staged names to queue into this tail are
-# events_markov_removal_effect (9.0 s — 40 checkpointed value
-# iterations, corpus-size-independent), streaming_minhash_index (7.5 s —
-# micro-batch machinery), doc_nb_langid, embedding_ivfpq_query, and
-# part_price_elasticity (4.1-5.2 s each).
+# BENCH_STAGED_r06.json readout (29 ops, 106.6 s at sf0.1 under load;
+# the quieter 25-op pass read 56.3 s) the staged names to queue into
+# this tail are streaming_minhash_index and streaming_ewma_level
+# (micro-batch machinery, 5-20 s), bpe_train_merges (10.1 s — six
+# vocab-frame merge rounds), events_markov_removal_effect (9.0 s — 40
+# checkpointed value iterations, corpus-size-independent),
+# doc_nb_langid, embedding_ivfpq_query, embedding_ivf_balance_report,
+# embedding_mmr_topk, and part_price_elasticity (~4-7 s each).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
