@@ -152,6 +152,9 @@ CASES = [
     # variance decimal sums merge across arbitrary splits
     "bpe_train_merges",
     "events_weekday_decomposition",
+    # the prefix-triangle EWMA term sums and the flag compares must not
+    # depend on how the daily-count frame was partitioned
+    "events_ewma_control_chart",
 ]
 
 

@@ -129,6 +129,10 @@ STAGED_R7_CAPS = {
                                          # (checkpointed, three
                                          # consumers); mean/variance
                                          # frames broadcast
+    "events_ewma_control_chart": (3, 3),  # ONE (type, day) count
+                                         # (checkpointed); the prefix
+                                         # triangle self-join and stats
+                                         # broadcast over the spine
 }
 
 
@@ -860,3 +864,47 @@ def test_weekday_decomposition_planted_periodic_series(spark, tmp_path):
         assert r.overall_mean == 8.0
         assert r.wd_mean == float(per_wd[wd])
         assert r.seasonal_index == round(per_wd[wd] / 8.0, 6)
+
+
+def test_control_chart_flags_planted_shift_not_steady_state(spark,
+                                                            tmp_path):
+    """A constant series never leaves the band (ewma == mu exactly);
+    after a planted level shift the smoothed statistic crosses the
+    3-sigma band and stays flagged. The band itself must widen
+    monotonically with d (the time-varying-variance factor)."""
+    import datetime as dt
+
+    rows, eid = [], 0
+    for d in range(28):
+        level = 10 if d < 20 else 30
+        for k in range(level):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 7, 1, 7, 0, 0)
+                         + dt.timedelta(days=d), k, "click", 1.0, "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = sorted(STAGED_R7_QUERIES["events_ewma_control_chart"](
+        spark, str(tmp_path)).collect(), key=lambda r: r.d)
+    assert len(out) == 28
+    for a, b in zip(out, out[1:]):
+        assert b.band >= a.band, (a.d, a.band, b.band)
+    # pre-shift: the EWMA hugs 10, far below mu (~15.7) minus the wide
+    # band? No — pre-shift days CAN flag (10 is far from the pooled mu),
+    # so pin the DIRECTIONAL claims instead: the final smoothed level
+    # approaches 30 and the last days are flagged
+    assert out[-1].ewma > 25
+    assert out[-1].flag == 1 and out[-2].flag == 1
+    # steady-state sanity on a pure constant series: no day ever flags
+    rows2 = [(i * 100 + k, dt.datetime(2024, 7, 1, 7, 0, 0)
+              + dt.timedelta(days=i), k, "view", 1.0, "{}")
+             for i in range(14) for k in range(5)]
+    spark.createDataFrame(
+        rows2, "event_id long, ts timestamp, user_id long, "
+               "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    flat = STAGED_R7_QUERIES["events_ewma_control_chart"](
+        spark, str(tmp_path)).collect()
+    assert all(r.flag == 0 for r in flat)
+    assert all(r.ewma == r.mu for r in flat)

@@ -83,9 +83,10 @@ split-conformal daily-volume prediction intervals
 (``events_conformal_volume``), the EWMA level maintained ON THE
 STREAM with the batch fold as its verbatim oracle
 (``streaming_ewma_level``), the FULL iterated BPE merge-training loop
-(``bpe_train_merges``), and weekly seasonal decomposition with the
+(``bpe_train_merges``), weekly seasonal decomposition with the
 variance share the weekday profile explains
-(``events_weekday_decomposition``).
+(``events_weekday_decomposition``), and the textbook EWMA control
+chart with time-varying limits (``events_ewma_control_chart``).
 """
 
 from __future__ import annotations
@@ -3410,3 +3411,146 @@ def q_events_weekday_decomposition(spark: SparkSession,
                             / F.nullif(F.col("sst").cast("double"),
                                        F.lit(0.0)), 6)
                     .alias("var_explained")))
+
+
+# ---------------------------------------------------------------------------
+# events_ewma_control_chart — EWMA chart with time-varying control limits
+# ---------------------------------------------------------------------------
+
+CHART_L = 3  # control-limit width in ewma-sigmas (the classic 3-sigma)
+
+
+@staged_r7("events_ewma_control_chart", """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+types AS (SELECT DISTINCT event_type FROM daily),
+spine AS (
+  SELECT ty.event_type, CAST(g.day AS DATE) AS day,
+         date_diff('day', s.d0, CAST(g.day AS DATE)) AS d
+  FROM types ty, span s,
+       unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+                              CAST(s.d1 AS TIMESTAMP),
+                              INTERVAL 1 DAY)) g(day)),
+fill AS MATERIALIZED (
+  SELECT sp.event_type, sp.d, COALESCE(dy.y, 0) AS y
+  FROM spine sp
+  LEFT JOIN daily dy
+    ON dy.event_type = sp.event_type AND dy.day = sp.day),
+stats AS MATERIALIZED (
+  SELECT event_type,
+         ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS mu,
+         ROUND(sqrt((CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE)
+                     - CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE)
+                       * SUM(CAST(y AS DECIMAL(38,0))) / COUNT(*))
+                    / (COUNT(*) - 1)), 6) AS sigma
+  FROM fill GROUP BY 1),
+terms AS (
+  SELECT a.event_type, a.d,
+         CAST(j.y * ROUND(CASE WHEN j.d = 0 THEN power(0.75, a.d)
+                               ELSE 0.25 * power(0.75, a.d - j.d) END, 12)
+              AS DECIMAL(28,16)) AS t
+  FROM fill a
+  JOIN fill j ON j.event_type = a.event_type AND j.d <= a.d),
+ew AS (
+  SELECT event_type, d, ROUND(CAST(SUM(t) AS DOUBLE), 6) AS ewma
+  FROM terms GROUP BY 1, 2)
+SELECT f.event_type, f.d, f.y, e.ewma, s.mu,
+       ROUND(s.sigma * sqrt((0.25 / 1.75)
+             * (1 - ROUND(power(0.5625, f.d + 1), 12))) * 3, 6) AS band,
+       CASE WHEN abs(e.ewma - s.mu)
+                 > ROUND(s.sigma * sqrt((0.25 / 1.75)
+                         * (1 - ROUND(power(0.5625, f.d + 1), 12))) * 3, 6)
+            THEN 1 ELSE 0 END AS flag
+FROM fill f
+JOIN ew e ON e.event_type = f.event_type AND e.d = f.d
+JOIN stats s ON s.event_type = f.event_type
+""")
+def q_events_ewma_control_chart(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The textbook EWMA control chart (Montgomery): per type and day,
+    the prefix EWMA statistic z_d (alpha = 1/4, seeded at the first
+    day's count) against TIME-VARYING 3-sigma limits
+    mu +/- 3 * sigma * sqrt(alpha/(2-alpha) * (1 - (1-alpha)^(2(d+1)))),
+    flagging days where the smoothed level leaves the band — the
+    drift/shift monitor that catches slow volume decay long before a
+    per-point rule (events_zscore_anomaly flags single outliers; this
+    flags sustained departures of the LEVEL). The band widens with d
+    exactly as the statistic's variance does, so early days aren't
+    over-flagged — the detail the asymptotic-limit shortcut gets wrong.
+
+    Determinism: every prefix level z_d is the same closed-form weight
+    ladder as events_ewma_forecast (binary-rational alpha, ROUND-12
+    weights, DECIMAL(28,16) terms, order-free sums); mu and sigma are
+    single rounded projections of integer/decimal moments (sqrt is
+    IEEE); the band quantizes the (1-alpha)^(2(d+1)) factor at
+    ROUND-12 and the whole limit at ROUND-6 before the flag compare,
+    so both engines draw the identical band and flag the identical
+    days.
+
+    Scale shape: ONE (type, day) map-side-combined count is the only
+    corpus-wide shuffle (checkpointed); the prefix terms are the
+    spine's triangular self-join — |types| x |days|^2/2 rows, bounded
+    by the CALENDAR squared (a decade of days is ~7M rows per type),
+    corpus-size-independent; stats broadcast into the final join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.select("event_type",
+                       F.to_date(F.date_trunc("day", F.col("ts")))
+                       .alias("day"))
+             .groupBy("event_type", "day")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+             .localCheckpoint(eager=True))
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    types = daily.select("event_type").distinct()
+    fill = (types.crossJoin(F.broadcast(span))
+            .select("event_type",
+                    F.explode(F.sequence(
+                        F.col("d0"), F.col("d1"),
+                        F.expr("interval 1 day"))).alias("day"),
+                    F.col("d0"))
+            .join(F.broadcast(daily.select(
+                F.col("event_type").alias("de"),
+                F.col("day").alias("dd"), "y")),
+                (F.col("de") == F.col("event_type"))
+                & (F.col("dd") == F.col("day")), "left")
+            .select("event_type",
+                    F.datediff(F.col("day"), F.col("d0")).alias("d"),
+                    F.coalesce("y", F.lit(0)).cast("bigint").alias("y"))
+            .localCheckpoint(eager=True))  # terms, stats, and final read it
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    stats = (fill.groupBy("event_type")
+             .agg(F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6)
+                  .alias("mu"),
+                  F.round(F.sqrt(
+                      (F.sum(dec("y") * F.col("y")).cast("double")
+                       - F.sum(dec("y")).cast("double")
+                       * F.sum(dec("y")).cast("double")
+                       / F.count(F.lit(1)))
+                      / (F.count(F.lit(1)) - 1)), 6).alias("sigma")))
+    a = fill.select("event_type", F.col("d").alias("ad"))
+    j = fill.select(F.col("event_type").alias("je"),
+                    F.col("d").alias("jd"), "y")
+    w = F.round(
+        F.when(F.col("jd") == 0, F.pow(F.lit(0.75), F.col("ad")))
+        .otherwise(0.25 * F.pow(F.lit(0.75), F.col("ad") - F.col("jd"))),
+        12)
+    ew = (a.join(F.broadcast(j),
+                 (F.col("je") == F.col("event_type"))
+                 & (F.col("jd") <= F.col("ad")))
+          .select("event_type", F.col("ad").alias("d"),
+                  (F.col("y") * w).cast("decimal(28,16)").alias("t"))
+          .groupBy("event_type", "d")
+          .agg(F.round(F.sum("t").cast("double"), 6).alias("ewma")))
+    var_factor = (F.lit(0.25 / 1.75)
+                  * (F.lit(1.0)
+                     - F.round(F.pow(F.lit(0.5625), F.col("d") + 1), 12)))
+    band = F.round(F.col("sigma") * F.sqrt(var_factor) * CHART_L, 6)
+    return (fill.join(F.broadcast(ew), ["event_type", "d"])
+            .join(F.broadcast(stats), "event_type")
+            .select("event_type", "d", "y", "ewma", "mu",
+                    band.alias("band"),
+                    F.when(F.abs(F.col("ewma") - F.col("mu")) > band, 1)
+                    .otherwise(0).alias("flag")))
