@@ -155,6 +155,8 @@ CASES = [
     # the prefix-triangle EWMA term sums and the flag compares must not
     # depend on how the daily-count frame was partitioned
     "events_ewma_control_chart",
+    # the bucket-pruned pool cut + the shared greedy orbit
+    "embedding_mmr_topk_ann",
 ]
 
 

@@ -133,6 +133,10 @@ STAGED_R7_CAPS = {
                                          # (checkpointed); the prefix
                                          # triangle self-join and stats
                                          # broadcast over the spine
+    "embedding_mmr_topk_ann": (1, 0),    # live plan reads the final
+                                         # checkpointed selection; the
+                                         # bucket-pruned relevance scan
+                                         # is paid at build
 }
 
 
@@ -908,3 +912,61 @@ def test_control_chart_flags_planted_shift_not_steady_state(spark,
         spark, str(tmp_path)).collect()
     assert all(r.flag == 0 for r in flat)
     assert all(r.ewma == r.mu for r in flat)
+
+
+def test_mmr_ann_bucket_invariant_and_planted_twin_equality(spark,
+                                                            sf_dir_oracle,
+                                                            tmp_path):
+    """(a) Every ANN-MMR pick shares the query's hyperplane bucket —
+    the structural guarantee of the index-fed pool. (b) On a planted
+    CLUSTERABLE corpus where every candidate provably shares the
+    query's bucket (a dominant shared direction keeps every plane dot
+    on one side), the ANN twin must equal the brute twin pick-for-pick
+    — ANN == brute whenever the index holds the true pool."""
+    from pyspark.sql import functions as F2
+
+    from traffic_data_pipeline_spark.functions.similarity import (
+        lsh_bucket_codes,
+    )
+    from traffic_data_pipeline_spark.plans.staged_ops_r7 import (
+        MMR_QUERY_ID,
+    )
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir_oracle, "embeddings")
+    codes = {r.vec_id: r.bucket for r in lsh_bucket_codes(emb).collect()}
+    picks = STAGED_R7_QUERIES["embedding_mmr_topk_ann"](
+        spark, sf_dir_oracle).collect()
+    assert picks
+    for r in picks:
+        assert codes[r.vec_id] == codes[MMR_QUERY_ID], r
+
+    dim = 8
+    base = [50.0] * dim                      # dominant shared direction:
+    rows = [(MMR_QUERY_ID, base, 0)]         # every plane dot keeps the
+    deltas = [                               # base's sign -> one bucket
+        [1.0, 0.0, 0.0], [0.9, 0.1, 0.0], [0.0, 1.0, 0.0],
+        [0.0, 0.0, 1.0], [0.5, 0.5, 0.0],
+    ]
+    for i, d in enumerate(deltas):
+        v = list(base)
+        for j, x in enumerate(d):
+            v[j] += x
+        rows.append((i + 1, v, 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    pc = {r.vec_id: r.bucket
+          for r in lsh_bucket_codes(
+              spark.read.parquet(str(tmp_path / "embeddings.parquet"))
+          ).collect()}
+    assert len(set(pc.values())) == 1        # planted premise holds
+    ann = [(r.pick_rank, r.vec_id, r.relevance, r.mmr_score)
+           for r in sorted(STAGED_R7_QUERIES["embedding_mmr_topk_ann"](
+               spark, str(tmp_path)).collect(),
+               key=lambda r: r.pick_rank)]
+    brute = [(r.pick_rank, r.vec_id, r.relevance, r.mmr_score)
+             for r in sorted(STAGED_R7_QUERIES["embedding_mmr_topk"](
+                 spark, str(tmp_path)).collect(),
+                 key=lambda r: r.pick_rank)]
+    assert ann == brute and len(ann) == 5

@@ -572,16 +572,12 @@ ranked AS (
 SELECT q_id, c_id, cosine, rank FROM ranked WHERE rank <= 5
 """
 
-_LSH_CODES_CTES = """pd AS (
-  SELECT e.vec_id, p.p,
-         CAST(SUM(CAST(e.val * (((p.p * 73856093 + e.pos * 19349663) % 1000003)
-                                / 1000003.0 - 0.5) AS DECIMAL(30,12))) AS DOUBLE) AS dot
-  FROM elems e, (SELECT unnest(generate_series(0, 7)) AS p) p
-  GROUP BY 1, 2),
-codes AS (
-  SELECT vec_id,
-         CAST(SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
-  FROM pd GROUP BY 1)"""
+# _LSH_CODES_CTES is single-sourced in plans/oracle_ctes.py (round 6: the
+# round-7 staged MMR-over-ANN oracle composes it at module-body time, and
+# oracle_ctes has no plans imports so it is always safe to import first).
+from traffic_data_pipeline_spark.plans.oracle_ctes import (  # noqa: F401,E402
+    _LSH_CODES_CTES,
+)
 
 _LSH_CAND_DOTS_CTES = _LSH_CODES_CTES + """,
 cand AS (

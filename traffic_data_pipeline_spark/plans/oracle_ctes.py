@@ -160,6 +160,21 @@ stats AS (
 # staged_ops_r6 circular-import hazard).
 KNN_QUERY_IDS = list(range(10))
 
+# 8-plane hyperplane-LSH bucket codes over the _EMB_CTES frames — the
+# plane weights mirror functions/similarity._plane_dot exactly. Spelled
+# ONCE here; plans/extensions.py re-exports it (the _EMB_CTES pattern).
+_LSH_CODES_CTES = """pd AS (
+  SELECT e.vec_id, p.p,
+         CAST(SUM(CAST(e.val * (((p.p * 73856093 + e.pos * 19349663) % 1000003)
+                                / 1000003.0 - 0.5) AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM elems e, (SELECT unnest(generate_series(0, 7)) AS p) p
+  GROUP BY 1, 2),
+codes AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+  FROM pd GROUP BY 1)"""
+
+
 # _EMB_CTES is single-sourced in plans/oracle_ctes.py and re-exported via
 # the `# noqa: F401` import block at the top of this module (ADVICE r5:
 # the former self-assignment here was a no-op).

@@ -85,8 +85,10 @@ STREAM with the batch fold as its verbatim oracle
 (``streaming_ewma_level``), the FULL iterated BPE merge-training loop
 (``bpe_train_merges``), weekly seasonal decomposition with the
 variance share the weekday profile explains
-(``events_weekday_decomposition``), and the textbook EWMA control
-chart with time-varying limits (``events_ewma_control_chart``).
+(``events_weekday_decomposition``), the textbook EWMA control
+chart with time-varying limits (``events_ewma_control_chart``), and
+the ANN-fed MMR twin whose pool rides the hyperplane-LSH index
+(``embedding_mmr_topk_ann``).
 """
 
 from __future__ import annotations
@@ -2758,15 +2760,30 @@ _MMR_LAM = "CAST(0.7 AS DECIMAL(2,1))"
 _MMR_MU = "CAST(0.3 AS DECIMAL(2,1))"
 
 
-def _mmr_oracle() -> str:
-    from traffic_data_pipeline_spark.plans.oracle_ctes import _EMB_CTES
+def _mmr_oracle(ann: bool = False) -> str:
+    from traffic_data_pipeline_spark.plans.oracle_ctes import (
+        _EMB_CTES,
+        _LSH_CODES_CTES,
+    )
 
+    if ann:
+        cand_ctes = f"""
+{_LSH_CODES_CTES},
+qb AS (SELECT bucket FROM codes WHERE vec_id = {MMR_QUERY_ID}),
+cands AS MATERIALIZED (
+  SELECT c.vec_id FROM codes c, qb
+  WHERE c.bucket = qb.bucket AND c.vec_id != {MMR_QUERY_ID}),"""
+        cand_join = "JOIN cands cd ON cd.vec_id = c.vec_id"
+    else:
+        cand_ctes = ""
+        cand_join = ""
     head = f"""
-WITH {_EMB_CTES},
+WITH {_EMB_CTES},{cand_ctes}
 qdots AS (
   SELECT c.vec_id AS c_id,
          CAST(SUM(CAST(q.val * c.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
   FROM elems q JOIN elems c ON q.pos = c.pos
+  {cand_join}
   WHERE q.vec_id = {MMR_QUERY_ID} AND c.vec_id != {MMR_QUERY_ID}
   GROUP BY 1),
 rel AS (
@@ -2866,6 +2883,19 @@ def q_embedding_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .cast("decimal(20,9)").alias("rel")))
     pool = (rel.orderBy(F.desc("rel"), F.asc("c_id")).limit(MMR_POOL)
             .localCheckpoint(eager=True))
+    return _mmr_greedy(pool)
+
+
+def _mmr_greedy(pool: DataFrame) -> DataFrame:
+    """The MMR greedy selection over a checkpointed candidate pool
+    (c_id, embedding, n2, rel) — the one owner of the selection orbit,
+    shared by the brute-force op above and the ANN-fed twin below (the
+    streaming_ewma_level shared-plan-owner contract)."""
+    from traffic_data_pipeline_spark.functions.similarity import (
+        _cosine,
+        dot_product,
+    )
+
     a = pool.select(F.col("c_id").alias("a"),
                     F.col("embedding").alias("va"), F.col("n2").alias("na"))
     b = pool.select(F.col("c_id").alias("b"),
@@ -2906,6 +2936,62 @@ def q_embedding_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("c_id").alias("vec_id"),
                       F.col("rel").cast("double").alias("relevance"),
                       F.col("score").cast("double").alias("mmr_score"))
+
+
+@staged_r7("embedding_mmr_topk_ann", _mmr_oracle(ann=True))
+def q_embedding_mmr_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_mmr_topk with the 100-TB pool cut wired in: candidates
+    come from the registered hyperplane-LSH index (the embedding_ann_lsh
+    bucketing — only vectors sharing the query's 8-plane code are
+    scored) instead of a brute-force corpus scan, and the UNCHANGED
+    greedy stages (_mmr_greedy, the shared plan owner) select from that
+    pool. The embedding_margin_align_ann precedent applied to
+    retrieval: the brute twin stays as the semantics anchor, this form
+    is the plan that survives scale — the relevance scan touches ONE
+    bucket (~N/2^planes rows), not the corpus. The witness pins
+    pick-overlap against the brute twin at the fixture.
+
+    Determinism: identical to the brute twin (the pool is smaller but
+    built by the same ROUND-9/DECIMAL(20,9) scoring with the same tie
+    order; the bucket code is the exact integer-arithmetic plane
+    projection both engines spell from one generator).
+
+    Honest selectivity note: the fixture's embeddings are synthetic
+    near-uniform vectors (top-25 query cosines ~0.24-0.37), where
+    single-bucket hyperplane recall is POOR BY CONSTRUCTION — the
+    registered embedding_ann_recall op is the instrument that measures
+    exactly this. The witness therefore pins (a) the structural
+    bucket-membership invariant and (b) twin-equality on a planted
+    CLUSTERABLE fixture (all candidates sharing the query's bucket),
+    not a recall number the data cannot support; on real clustered
+    embeddings the same plan prunes to ~N/2^planes and recall follows
+    the index quality, reported by embedding_ann_recall.
+    """
+    from traffic_data_pipeline_spark.functions.similarity import (
+        _cosine,
+        bucket_code,
+        dot_product,
+        norm_sq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding",
+        norm_sq(F.col("embedding")).alias("n2"),
+        bucket_code(F.col("embedding")).alias("bucket"))
+    q = emb.filter(F.col("vec_id") == MMR_QUERY_ID).select(
+        F.col("embedding").alias("qv"), F.col("n2").alias("qn"),
+        F.col("bucket").alias("qb"))
+    rel = (emb.filter(F.col("vec_id") != MMR_QUERY_ID)
+           .crossJoin(F.broadcast(q))
+           .filter(F.col("bucket") == F.col("qb"))
+           .select(F.col("vec_id").alias("c_id"), "embedding", "n2",
+                   F.round(_cosine(
+                       dot_product(F.col("embedding"), F.col("qv")),
+                       F.col("n2"), F.col("qn")), 9)
+                   .cast("decimal(20,9)").alias("rel")))
+    pool = (rel.orderBy(F.desc("rel"), F.asc("c_id")).limit(MMR_POOL)
+            .localCheckpoint(eager=True))
+    return _mmr_greedy(pool)
 
 
 # ---------------------------------------------------------------------------
