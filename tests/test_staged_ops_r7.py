@@ -67,10 +67,12 @@ STAGED_R7_CAPS = {
                                          # marginals re-aggregate the
                                          # tiny cell frame; scalars
                                          # broadcast
-    "streaming_minhash_index": (0, 0),   # live plan reads the landed
-                                         # pair parquet; the per-batch
-                                         # index joins run inside the
-                                         # micro-batches
+    "streaming_minhash_index": (1, 0),   # live plan reads the landed
+                                         # pair parquet through ONE
+                                         # distinct (the exactly-once
+                                         # crash-replay dedup); the
+                                         # per-batch index joins run
+                                         # inside the micro-batches
     "corpus_length_filter_curve": (2, 2),  # ONE percentile agg to a
                                          # 10-row broadcast + ONE
                                          # (decile) count over the fan
@@ -316,17 +318,17 @@ def test_coverage_pmi_matches_lift(spark, sf_dir_oracle):
 
 
 def test_streaming_minhash_index_restart_recovery(spark, sf_dir_oracle, tmp_path):
-    """Index-state restart recovery: run the stream over the FIRST file
-    only, stop, then resume on the same checkpoint with all files —
-    the final pair set must equal a single uninterrupted batch run
-    (the oracle), i.e. the restart neither loses index rows nor
-    re-emits pairs."""
-    from traffic_data_pipeline_spark.functions.dedup import (
-        minhash_bands,
-        minhash_signatures,
-        shingle_sets,
-    )
+    """Index-state restart recovery, using the op's REAL seed/handler:
+    run the stream over the FIRST file only, stop, then resume on the
+    same checkpoint with all files — the final pair set must equal a
+    single uninterrupted batch run (the oracle), i.e. the restart
+    neither loses index rows nor re-emits pairs."""
     from traffic_data_pipeline_spark.plans.queries import run_available_now
+    from traffic_data_pipeline_spark.plans.staged_ops_r7 import (
+        _minhash_handle,
+        _minhash_pairs,
+        _minhash_seed,
+    )
     from traffic_data_pipeline_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir_oracle, "documents").select(
@@ -336,35 +338,8 @@ def test_streaming_minhash_index_restart_recovery(spark, sf_dir_oracle, tmp_path
     pair_dir = str(tmp_path / "pairs")
     ckpt = str(tmp_path / "ckpt")
 
-    empty = spark.createDataFrame([], "doc_id long, text string")
-    schema_frame = minhash_bands(minhash_signatures(shingle_sets(empty)))
-    schema_frame.write.mode("overwrite").parquet(index_dir)
-    schema_frame.limit(0).selectExpr(
-        "doc_id AS doc_a", "doc_id AS doc_b",
-        "CAST(0.0 AS DOUBLE) AS est_sim").write.mode("overwrite") \
-        .parquet(pair_dir)
-
-    def handle(batch_df, batch_id):
-        bl = minhash_bands(minhash_signatures(shingle_sets(batch_df)))
-        bl = bl.persist()
-        if bl.count() == 0:
-            bl.unpersist()
-            return
-        combined = spark.read.parquet(index_dir).unionByName(bl)
-        a, b = bl.alias("a"), combined.alias("b")
-        est = sum((F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int")
-                  for i in range(8)) / 8.0
-        pairs = (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
-                        & (F.col("a.doc_id") != F.col("b.doc_id")))
-                 .select(F.least(F.col("a.doc_id"), F.col("b.doc_id"))
-                         .alias("doc_a"),
-                         F.greatest(F.col("a.doc_id"), F.col("b.doc_id"))
-                         .alias("doc_b"),
-                         est.alias("est_sim"))
-                 .filter(F.col("est_sim") >= 0.5).distinct())
-        pairs.write.mode("append").parquet(pair_dir)
-        bl.write.mode("append").parquet(index_dir)
-        bl.unpersist()
+    _minhash_seed(spark, index_dir, pair_dir)
+    handle = _minhash_handle(spark, index_dir, pair_dir)
 
     def run_once():
         stream = (spark.readStream.schema("doc_id long, text string")
@@ -385,12 +360,77 @@ def test_streaming_minhash_index_restart_recovery(spark, sf_dir_oracle, tmp_path
     run_once()
 
     got = {(r.doc_a, r.doc_b, r.est_sim)
-           for r in spark.read.parquet(pair_dir).collect()}
+           for r in _minhash_pairs(spark, pair_dir).collect()}
     from traffic_data_pipeline_spark.plans.extensions import doc_lsh_pairs
 
     want = {(r.doc_a, r.doc_b, r.est_sim)
             for r in doc_lsh_pairs(spark, sf_dir_oracle).collect()}
     assert got == want
+
+
+def test_streaming_minhash_index_crash_replay_exactly_once(
+        spark, sf_dir_oracle, tmp_path):
+    """Kill BETWEEN append and commit (VERDICT r6 ask #2): after the
+    stream lands every batch, re-invoke the REAL handler with the last
+    batch's data under the SAME batchId — exactly what a restart does
+    when the crash hit after the parquet appends but before the offset
+    commit. The batch_id-stamped dedup-on-read must keep the pair
+    stream EQUAL to the batch oracle (no re-emits, no losses)."""
+    from traffic_data_pipeline_spark.plans.queries import run_available_now
+    from traffic_data_pipeline_spark.plans.staged_ops_r7 import (
+        _minhash_handle,
+        _minhash_pairs,
+        _minhash_seed,
+    )
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir_oracle, "documents").select(
+        "doc_id", "text")
+    src = str(tmp_path / "src")
+    index_dir = str(tmp_path / "index")
+    pair_dir = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    _minhash_seed(spark, index_dir, pair_dir)
+    handle = _minhash_handle(spark, index_dir, pair_dir)
+
+    seen: list[int] = []
+
+    def tracking_handle(batch_df, batch_id):
+        seen.append(int(batch_id))
+        handle(batch_df, batch_id)
+
+    for r in range(3):
+        docs.filter(F.col("doc_id") % 3 == r).coalesce(1) \
+            .write.mode("append").parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    run_available_now(
+        spark, "streaming_minhash_crash_test",
+        start=lambda: (stream.writeStream.foreachBatch(tracking_handle)
+                       .option("checkpointLocation", ckpt)
+                       .trigger(availableNow=True).start()))
+    assert len(seen) == 3
+
+    # crash replay: the appends of batch `seen[-1]` already landed; the
+    # restarted query re-runs the handler with the same batch_id
+    last = seen[-1]
+    replay_df = docs.filter(F.col("doc_id") % 3 == 2)
+    handle(replay_df, last)
+
+    got = {(r.doc_a, r.doc_b, r.est_sim)
+           for r in _minhash_pairs(spark, pair_dir).collect()}
+    from traffic_data_pipeline_spark.plans.extensions import doc_lsh_pairs
+
+    want = {(r.doc_a, r.doc_b, r.est_sim)
+            for r in doc_lsh_pairs(spark, sf_dir_oracle).collect()}
+    assert got == want
+    # and the raw landed index rows really did double-append (the dedup
+    # is doing work, not vacuously passing): the replayed batch's band
+    # rows landed twice under the same batch_id
+    raw_idx = spark.read.parquet(index_dir).count()
+    dedup_idx = spark.read.parquet(index_dir).distinct().count()
+    assert raw_idx > dedup_idx
 
 
 def test_length_filter_curve_monotone(spark, sf_dir_oracle):
@@ -730,26 +770,49 @@ def test_conformal_planted_predictable_series_covers_fully(spark,
 
 
 def test_conformal_bounds_on_fixture(spark, sf_dir_oracle):
-    """qhat is a nonnegative residual and coverage is a share; the
-    calibration rank honors the exact ceil((n+1)*4/5) index."""
+    """qhat IS the residual at the clamped calibration rank
+    min(ceil((n_cal+1)*8/10), n_cal) (ADVICE r6: assert the clamp
+    directly): recompute the sorted calibration residuals independently
+    in DuckDB from the oracle's own split CTEs and index into them."""
     import math
 
-    for r in STAGED_R7_QUERIES["events_conformal_volume"](
-            spark, sf_dir_oracle).collect():
-        assert r.qhat >= 0.0
+    from tests.oracle import duck_con
+
+    sql = STAGED_R7_ORACLES["events_conformal_volume"]
+    prefix = sql.split("qh AS", 1)[0].rstrip().rstrip(",")
+    con = duck_con(sf_dir_oracle)
+    try:
+        res = con.sql(
+            prefix
+            + "\nSELECT event_type, r FROM cal ORDER BY event_type, r, d"
+        ).fetchall()
+    finally:
+        con.close()
+    residuals: dict[str, list[float]] = {}
+    for et, r in res:
+        residuals.setdefault(et, []).append(float(r))
+
+    out = STAGED_R7_QUERIES["events_conformal_volume"](
+        spark, sf_dir_oracle).collect()
+    assert out
+    for r in out:
+        rs = residuals[r.event_type]
+        assert r.n_cal == len(rs)
+        k = min(math.ceil((r.n_cal + 1) * 8 / 10), r.n_cal)
+        assert r.qhat == round(rs[k - 1], 6)
         assert 0.0 <= r.coverage <= 1.0
-        k = math.ceil((r.n_cal + 1) * 8 / 10)
-        assert k <= r.n_cal or r.qhat >= 0  # rank clamped inside cal set
 
 
 def test_streaming_ewma_restart_recovery(spark, sf_dir_oracle, tmp_path):
-    """Level-state restart recovery: run the stream over the FIRST file
-    only, stop, land the rest, resume on the same checkpoint — the
-    published levels must equal the uninterrupted batch fold (the
-    events_ewma_forecast plan on the full history)."""
+    """Level-state restart recovery, using the op's REAL seed/handler:
+    run the stream over the FIRST file only, stop, land the rest,
+    resume on the same checkpoint — the published levels must equal the
+    uninterrupted batch fold (the events_ewma_forecast plan on the full
+    history)."""
     from traffic_data_pipeline_spark.plans.queries import run_available_now
     from traffic_data_pipeline_spark.plans.staged_ops_r7 import (
-        _ewma_from_daily,
+        _ewma_handle,
+        _ewma_seed,
     )
     from traffic_data_pipeline_spark.sources.tables import load_table
 
@@ -760,21 +823,8 @@ def test_streaming_ewma_restart_recovery(spark, sf_dir_oracle, tmp_path):
     level_dir = str(tmp_path / "levels")
     ckpt = str(tmp_path / "ckpt")
 
-    spark.createDataFrame(
-        [], "event_type string, day date, y long"
-    ).write.mode("overwrite").parquet(state_dir)
-
-    def handle(batch_df, batch_id):
-        part = (batch_df
-                .groupBy("event_type",
-                         F.to_date(F.date_trunc("day", F.col("ts")))
-                         .alias("day"))
-                .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
-        part.write.mode("append").parquet(state_dir)
-        daily = (spark.read.parquet(state_dir)
-                 .groupBy("event_type", "day")
-                 .agg(F.sum("y").cast("bigint").alias("y")))
-        _ewma_from_daily(daily).write.mode("overwrite").parquet(level_dir)
+    _ewma_seed(spark, state_dir, level_dir)
+    handle = _ewma_handle(spark, state_dir, level_dir)
 
     def run_once():
         stream = (spark.readStream.schema("ts timestamp, event_type string")
@@ -806,6 +856,22 @@ def test_streaming_ewma_restart_recovery(spark, sf_dir_oracle, tmp_path):
     # the mid-stream snapshot was a DIFFERENT (partial-history) level
     # for at least one type, i.e. the resume really added state
     assert any(mid.get(t) != f for (t, _, _, f, _, _) in want)
+
+    # crash replay (VERDICT r6 ask #2 applied to the level fold): the
+    # state append of the LAST batch landed but the offset commit did
+    # not — the restart re-runs the handler with the same batch_id; the
+    # stamped dedup must keep the published levels equal to the batch
+    # fold instead of double-counting one batch's partials
+    handle(ev.filter(F.col("event_id") % 3 == 2)
+           .select("ts", "event_type"), 2)
+    replayed = {(r.event_type, r.n_days, r.last_day_count, r.ewma_fast,
+                 r.ewma_slow, r.momentum)
+                for r in spark.read.parquet(level_dir).collect()}
+    assert replayed == want
+    # the raw state really did double-append (the dedup is doing work)
+    raw = spark.read.parquet(state_dir).count()
+    deduped = spark.read.parquet(state_dir).distinct().count()
+    assert raw > deduped
 
 
 def test_bpe_planted_banana_merge_sequence(spark, tmp_path):
@@ -912,6 +978,38 @@ def test_control_chart_flags_planted_shift_not_steady_state(spark,
         spark, str(tmp_path)).collect()
     assert all(r.flag == 0 for r in flat)
     assert all(r.ewma == r.mu for r in flat)
+
+
+def test_control_chart_single_day_null_sigma_both_engines(spark, tmp_path):
+    """One-day span degenerate input (ADVICE r6): the sample variance
+    denominator (n-1) is zero, so BOTH engines must emit NULL band and
+    flag 0 — not engine-specific div-by-zero Inf/NaN."""
+    import datetime as dt
+
+    import duckdb
+
+    rows = [(i, dt.datetime(2024, 7, 1, 7, 0, 0), i, t, 1.0, "{}")
+            for i, t in enumerate(["click", "click", "view"])]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = STAGED_R7_QUERIES["events_ewma_control_chart"](
+        spark, str(tmp_path)).collect()
+    assert len(out) == 2
+    assert all(r.band is None and r.flag == 0 for r in out)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet/*.parquet')")
+        duck = con.sql(
+            STAGED_R7_ORACLES["events_ewma_control_chart"]).fetchall()
+    finally:
+        con.close()
+    assert len(duck) == 2
+    # columns: event_type, d, y, ewma, mu, band, flag
+    assert all(r[5] is None and r[6] == 0 for r in duck)
 
 
 def test_mmr_ann_bucket_invariant_and_planted_twin_equality(spark,

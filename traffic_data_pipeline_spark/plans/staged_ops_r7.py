@@ -1222,11 +1222,15 @@ def q_streaming_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     State here is the index itself (a parquet table of band rows —
     exactly what a production run persists), not Spark operator state:
     foreachBatch reads/appends it, and the availableNow checkpoint makes
-    re-runs process only unseen files. The per-batch index append and
-    the offset commit are not one transaction (a crash BETWEEN them
-    re-emits one batch's pairs on restart); production would stamp
-    batchId into the append path and dedup on read — the documented
-    at-least-once caveat shared by every foreachBatch sink.
+    re-runs process only unseen files. The per-batch appends and the
+    offset commit are not one transaction, so a crash BETWEEN them makes
+    the restart replay one batch — every appended row therefore carries
+    its batchId and both readers dedup on read (a replayed batch
+    recomputes the identical deterministic rows under the SAME batchId,
+    so full-row DISTINCT removes exactly the double-append and nothing
+    else), turning the foreachBatch at-least-once into exactly-once
+    output. tests/test_staged_ops_r7.py kills between append and commit
+    and asserts the pair stream still unions to the batch oracle.
 
     Scale shape: per batch, band rows move once into a band_key
     equi-join against the index (the incremental delta-vs-index join
@@ -1234,26 +1238,74 @@ def q_streaming_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing ever pairs corpus x corpus. est_sim is the integer agree
     count / 8 from the signatures both sides carry.
     """
-    from traffic_data_pipeline_spark.functions.dedup import (
-        minhash_bands,
-        minhash_signatures,
-        shingle_sets,
-    )
     from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
+    from traffic_data_pipeline_spark.plans.queries import run_available_now
 
     src = _minhash_stream_dir(spark, sf_dir)
     index_dir = scratch_dir(prefix="tdp_mh_index_")
     pair_dir = scratch_dir(prefix="tdp_mh_pairs_")
     ckpt = scratch_dir(prefix="tdp_mh_ckpt_")
 
+    _minhash_seed(spark, index_dir, pair_dir)
+    handle = _minhash_handle(spark, index_dir, pair_dir)
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src))
+    run_available_now(
+        spark, "streaming_minhash_index",
+        start=lambda: (stream.writeStream.foreachBatch(handle)
+                       .option("checkpointLocation", ckpt)
+                       .trigger(availableNow=True).start()))
+    return _minhash_pairs(spark, pair_dir)
+
+
+def _stamp(df: DataFrame, batch_id: int) -> DataFrame:
+    return df.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+
+
+def _minhash_seed(spark: SparkSession, index_dir: str,
+                  pair_dir: str) -> None:
+    """Pre-seed both sinks with empty batch_id-stamped frames so every
+    read in the handler is schema-valid from batch 0."""
+    from traffic_data_pipeline_spark.functions.dedup import (
+        minhash_bands,
+        minhash_signatures,
+        shingle_sets,
+    )
+
     empty = spark.createDataFrame([], "doc_id long, text string")
     bands_schema = minhash_bands(minhash_signatures(shingle_sets(empty)))
-    # pre-seed both sinks with empty frames so every read below is valid
-    bands_schema.write.mode("overwrite").parquet(index_dir)
-    bands_schema.limit(0).selectExpr(
+    _stamp(bands_schema, -1).write.mode("overwrite").parquet(index_dir)
+    _stamp(bands_schema.limit(0).selectExpr(
         "doc_id AS doc_a", "doc_id AS doc_b",
-        "CAST(0.0 AS DOUBLE) AS est_sim",
-    ).write.mode("overwrite").parquet(pair_dir)
+        "CAST(0.0 AS DOUBLE) AS est_sim"), -1) \
+        .write.mode("overwrite").parquet(pair_dir)
+
+
+def _minhash_pairs(spark: SparkSession, pair_dir: str) -> DataFrame:
+    """Exactly-once pair read: a pair emits in exactly one batch (the
+    later doc's), so full-row DISTINCT (batch_id included) collapses
+    only crash-replay double-appends."""
+    return (spark.read.parquet(pair_dir).distinct()
+            .select("doc_a", "doc_b", "est_sim"))
+
+
+def _minhash_handle(spark: SparkSession, index_dir: str, pair_dir: str):
+    """The foreachBatch body, shared with the restart/crash-replay tests
+    so the tested handler IS the production handler."""
+    from traffic_data_pipeline_spark.functions.dedup import (
+        minhash_bands,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    def read_index() -> DataFrame:
+        # full-row DISTINCT (batch_id included) collapses a crash-replay
+        # double-append; each doc lands in exactly one batch, so no
+        # legitimate row is removed
+        return spark.read.parquet(index_dir).distinct().drop("batch_id")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         bl = minhash_bands(minhash_signatures(shingle_sets(batch_df)))
@@ -1262,7 +1314,7 @@ def q_streaming_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n == 0:
             bl.unpersist()
             return
-        combined = spark.read.parquet(index_dir).unionByName(bl)
+        combined = read_index().unionByName(bl)
         a, b = bl.alias("a"), combined.alias("b")
         est = sum(
             (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int")
@@ -1278,22 +1330,11 @@ def q_streaming_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 est.alias("est_sim"))
             .filter(F.col("est_sim") >= 0.5)
             .distinct())
-        pairs.write.mode("append").parquet(pair_dir)
-        bl.write.mode("append").parquet(index_dir)
+        _stamp(pairs, batch_id).write.mode("append").parquet(pair_dir)
+        _stamp(bl, batch_id).write.mode("append").parquet(index_dir)
         bl.unpersist()
 
-    stream = (spark.readStream
-              .schema("doc_id long, text string")
-              .option("maxFilesPerTrigger", 1)
-              .parquet(src))
-    from traffic_data_pipeline_spark.plans.queries import run_available_now
-
-    run_available_now(
-        spark, "streaming_minhash_index",
-        start=lambda: (stream.writeStream.foreachBatch(handle)
-                       .option("checkpointLocation", ckpt)
-                       .trigger(availableNow=True).start()))
-    return spark.read.parquet(pair_dir).select("doc_a", "doc_b", "est_sim")
+    return handle
 
 
 # ---------------------------------------------------------------------------
@@ -3038,11 +3079,14 @@ def q_streaming_ewma_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     State is calendar-bounded — (type, day) partials, merged by sum on
     read — so replaying 100 TB of history grows the state table by
     |types| x |days| rows, not by events. The state append and the
-    offset commit are not one transaction: a crash between them
-    double-appends one batch's partials on restart (the documented
-    foreachBatch at-least-once caveat); production would stamp batchId
-    into the append path and dedup on read. The restart-recovery test
-    pins that a stop/resume run still converges to the batch fold.
+    offset commit are not one transaction, so a crash between them makes
+    the restart replay one batch — every partial row therefore carries
+    its batchId and the read dedups on (batch_id, type, day) before
+    summing (a replayed batch recomputes identical deterministic
+    partials under the SAME batchId, so the dedup collapses exactly the
+    double-append), turning the foreachBatch at-least-once into an
+    exactly-once fold. The restart-recovery tests pin both the clean
+    stop/resume AND the append-then-crash replay against the batch fold.
 
     Scale shape: per batch, ONE map-side-combined (type, day) count of
     the batch, then the EWMA fold on the calendar-bounded state frame;
@@ -3056,24 +3100,8 @@ def q_streaming_ewma_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     level_dir = scratch_dir(prefix="tdp_ewma_levels_")
     ckpt = scratch_dir(prefix="tdp_ewma_ckpt_")
 
-    empty = spark.createDataFrame([], "event_type string, day date, y long")
-    empty.write.mode("overwrite").parquet(state_dir)
-    spark.createDataFrame(
-        [], "event_type string, n_days long, last_day_count long, "
-            "ewma_fast double, ewma_slow double, momentum double"
-    ).write.mode("overwrite").parquet(level_dir)
-
-    def handle(batch_df: DataFrame, batch_id: int) -> None:
-        part = (batch_df
-                .groupBy("event_type",
-                         F.to_date(F.date_trunc("day", F.col("ts")))
-                         .alias("day"))
-                .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
-        part.write.mode("append").parquet(state_dir)
-        daily = (spark.read.parquet(state_dir)
-                 .groupBy("event_type", "day")
-                 .agg(F.sum("y").cast("bigint").alias("y")))
-        _ewma_from_daily(daily).write.mode("overwrite").parquet(level_dir)
+    _ewma_seed(spark, state_dir, level_dir)
+    handle = _ewma_handle(spark, state_dir, level_dir)
 
     stream = (spark.readStream
               .schema("ts timestamp, event_type string")
@@ -3087,6 +3115,38 @@ def q_streaming_ewma_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(level_dir).select(
         "event_type", "n_days", "last_day_count",
         "ewma_fast", "ewma_slow", "momentum")
+
+
+def _ewma_seed(spark: SparkSession, state_dir: str, level_dir: str) -> None:
+    """Pre-seed the batch_id-stamped state table and the level sink."""
+    spark.createDataFrame(
+        [], "event_type string, day date, y long, batch_id long"
+    ).write.mode("overwrite").parquet(state_dir)
+    spark.createDataFrame(
+        [], "event_type string, n_days long, last_day_count long, "
+            "ewma_fast double, ewma_slow double, momentum double"
+    ).write.mode("overwrite").parquet(level_dir)
+
+
+def _ewma_handle(spark: SparkSession, state_dir: str, level_dir: str):
+    """The foreachBatch body, shared with the restart/crash-replay tests
+    so the tested handler IS the production handler."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        part = (batch_df
+                .groupBy("event_type",
+                         F.to_date(F.date_trunc("day", F.col("ts")))
+                         .alias("day"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
+        _stamp(part, batch_id).write.mode("append").parquet(state_dir)
+        # full-row DISTINCT collapses a crash-replay double-append (same
+        # batch_id, identical deterministic partials) before the sum
+        daily = (spark.read.parquet(state_dir).distinct()
+                 .groupBy("event_type", "day")
+                 .agg(F.sum("y").cast("bigint").alias("y")))
+        _ewma_from_daily(daily).write.mode("overwrite").parquet(level_dir)
+
+    return handle
 
 
 # ---------------------------------------------------------------------------
@@ -3528,10 +3588,11 @@ fill AS MATERIALIZED (
 stats AS MATERIALIZED (
   SELECT event_type,
          ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS mu,
-         ROUND(sqrt((CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE)
+         ROUND(sqrt(CASE WHEN COUNT(*) > 1 THEN
+                greatest((CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE)
                      - CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE)
                        * SUM(CAST(y AS DECIMAL(38,0))) / COUNT(*))
-                    / (COUNT(*) - 1)), 6) AS sigma
+                    / (COUNT(*) - 1), 0) END), 6) AS sigma
   FROM fill GROUP BY 1),
 terms AS (
   SELECT a.event_type, a.d,
@@ -3607,15 +3668,20 @@ def q_events_ewma_control_chart(spark: SparkSession,
                     F.coalesce("y", F.lit(0)).cast("bigint").alias("y"))
             .localCheckpoint(eager=True))  # terms, stats, and final read it
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    # one-day span guard (ADVICE r6): n == 1 makes the sample variance
+    # 0/0 — emit NULL sigma (and thus NULL band, flag 0) in BOTH engines
+    # instead of relying on matching div-by-zero semantics; greatest(.., 0)
+    # absorbs a slightly negative double moment difference before sqrt.
+    _n = F.count(F.lit(1))
     stats = (fill.groupBy("event_type")
-             .agg(F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6)
+             .agg(F.round(F.sum("y").cast("double") / _n, 6)
                   .alias("mu"),
-                  F.round(F.sqrt(
+                  F.round(F.sqrt(F.when(_n > 1, F.greatest(
                       (F.sum(dec("y") * F.col("y")).cast("double")
                        - F.sum(dec("y")).cast("double")
                        * F.sum(dec("y")).cast("double")
-                       / F.count(F.lit(1)))
-                      / (F.count(F.lit(1)) - 1)), 6).alias("sigma")))
+                       / _n)
+                      / (_n - 1), F.lit(0.0)))), 6).alias("sigma")))
     a = fill.select("event_type", F.col("d").alias("ad"))
     j = fill.select(F.col("event_type").alias("je"),
                     F.col("d").alias("jd"), "y")
