@@ -60,19 +60,17 @@ def _previously_checked() -> set[str]:
     return seen
 
 
-# Round-6 promotion (VERDICT r5 ask #1): plans/staged_ops_r6.py is folded
+# Round-7 promotion (VERDICT r6 ask #1): plans/staged_ops_r7.py is folded
 # unconditionally into QUERIES/ORACLES (same tail-fold mechanism as
-# staged_ops.py), adding its 22 oracle-gated operators to the registry,
-# plus the ANN-backed margin-align twin (VERDICT r5 ask #2). With the
-# driver's cumulative record complete through round 5 (195/195), the
-# never-checked set this round is exactly these promotions — they fit the
-# ~50-row window with headroom. The round-7 staging area
-# (plans/staged_ops_r7.py) stays behind the same freeze. Among the
-# unchecked, the per-query-costliest (streaming micro-batch machinery,
-# cached-self-join dedup families, and the heavy r6 staged set sized from
-# BENCH_STAGED_r05.json) queue LAST: if the driver window is time-bounded
-# this ordering maximizes rows drained per round, and if it is
-# count-bounded the order is neutral.
+# staged_ops.py / staged_ops_r6.py), adding its 31 oracle-gated operators
+# to the registry — 249 names total. With the driver's cumulative record
+# complete through round 6 (218/218), the never-checked set this round is
+# exactly these promotions — they fit the ~50-row window with ~19 rows of
+# headroom. Among the unchecked, the per-query-costliest (streaming
+# micro-batch machinery, cached-self-join dedup families, and the heavy
+# staged sets sized from the BENCH_STAGED readouts) queue LAST: if the
+# driver window is time-bounded this ordering maximizes rows drained per
+# round, and if it is count-bounded the order is neutral.
 _COSTLY_TAIL = {
     "streaming_sessionize",
     "streaming_static_enrich",
@@ -101,16 +99,22 @@ _COSTLY_TAIL = {
     "corpus_entropy_rate",
     "streaming_session_funnel",
     "embedding_dim_truncation_recall",
+    # heavy round-7 staged promotions, by the BENCH_STAGED_r06.json
+    # readout (29 ops, 106.6 s at sf0.1 under load; the quieter 25-op
+    # pass read 56.3 s): streaming micro-batch machinery (5-20 s), the
+    # six vocab-frame BPE merge rounds (10.1 s), the 40 checkpointed
+    # Markov value iterations (9.0 s, corpus-size-independent), and the
+    # ~4-7 s build-heavy index/model ops
+    "streaming_minhash_index",
+    "streaming_ewma_level",
+    "bpe_train_merges",
+    "events_markov_removal_effect",
+    "doc_nb_langid",
+    "embedding_ivfpq_query",
+    "embedding_ivf_balance_report",
+    "embedding_mmr_topk",
+    "part_price_elasticity",
 }
-# Round-7 promotion note (for the next round's fold): by the final
-# BENCH_STAGED_r06.json readout (29 ops, 106.6 s at sf0.1 under load;
-# the quieter 25-op pass read 56.3 s) the staged names to queue into
-# this tail are streaming_minhash_index and streaming_ewma_level
-# (micro-batch machinery, 5-20 s), bpe_train_merges (10.1 s — six
-# vocab-frame merge rounds), events_markov_removal_effect (9.0 s — 40
-# checkpointed value iterations, corpus-size-independent),
-# doc_nb_langid, embedding_ivfpq_query, embedding_ivf_balance_report,
-# embedding_mmr_topk, and part_price_elasticity (~4-7 s each).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -127,9 +127,9 @@ EMB_NAMES = [
     "embedding_whitening_stats",  # r6: in-row triangle -> 2080-row agg
     "embedding_silhouette_by_label",  # r6: broadcast-centroid rescore
     "embedding_pq_adc",         # staged: code assignment ~N, probe ~N
-    "embedding_margin_align",   # staged: bipartite brute force ~N^2 BY
-                                # DESIGN at fixture scale (the documented
-                                # 100 TB path swaps in ANN candidates)
+    "embedding_margin_align",   # r7: BOUNDED calibration anchor — each
+                                # side md5-capped at ALIGN_CAL_CAP, pair
+                                # stream <= CAP^2 at any corpus size
     "embedding_margin_align_ann",  # r6: the registered ANN swap — banded
                                 # adaptive-width LSH candidates ~N*k
 ]
@@ -178,6 +178,50 @@ EVENT_NAMES = [
 ]
 
 
+def build_lineitem_corpus(mult: int) -> str:
+    """2x/4x lineitem corpora by deterministic synthesis of INDEPENDENT
+    new line items (shifted orderkey space, hash-jittered quantity and
+    price). The part/supplier key space is kept, so per-(p_type,
+    suppkey) groups stay bounded while fact rows grow — exactly the
+    100 TB shape (facts grow, dimensions don't)."""
+    out = f"/tmp/scale_li_x{mult}"
+    os.makedirs(out, exist_ok=True)
+    reps = ",".join(str(k) for k in range(1, mult))
+    con = duckdb.connect()
+    con.execute(f"""
+      COPY (
+        SELECT * FROM read_parquet('{SRC}/lineitem.parquet')
+        UNION ALL
+        SELECT l.l_orderkey + k.k * 100000000 AS l_orderkey,
+               l.l_partkey, l.l_suppkey, l.l_linenumber,
+               CAST(1 + hash(l.l_orderkey * 131071 + l.l_linenumber * 8191
+                             + k.k) % 50 AS DOUBLE) AS l_quantity,
+               ROUND((1 + hash(l.l_orderkey * 131071
+                               + l.l_linenumber * 8191 + k.k) % 50)
+                     * (900.0 + hash(l.l_orderkey * 8191
+                                     + l.l_linenumber * 131071 + k.k)
+                        % 200) / 100.0, 2) * 100 AS l_extendedprice,
+               l.l_discount, l.l_tax, l.l_returnflag, l.l_linestatus,
+               l.l_shipdate
+        FROM read_parquet('{SRC}/lineitem.parquet') l,
+             (SELECT unnest([{reps}]) AS k) k
+      ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "events", "documents", "embeddings"]:
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SRC}/{t}.parquet", dst)
+    return out
+
+
+LINEITEM_NAMES = [
+    "part_price_elasticity",    # r7: ONE (p_type) five-moment fold
+    "supplier_share_hhi",       # r7: (p_type, suppkey) fold -> shares
+]
+
+
 def main() -> None:
     from traffic_data_pipeline_spark.functions.execution import release
     from traffic_data_pipeline_spark.plans.queries import QUERIES
@@ -192,53 +236,54 @@ def main() -> None:
 
     spark = get_spark("scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    dirs = [(SRC, "x1"), (build_corpus(2), "x2"), (build_corpus(4), "x4")]
-    results: dict[str, dict[str, float]] = {}
-    pairs: dict[str, int] = {}
-    for sf_dir, label in dirs:
-        spark.read.parquet(f"{sf_dir}/documents.parquet").count()  # warm
-        for name in NAMES:
-            fn = (QUERIES.get(name) or STAGED_QUERIES.get(name)
-                  or STAGED_R6_QUERIES.get(name)
-                  or STAGED_R7_QUERIES[name])
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            results.setdefault(name, {})[label] = round(
-                time.perf_counter() - t0, 2)
+    # SPARK_GRAFT_PROBE_FAMILIES: comma list of docs,emb,events,lineitem
+    # (default all) — re-measure one family without repaying the rest
+    fams = set(os.environ.get(
+        "SPARK_GRAFT_PROBE_FAMILIES", "docs,emb,events,lineitem"
+    ).split(","))
+
+    def lookup(name):
+        return (QUERIES.get(name) or STAGED_QUERIES.get(name)
+                or STAGED_R6_QUERIES.get(name)
+                or STAGED_R7_QUERIES[name])
+
+    def probe(dirs, names, warm_table):
+        out: dict[str, dict[str, float]] = {}
+        for sf_dir, label in dirs:
+            spark.read.parquet(f"{sf_dir}/{warm_table}.parquet").count()
+            for name in names:
+                t0 = time.perf_counter()
+                lookup(name)(spark, sf_dir).write.format("noop") \
+                    .mode("overwrite").save()
+                out.setdefault(name, {})[label] = round(
+                    time.perf_counter() - t0, 2)
+                release()
+        return out
+
+    report: dict[str, object] = {}
+    if "docs" in fams:
+        dirs = [(SRC, "x1"), (build_corpus(2), "x2"),
+                (build_corpus(4), "x4")]
+        report["timings_s"] = probe(dirs, NAMES, "documents")
+        pairs: dict[str, int] = {}
+        for sf_dir, label in dirs:
+            pairs[label] = QUERIES["dedup_minhash_lsh"](
+                spark, sf_dir).count()
             release()
-        pairs[label] = QUERIES["dedup_minhash_lsh"](spark, sf_dir).count()
-        release()
-    emb_dirs = [(SRC, "x1"), (build_emb_corpus(2), "x2"),
-                (build_emb_corpus(4), "x4")]
-    emb_results: dict[str, dict[str, float]] = {}
-    for sf_dir, label in emb_dirs:
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()  # warm
-        for name in EMB_NAMES:
-            fn = (QUERIES.get(name) or STAGED_QUERIES.get(name)
-                  or STAGED_R6_QUERIES.get(name)
-                  or STAGED_R7_QUERIES[name])
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            emb_results.setdefault(name, {})[label] = round(
-                time.perf_counter() - t0, 2)
-            release()
-    ev_dirs = [(SRC, "x1"), (build_events_corpus(2), "x2"),
-               (build_events_corpus(4), "x4")]
-    ev_results: dict[str, dict[str, float]] = {}
-    for sf_dir, label in ev_dirs:
-        spark.read.parquet(f"{sf_dir}/events.parquet").count()  # warm
-        for name in EVENT_NAMES:
-            fn = (QUERIES.get(name) or STAGED_QUERIES.get(name)
-                  or STAGED_R6_QUERIES.get(name)
-                  or STAGED_R7_QUERIES[name])
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            ev_results.setdefault(name, {})[label] = round(
-                time.perf_counter() - t0, 2)
-            release()
-    print(json.dumps({"timings_s": results, "lsh_pairs": pairs,
-                      "emb_timings_s": emb_results,
-                      "event_timings_s": ev_results}, indent=1))
+        report["lsh_pairs"] = pairs
+    if "emb" in fams:
+        report["emb_timings_s"] = probe(
+            [(SRC, "x1"), (build_emb_corpus(2), "x2"),
+             (build_emb_corpus(4), "x4")], EMB_NAMES, "embeddings")
+    if "events" in fams:
+        report["event_timings_s"] = probe(
+            [(SRC, "x1"), (build_events_corpus(2), "x2"),
+             (build_events_corpus(4), "x4")], EVENT_NAMES, "events")
+    if "lineitem" in fams:
+        report["lineitem_timings_s"] = probe(
+            [(SRC, "x1"), (build_lineitem_corpus(2), "x2"),
+             (build_lineitem_corpus(4), "x4")], LINEITEM_NAMES, "lineitem")
+    print(json.dumps(report, indent=1))
 
 
 if __name__ == "__main__":

@@ -429,6 +429,117 @@ CAPS = {
                                          # builds (measured (7, 6) —
                                          # AQE broadcasts the fixture
                                          # sides too)
+    # --- round-7 promotions (moved here from tests/test_staged_ops_r7.py
+    # at promotion time, per the documented path) ---
+    "lang_fertility_drift": (3, 1),      # ONE (snap, lang) agg over the
+                                         # in-row counts + #langs self-join
+    "dedup_exact_substring_spans": (4, 1),  # gram df agg + dup semi-join
+                                         # + ONE doc window carrying both
+                                         # island stages
+    "corpus_stratified_sample": (6, 3),  # strata agg + quota arithmetic
+                                         # (broadcast back) + ONE
+                                         # per-stratum rank window
+    "dedup_cross_source_matrix": (3, 2), # rides the cached pair stream;
+                                         # two source join-backs + ONE
+                                         # (src, src) count; total scalar
+                                         # broadcast
+    "embedding_ivf_balance_report": (3, 2),  # assignment argmax + K-row
+                                         # count over the cached spread;
+                                         # centroids + total broadcast
+    "events_value_benford": (8, 1),      # (type, digit) count + type
+                                         # totals + chi regroup; tot/chi
+                                         # frames broadcast
+    "events_retention_cohorts": (6, 2),  # (user, day) distinct + cohort
+                                         # min + co-keyed return join;
+                                         # the 4-row offset frame ALWAYS
+                                         # broadcast
+    "doc_repetition_profile": (6, 0),    # every aggregate/window keys by
+                                         # doc_id — ONE spread exchange
+                                         # fans into the gram counts,
+                                         # run islands, and join-backs
+    "events_markov_removal_effect": (2, 1),  # live plan reads the
+                                         # checkpointed orbit; the 40
+                                         # value iterations are paid at
+                                         # build on K-row frames
+    "dedup_threshold_sweep": (5, 3),     # pair stream x 5-row threshold
+                                         # broadcast + (thr, doc) canon
+                                         # agg + survivor regroup
+    "corpus_lang_source_coverage": (7, 3),  # ONE (lang, source) count;
+                                         # marginals re-aggregate the
+                                         # tiny cell frame; scalars
+                                         # broadcast
+    "streaming_minhash_index": (1, 0),   # live plan reads the landed
+                                         # pair parquet through ONE
+                                         # distinct (the exactly-once
+                                         # crash-replay dedup); the
+                                         # per-batch index joins run
+                                         # inside the micro-batches
+    "corpus_length_filter_curve": (2, 2),  # ONE percentile agg to a
+                                         # 10-row broadcast + ONE
+                                         # (decile) count over the fan
+    "embedding_centroid_drift": (8, 2),  # (snap,label,pos) decimal agg
+                                         # + centroid-frame joins; the
+                                         # tiny n/centroid frames
+                                         # broadcast at fixture scale
+    "doc_language_purity": (2, 0),       # ONE (doc, chunk) vote agg +
+                                         # the doc-keyed majority
+                                         # window/fold riding it
+    "events_interarrival_burstiness": (2, 0),  # ONE type ordering window
+                                         # + ONE 128-bit moment agg
+    "doc_readability": (3, 1),          # TWO (lang, source) aggs over the
+                                         # same in-row counts + a tiny
+                                         # group-frame broadcast join
+    "doc_nb_langid": (10, 5),            # train/eval pipeline: the wide
+                                         # exchanges are the (lang,gram) /
+                                         # (doc,gram) counts; model, vocab,
+                                         # and lang frames all broadcast
+    "embedding_ivfpq_query": (4, 3),     # live plan reads checkpointed
+                                         # assignment/code frames; coarse
+                                         # centroids, probe list, codebook
+                                         # and ADC table all broadcast
+    "corpus_token_psi_drift": (3, 1),    # live plan reads the
+                                         # checkpointed token-count /
+                                         # bucket frames; anchors +
+                                         # per-lang totals broadcast
+    "events_ewma_forecast": (3, 2),      # ONE (type, day) count; span
+                                         # scalar + filled spine
+                                         # broadcast; final |types| fold
+    "part_price_elasticity": (2, 1),     # part broadcast into the scan
+                                         # + ONE five-moment aggregate
+    "supplier_share_hhi": (2, 2),        # live plan reads the
+                                         # checkpointed (type, supp)
+                                         # cents frame; totals broadcast
+    "events_lead_lag_correlation": (2, 1),  # ONE (type, day) count
+                                         # (checkpointed); the lag grid +
+                                         # spine self-join broadcast
+    "embedding_mmr_topk": (1, 0),        # live plan reads the final
+                                         # checkpointed selection; the
+                                         # greedy rounds join
+                                         # pool-constant frames
+    "events_conformal_volume": (8, 4),   # ONE (type, day) count
+                                         # (checkpointed, read by all
+                                         # three splits); pred/qhat/ntr
+                                         # frames broadcast into the
+                                         # calendar-bounded folds
+    "streaming_ewma_level": (0, 0),      # live plan reads the published
+                                         # levels parquet; per-batch
+                                         # folds run inside foreachBatch
+    "bpe_train_merges": (0, 0),          # live plan reads the final
+                                         # checkpointed merge rows; each
+                                         # round's vocab-frame pair agg
+                                         # is paid at build
+    "events_weekday_decomposition": (6, 4),  # ONE (type, day) count
+                                         # (checkpointed, three
+                                         # consumers); mean/variance
+                                         # frames broadcast
+    "events_ewma_control_chart": (3, 3),  # ONE (type, day) count
+                                         # (checkpointed); the prefix
+                                         # triangle self-join and stats
+                                         # broadcast over the spine
+    "embedding_mmr_topk_ann": (1, 0),    # live plan reads the final
+                                         # checkpointed selection; the
+                                         # bucket-pruned relevance scan
+                                         # is paid at build
 }
 
 

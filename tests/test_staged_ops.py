@@ -639,6 +639,56 @@ def test_margin_align_zero_normalizer_parity(spark, tmp_path_factory):
         (0, 1, 0.0, None)]
 
 
+def test_margin_align_calibration_cap_binds_and_matches(
+        spark, tmp_path_factory):
+    """VERDICT r6 ask #3: on an oversized fixture (200 vectors per side,
+    > ALIGN_CAL_CAP) the brute calibration anchor samples each side down
+    to the md5-ranked CAP prefix — the pair stream is bounded at CAP^2
+    at any corpus size — and both engines pick the IDENTICAL sample
+    (oracle hash-match on the capped fixture)."""
+    import hashlib
+    import os
+
+    import duckdb as _duck
+
+    from traffic_data_pipeline_spark.plans.staged_ops import ALIGN_CAL_CAP
+    from traffic_data_pipeline_spark.sources.tables import TABLES
+
+    out = tmp_path_factory.mktemp("cal_cap")
+    con = _duck.connect()
+    con.execute(f"""
+        COPY (
+          SELECT i AS vec_id,
+                 CAST(list_transform(range(8),
+                      x -> 1.0 + ((i * 37 + x * 11) % 19))
+                  AS FLOAT[]) AS embedding,
+                 CAST(i % 2 AS INT) AS label
+          FROM range(400) t(i)
+        ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    for t in TABLES:
+        dst = out / f"{t}.parquet"
+        if not dst.exists():
+            os.symlink(f"/root/testdata/sf0.01/{t}.parquet", dst)
+    assert_matches_oracle(
+        STAGED_QUERIES["embedding_margin_align"](spark, str(out)),
+        STAGED_ORACLES["embedding_margin_align"], str(out))
+    rows = STAGED_QUERIES["embedding_margin_align"](
+        spark, str(out)).collect()
+    # every emitted id sits inside its side's md5-ranked CAP prefix
+    want_a = set(sorted(
+        (i for i in range(400) if i % 2 == 0),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:ALIGN_CAL_CAP])
+    want_b = set(sorted(
+        (i for i in range(400) if i % 2 == 1),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:ALIGN_CAL_CAP])
+    assert rows and {r.a_id for r in rows} <= want_a
+    assert {r.b_id for r in rows} <= want_b
+
+
 def test_mixture_budget_allocation_invariants(spark, sf_dir_oracle):
     """Largest-remainder apportionment: integer quotas sum EXACTLY to
     the budget, each quota is floor(ideal) or floor(ideal)+1, and the

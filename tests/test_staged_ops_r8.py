@@ -1,0 +1,225 @@
+"""Oracle gate + semantic checks for the round-8 staging area
+(plans/staged_ops_r8.py) — the same query-vs-oracle compare every
+registered query passes, run BEFORE these names enter the driver
+registry, plus a freeze guard pinning that they stay out of it this
+round (the round-7 promotion backlog drains first)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.oracle import assert_matches_oracle
+from traffic_data_pipeline_spark.plans.staged_ops_r8 import (
+    STAGED_R8_ORACLES,
+    STAGED_R8_QUERIES,
+)
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_R8_ORACLES))
+def test_staged_r8_matches_oracle(spark, sf_dir_oracle, name):
+    assert_matches_oracle(
+        STAGED_R8_QUERIES[name](spark, sf_dir_oracle),
+        STAGED_R8_ORACLES[name], sf_dir_oracle)
+
+
+# Exchange budgets (the test_plan_shapes contract, applied at staging
+# time): (max hash exchanges, min broadcast exchanges) in the live plan
+# at the smoke fixture. Fold into tests/test_plan_shapes.py at promotion.
+STAGED_R8_CAPS = {
+    "streaming_conformal_monitor": (0, 0),  # live plan reads the
+                                         # published intervals parquet;
+                                         # per-batch folds run inside
+                                         # foreachBatch
+    "streaming_ivf_index": (0, 0),       # live plan reads the published
+                                         # balance report; per-batch
+                                         # assignment joins run inside
+                                         # the micro-batches
+    "config_scd2_compaction_stats": (4, 1),  # ONE (day, kind) count over
+                                         # the cached changelog + ONE
+                                         # scalar dimension fold
+                                         # broadcast back
+}
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_R8_CAPS))
+def test_staged_r8_exchange_budget(spark, sf_dir, name):
+    from tests import test_plan_shapes as shapes
+
+    max_exch, min_bcast = STAGED_R8_CAPS[name]
+    exch, bcast = shapes._count_live(STAGED_R8_QUERIES[name](spark, sf_dir))
+    assert exch <= max_exch, (
+        f"{name}: {exch} hash exchanges (cap {max_exch})")
+    assert bcast >= min_bcast, (
+        f"{name}: {bcast} broadcast exchanges (expected >= {min_bcast})")
+
+
+def test_staged_r8_names_not_registered():
+    """Round-7 registration freeze: round-8 staged ops must not leak into
+    the driver registry until the round-7 promotion backlog drains and
+    round 8 promotes them."""
+    import __spark_entry__ as e
+
+    live = set(e.queries())
+    assert set(STAGED_R8_QUERIES).isdisjoint(live)
+    assert set(STAGED_R8_ORACLES) == set(STAGED_R8_QUERIES)
+    assert set(STAGED_R8_CAPS) == set(STAGED_R8_QUERIES)
+
+
+def test_streaming_conformal_crash_replay_equals_batch(
+        spark, sf_dir_oracle, tmp_path):
+    """Stop/resume AND append-then-crash replay: run the stream over the
+    first file, resume with the rest, then re-invoke the REAL handler
+    with the last batch under the SAME batchId — the published intervals
+    must equal the batch op on the full history at every step where the
+    history is complete."""
+    from traffic_data_pipeline_spark.plans.queries import run_available_now
+    from traffic_data_pipeline_spark.plans.staged_ops_r8 import (
+        _conformal_handle,
+        _conformal_seed,
+    )
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir_oracle, "events").select(
+        "event_id", "ts", "event_type")
+    src = str(tmp_path / "src")
+    state_dir = str(tmp_path / "state")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _conformal_seed(spark, state_dir, out_dir)
+    handle = _conformal_handle(spark, state_dir, out_dir)
+
+    def run_once():
+        stream = (spark.readStream.schema("ts timestamp, event_type string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        run_available_now(
+            spark, "streaming_conformal_test",
+            start=lambda: (stream.writeStream.foreachBatch(handle)
+                           .option("checkpointLocation", ckpt)
+                           .trigger(availableNow=True).start()))
+
+    ev.filter(F.col("event_id") % 3 == 0).select("ts", "event_type") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    for r in (1, 2):
+        ev.filter(F.col("event_id") % 3 == r).select("ts", "event_type") \
+            .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    def published():
+        return {(r.event_type, r.n_train, r.n_cal, r.n_eval, r.qhat,
+                 r.coverage)
+                for r in spark.read.parquet(out_dir).collect()}
+
+    want = {(r.event_type, r.n_train, r.n_cal, r.n_eval, r.qhat,
+             r.coverage)
+            for r in STAGED_R8_QUERIES["streaming_conformal_monitor"](
+                spark, sf_dir_oracle).collect()}
+    assert published() == want
+
+    # crash replay: the state append of the LAST batch landed but the
+    # offset commit did not — re-run the handler with the same batch_id
+    handle(ev.filter(F.col("event_id") % 3 == 2)
+           .select("ts", "event_type"), 2)
+    assert published() == want
+    raw = spark.read.parquet(state_dir).count()
+    deduped = spark.read.parquet(state_dir).distinct().count()
+    assert raw > deduped  # the dedup is doing work, not vacuously passing
+
+
+def test_streaming_ivf_index_crash_replay_equals_batch(
+        spark, sf_dir_oracle, tmp_path):
+    """The incremental IVF index after stop/resume AND a crash replay of
+    the last batch equals the batch balance report, and the accumulated
+    assignment table equals the batch assignment exactly."""
+    from traffic_data_pipeline_spark.plans.queries import run_available_now
+    from traffic_data_pipeline_spark.plans.staged_ops_r8 import (
+        _ivf_creation_centroids,
+        _ivf_handle,
+        _ivf_seed,
+    )
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir_oracle, "embeddings").select(
+        "vec_id", "embedding")
+    src = str(tmp_path / "src")
+    index_dir = str(tmp_path / "index")
+    report_dir = str(tmp_path / "report")
+    ckpt = str(tmp_path / "ckpt")
+
+    cents = _ivf_creation_centroids(spark, sf_dir_oracle).persist()
+    cents.count()
+    _ivf_seed(spark, index_dir, report_dir)
+    handle = _ivf_handle(spark, cents, index_dir, report_dir)
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("vec_id long, embedding array<float>")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        run_available_now(
+            spark, "streaming_ivf_test",
+            start=lambda: (stream.writeStream.foreachBatch(handle)
+                           .option("checkpointLocation", ckpt)
+                           .trigger(availableNow=True).start()))
+
+    emb.filter(F.col("vec_id") % 3 == 0).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run_once()
+    for r in (1, 2):
+        emb.filter(F.col("vec_id") % 3 == r).coalesce(1) \
+            .write.mode("append").parquet(src)
+    run_once()
+
+    want_report = {(r.centroid_id, r.n_assigned, r.share, r.imbalance)
+                   for r in STAGED_R8_QUERIES["streaming_ivf_index"](
+                       spark, sf_dir_oracle).collect()}
+
+    def report():
+        return {(r.centroid_id, r.n_assigned, r.share, r.imbalance)
+                for r in spark.read.parquet(report_dir).collect()}
+
+    assert report() == want_report
+
+    # crash replay of the last batch under its original batch_id
+    handle(emb.filter(F.col("vec_id") % 3 == 2), 2)
+    assert report() == want_report
+    raw = spark.read.parquet(index_dir).count()
+    deduped = spark.read.parquet(index_dir).distinct().count()
+    assert raw > deduped
+
+    # the accumulated deduped assignment equals the batch assignment
+    from traffic_data_pipeline_spark.functions.similarity import (
+        ivf_assign,
+        norm_sq,
+    )
+
+    live = (emb.select("vec_id", "embedding",
+                       norm_sq(F.col("embedding")).alias("_n2"))
+            .filter(F.col("_n2") > 0))
+    want_assign = {(r.vec_id, r.centroid_id)
+                   for r in ivf_assign(live.select("vec_id", "embedding"),
+                                       cents, with_norm=live).collect()}
+    got_assign = {(r.vec_id, r.centroid_id)
+                  for r in spark.read.parquet(index_dir).distinct()
+                  .select("vec_id", "centroid_id").collect()}
+    assert got_assign == want_assign
+    cents.unpersist()
+
+
+def test_scd2_compaction_counts_reconcile(spark, sf_dir_oracle):
+    """The per-day change counts must sum to the registered multiday
+    changelog's row count, and the dimension counts to the registered
+    state's row count — the op is an aggregate of those exact frames."""
+    from traffic_data_pipeline_spark.plans.queries import _scd2_multiday
+
+    rows = STAGED_R8_QUERIES["config_scd2_compaction_stats"](
+        spark, sf_dir_oracle).collect()
+    assert rows
+    state, changelog = _scd2_multiday(spark, sf_dir_oracle)
+    assert sum(r.n_changes for r in rows) == changelog.count()
+    r0 = rows[0]
+    assert r0.n_dim_rows == state.count()
+    assert r0.n_deactivated + r0.n_open == r0.n_dim_rows
+    assert len({r.update_date for r in rows}) == 2  # both nightly deltas

@@ -1440,4 +1440,5 @@ from traffic_data_pipeline_spark.plans import dss_ops  # noqa: E402,F401
 # mid-staged-import and capture a partial dict.
 from traffic_data_pipeline_spark.plans import staged_ops  # noqa: E402,F401
 from traffic_data_pipeline_spark.plans import staged_ops_r6  # noqa: E402,F401
+from traffic_data_pipeline_spark.plans import staged_ops_r7  # noqa: E402,F401
 

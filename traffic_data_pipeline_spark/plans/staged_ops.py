@@ -2531,22 +2531,31 @@ def q_embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 ALIGN_LAB_A = 0
 ALIGN_LAB_B = 1
 ALIGN_K = 4          # neighborhood size for the margin normalizer
+ALIGN_CAL_CAP = 64   # per-side deterministic sample cap (VERDICT r6 ask
+                     # #3): bounds the brute pair stream at CAP^2 so the
+                     # calibration anchor runs at ANY corpus size; does
+                     # not bind at the sf0.01 gate (sides are 50/46)
 
 _ALIGN_SQL = f"""
 WITH {_EMB_CTES},
+la AS MATERIALIZED (
+  SELECT e.vec_id FROM embeddings e JOIN norms n ON n.vec_id = e.vec_id
+  WHERE e.label = {ALIGN_LAB_A} AND len(e.embedding) > 0 AND n.norm_sq > 0
+  ORDER BY md5(CAST(e.vec_id AS VARCHAR)), e.vec_id LIMIT {ALIGN_CAL_CAP}),
+lb AS MATERIALIZED (
+  SELECT e.vec_id FROM embeddings e JOIN norms n ON n.vec_id = e.vec_id
+  WHERE e.label = {ALIGN_LAB_B} AND len(e.embedding) > 0 AND n.norm_sq > 0
+  ORDER BY md5(CAST(e.vec_id AS VARCHAR)), e.vec_id LIMIT {ALIGN_CAL_CAP}),
 pairs AS (
   SELECT ea.vec_id AS a_id, eb.vec_id AS b_id,
          CAST(SUM(CAST(ea.val * eb.val AS DECIMAL(30,12))) AS DOUBLE)
            / (sqrt(na.norm_sq) * sqrt(nb.norm_sq)) AS cosine
   FROM elems ea
-  JOIN (SELECT vec_id FROM embeddings WHERE label = {ALIGN_LAB_A}) la
-    ON la.vec_id = ea.vec_id
+  JOIN la ON la.vec_id = ea.vec_id
   JOIN elems eb ON eb.pos = ea.pos
-  JOIN (SELECT vec_id FROM embeddings WHERE label = {ALIGN_LAB_B}) lb
-    ON lb.vec_id = eb.vec_id
+  JOIN lb ON lb.vec_id = eb.vec_id
   JOIN norms na ON na.vec_id = ea.vec_id
   JOIN norms nb ON nb.vec_id = eb.vec_id
-  WHERE na.norm_sq > 0 AND nb.norm_sq > 0
   GROUP BY ea.vec_id, eb.vec_id, na.norm_sq, nb.norm_sq),
 fwd AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
@@ -2593,14 +2602,17 @@ def q_embedding_margin_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cosine DESC, id) total order.  Every margin is therefore ONE
     identically-rounded double expression in both engines.
 
-    Scale shape: the fixture runs the bipartite scoring brute-force
-    (smaller side broadcast — A and B are label-filtered slices, so the
-    pair stream is |A| x |B|, never corpus x corpus); both rank windows
-    and the two normalizer aggregates ride the ONE pair stream.  At
-    100 TB the pair stream is replaced by each side's ANN candidates
-    (embedding_ann_lsh / embedding_knn_ivf are those generators) and
-    margin/mutuality filtering is unchanged — it only ever reads
-    (a, b, cosine) tuples.
+    Scale shape (BOUNDED, VERDICT r6 ask #3): this is the CALIBRATION
+    ANCHOR for the registered production path
+    ``embedding_margin_align_ann`` — each side is first capped to a
+    deterministic md5-ranked sample of ALIGN_CAL_CAP vectors
+    (TakeOrdered, the doc_sample_quota hash-order contract), so the
+    brute pair stream is at most CAP x CAP rows AT ANY CORPUS SIZE and
+    the plan survives 100x data as a constant-cost recall probe. The
+    cap does not bind at the sf0.01 oracle gate (sides are 50/46), so
+    the registered results — and the ANN twin's recall pin — are the
+    full brute semantics there; both rank windows and the two
+    normalizer aggregates still ride the ONE pair stream.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     # NULL/empty/zero-norm vectors are excluded on BOTH sides: the
@@ -2610,13 +2622,19 @@ def q_embedding_margin_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = emb.filter(F.size("embedding") > 0).filter(
         norm_sq(F.col("embedding")) > 0)
     # norms hoisted to the per-side frames: computed |A| + |B| times, not
-    # |A| x |B| times inside the pair stream (2.4x on the staged bench)
-    a = clean.filter(F.col("label") == ALIGN_LAB_A).select(
+    # |A| x |B| times inside the pair stream (2.4x on the staged bench);
+    # orderBy(md5).limit compiles to TakeOrderedAndProject — the exact
+    # deterministic cap without a single-partition window
+    a = (clean.filter(F.col("label") == ALIGN_LAB_A).select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"),
         F.sqrt(norm_sq(F.col("embedding"))).alias("na"))
-    b = clean.filter(F.col("label") == ALIGN_LAB_B).select(
+        .orderBy(F.md5(F.col("a_id").cast("string")), "a_id")
+        .limit(ALIGN_CAL_CAP))
+    b = (clean.filter(F.col("label") == ALIGN_LAB_B).select(
         F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"),
         F.sqrt(norm_sq(F.col("embedding"))).alias("nb"))
+        .orderBy(F.md5(F.col("b_id").cast("string")), "b_id")
+        .limit(ALIGN_CAL_CAP))
     pairs = (
         a.crossJoin(F.broadcast(b))
         .select(

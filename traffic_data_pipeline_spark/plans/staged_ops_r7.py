@@ -1,19 +1,17 @@
-"""Round-7 staging area: operators implemented and oracle-gated NOW but
-intentionally NOT registered, honoring the registration freeze until the
-round-6 promotion (22 staged r6 ops + the ANN margin-align twin) drains
-through the driver's CORRECTNESS window.
+"""Round-7 staging area, PROMOTED into the live registry in round 7
+(VERDICT r6 ask #1) after staging oracle-gated behind the round-6
+registration freeze: the tail fold below merges these 31 operators into
+plans/queries.py's QUERIES/ORACLES, their exchange caps moved to
+tests/test_plan_shapes.py, the BENCH_STAGED-costly names queued into
+``__spark_entry__._COSTLY_TAIL``, and the former freeze guard flipped
+into a promotion check.
 
-Same contract as the two promoted staging areas (plans/staged_ops.py,
-plans/staged_ops_r6.py): each op is a Spark callable
-``(spark, sf_dir) -> DataFrame`` plus a DuckDB oracle string with
-matching column names, so the round-7 promotion is the same mechanical
-fold — add the tail fold here, import this module at the end of
-plans/queries.py, move STAGED_R7_CAPS into tests/test_plan_shapes.py,
-flip the freeze test into a promotion check, and queue the
-BENCH_STAGED-costly names into ``__spark_entry__._COSTLY_TAIL``.
-tests/test_staged_ops_r7.py runs the identical query-vs-oracle gate at
-sf0.01, pins exchange caps, and a freeze-guard test pins that none of
-these names leaks into ``__spark_entry__.queries()`` this round.
+Same contract as the two previously promoted staging areas
+(plans/staged_ops.py, plans/staged_ops_r6.py): each op is a Spark
+callable ``(spark, sf_dir) -> DataFrame`` plus a DuckDB oracle string
+with matching column names. tests/test_staged_ops_r7.py runs the
+identical query-vs-oracle gate at sf0.01 addressing each op by its
+staged name.
 
 Operator set (VERDICT r5 ask #6's named gaps + training-data/analytics
 gaps after the round-6 sweep):
@@ -3252,6 +3250,15 @@ def q_events_conformal_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("event_type", "day")
              .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
              .localCheckpoint(eager=True))
+    return _conformal_from_daily(daily)
+
+
+def _conformal_from_daily(daily: DataFrame) -> DataFrame:
+    """The conformal fold from the (event_type, day, y) daily frame down;
+    the single plan owner shared by the batch query above and the
+    round-8 staged streaming monitor (the _ewma_from_daily contract), so
+    the split arithmetic and the calibration order statistic cannot
+    drift between the nightly and streaming forms."""
     span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     types = daily.select("event_type").distinct()
     fill = (types.crossJoin(F.broadcast(span))
@@ -3706,3 +3713,29 @@ def q_events_ewma_control_chart(spark: SparkSession,
                     band.alias("band"),
                     F.when(F.abs(F.col("ewma") - F.col("mu")) > band, 1)
                     .otherwise(0).alias("flag")))
+
+
+# ---------------------------------------------------------------------------
+# Round-7 promotion fold (VERDICT r6 ask #1). Runs at the END of the module
+# body so every @staged_r7 registration above is complete before the live
+# registry absorbs it, in EVERY import order (the staged_ops/staged_ops_r6
+# fold contract: when queries.py is imported first, its bottom import of
+# this module executes this whole fold before queries.py finishes; when
+# this module is imported first, the fold's own `from plans.queries
+# import ...` below fully executes queries.py — whose tail imports are
+# side-effect imports that skip the in-progress import of THIS module via
+# sys.modules — and control returns here to fold the by-then-complete
+# dicts. Both paths end with the same registry; the update is idempotent
+# if both run.)
+# ---------------------------------------------------------------------------
+from traffic_data_pipeline_spark.plans.queries import (  # noqa: E402
+    ORACLES as _LIVE_ORACLES,
+    QUERIES as _LIVE_QUERIES,
+)
+
+_collide = {n for n in set(_LIVE_QUERIES) & set(STAGED_R7_QUERIES)
+            if _LIVE_QUERIES[n] is not STAGED_R7_QUERIES[n]}
+if _collide:  # not assert: must survive python -O
+    raise RuntimeError(f"staged r7 names collide with registry: {_collide}")
+_LIVE_QUERIES.update(STAGED_R7_QUERIES)
+_LIVE_ORACLES.update(STAGED_R7_ORACLES)
