@@ -40,6 +40,22 @@ STAGED_R8_CAPS = {
                                          # the cached changelog + ONE
                                          # scalar dimension fold
                                          # broadcast back
+    "orders_rfm_segmentation": (6, 2),   # ONE (custkey) fact fold; three
+                                         # rank windows + the segment
+                                         # regroup on the customer
+                                         # dimension frame; max-date and
+                                         # n scalars broadcast
+    "lineitem_basket_lift": (4, 3),      # ONE distinct (order, type)
+                                         # projection (checkpointed);
+                                         # the co-keyed pair self-join +
+                                         # (a, b) count; tc/n broadcast
+    "supplier_lead_time_percentiles": (3, 0),  # orders x fact co-keyed
+                                         # join + ONE supplier rank
+                                         # window + ONE supplier fold
+    "events_user_tail_index": (4, 3),    # ONE (type, user) count + ONE
+                                         # type-keyed rank window
+                                         # (checkpointed top-k); k/cut/
+                                         # logsum frames broadcast
 }
 
 
@@ -206,6 +222,136 @@ def test_streaming_ivf_index_crash_replay_equals_batch(
                   .select("vec_id", "centroid_id").collect()}
     assert got_assign == want_assign
     cents.unpersist()
+
+
+def test_rfm_segments_partition_customers(spark, sf_dir_oracle):
+    """Segment counts sum to the customer dimension, every score is in
+    1..K, and per-metric bucket sizes are balanced (largest-smallest
+    <= 1) — the floor((rank-1)K/n)+1 arithmetic guarantees it."""
+    from traffic_data_pipeline_spark.plans.staged_ops_r8 import RFM_BUCKETS
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    rows = STAGED_R8_QUERIES["orders_rfm_segmentation"](
+        spark, sf_dir_oracle).collect()
+    assert rows
+    n_cust = (load_table(spark, sf_dir_oracle, "orders")
+              .select("o_custkey").distinct().count())
+    assert sum(r.n_customers for r in rows) == n_cust
+    for dim in ("r_score", "f_score", "m_score"):
+        per = {}
+        for r in rows:
+            s = getattr(r, dim)
+            assert 1 <= s <= RFM_BUCKETS, (dim, s)
+            per[s] = per.get(s, 0) + r.n_customers
+        assert len(per) == RFM_BUCKETS
+        assert max(per.values()) - min(per.values()) <= 1, (dim, per)
+
+
+def test_basket_lift_planted_association(spark, tmp_path):
+    """Two part types planted to ALWAYS co-occur get lift K (they appear
+    in 1/K of orders each); a third type in every order has lift exactly
+    1 with everything."""
+    import duckdb as _duck
+    import os
+
+    from traffic_data_pipeline_spark.sources.tables import TABLES
+
+    # 12 orders; types A,B together in orders 0-3; C in all orders
+    li, pk = [], 0
+    for ok in range(12):
+        for t in (["A", "B"] if ok < 4 else ["D"]) + ["C"]:
+            pk += 1
+            li.append((ok, pk, t))
+    con = _duck.connect()
+    con.execute("CREATE TABLE t (ok BIGINT, pk BIGINT, ty VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", li)
+    con.execute(f"""
+        COPY (SELECT ok AS l_orderkey, pk AS l_partkey, 1 AS l_suppkey,
+                     1 AS l_linenumber, 1.0 AS l_quantity,
+                     10.0 AS l_extendedprice, 0.0 AS l_discount,
+                     0.0 AS l_tax, 'N' AS l_returnflag, 'O' AS l_linestatus,
+                     TIMESTAMP '2020-01-01' AS l_shipdate FROM t)
+        TO '{tmp_path}/lineitem.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+        COPY (SELECT pk AS p_partkey, 'n' AS p_name, 'b' AS p_brand,
+                     ty AS p_type, 1 AS p_size, 1.0 AS p_retailprice
+              FROM t)
+        TO '{tmp_path}/part.parquet' (FORMAT PARQUET)""")
+    con.close()
+    for t in TABLES:
+        dst = tmp_path / f"{t}.parquet"
+        if not dst.exists():
+            os.symlink(f"/root/testdata/sf0.01/{t}.parquet", dst)
+    got = {(r.type_a, r.type_b): (r.n_co, r.lift, r.support)
+           for r in STAGED_R8_QUERIES["lineitem_basket_lift"](
+               spark, str(tmp_path)).collect()}
+    assert got[("A", "B")][0] == 4
+    assert got[("A", "B")][1] == 3.0          # 4 * 12 / (4 * 4)
+    assert got[("A", "C")][1] == 1.0          # C is in every order
+    assert got[("C", "D")][1] == 1.0
+    assert got[("A", "B")][2] == round(4 / 12, 6)
+
+
+def test_lead_time_percentiles_planted(spark, tmp_path):
+    """Ten planted lead times 1..10 days for one supplier: nearest-rank
+    p50 = 5, p90 = 9, max = 10."""
+    import duckdb as _duck
+    import os
+
+    from traffic_data_pipeline_spark.sources.tables import TABLES
+
+    con = _duck.connect()
+    con.execute(f"""
+        COPY (SELECT i AS l_orderkey, 1 AS l_partkey, 7 AS l_suppkey,
+                     1 AS l_linenumber, 1.0 AS l_quantity,
+                     10.0 AS l_extendedprice, 0.0 AS l_discount,
+                     0.0 AS l_tax, 'N' AS l_returnflag, 'O' AS l_linestatus,
+                     TIMESTAMP '2020-01-01' + INTERVAL ((i % 10) + 1) DAY
+                       AS l_shipdate
+              FROM range(10) t(i))
+        TO '{tmp_path}/lineitem.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+        COPY (SELECT i AS o_orderkey, 1 AS o_custkey, 'O' AS o_orderstatus,
+                     1.0 AS o_totalprice,
+                     TIMESTAMP '2020-01-01' AS o_orderdate,
+                     'x' AS o_orderpriority
+              FROM range(10) t(i))
+        TO '{tmp_path}/orders.parquet' (FORMAT PARQUET)""")
+    con.close()
+    for t in TABLES:
+        dst = tmp_path / f"{t}.parquet"
+        if not dst.exists():
+            os.symlink(f"/root/testdata/sf0.01/{t}.parquet", dst)
+    rows = STAGED_R8_QUERIES["supplier_lead_time_percentiles"](
+        spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.suppkey, r.n_lines, r.p50_days, r.p90_days, r.max_days) == \
+        (7, 10, 5, 9, 10)
+
+
+def test_hill_tail_index_consistency(spark, sf_dir_oracle):
+    """k_used honors the min(K, n-1) clamp, x_cut is the (k+1)-th largest
+    activity count recomputed independently, and alpha is positive when
+    the tail actually decays."""
+    from traffic_data_pipeline_spark.plans.staged_ops_r8 import HILL_K
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    rows = STAGED_R8_QUERIES["events_user_tail_index"](
+        spark, sf_dir_oracle).collect()
+    assert rows
+    ev = load_table(spark, sf_dir_oracle, "events")
+    counts = {}
+    for r2 in (ev.groupBy("event_type", "user_id").count().collect()):
+        counts.setdefault(r2.event_type, []).append(
+            (r2["count"], r2.user_id))
+    for r in rows:
+        cs = sorted(counts[r.event_type], key=lambda t: (-t[0], t[1]))
+        assert r.n_users == len(cs)
+        assert r.k_used == min(HILL_K, r.n_users - 1)
+        assert r.x_cut == cs[r.k_used][0]
+        if r.hill_alpha is not None:
+            assert r.hill_alpha > 0
 
 
 def test_scd2_compaction_counts_reconcile(spark, sf_dir_oracle):

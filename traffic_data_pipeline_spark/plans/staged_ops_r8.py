@@ -405,11 +405,11 @@ n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cust),
 scored AS (
   SELECT o_custkey, cents,
          CAST((ROW_NUMBER() OVER (ORDER BY recency_days DESC, o_custkey)
-               - 1) * {RFM_BUCKETS} / n.n AS INTEGER) + 1 AS r_score,
+               - 1) * {RFM_BUCKETS} // n.n AS INTEGER) + 1 AS r_score,
          CAST((ROW_NUMBER() OVER (ORDER BY frequency, o_custkey)
-               - 1) * {RFM_BUCKETS} / n.n AS INTEGER) + 1 AS f_score,
+               - 1) * {RFM_BUCKETS} // n.n AS INTEGER) + 1 AS f_score,
          CAST((ROW_NUMBER() OVER (ORDER BY cents, o_custkey)
-               - 1) * {RFM_BUCKETS} / n.n AS INTEGER) + 1 AS m_score
+               - 1) * {RFM_BUCKETS} // n.n AS INTEGER) + 1 AS m_score
   FROM cust, n)
 SELECT r_score, f_score, m_score,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -452,17 +452,23 @@ def q_orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("recency_days"),
                     "frequency", "cents"))
     n = cust.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    bucket = lambda rn: (  # noqa: E731
-        ((rn - 1) * RFM_BUCKETS / F.col("n")).cast("int") + 1)
-    scored = (cust.crossJoin(F.broadcast(n)).select(
-        "o_custkey", "cents",
-        bucket(F.row_number().over(
-            Window.orderBy(F.col("recency_days").desc(), "o_custkey")))
-        .alias("r_score"),
-        bucket(F.row_number().over(
-            Window.orderBy("frequency", "o_custkey"))).alias("f_score"),
-        bucket(F.row_number().over(
-            Window.orderBy("cents", "o_custkey"))).alias("m_score")))
+    # exact integer floor division in BOTH engines (Spark DIV / DuckDB
+    # //): a double division + int cast would round in DuckDB but
+    # truncate in Spark, flipping customers at exact bucket boundaries
+    bucket = lambda rn, alias: F.expr(  # noqa: E731
+        f"CAST(({alias} - 1) * {RFM_BUCKETS} DIV n AS INT) + 1")
+    scored = (cust.crossJoin(F.broadcast(n))
+              .withColumn("r_rn", F.row_number().over(
+                  Window.orderBy(F.col("recency_days").desc(),
+                                 "o_custkey")))
+              .withColumn("f_rn", F.row_number().over(
+                  Window.orderBy("frequency", "o_custkey")))
+              .withColumn("m_rn", F.row_number().over(
+                  Window.orderBy("cents", "o_custkey")))
+              .select("o_custkey", "cents",
+                      bucket(None, "r_rn").alias("r_score"),
+                      bucket(None, "f_rn").alias("f_score"),
+                      bucket(None, "m_rn").alias("m_score")))
     return (scored.groupBy("r_score", "f_score", "m_score")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
                  F.sum("cents").cast("bigint").alias("monetary_cents")))
