@@ -56,6 +56,17 @@ STAGED_R8_CAPS = {
                                          # type-keyed rank window
                                          # (checkpointed top-k); k/cut/
                                          # logsum frames broadcast
+    "corpus_snapshot_novelty_rate": (3, 1),  # rides the cached pair
+                                         # stream; ONE distinct over the
+                                         # new-dup ids (broadcast back)
+                                         # + ONE (source) fold
+    "doc_quality_rule_ablation": (1, 0),  # ONE scalar aggregate over the
+                                         # in-row rule projection + the
+                                         # 5-row unpivot
+    "events_changepoint_daily": (6, 2),  # ONE (type, day) count
+                                         # (checkpointed); prefix/argmax
+                                         # windows on the broadcast-fed
+                                         # calendar spine
 }
 
 
@@ -352,6 +363,74 @@ def test_hill_tail_index_consistency(spark, sf_dir_oracle):
         assert r.x_cut == cs[r.k_used][0]
         if r.hill_alpha is not None:
             assert r.hill_alpha > 0
+
+
+def test_changepoint_planted_shift(spark, tmp_path):
+    """A series that jumps 5 -> 50 at day 14 of 28 must locate the break
+    at d = 13 (the last day of the first segment) with the exact segment
+    means."""
+    import datetime as dt
+
+    rows, eid = [], 0
+    for d in range(28):
+        for k in range(5 if d < 14 else 50):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 5, 1, 9, 0, 0)
+                         + dt.timedelta(days=d), k, "click", 1.0, "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = STAGED_R8_QUERIES["events_changepoint_daily"](
+        spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.change_d == 13
+    assert r.mean_before == 5.0 and r.mean_after == 50.0
+
+
+def test_novelty_planted_redundant_addition(spark, tmp_path):
+    """Two new-snapshot docs (ids 0 and 7): doc 0 is an exact copy of an
+    old doc, doc 7 is unique — novelty_rate must be exactly 0.5."""
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    uniq = "completely different content about spark physical plans here"
+    filler = [
+        f"background document number {i} with its own words {i * 17}"
+        for i in range(6)
+    ]
+    docs = [(0, shared, "en", "web", len(shared)),
+            (7, uniq, "en", "web", len(uniq)),
+            (1, shared, "en", "web", len(shared))]
+    docs += [(i, filler[i - 2], "en", "web", len(filler[i - 2]))
+             for i in range(2, 7)]
+    docs.append((8, filler[5], "en", "web", len(filler[5])))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = STAGED_R8_QUERIES["corpus_snapshot_novelty_rate"](
+        spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.source, r.n_new, r.n_dup_of_history, r.novelty_rate) == \
+        ("web", 2, 1, 0.5)
+
+
+def test_ablation_bounds_and_reconciliation(spark, sf_dir_oracle):
+    """Unique kills never exceed fails, dropping a rule never lowers the
+    pass count, and every rule reports once over the same doc universe."""
+    rows = STAGED_R8_QUERIES["doc_quality_rule_ablation"](
+        spark, sf_dir_oracle).collect()
+    assert sorted(r.rule for r in rows) == \
+        ["alpha", "nwords", "stop", "sym", "wordlen"]
+    n_docs = {r.n_docs for r in rows}
+    overall = {r.n_pass_overall for r in rows}
+    assert len(n_docs) == 1 and len(overall) == 1
+    for r in rows:
+        assert 0 <= r.n_unique_kill <= r.n_fail <= r.n_docs
+        assert r.n_pass_overall <= r.n_pass_without <= r.n_docs
+        # dropping a rule recovers exactly its unique kills
+        assert r.n_pass_without - r.n_pass_overall == r.n_unique_kill
 
 
 def test_scd2_compaction_counts_reconcile(spark, sf_dir_oracle):

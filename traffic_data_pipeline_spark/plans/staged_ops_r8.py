@@ -724,6 +724,297 @@ def q_events_user_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("hill_alpha")))
 
 
+# ---------------------------------------------------------------------------
+# corpus_snapshot_novelty_rate — how much of the new crawl is truly new
+# ---------------------------------------------------------------------------
+
+
+def _novelty_oracle() -> str:
+    from traffic_data_pipeline_spark.plans.oracle_ctes import (
+        _MH_PAIRS_CTE,
+        _MINHASH_CTES,
+    )
+    from traffic_data_pipeline_spark.plans.staged_ops import SNAP_ADD_MOD
+
+    return f"""
+WITH {_MINHASH_CTES},
+{_MH_PAIRS_CTE},
+newdocs AS (
+  SELECT doc_id, source FROM documents WHERE doc_id % {SNAP_ADD_MOD} = 0),
+dupnew AS (
+  SELECT DISTINCT d.doc_id FROM (
+    SELECT doc_a AS doc_id, doc_b AS partner FROM mpairs
+    WHERE agree / 8.0 >= 0.5
+    UNION ALL
+    SELECT doc_b AS doc_id, doc_a AS partner FROM mpairs
+    WHERE agree / 8.0 >= 0.5) d
+  WHERE d.doc_id % {SNAP_ADD_MOD} = 0
+    AND d.partner % {SNAP_ADD_MOD} != 0)
+SELECT nd.source,
+       CAST(COUNT(*) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN dn.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_of_history,
+       ROUND(1.0 - CAST(SUM(CASE WHEN dn.doc_id IS NOT NULL THEN 1 ELSE 0
+                            END) AS DOUBLE) / COUNT(*), 6) AS novelty_rate
+FROM newdocs nd LEFT JOIN dupnew dn ON dn.doc_id = nd.doc_id
+GROUP BY 1
+"""
+
+
+@staged_r8("corpus_snapshot_novelty_rate")
+def q_corpus_snapshot_novelty_rate(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Snapshot novelty: of the documents ADDED by the new crawl
+    (corpus_snapshot_diff's deterministic convention — new-only docs are
+    doc_id % SNAP_ADD_MOD == 0), what share is genuinely novel vs a
+    near-duplicate of a document history already had, per source — the
+    incremental-crawl readout that decides whether a source is still
+    worth fetching (a source whose additions are 90% re-hashes of
+    history is paying full crawl cost for 10% new tokens).
+
+    Near-dup = the registered MinHash-LSH family contract (banded
+    candidates, est_sim >= 0.5), riding the SAME session-persisted pair
+    stream every dedup consumer shares — zero new pairwise work.
+
+    Determinism: pair membership is the family's exact integer
+    agreement count; the rate is ONE ROUND-6 division of integers.
+
+    Scale shape: the cached pair stream filters to cross-snapshot pairs
+    in-row; ONE distinct over new-dup ids and ONE (source) fold over
+    the new-doc slice. Nothing new is ever paired.
+    """
+    from traffic_data_pipeline_spark.plans.extensions import doc_lsh_pairs
+    from traffic_data_pipeline_spark.plans.staged_ops import SNAP_ADD_MOD
+
+    pairs = doc_lsh_pairs(spark, sf_dir)
+    both = (pairs.select(F.col("doc_a").alias("doc_id"),
+                         F.col("doc_b").alias("partner"))
+            .unionByName(pairs.select(F.col("doc_b").alias("doc_id"),
+                                      F.col("doc_a").alias("partner"))))
+    dupnew = (both.filter((F.col("doc_id") % SNAP_ADD_MOD == 0)
+                          & (F.col("partner") % SNAP_ADD_MOD != 0))
+              .select("doc_id").distinct())
+    newdocs = (load_table(spark, sf_dir, "documents")
+               .filter(F.col("doc_id") % SNAP_ADD_MOD == 0)
+               .select("doc_id", "source"))
+    hit = F.when(F.col("dup").isNotNull(), 1).otherwise(0)
+    return (newdocs.join(F.broadcast(dupnew.select(
+        F.col("doc_id").alias("dup"))),
+        newdocs.doc_id == F.col("dup"), "left")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"),
+             F.sum(hit).cast("bigint").alias("n_dup_of_history"),
+             F.round(F.lit(1.0) - F.sum(hit).cast("double")
+                     / F.count(F.lit(1)), 6).alias("novelty_rate")))
+
+
+# ---------------------------------------------------------------------------
+# doc_quality_rule_ablation — which Gopher rule does the killing
+# ---------------------------------------------------------------------------
+
+_GQ_RULES = ["nwords", "wordlen", "alpha", "sym", "stop"]
+
+
+def _ablation_oracle() -> str:
+    from traffic_data_pipeline_spark.plans.staged_ops import STAGED_ORACLES
+
+    gq = STAGED_ORACLES["doc_gopher_quality"]
+    others = {r: [f"ok_{o}" for o in _GQ_RULES if o != r] for r in _GQ_RULES}
+    branches = []
+    for r in _GQ_RULES:
+        oth = " * ".join(others[r])
+        branches.append(f"""
+SELECT '{r}' AS rule, n_docs,
+       CAST(f_{r} AS BIGINT) AS n_fail,
+       CAST(u_{r} AS BIGINT) AS n_unique_kill,
+       n_pass_overall,
+       CAST(p_{r} AS BIGINT) AS n_pass_without""")
+    aggs = []
+    for r in _GQ_RULES:
+        oth = " * ".join(others[r])
+        aggs.append(f"SUM(1 - ok_{r}) AS f_{r}")
+        aggs.append(f"SUM((1 - ok_{r}) * {oth}) AS u_{r}")
+        aggs.append(f"SUM({oth}) AS p_{r}")
+    return f"""
+WITH gq AS MATERIALIZED ({gq}),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(passes) AS BIGINT) AS n_pass_overall,
+         {", ".join(aggs)}
+  FROM gq)
+{" UNION ALL ".join(f"({b} FROM agg)" for b in branches)}
+"""
+
+
+@staged_r8("doc_quality_rule_ablation")
+def q_doc_quality_rule_ablation(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Per-rule ablation of the registered Gopher quality gate
+    (doc_gopher_quality): for each rule, how many docs it fails, how
+    many it UNIQUELY kills (fail this rule, pass all others), and the
+    pass count if the rule were dropped — the filter-tuning readout
+    that separates load-bearing rules from redundant ones before a
+    threshold change reruns the whole corpus prep. A rule with a large
+    fail count but near-zero unique kills is shadowed by the others; a
+    rule whose removal barely moves the pass count is free to tighten.
+
+    Rides the registered rule op verbatim (same function, same planted
+    boundary docs), so the ablation can never drift from the gate it
+    describes; the oracle wraps that op's oracle as a materialized CTE.
+
+    Determinism: pure integer flag arithmetic (the gate's decisions are
+    division-free by design); no floats anywhere.
+
+    Scale shape: ONE scalar aggregate over the in-row rule projection
+    (zero shuffles in the rule op itself), then a 5-row unpivot of the
+    1-row moment frame.
+    """
+    from traffic_data_pipeline_spark.plans.staged_ops import STAGED_QUERIES
+
+    gq = STAGED_QUERIES["doc_gopher_quality"](spark, sf_dir)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("passes").cast("bigint").alias("n_pass_overall")]
+    for r in _GQ_RULES:
+        others = [f"ok_{o}" for o in _GQ_RULES if o != r]
+        prod_others = F.lit(1)
+        for o in others:
+            prod_others = prod_others * F.col(o)
+        aggs.append(F.sum(1 - F.col(f"ok_{r}")).cast("bigint")
+                    .alias(f"f_{r}"))
+        aggs.append(F.sum((1 - F.col(f"ok_{r}")) * prod_others)
+                    .cast("bigint").alias(f"u_{r}"))
+        aggs.append(F.sum(prod_others).cast("bigint").alias(f"p_{r}"))
+    agg = gq.agg(*aggs)
+    stack = ", ".join(
+        f"'{r}', f_{r}, u_{r}, p_{r}" for r in _GQ_RULES)
+    return (agg.select(
+        "n_docs", "n_pass_overall",
+        F.expr(f"stack({len(_GQ_RULES)}, {stack})")
+        .alias("rule", "n_fail", "n_unique_kill", "n_pass_without"))
+        .select("rule", "n_docs", "n_fail", "n_unique_kill",
+                "n_pass_overall", "n_pass_without"))
+
+
+# ---------------------------------------------------------------------------
+# events_changepoint_daily — best single level-shift point per event type
+# ---------------------------------------------------------------------------
+
+
+@staged_r8("events_changepoint_daily", """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+types AS (SELECT DISTINCT event_type FROM daily),
+spine AS (
+  SELECT ty.event_type, date_diff('day', s.d0, CAST(g.day AS DATE)) AS d
+  FROM types ty, span s,
+       unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+                              CAST(s.d1 AS TIMESTAMP),
+                              INTERVAL 1 DAY)) g(day)),
+fill AS (
+  SELECT sp.event_type, sp.d,
+         COALESCE(dy.y, 0) AS y
+  FROM spine sp
+  LEFT JOIN daily dy
+    ON dy.event_type = sp.event_type
+   AND date_diff('day', (SELECT d0 FROM span), dy.day) = sp.d),
+pre AS (
+  SELECT event_type, d,
+         CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY d)
+              AS BIGINT) AS s_t,
+         CAST(SUM(y) OVER (PARTITION BY event_type) AS BIGINT) AS s_n,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM fill),
+scored AS (
+  SELECT event_type, d, s_t, s_n, n,
+         ROUND(CAST((n * s_t - (d + 1) * s_n)
+                    * (n * s_t - (d + 1) * s_n) AS DOUBLE)
+               / ((d + 1) * (n - d - 1)), 6) AS score
+  FROM pre WHERE d < n - 1),
+best AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY score DESC, d) AS rk
+    FROM scored) WHERE rk = 1)
+SELECT event_type, d AS change_d, score,
+       ROUND(CAST(s_t AS DOUBLE) / (d + 1), 6) AS mean_before,
+       ROUND(CAST(s_n - s_t AS DOUBLE) / (n - d - 1), 6) AS mean_after
+FROM best
+""")
+def q_events_changepoint_daily(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Best single level-shift changepoint per event type (binary
+    segmentation, depth 1): over the zero-filled daily spine, the split
+    day d maximizing the scaled between-segment contrast
+    (n*S_d - (d+1)*S_n)^2 / ((d+1)*(n-d-1)) — the CUSUM-equivalent
+    least-squares statistic whose argmax is the single-changepoint MLE
+    under a constant-variance model. Reports the split and the two
+    segment means — the "when did this series change regime" readout
+    next to events_ewma_control_chart (which flags WHEN the level
+    leaves the band; this one locates the break retrospectively).
+
+    Determinism: prefix sums and the score numerator are EXACT integers
+    (counts), so the only float is one ROUND-6 division per candidate
+    split; the argmax uses the (score DESC, d) total order — two
+    near-equal scores that round to the same 6dp value pick the earlier
+    day in both engines.
+
+    Scale shape: ONE (type, day) map-side-combined count, then
+    type-keyed prefix windows over the calendar-bounded spine and a
+    type-keyed argmax — nothing wider than |types| x |days| after the
+    first fold.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.select("event_type",
+                       F.to_date(F.date_trunc("day", F.col("ts")))
+                       .alias("day"))
+             .groupBy("event_type", "day")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+             .localCheckpoint(eager=True))
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    types = daily.select("event_type").distinct()
+    fill = (types.crossJoin(F.broadcast(span))
+            .select("event_type",
+                    F.explode(F.sequence(
+                        F.col("d0"), F.col("d1"),
+                        F.expr("interval 1 day"))).alias("day"),
+                    F.col("d0"))
+            .join(F.broadcast(daily.select(
+                F.col("event_type").alias("de"),
+                F.col("day").alias("dd"), "y")),
+                (F.col("de") == F.col("event_type"))
+                & (F.col("dd") == F.col("day")), "left")
+            .select("event_type",
+                    F.datediff(F.col("day"), F.col("d0")).alias("d"),
+                    F.coalesce("y", F.lit(0)).cast("bigint").alias("y")))
+    wp = Window.partitionBy("event_type").orderBy("d")
+    wn = Window.partitionBy("event_type")
+    pre = fill.select(
+        "event_type", "d",
+        F.sum("y").over(wp).cast("bigint").alias("s_t"),
+        F.sum("y").over(wn).cast("bigint").alias("s_n"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"))
+    num = (F.col("n") * F.col("s_t") - (F.col("d") + 1) * F.col("s_n"))
+    scored = (pre.filter(F.col("d") < F.col("n") - 1)
+              .select("event_type", "d", "s_t", "s_n", "n",
+                      F.round((num * num).cast("double")
+                              / ((F.col("d") + 1)
+                                 * (F.col("n") - F.col("d") - 1)), 6)
+                      .alias("score")))
+    wb = Window.partitionBy("event_type").orderBy(
+        F.col("score").desc(), "d")
+    return (scored.withColumn("rk", F.row_number().over(wb))
+            .filter(F.col("rk") == 1)
+            .select("event_type", F.col("d").alias("change_d"), "score",
+                    F.round(F.col("s_t").cast("double")
+                            / (F.col("d") + 1), 6).alias("mean_before"),
+                    F.round((F.col("s_n") - F.col("s_t")).cast("double")
+                            / (F.col("n") - F.col("d") - 1), 6)
+                    .alias("mean_after")))
+
+
 def _late_bind_oracles() -> None:
     """Oracle strings that reuse other modules' oracles verbatim are
     bound lazily to avoid import-order traps (the staged_ops_r7 fold
@@ -740,6 +1031,8 @@ def _late_bind_oracles() -> None:
         STAGED_R7_ORACLES["embedding_ivf_balance_report"])
     STAGED_R8_ORACLES["config_scd2_compaction_stats"] = (
         _scd2_compaction_oracle())
+    STAGED_R8_ORACLES["corpus_snapshot_novelty_rate"] = _novelty_oracle()
+    STAGED_R8_ORACLES["doc_quality_rule_ablation"] = _ablation_oracle()
 
 
 _late_bind_oracles()
