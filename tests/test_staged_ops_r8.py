@@ -67,6 +67,11 @@ STAGED_R8_CAPS = {
                                          # (checkpointed); prefix/argmax
                                          # windows on the broadcast-fed
                                          # calendar spine
+    "embedding_ann_recall_curve": (6, 2),  # live plan reads the
+                                         # checkpointed grid top-k; base
+                                         # + n_base frames broadcast
+                                         # (assignment/probe broadcasts
+                                         # are paid at build)
 }
 
 
@@ -431,6 +436,28 @@ def test_ablation_bounds_and_reconciliation(spark, sf_dir_oracle):
         assert r.n_pass_overall <= r.n_pass_without <= r.n_docs
         # dropping a rule recovers exactly its unique kills
         assert r.n_pass_without - r.n_pass_overall == r.n_unique_kill
+
+
+def test_recall_curve_monotone_and_exact_at_full_probe(spark,
+                                                       sf_dir_oracle):
+    """Full probe depth IS brute force (recall exactly 1.0), recall is
+    non-decreasing in n_probe, and every grid point returns the full
+    top-k for every query."""
+    from traffic_data_pipeline_spark.plans.staged_ops_r8 import (
+        RECALL_K,
+        RECALL_PROBES,
+    )
+
+    rows = sorted(STAGED_R8_QUERIES["embedding_ann_recall_curve"](
+        spark, sf_dir_oracle).collect(), key=lambda r: r.n_probe)
+    assert [r.n_probe for r in rows] == RECALL_PROBES
+    assert rows[-1].recall == 1.0
+    assert rows[-1].n_hits == rows[-1].n_base
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi.recall >= lo.recall
+    for r in rows:
+        assert r.n_returned == r.n_base  # probed lists never run dry
+        assert r.n_base == 10 * RECALL_K
 
 
 def test_scd2_compaction_counts_reconcile(spark, sf_dir_oracle):

@@ -1015,6 +1015,173 @@ def q_events_changepoint_daily(spark: SparkSession,
                     .alias("mean_after")))
 
 
+# ---------------------------------------------------------------------------
+# embedding_ann_recall_curve — recall@k vs probe depth for the IVF index
+# ---------------------------------------------------------------------------
+
+RECALL_K = 5
+RECALL_PROBES = [1, 2, 4, 8]
+
+
+def _recall_curve_oracle() -> str:
+    from traffic_data_pipeline_spark.plans.oracle_ctes import (
+        _COS_CTES,
+        _EMB_CTES,
+    )
+    from traffic_data_pipeline_spark.plans.staged_ops_r7 import IVF_K
+
+    probes = ", ".join(map(str, RECALL_PROBES))
+    return f"""
+WITH {_EMB_CTES},
+{_COS_CTES},
+cents AS (
+  SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT {IVF_K}),
+live AS (SELECT vec_id FROM norms WHERE norm_sq > 0),
+cdots AS MATERIALIZED (
+  SELECT v.vec_id, c.cid,
+         CAST(SUM(CAST(ev.val * ec.val AS DECIMAL(30,12))) AS DOUBLE)
+           / (sqrt(nv.norm_sq) * sqrt(nc.norm_sq)) AS cosine
+  FROM live v
+  CROSS JOIN cents c
+  JOIN elems ev ON ev.vec_id = v.vec_id
+  JOIN elems ec ON ec.vec_id = c.cid AND ec.pos = ev.pos
+  JOIN norms nv ON nv.vec_id = v.vec_id
+  JOIN norms nc ON nc.vec_id = c.cid
+  GROUP BY v.vec_id, c.cid, nv.norm_sq, nc.norm_sq),
+assign AS MATERIALIZED (
+  SELECT vec_id, cid AS centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cosine DESC, cid) AS rk
+    FROM cdots) WHERE rk = 1),
+qprobe AS (
+  SELECT d.vec_id AS q_id, d.cid,
+         ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                            ORDER BY d.cosine DESC, d.cid) AS pr
+  FROM cdots d WHERE d.vec_id IN (SELECT q_id FROM cos)),
+grid AS (SELECT unnest([{probes}]) AS n_probe),
+ranked AS MATERIALIZED (
+  SELECT g.n_probe, s.q_id, s.c_id,
+         ROW_NUMBER() OVER (PARTITION BY g.n_probe, s.q_id
+                            ORDER BY s.cosine DESC, s.c_id) AS rk
+  FROM grid g
+  CROSS JOIN cos s
+  JOIN assign a ON a.vec_id = s.c_id
+  JOIN qprobe p ON p.q_id = s.q_id AND p.cid = a.centroid_id
+               AND p.pr <= g.n_probe),
+topk AS MATERIALIZED (
+  SELECT * FROM ranked WHERE rk <= {RECALL_K}),
+base AS MATERIALIZED (
+  SELECT q_id, c_id FROM topk WHERE n_probe = {IVF_K}),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_base FROM base)
+SELECT t.n_probe,
+       CAST(COUNT(*) AS BIGINT) AS n_returned,
+       CAST(COUNT(b.c_id) AS BIGINT) AS n_hits,
+       nb.n_base,
+       ROUND(CAST(COUNT(b.c_id) AS DOUBLE) / nb.n_base, 6) AS recall
+FROM topk t
+LEFT JOIN base b ON b.q_id = t.q_id AND b.c_id = t.c_id, nb
+GROUP BY t.n_probe, nb.n_base
+"""
+
+
+@staged_r8("embedding_ann_recall_curve")
+def q_embedding_ann_recall_curve(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Recall@{RECALL_K} of the registered IVF index at probe depths
+    1/2/4/8 against its own full-probe (exactly-brute) answer — the
+    index-tuning curve that picks n_probe before queries pay for it:
+    the knee of this curve IS the latency/recall trade. Shares the
+    registered knn_ivf contract exactly (lowest-id centroid seeding,
+    cosine argmax assignment with (cos DESC, cid) ties, probe lists by
+    (query-centroid cos DESC, cid), exact rerank inside probed lists,
+    (cosine DESC, c_id) top-k) — but computes the sweep in ONE pass:
+    the corpus x centroid dots, the assignment, and the query-candidate
+    cosines are each computed once and the probe grid replays only the
+    rank filter.
+
+    Determinism: every cosine is the repo's decimal-dot contract
+    (bit-identical doubles in both engines); all ranks are total
+    orders; recall is ONE ROUND-6 division of exact integer hit counts.
+
+    Scale shape: assignment is the ivf_assign plan (centroids
+    broadcast, one corpus pass); query-candidate scoring broadcasts the
+    fixed query set into the corpus scan; the probe grid is a 4-row
+    broadcast and every window after the first fold is keyed by
+    (n_probe, q_id) over query-bounded frames. At 100 TB the candidate
+    scoring prunes to probed lists (the registered knn_ivf path) —
+    here every list is scored once anyway because n_probe=8 needs it.
+    """
+    from traffic_data_pipeline_spark.functions.execution import materialize
+    from traffic_data_pipeline_spark.functions.similarity import (
+        _cosine,
+        dot_product,
+        ivf_assign,
+        norm_sq,
+    )
+    from traffic_data_pipeline_spark.plans.oracle_ctes import KNN_QUERY_IDS
+    from traffic_data_pipeline_spark.plans.staged_ops_r7 import IVF_K
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_norm = materialize(
+        emb.repartition(spark.sparkContext.defaultParallelism,
+                        F.col("vec_id"))
+        .select("vec_id", "embedding",
+                norm_sq(F.col("embedding")).alias("_n2")))
+    live = with_norm.filter(F.col("_n2") > 0)
+    cents = emb.select("vec_id", "embedding").orderBy("vec_id").limit(IVF_K)
+    assign = ivf_assign(live.select("vec_id", "embedding"), cents,
+                        with_norm=live)
+    q = live.filter(F.col("vec_id").isin(KNN_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("_qv"),
+        F.col("_n2").alias("_qn"))
+    centn = cents.select(F.col("vec_id").alias("_cid"),
+                         F.col("embedding").alias("_cvec"),
+                         norm_sq(F.col("embedding")).alias("_cn"))
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("_ccos").desc(), F.col("_cid"))
+    qprobe = (q.crossJoin(F.broadcast(centn))
+              .withColumn("_ccos", _cosine(
+                  dot_product(F.col("_qv"), F.col("_cvec")),
+                  F.col("_qn"), F.col("_cn")))
+              .select("q_id", F.col("_cid").alias("centroid_id"),
+                      F.row_number().over(wq).alias("pr")))
+    qdots = (live.select(F.col("vec_id").alias("c_id"),
+                         F.col("embedding").alias("_cv"),
+                         F.col("_n2").alias("_cn2"))
+             .crossJoin(F.broadcast(q))
+             .filter(F.col("q_id") != F.col("c_id"))
+             .select("q_id", "c_id", _cosine(
+                 dot_product(F.col("_qv"), F.col("_cv")),
+                 F.col("_qn"), F.col("_cn2")).alias("cosine")))
+    grid = spark.createDataFrame([(p,) for p in RECALL_PROBES],
+                                 "n_probe int")
+    wr = Window.partitionBy("n_probe", "q_id").orderBy(
+        F.col("cosine").desc(), "c_id")
+    topk = (qdots.join(assign.withColumnRenamed("vec_id", "c_id"), "c_id")
+            .join(F.broadcast(qprobe), ["q_id", "centroid_id"])
+            .crossJoin(F.broadcast(grid))
+            .filter(F.col("pr") <= F.col("n_probe"))
+            .withColumn("rk", F.row_number().over(wr))
+            .filter(F.col("rk") <= RECALL_K)
+            .select("n_probe", "q_id", "c_id")
+            .localCheckpoint(eager=True))  # base + hits both read it
+    base = topk.filter(F.col("n_probe") == IVF_K).select(
+        "q_id", F.col("c_id").alias("b_id"), F.lit(1).alias("hit"))
+    nb = base.agg(F.count(F.lit(1)).cast("bigint").alias("n_base"))
+    return (topk.join(F.broadcast(base),
+                      (topk.q_id == base.q_id)
+                      & (topk.c_id == F.col("b_id")), "left")
+            .drop(base.q_id)
+            .groupBy("n_probe")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_returned"),
+                 F.sum(F.coalesce("hit", F.lit(0))).cast("bigint")
+                 .alias("n_hits"))
+            .crossJoin(F.broadcast(nb))
+            .select("n_probe", "n_returned", "n_hits", "n_base",
+                    F.round(F.col("n_hits").cast("double")
+                            / F.col("n_base"), 6).alias("recall")))
+
+
 def _late_bind_oracles() -> None:
     """Oracle strings that reuse other modules' oracles verbatim are
     bound lazily to avoid import-order traps (the staged_ops_r7 fold
@@ -1033,6 +1200,7 @@ def _late_bind_oracles() -> None:
         _scd2_compaction_oracle())
     STAGED_R8_ORACLES["corpus_snapshot_novelty_rate"] = _novelty_oracle()
     STAGED_R8_ORACLES["doc_quality_rule_ablation"] = _ablation_oracle()
+    STAGED_R8_ORACLES["embedding_ann_recall_curve"] = _recall_curve_oracle()
 
 
 _late_bind_oracles()
