@@ -72,6 +72,17 @@ STAGED_R8_CAPS = {
                                          # + n_base frames broadcast
                                          # (assignment/probe broadcasts
                                          # are paid at build)
+    "embedding_pq_distortion_report": (0, 1),  # live plan reads the
+                                         # checkpointed M-row fold; the
+                                         # corpus x broadcast-codebook
+                                         # assignment + argmin window
+                                         # are paid at build; grand
+                                         # total broadcast
+    "part_cross_price_elasticity": (3, 0),  # ONE (type, day) fact fold
+                                         # (checkpointed; part broadcast
+                                         # paid at build); the day-keyed
+                                         # pair self-join on the tiny
+                                         # series + ONE pair-moment agg
 }
 
 
@@ -458,6 +469,65 @@ def test_recall_curve_monotone_and_exact_at_full_probe(spark,
     for r in rows:
         assert r.n_returned == r.n_base  # probed lists never run dry
         assert r.n_base == 10 * RECALL_K
+
+
+def test_pq_distortion_shares_and_bounds(spark, sf_dir_oracle):
+    """Distortion shares sum to 1, every subspace scores the same vector
+    population, and means are nonnegative."""
+    from traffic_data_pipeline_spark.plans.staged_ops import PQ_M
+
+    rows = STAGED_R8_QUERIES["embedding_pq_distortion_report"](
+        spark, sf_dir_oracle).collect()
+    assert len(rows) == PQ_M
+    assert len({r.n_vectors for r in rows}) == 1
+    assert abs(sum(r.distortion_share for r in rows) - 1.0) \
+        <= PQ_M * 0.5e-6
+    assert all(r.mean_distortion >= 0 for r in rows)
+
+
+def test_cross_elasticity_planted_power_law(spark, tmp_path):
+    """Type A's daily quantity planted as (type B's unit price)^2 makes
+    the (A, B) cross-elasticity exactly 2."""
+    import duckdb as _duck
+    import os
+
+    from traffic_data_pipeline_spark.sources.tables import TABLES
+
+    prices = [1, 2, 4, 8, 16]
+    li, pk = [], 0
+    for d, p in enumerate(prices):
+        pk += 1
+        li.append((d * 2, pk, "B", 1.0, float(p), d))       # unit price p
+        pk += 1
+        li.append((d * 2 + 1, pk, "A", float(p * p), 1.0 * p * p, d))
+    con = _duck.connect()
+    con.execute("CREATE TABLE t (ok BIGINT, pk BIGINT, ty VARCHAR, "
+                "qty DOUBLE, ep DOUBLE, d BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?, ?, ?)", li)
+    con.execute(f"""
+        COPY (SELECT ok AS l_orderkey, pk AS l_partkey, 1 AS l_suppkey,
+                     1 AS l_linenumber, qty AS l_quantity,
+                     ep AS l_extendedprice, 0.0 AS l_discount,
+                     0.0 AS l_tax, 'N' AS l_returnflag, 'O' AS l_linestatus,
+                     TIMESTAMP '2020-03-01' + to_days(CAST(d AS INTEGER))
+                       AS l_shipdate
+              FROM t)
+        TO '{tmp_path}/lineitem.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+        COPY (SELECT pk AS p_partkey, 'n' AS p_name, 'b' AS p_brand,
+                     ty AS p_type, 1 AS p_size, 1.0 AS p_retailprice
+              FROM t)
+        TO '{tmp_path}/part.parquet' (FORMAT PARQUET)""")
+    con.close()
+    for t in TABLES:
+        dst = tmp_path / f"{t}.parquet"
+        if not dst.exists():
+            os.symlink(f"/root/testdata/sf0.01/{t}.parquet", dst)
+    got = {(r.type_qty, r.type_price): r.cross_elasticity
+           for r in STAGED_R8_QUERIES["part_cross_price_elasticity"](
+               spark, str(tmp_path)).collect()}
+    assert got[("A", "B")] == 2.0
+    assert got[("B", "B")] == 0.0  # B's qty is constant 1 -> zero slope
 
 
 def test_scd2_compaction_counts_reconcile(spark, sf_dir_oracle):

@@ -1182,6 +1182,207 @@ def q_embedding_ann_recall_curve(spark: SparkSession,
                             / F.col("n_base"), 6).alias("recall")))
 
 
+# ---------------------------------------------------------------------------
+# embedding_pq_distortion_report — per-subspace codebook reconstruction error
+# ---------------------------------------------------------------------------
+
+
+def _pq_distortion_oracle() -> str:
+    from traffic_data_pipeline_spark.plans.oracle_ctes import _EMB_CTES
+    from traffic_data_pipeline_spark.plans.staged_ops import PQ_DSUB, PQ_K
+
+    return f"""
+WITH {_EMB_CTES},
+sub AS (
+  SELECT vec_id, CAST(FLOOR((pos - 1) / {PQ_DSUB}.0) AS INTEGER) AS m,
+         (pos - 1) % {PQ_DSUB} AS j, val
+  FROM elems),
+cent AS (SELECT vec_id AS cid, m, j, val FROM sub WHERE vec_id < {PQ_K}),
+d2 AS (
+  SELECT s.vec_id, s.m, c.cid,
+         CAST(SUM(CAST((s.val - c.val) * (s.val - c.val)
+                       AS DECIMAL(30,12))) AS DOUBLE) AS d2
+  FROM sub s JOIN cent c ON c.m = s.m AND c.j = s.j
+  GROUP BY 1, 2, 3),
+best AS (
+  SELECT vec_id, m, d2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d2, cid) AS rk FROM d2)
+  WHERE rk = 1),
+per AS (
+  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         CAST(SUM(CAST(d2 AS DECIMAL(30,12))) AS DOUBLE) AS tot
+  FROM best GROUP BY 1),
+g AS (SELECT CAST(SUM(CAST(tot AS DECIMAL(30,12))) AS DOUBLE) AS gt
+      FROM per)
+SELECT p.m, p.n_vectors,
+       ROUND(p.tot / p.n_vectors, 6) AS mean_distortion,
+       ROUND(p.tot / NULLIF(g.gt, 0), 6) AS distortion_share
+FROM per p, g
+"""
+
+
+@staged_r8("embedding_pq_distortion_report")
+def q_embedding_pq_distortion_report(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Per-subspace PQ codebook health: the mean reconstruction
+    distortion (squared L2 from each vector's subvector to its assigned
+    codeword) and each subspace's share of the total distortion — the
+    readout that says WHICH subquantizer is starving the ADC scan
+    (a subspace holding half the distortion wants more centroids or a
+    rotation, long before recall drops show it). Complements the
+    registered embedding_pq_adc (which scores queries against the
+    codes) and embedding_ivfpq_query (which prunes lists): this audits
+    the codebook itself. Shares their exact codebook convention
+    (subvectors of vec_id < PQ_K; argmin with cid tiebreak).
+
+    Determinism: each distance is a decimal-exact sum of
+    identically-rounded doubles (the PQ contract); the assignment
+    argmin is totally ordered; the per-subspace totals re-sum doubles
+    through DECIMAL(30,12) (order-free); two ROUND-6 divisions per row.
+
+    Scale shape: code assignment is corpus x (M*K broadcast) — one
+    narrow pass; the report folds to M rows, the grand total is a
+    1-row broadcast. At 100 TB this runs at ingest next to the code
+    writer on the same pass.
+    """
+    from traffic_data_pipeline_spark.plans.staged_ops import (
+        PQ_DSUB,
+        PQ_K,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        F.floor(F.col("pos") / PQ_DSUB).cast("int").alias("m"),
+        (F.col("pos") % PQ_DSUB).alias("j"),
+        F.col("v").cast("double").alias("val"))
+    cent = sub.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("m").alias("cm"),
+        F.col("j").alias("cj"), F.col("val").alias("cval"))
+    diff = F.col("val") - F.col("cval")
+    d2 = (sub.join(F.broadcast(cent),
+                   (F.col("cm") == F.col("m")) & (F.col("cj") == F.col("j")))
+          .groupBy("vec_id", "m", "cid")
+          .agg(F.sum((diff * diff).cast("decimal(30,12)"))
+               .cast("decimal(30,12)").cast("double").alias("d2")))
+    wmin = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
+    best = (d2.withColumn("rk", F.row_number().over(wmin))
+            .filter(F.col("rk") == 1).select("vec_id", "m", "d2"))
+    per = (best.groupBy("m")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+                F.sum(F.col("d2").cast("decimal(30,12)"))
+                .cast("decimal(30,12)").cast("double").alias("tot"))
+           .localCheckpoint(eager=True))  # grand total + final both read it
+    g = per.agg(F.sum(F.col("tot").cast("decimal(30,12)"))
+                .cast("decimal(30,12)").cast("double").alias("gt"))
+    return (per.crossJoin(F.broadcast(g))
+            .select("m", "n_vectors",
+                    F.round(F.col("tot") / F.col("n_vectors"), 6)
+                    .alias("mean_distortion"),
+                    F.round(F.col("tot")
+                            / F.nullif(F.col("gt"), F.lit(0.0)), 6)
+                    .alias("distortion_share")))
+
+
+# ---------------------------------------------------------------------------
+# part_cross_price_elasticity — demand response to ANOTHER type's price
+# ---------------------------------------------------------------------------
+
+
+@staged_r8("part_cross_price_elasticity", """
+WITH pts AS (
+  SELECT p.p_type, CAST(date_trunc('day', l.l_shipdate) AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+  GROUP BY 1, 2),
+series AS (
+  SELECT p_type, day,
+         ROUND(ln(qty), 12) AS y,
+         ROUND(ln(CAST(cents AS DOUBLE) / 100.0 / qty), 12) AS x
+  FROM pts WHERE qty > 0),
+m AS (
+  SELECT a.p_type AS type_qty, b.p_type AS type_price,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(CAST(b.x AS DECIMAL(20,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(a.y AS DECIMAL(20,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(b.x * a.y AS DECIMAL(24,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(b.x * b.x AS DECIMAL(24,12))) AS DOUBLE) AS sxx
+  FROM series a JOIN series b ON b.day = a.day
+  GROUP BY 1, 2)
+SELECT type_qty, type_price, n_days,
+       ROUND((n_days * sxy - sx * sy)
+             / NULLIF(n_days * sxx - sx * sx, 0), 6) AS cross_elasticity
+FROM m
+""")
+def q_part_cross_price_elasticity(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Cross-price elasticity between part types: the OLS slope of
+    ln(daily quantity of type A) on ln(daily mean unit price of
+    type B), for every ordered (A, B) pair — positive off-diagonal
+    slope = substitutes (B gets pricier, A sells more), negative =
+    complements; the diagonal reproduces own-price elasticity at the
+    DAILY grain (the registered part_price_elasticity is the line-item
+    grain). This is the pricing-strategy matrix one five-moment fold
+    away from the daily series.
+
+    Determinism: daily qty and cents are exact integers; ln terms
+    quantize at ROUND-12 (the house ln class); moments accumulate in
+    DECIMAL before ONE ROUND-6 slope division with a NULLIF guard
+    (a constant price series has zero variance -> NULL slope in both
+    engines).
+
+    Scale shape: ONE (type, day) map-side-combined fold collapses the
+    fact table to a calendar-bounded series; the pair moments come
+    from a day-keyed self-join of that tiny frame (|types| x |types| x
+    |days| intermediate, dimension-bounded); output is |types|^2 rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    pts = (li.filter((F.col("l_quantity") > 0)
+                     & (F.col("l_extendedprice") > 0))
+           .join(F.broadcast(pt), pt.p_partkey == li.l_partkey)
+           .groupBy("p_type",
+                    F.to_date(F.date_trunc("day", F.col("l_shipdate")))
+                    .alias("day"))
+           .agg(F.sum(F.round(F.col("l_quantity")).cast("bigint"))
+                .cast("bigint").alias("qty"),
+                F.sum(F.round(F.col("l_extendedprice") * 100)
+                      .cast("bigint")).cast("bigint").alias("cents")))
+    series = (pts.filter(F.col("qty") > 0)
+              .select("p_type", "day",
+                      F.round(F.log(F.col("qty")), 12).alias("y"),
+                      F.round(F.log(F.col("cents").cast("double") / 100.0
+                                    / F.col("qty")), 12).alias("x"))
+              .localCheckpoint(eager=True))  # both self-join sides read it
+    a = series.select(F.col("p_type").alias("type_qty"),
+                      F.col("day").alias("da"), "y")
+    b = series.select(F.col("p_type").alias("type_price"),
+                      F.col("day").alias("db"), "x")
+    m = (a.join(b, F.col("da") == F.col("db"))
+         .groupBy("type_qty", "type_price")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_days"),
+              F.sum(F.col("x").cast("decimal(20,12)"))
+              .cast("double").alias("sx"),
+              F.sum(F.col("y").cast("decimal(20,12)"))
+              .cast("double").alias("sy"),
+              F.sum((F.col("x") * F.col("y")).cast("decimal(24,12)"))
+              .cast("double").alias("sxy"),
+              F.sum((F.col("x") * F.col("x")).cast("decimal(24,12)"))
+              .cast("double").alias("sxx")))
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        "type_qty", "type_price", "n_days",
+        F.round(num / F.nullif(den, F.lit(0.0)), 6)
+        .alias("cross_elasticity"))
+
+
 def _late_bind_oracles() -> None:
     """Oracle strings that reuse other modules' oracles verbatim are
     bound lazily to avoid import-order traps (the staged_ops_r7 fold
@@ -1201,6 +1402,8 @@ def _late_bind_oracles() -> None:
     STAGED_R8_ORACLES["corpus_snapshot_novelty_rate"] = _novelty_oracle()
     STAGED_R8_ORACLES["doc_quality_rule_ablation"] = _ablation_oracle()
     STAGED_R8_ORACLES["embedding_ann_recall_curve"] = _recall_curve_oracle()
+    STAGED_R8_ORACLES["embedding_pq_distortion_report"] = (
+        _pq_distortion_oracle())
 
 
 _late_bind_oracles()
