@@ -83,6 +83,10 @@ STAGED_R8_CAPS = {
                                          # paid at build); the day-keyed
                                          # pair self-join on the tiny
                                          # series + ONE pair-moment agg
+    "streaming_pq_codes": (1, 0),        # live plan reads the landed
+                                         # code parquet through ONE
+                                         # distinct (the exactly-once
+                                         # crash-replay dedup)
 }
 
 
@@ -528,6 +532,67 @@ def test_cross_elasticity_planted_power_law(spark, tmp_path):
                spark, str(tmp_path)).collect()}
     assert got[("A", "B")] == 2.0
     assert got[("B", "B")] == 0.0  # B's qty is constant 1 -> zero slope
+
+
+def test_streaming_pq_codes_crash_replay_equals_batch(
+        spark, sf_dir_oracle, tmp_path):
+    """Stop/resume AND append-then-crash replay of the PQ code stream:
+    the deduped code table must equal the batch code assignment (the
+    op's own oracle semantics) after both."""
+    from traffic_data_pipeline_spark.plans.queries import run_available_now
+    from traffic_data_pipeline_spark.plans.staged_ops import PQ_K
+    from traffic_data_pipeline_spark.plans.staged_ops_r8 import (
+        _pq_handle,
+        _pq_seed,
+        _pq_sub_spread,
+    )
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir_oracle, "embeddings").select(
+        "vec_id", "embedding")
+    src = str(tmp_path / "src")
+    code_dir = str(tmp_path / "codes")
+    ckpt = str(tmp_path / "ckpt")
+
+    cent = (_pq_sub_spread(emb).filter(F.col("vec_id") < PQ_K)
+            .select(F.col("vec_id").alias("cid"), F.col("m").alias("cm"),
+                    F.col("j").alias("cj"), F.col("val").alias("cval"))
+            .persist())
+    cent.count()
+    _pq_seed(spark, code_dir)
+    handle = _pq_handle(spark, cent, code_dir)
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("vec_id long, embedding array<float>")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        run_available_now(
+            spark, "streaming_pq_codes_test",
+            start=lambda: (stream.writeStream.foreachBatch(handle)
+                           .option("checkpointLocation", ckpt)
+                           .trigger(availableNow=True).start()))
+
+    emb.filter(F.col("vec_id") % 3 == 0).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run_once()
+    for r in (1, 2):
+        emb.filter(F.col("vec_id") % 3 == r).coalesce(1) \
+            .write.mode("append").parquet(src)
+    run_once()
+    # crash replay of the last batch under its original batch_id
+    handle(emb.filter(F.col("vec_id") % 3 == 2), 2)
+
+    got = {(r.vec_id, r.m, r.code)
+           for r in spark.read.parquet(code_dir).distinct()
+           .select("vec_id", "m", "code").collect()}
+    want = {(r.vec_id, r.m, r.code)
+            for r in STAGED_R8_QUERIES["streaming_pq_codes"](
+                spark, sf_dir_oracle).collect()}
+    assert got == want
+    raw = spark.read.parquet(code_dir).count()
+    deduped = spark.read.parquet(code_dir).distinct().count()
+    assert raw > deduped
+    cent.unpersist()
 
 
 def test_scd2_compaction_counts_reconcile(spark, sf_dir_oracle):

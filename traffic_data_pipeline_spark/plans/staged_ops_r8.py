@@ -1288,6 +1288,134 @@ def q_embedding_pq_distortion_report(spark: SparkSession,
 
 
 # ---------------------------------------------------------------------------
+# streaming_pq_codes — incremental PQ code maintenance on the stream
+# ---------------------------------------------------------------------------
+
+
+def _pq_codes_oracle() -> str:
+    from traffic_data_pipeline_spark.plans.oracle_ctes import _EMB_CTES
+    from traffic_data_pipeline_spark.plans.staged_ops import PQ_DSUB, PQ_K
+
+    return f"""
+WITH {_EMB_CTES},
+sub AS (
+  SELECT vec_id, CAST(FLOOR((pos - 1) / {PQ_DSUB}.0) AS INTEGER) AS m,
+         (pos - 1) % {PQ_DSUB} AS j, val
+  FROM elems),
+cent AS (SELECT vec_id AS cid, m, j, val FROM sub WHERE vec_id < {PQ_K}),
+d2 AS (
+  SELECT s.vec_id, s.m, c.cid,
+         CAST(SUM(CAST((s.val - c.val) * (s.val - c.val)
+                       AS DECIMAL(30,12))) AS DOUBLE) AS d2
+  FROM sub s JOIN cent c ON c.m = s.m AND c.j = s.j
+  GROUP BY 1, 2, 3)
+SELECT vec_id, CAST(m AS INT) AS m, CAST(cid AS BIGINT) AS code FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                               ORDER BY d2, cid) AS rk FROM d2)
+WHERE rk = 1
+"""
+
+
+def _pq_sub_spread(df: DataFrame) -> DataFrame:
+    from traffic_data_pipeline_spark.plans.staged_ops import PQ_DSUB
+
+    return df.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        F.floor(F.col("pos") / PQ_DSUB).cast("int").alias("m"),
+        (F.col("pos") % PQ_DSUB).alias("j"),
+        F.col("v").cast("double").alias("val"))
+
+
+def _pq_seed(spark: SparkSession, code_dir: str) -> None:
+    spark.createDataFrame(
+        [], "vec_id long, m int, code long, batch_id long"
+    ).write.mode("overwrite").parquet(code_dir)
+
+
+def _pq_handle(spark: SparkSession, cent: DataFrame, code_dir: str):
+    """The foreachBatch body, shared with the crash-replay test.
+    ``cent`` is the FIXED creation-time codebook spread (cid, cm, cj,
+    cval), persisted by the caller."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sub = _pq_sub_spread(batch_df)
+        diff = F.col("val") - F.col("cval")
+        d2 = (sub.join(F.broadcast(cent),
+                       (F.col("cm") == F.col("m"))
+                       & (F.col("cj") == F.col("j")))
+              .groupBy("vec_id", "m", "cid")
+              .agg(F.sum((diff * diff).cast("decimal(30,12)"))
+                   .cast("decimal(30,12)").cast("double").alias("d2")))
+        wmin = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
+        codes = (d2.withColumn("rk", F.row_number().over(wmin))
+                 .filter(F.col("rk") == 1)
+                 .select("vec_id", F.col("m").cast("int").alias("m"),
+                         F.col("cid").cast("bigint").alias("code")))
+        _stamp(codes, batch_id).write.mode("append").parquet(code_dir)
+
+    return handle
+
+
+@staged_r8("streaming_pq_codes")
+def q_streaming_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-native incremental PQ code maintenance (the
+    streaming_ivf_index pattern one level deeper): the codebook is
+    FIXED at index creation (the registered PQ convention — subvectors
+    of vec_id < PQ_K as the per-subspace centroids); embedding
+    micro-batches spread into (subspace, dim) terms, assign each
+    subvector to its argmin codeword against the broadcast codebook,
+    and append batchId-stamped (vec_id, m, code) rows — so after the
+    final batch the deduped code table EQUALS the batch PQ code
+    assignment, whose SQL is this op's oracle. This is the ingest-side
+    writer whose read side is already registered (embedding_pq_adc
+    scans these codes; embedding_ivfpq_query prunes them by list).
+
+    At-least-once closed the standard way: a crash between the code
+    append and the offset commit replays one batch under the SAME
+    batchId, recomputing identical deterministic rows that full-row
+    DISTINCT collapses on read.
+
+    Scale shape: per batch, the batch x (M*K broadcast codebook)
+    assignment — one narrow pass, ONE (vec, m) argmin; the code table
+    grows by 8 rows per vector (the production artifact: 8 one-byte
+    codes per vector). Nothing joins corpus x corpus.
+    """
+    from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
+    from traffic_data_pipeline_spark.plans.queries import run_available_now
+    from traffic_data_pipeline_spark.plans.staged_ops import PQ_K
+
+    src = _emb_stream_dir(spark, sf_dir)
+    code_dir = scratch_dir(prefix="tdp_pqc_codes_")
+    ckpt = scratch_dir(prefix="tdp_pqc_ckpt_")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (_pq_sub_spread(emb.select("vec_id", "embedding"))
+            .filter(F.col("vec_id") < PQ_K)
+            .select(F.col("vec_id").alias("cid"), F.col("m").alias("cm"),
+                    F.col("j").alias("cj"), F.col("val").alias("cval"))
+            .persist())
+    cent.count()
+    _pq_seed(spark, code_dir)
+    handle = _pq_handle(spark, cent, code_dir)
+
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<float>")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src))
+    run_available_now(
+        spark, "streaming_pq_codes",
+        start=lambda: (stream.writeStream.foreachBatch(handle)
+                       .option("checkpointLocation", ckpt)
+                       .trigger(availableNow=True).start()))
+    out = (spark.read.parquet(code_dir).distinct()
+           .select("vec_id", "m", "code"))
+    cent.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
 # part_cross_price_elasticity — demand response to ANOTHER type's price
 # ---------------------------------------------------------------------------
 
@@ -1404,6 +1532,7 @@ def _late_bind_oracles() -> None:
     STAGED_R8_ORACLES["embedding_ann_recall_curve"] = _recall_curve_oracle()
     STAGED_R8_ORACLES["embedding_pq_distortion_report"] = (
         _pq_distortion_oracle())
+    STAGED_R8_ORACLES["streaming_pq_codes"] = _pq_codes_oracle()
 
 
 _late_bind_oracles()
