@@ -40,6 +40,10 @@ NAMES = [
                                 # checkpointed; buckets vocab-bounded
     "doc_nb_langid",            # r7: (lang, gram) likelihood counts
                                 # bounded by |langs| x |trigrams|
+    "corpus_snapshot_novelty_rate",  # r8 staged: rides the cached pair
+                                # stream; one distinct + one fold
+    "doc_quality_rule_ablation",  # r8 staged: one scalar agg over the
+                                # in-row rule projection
 ]
 OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events", "embeddings"]
@@ -124,6 +128,10 @@ def build_emb_corpus(mult: int) -> str:
 
 EMB_NAMES = [
     "embedding_knn",            # registered brute-force top-k (N per query)
+    "embedding_ann_recall_curve",  # r8 staged: one assignment pass + the
+                                # probe-grid rank replay
+    "embedding_pq_distortion_report",  # r8 staged: corpus x broadcast
+                                # codebook, M-row fold
     "embedding_whitening_stats",  # r6: in-row triangle -> 2080-row agg
     "embedding_silhouette_by_label",  # r6: broadcast-centroid rescore
     "embedding_pq_adc",         # staged: code assignment ~N, probe ~N
@@ -168,6 +176,10 @@ def build_events_corpus(mult: int) -> str:
 
 
 EVENT_NAMES = [
+    "events_changepoint_daily",  # r8 staged: one (type, day) count +
+                                 # calendar-bounded prefix windows
+    "events_user_tail_index",    # r8 staged: one (type, user) count +
+                                 # constant-k tail folds
     "streaming_session_funnel",  # r6: stateful session stream + stage
                                  # projection — state ~ active users
     "events_markov_removal_effect",  # r7: corpus work is one window pass
@@ -219,6 +231,12 @@ def build_lineitem_corpus(mult: int) -> str:
 LINEITEM_NAMES = [
     "part_price_elasticity",    # r7: ONE (p_type) five-moment fold
     "supplier_share_hhi",       # r7: (p_type, suppkey) fold -> shares
+    "lineitem_basket_lift",     # r8 staged: co-keyed order self-join,
+                                # |types|^2-bounded aggregates
+    "supplier_lead_time_percentiles",  # r8 staged: co-keyed join + one
+                                # supplier rank window
+    "part_cross_price_elasticity",  # r8 staged: (type, day) fold + the
+                                # day-keyed tiny self-join
 ]
 
 
@@ -232,6 +250,9 @@ def main() -> None:
     from traffic_data_pipeline_spark.plans.staged_ops_r7 import (
         STAGED_R7_QUERIES,
     )
+    from traffic_data_pipeline_spark.plans.staged_ops_r8 import (
+        STAGED_R8_QUERIES,
+    )
     from traffic_data_pipeline_spark.session import get_spark
 
     spark = get_spark("scaling-probe")
@@ -241,13 +262,22 @@ def main() -> None:
     fams = set(os.environ.get(
         "SPARK_GRAFT_PROBE_FAMILIES", "docs,emb,events,lineitem"
     ).split(","))
+    # SPARK_GRAFT_PROBE_ONLY: comma list of query names — measure only
+    # those (new rows) without repaying a whole family
+    only = os.environ.get("SPARK_GRAFT_PROBE_ONLY")
+    keep = set(only.split(",")) if only else None
 
     def lookup(name):
         return (QUERIES.get(name) or STAGED_QUERIES.get(name)
                 or STAGED_R6_QUERIES.get(name)
-                or STAGED_R7_QUERIES[name])
+                or STAGED_R7_QUERIES.get(name)
+                or STAGED_R8_QUERIES[name])
 
     def probe(dirs, names, warm_table):
+        if keep is not None:
+            names = [n for n in names if n in keep]
+        if not names:
+            return {}
         out: dict[str, dict[str, float]] = {}
         for sf_dir, label in dirs:
             spark.read.parquet(f"{sf_dir}/{warm_table}.parquet").count()
