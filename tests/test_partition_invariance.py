@@ -26,6 +26,9 @@ from traffic_data_pipeline_spark.plans.staged_ops_r6 import (
 from traffic_data_pipeline_spark.plans.staged_ops_r7 import (
     STAGED_R7_QUERIES,
 )
+from traffic_data_pipeline_spark.plans.staged_ops_r8 import (
+    STAGED_R8_QUERIES,
+)
 
 CASES = [
     "sensor_impute",
@@ -157,6 +160,18 @@ CASES = [
     "events_ewma_control_chart",
     # the bucket-pruned pool cut + the shared greedy orbit
     "embedding_mmr_topk_ann",
+    # --- round-8 staged: the rank/argmax/moment folds that could in
+    # principle see partitioning (quantile buckets, nearest-rank
+    # percentiles, tail order statistics, changepoint argmax, recall
+    # rank replay, decimal moment self-joins) ---
+    "orders_rfm_segmentation",
+    "supplier_lead_time_percentiles",
+    "events_user_tail_index",
+    "events_changepoint_daily",
+    "embedding_ann_recall_curve",
+    "part_cross_price_elasticity",
+    "embedding_pq_distortion_report",
+    "lineitem_basket_lift",
 ]
 
 
@@ -174,7 +189,8 @@ def test_partition_invariant(spark, sf_dir, name):
     prev = spark.conf.get(key)
     try:
         fn = (QUERIES.get(name) or STAGED_QUERIES.get(name)
-              or STAGED_R6_QUERIES.get(name) or STAGED_R7_QUERIES[name])
+              or STAGED_R6_QUERIES.get(name)
+              or STAGED_R7_QUERIES.get(name) or STAGED_R8_QUERIES[name])
         spark.conf.set(key, "3")
         narrow = _rows(fn(spark, sf_dir))
         release()
