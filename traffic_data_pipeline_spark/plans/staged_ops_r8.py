@@ -1430,10 +1430,12 @@ WITH pts AS (
   WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
   GROUP BY 1, 2),
 series AS (
+  -- cents > 0: a sub-cent price rounds to 0 cents and ln(0) diverges
+  -- across engines (Spark NULL vs DuckDB -inf) — drop the day in both
   SELECT p_type, day,
          ROUND(ln(qty), 12) AS y,
          ROUND(ln(CAST(cents AS DOUBLE) / 100.0 / qty), 12) AS x
-  FROM pts WHERE qty > 0),
+  FROM pts WHERE qty > 0 AND cents > 0),
 m AS (
   SELECT a.p_type AS type_qty, b.p_type AS type_price,
          CAST(COUNT(*) AS BIGINT) AS n_days,
@@ -1482,7 +1484,8 @@ def q_part_cross_price_elasticity(spark: SparkSession,
                 .cast("bigint").alias("qty"),
                 F.sum(F.round(F.col("l_extendedprice") * 100)
                       .cast("bigint")).cast("bigint").alias("cents")))
-    series = (pts.filter(F.col("qty") > 0)
+    # cents > 0 mirrors the oracle: ln(0) is Spark NULL vs DuckDB -inf
+    series = (pts.filter((F.col("qty") > 0) & (F.col("cents") > 0))
               .select("p_type", "day",
                       F.round(F.log(F.col("qty")), 12).alias("y"),
                       F.round(F.log(F.col("cents").cast("double") / 100.0
