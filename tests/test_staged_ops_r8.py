@@ -87,6 +87,14 @@ STAGED_R8_CAPS = {
                                          # code parquet through ONE
                                          # distinct (the exactly-once
                                          # crash-replay dedup)
+    "events_user_kanonymity": (2, 1),    # ONE (type, hour) distinct-user
+                                         # cell fold (checkpointed) + the
+                                         # 4-row bucket fold; cell total
+                                         # broadcast
+    "dedup_impact_by_lang": (3, 1),      # rides the cached pair stream;
+                                         # ONE removed-id distinct
+                                         # (broadcast back) + ONE (lang)
+                                         # fold
 }
 
 
@@ -593,6 +601,40 @@ def test_streaming_pq_codes_crash_replay_equals_batch(
     deduped = spark.read.parquet(code_dir).distinct().count()
     assert raw > deduped
     cent.unpersist()
+
+
+def test_kanonymity_buckets_partition_cells(spark, sf_dir_oracle):
+    """Bucket cell counts partition the QI cell universe (shares sum to
+    1); a cell's events >= its distinct users, so n_events >=
+    n_user_slots >= n_cells per bucket; and singleton cells carry
+    exactly one user slot each."""
+    rows = STAGED_R8_QUERIES["events_user_kanonymity"](
+        spark, sf_dir_oracle).collect()
+    assert rows
+    assert abs(sum(r.cell_share for r in rows) - 1.0) <= len(rows) * 1e-6
+    for r in rows:
+        assert r.n_events >= r.n_user_slots >= r.n_cells
+        if r.anonymity_bucket == "k=1":
+            assert r.n_user_slots == r.n_cells
+
+
+def test_dedup_impact_reconciles_with_pair_stream(spark, sf_dir_oracle):
+    """Removed docs summed over languages equal the distinct larger-id
+    pair members, and every share sits in [0, 1] with tokens_removed
+    bounded by the language's token mass."""
+    from traffic_data_pipeline_spark.plans.extensions import doc_lsh_pairs
+
+    rows = STAGED_R8_QUERIES["dedup_impact_by_lang"](
+        spark, sf_dir_oracle).collect()
+    assert rows
+    want_removed = (doc_lsh_pairs(spark, sf_dir_oracle)
+                    .select("doc_b").distinct().count())
+    assert sum(r.n_removed for r in rows) == want_removed
+    for r in rows:
+        assert 0 <= r.n_removed <= r.n_docs
+        assert 0 <= r.tokens_removed <= r.n_tokens
+        if r.removed_token_share is not None:
+            assert 0.0 <= r.removed_token_share <= 1.0
 
 
 def test_scd2_compaction_counts_reconcile(spark, sf_dir_oracle):

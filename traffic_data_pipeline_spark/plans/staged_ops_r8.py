@@ -1514,6 +1514,163 @@ def q_part_cross_price_elasticity(spark: SparkSession,
         .alias("cross_elasticity"))
 
 
+# ---------------------------------------------------------------------------
+# events_user_kanonymity — re-identification risk audit of the event log
+# ---------------------------------------------------------------------------
+
+
+@staged_r8("events_user_kanonymity", """
+WITH cells AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS k_users,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+bucketed AS (
+  SELECT CASE WHEN k_users = 1 THEN 'k=1'
+              WHEN k_users < 5 THEN '2<=k<5'
+              WHEN k_users < 10 THEN '5<=k<10'
+              ELSE 'k>=10' END AS anonymity_bucket,
+         k_users, n_events
+  FROM cells),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells_total FROM cells)
+SELECT b.anonymity_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(b.k_users) AS BIGINT) AS n_user_slots,
+       CAST(SUM(b.n_events) AS BIGINT) AS n_events,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / t.n_cells_total, 6) AS cell_share
+FROM bucketed b, tot t
+GROUP BY 1, t.n_cells_total
+""")
+def q_events_user_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the event log under the (event_type, hour)
+    quasi-identifier: how many QI cells contain exactly one user (a
+    released row in such a cell re-identifies its user by timing alone),
+    how many sit below the common k=5 / k=10 thresholds, and how many
+    events each risk bucket carries — the privacy pre-flight a dataset
+    release runs BEFORE the PII scrubber's field-level pass, because
+    k-anonymity is a property of the grouping, not of any field value.
+    n_user_slots sums per-cell distinct users (a user active in many
+    cells counts once per cell — the slot count is the re-identification
+    surface, documented as such).
+
+    Determinism: pure integer counts over exact QI keys; ONE ROUND-6
+    share per bucket.
+
+    Scale shape: ONE (type, hour) aggregate with a distinct-user count
+    (map-side partials on the composite key), then a 4-row bucket fold;
+    the cell-total scalar broadcasts. At 100 TB the distinct count
+    swaps to the registered HLL sketch (events_rolling_wau_hll is the
+    in-repo precedent) when exactness is not required.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = (ev.groupBy("event_type",
+                        F.date_trunc("hour", F.col("ts")).alias("hr"))
+             .agg(F.countDistinct("user_id").cast("bigint")
+                  .alias("k_users"),
+                  F.count(F.lit(1)).cast("bigint").alias("n_events"))
+             .localCheckpoint(eager=True))  # bucket fold + total read it
+    bucket = (F.when(F.col("k_users") == 1, "k=1")
+              .when(F.col("k_users") < 5, "2<=k<5")
+              .when(F.col("k_users") < 10, "5<=k<10")
+              .otherwise("k>=10"))
+    tot = cells.agg(F.count(F.lit(1)).cast("bigint")
+                    .alias("n_cells_total"))
+    return (cells.select(bucket.alias("anonymity_bucket"), "k_users",
+                         "n_events")
+            .groupBy("anonymity_bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+                 F.sum("k_users").cast("bigint").alias("n_user_slots"),
+                 F.sum("n_events").cast("bigint").alias("n_events"))
+            .crossJoin(F.broadcast(tot))
+            .select("anonymity_bucket", "n_cells", "n_user_slots",
+                    "n_events",
+                    F.round(F.col("n_cells").cast("double")
+                            / F.col("n_cells_total"), 6)
+                    .alias("cell_share")))
+
+
+# ---------------------------------------------------------------------------
+# dedup_impact_by_lang — who does dedup remove? (bias audit)
+# ---------------------------------------------------------------------------
+
+
+def _dedup_impact_oracle() -> str:
+    from traffic_data_pipeline_spark.plans.oracle_ctes import (
+        _MH_PAIRS_CTE,
+        _MINHASH_CTES,
+    )
+
+    return f"""
+WITH {_MINHASH_CTES},
+{_MH_PAIRS_CTE},
+removed AS (
+  SELECT DISTINCT doc_b AS doc_id FROM mpairs WHERE agree / 8.0 >= 0.5),
+tl AS (
+  SELECT d.doc_id, d.lang,
+         CAST(len(list_filter(
+             string_split_regex(lower(d.text), '[^a-z0-9]+'),
+             x -> x != '')) AS BIGINT) AS n_tok,
+         CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS gone
+  FROM documents d LEFT JOIN removed r ON r.doc_id = d.doc_id)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(gone) AS BIGINT) AS n_removed,
+       ROUND(CAST(SUM(gone) AS DOUBLE) / COUNT(*), 6) AS removed_doc_share,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(gone * n_tok) AS BIGINT) AS tokens_removed,
+       ROUND(CAST(SUM(gone * n_tok) AS DOUBLE) / NULLIF(SUM(n_tok), 0), 6)
+         AS removed_token_share
+FROM tl GROUP BY 1
+"""
+
+
+@staged_r8("dedup_impact_by_lang")
+def q_dedup_impact_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup fairness audit: per language, the share of documents and of
+    TOKENS the MinHash-LSH near-dup pass removes under the one-round
+    min-id survivor rule (a doc is removed iff some smaller-id doc pairs
+    with it at est_sim >= 0.5 — the registered bounded canonicalization;
+    dedup_minhash_canonical is the exact-CC twin for full clusters). A
+    language losing 3x the corpus-average share is the classic silent
+    bias a dedup run bakes into the training mixture — boilerplate-heavy
+    or template-translated languages near-dup against themselves far
+    more than morphologically rich ones.
+
+    Rides the shared session pair stream (zero new pairwise work) and
+    in-row token counts.
+
+    Determinism: removal is exact integer pair membership; token counts
+    are in-row integers; two ROUND-6 shares per language with a NULLIF
+    guard for an all-symbol language slice.
+
+    Scale shape: ONE distinct over removed ids (broadcast back), ONE
+    (lang) fold over the corpus scan.
+    """
+    from traffic_data_pipeline_spark.functions.text import token_array
+    from traffic_data_pipeline_spark.plans.extensions import doc_lsh_pairs
+
+    removed = (doc_lsh_pairs(spark, sf_dir)
+               .select(F.col("doc_b").alias("rid")).distinct())
+    docs = load_table(spark, sf_dir, "documents")
+    gone = F.when(F.col("rid").isNotNull(), 1).otherwise(0)
+    return (docs.select("doc_id", "lang",
+                        F.size(token_array(F.col("text"))).cast("bigint")
+                        .alias("n_tok"))
+            .join(F.broadcast(removed), docs.doc_id == F.col("rid"), "left")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum(gone).cast("bigint").alias("n_removed"),
+                 F.round(F.sum(gone).cast("double") / F.count(F.lit(1)), 6)
+                 .alias("removed_doc_share"),
+                 F.sum("n_tok").cast("bigint").alias("n_tokens"),
+                 F.sum(gone * F.col("n_tok")).cast("bigint")
+                 .alias("tokens_removed"),
+                 F.round(F.sum(gone * F.col("n_tok")).cast("double")
+                         / F.nullif(F.sum("n_tok").cast("double"),
+                                    F.lit(0.0)), 6)
+                 .alias("removed_token_share")))
+
+
 def _late_bind_oracles() -> None:
     """Oracle strings that reuse other modules' oracles verbatim are
     bound lazily to avoid import-order traps (the staged_ops_r7 fold
@@ -1536,6 +1693,7 @@ def _late_bind_oracles() -> None:
     STAGED_R8_ORACLES["embedding_pq_distortion_report"] = (
         _pq_distortion_oracle())
     STAGED_R8_ORACLES["streaming_pq_codes"] = _pq_codes_oracle()
+    STAGED_R8_ORACLES["dedup_impact_by_lang"] = _dedup_impact_oracle()
 
 
 _late_bind_oracles()
