@@ -822,7 +822,6 @@ def _ablation_oracle() -> str:
     others = {r: [f"ok_{o}" for o in _GQ_RULES if o != r] for r in _GQ_RULES}
     branches = []
     for r in _GQ_RULES:
-        oth = " * ".join(others[r])
         branches.append(f"""
 SELECT '{r}' AS rule, n_docs,
        CAST(f_{r} AS BIGINT) AS n_fail,
