@@ -41,12 +41,18 @@ def test_bench_emits_json_line(tmp_path):
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
                SPARK_GRAFT_CPUS="8",
+               # ONE pass per query: this is a contract smoke (emits the
+               # JSON lines), not a measurement — min-of-2 at 249 queries
+               # blew the subprocess timeout under a concurrent suite
+               SPARK_GRAFT_BENCH_PASSES="1",
                # don't clobber the committed sf0.1 snapshot with this
                # small-SF run
                SPARK_GRAFT_BENCH_DETAIL=str(tmp_path / "detail.json"))
     out = subprocess.run(
         [sys.executable, "bench.py"], capture_output=True, text=True,
-        env=env, cwd=os.path.dirname(os.path.dirname(__file__)), timeout=560,
+        env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
+        # 458 s measured quiet at 249 queries x 1 pass; leave co-tenant room
+        timeout=900,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     lines = out.stdout.strip().splitlines()
