@@ -115,6 +115,12 @@ _COSTLY_TAIL = {
     "embedding_mmr_topk",
     "part_price_elasticity",
 }
+# Round-8 promotion note (for the next round's fold): by the
+# BENCH_STAGED_r07.json readout (14 staged ops, 58.3 s at sf0.1) the
+# staged names to queue into this tail are streaming_conformal_monitor
+# (9.4 s), streaming_pq_codes (9.1 s), streaming_ivf_index (8.8 s) —
+# micro-batch machinery — and config_scd2_compaction_stats (7.4 s, the
+# shared multiday SCD-2 build); the remaining ten read 1-5 s each.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
