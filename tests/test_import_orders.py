@@ -31,6 +31,9 @@ MODULES = [
     "staged_ops",
     "staged_ops_r6",
     "staged_ops_r7",
+    "staged_ops_r8",   # frozen (no fold), but its oracle late-binding
+                       # imports r7/queries — importing it FIRST must
+                       # still complete the registry
     "oracle_ctes",
 ]
 
