@@ -60,14 +60,14 @@ def _previously_checked() -> set[str]:
     return seen
 
 
-# Round-7 promotion (VERDICT r6 ask #1): plans/staged_ops_r7.py is folded
+# Round-8 promotion (VERDICT r7 ask #1): plans/staged_ops_r8.py is folded
 # unconditionally into QUERIES/ORACLES (same tail-fold mechanism as
-# staged_ops.py / staged_ops_r6.py), adding its 31 oracle-gated operators
-# to the registry — 249 names total. With the driver's cumulative record
-# complete through round 6 (218/218), the never-checked set this round is
-# exactly these promotions — they fit the ~50-row window with ~19 rows of
-# headroom. Among the unchecked, the per-query-costliest (streaming
-# micro-batch machinery, cached-self-join dedup families, and the heavy
+# staged_ops.py / staged_ops_r6 / staged_ops_r7), adding its 16
+# oracle-gated operators to the registry — 265 names total. With the
+# driver's cumulative record complete through round 7 (249/249), the
+# never-checked set this round is exactly these promotions — they fit the
+# ~50-row window with ~34 rows of headroom. Among the unchecked, the
+# per-query-costliest (streaming micro-batch machinery and the heavy
 # staged sets sized from the BENCH_STAGED readouts) queue LAST: if the
 # driver window is time-bounded this ordering maximizes rows drained per
 # round, and if it is count-bounded the order is neutral.
@@ -114,13 +114,17 @@ _COSTLY_TAIL = {
     "embedding_ivf_balance_report",
     "embedding_mmr_topk",
     "part_price_elasticity",
+    # heavy round-8 staged promotions, by the BENCH_STAGED_r07.json
+    # readout (14 staged ops, 58.3 s at sf0.1): micro-batch machinery
+    # (streaming_conformal_monitor 9.4 s, streaming_pq_codes 9.1 s,
+    # streaming_ivf_index 8.8 s) and the shared multiday SCD-2 build
+    # (config_scd2_compaction_stats 7.4 s); the remaining twelve read
+    # 1-5 s each
+    "streaming_conformal_monitor",
+    "streaming_pq_codes",
+    "streaming_ivf_index",
+    "config_scd2_compaction_stats",
 }
-# Round-8 promotion note (for the next round's fold): by the
-# BENCH_STAGED_r07.json readout (14 staged ops, 58.3 s at sf0.1) the
-# staged names to queue into this tail are streaming_conformal_monitor
-# (9.4 s), streaming_pq_codes (9.1 s), streaming_ivf_index (8.8 s) —
-# micro-batch machinery — and config_scd2_compaction_stats (7.4 s, the
-# shared multiday SCD-2 build); the remaining ten read 1-5 s each.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

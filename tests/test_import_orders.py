@@ -31,9 +31,10 @@ MODULES = [
     "staged_ops",
     "staged_ops_r6",
     "staged_ops_r7",
-    "staged_ops_r8",   # frozen (no fold), but its oracle late-binding
-                       # imports r7/queries — importing it FIRST must
-                       # still complete the registry
+    "staged_ops_r8",   # promoted round 8; its oracle late-binding
+                       # imports r7/queries BEFORE its own tail fold —
+                       # importing it FIRST must still complete the
+                       # registry
     "oracle_ctes",
 ]
 

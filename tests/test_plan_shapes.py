@@ -540,6 +540,76 @@ CAPS = {
                                          # checkpointed selection; the
                                          # bucket-pruned relevance scan
                                          # is paid at build
+    # --- round-8 promotions (moved here from tests/test_staged_ops_r8.py
+    # at promotion time, per the documented path) ---
+    "streaming_conformal_monitor": (0, 0),  # live plan reads the
+                                         # published intervals parquet;
+                                         # per-batch folds run inside
+                                         # foreachBatch
+    "streaming_ivf_index": (0, 0),       # live plan reads the published
+                                         # balance report; per-batch
+                                         # assignment joins run inside
+                                         # the micro-batches
+    "config_scd2_compaction_stats": (4, 1),  # ONE (day, kind) count over
+                                         # the cached changelog + ONE
+                                         # scalar dimension fold
+                                         # broadcast back
+    "orders_rfm_segmentation": (6, 2),   # ONE (custkey) fact fold; the
+                                         # three SHARD ranks cache their
+                                         # range exchanges — live: the
+                                         # last shard window + offset
+                                         # fold + segment regroup;
+                                         # offsets/n broadcast
+    "lineitem_basket_lift": (4, 3),      # ONE distinct (order, type)
+                                         # projection (checkpointed);
+                                         # the co-keyed pair self-join +
+                                         # (a, b) count; tc/n broadcast
+    "supplier_lead_time_percentiles": (3, 0),  # orders x fact co-keyed
+                                         # join + ONE supplier rank
+                                         # window + ONE supplier fold
+    "events_user_tail_index": (4, 3),    # ONE (type, user) count + ONE
+                                         # type-keyed rank window
+                                         # (checkpointed top-k); k/cut/
+                                         # logsum frames broadcast
+    "corpus_snapshot_novelty_rate": (3, 1),  # rides the cached pair
+                                         # stream; ONE distinct over the
+                                         # new-dup ids (broadcast back)
+                                         # + ONE (source) fold
+    "doc_quality_rule_ablation": (1, 0),  # ONE scalar aggregate over the
+                                         # in-row rule projection + the
+                                         # 5-row unpivot
+    "events_changepoint_daily": (6, 2),  # ONE (type, day) count
+                                         # (checkpointed); prefix/argmax
+                                         # windows on the broadcast-fed
+                                         # calendar spine
+    "embedding_ann_recall_curve": (6, 2),  # live plan reads the
+                                         # checkpointed grid top-k; base
+                                         # + n_base frames broadcast
+                                         # (assignment/probe broadcasts
+                                         # are paid at build)
+    "embedding_pq_distortion_report": (0, 1),  # live plan reads the
+                                         # checkpointed M-row fold; the
+                                         # corpus x broadcast-codebook
+                                         # assignment + argmin window
+                                         # are paid at build; grand
+                                         # total broadcast
+    "part_cross_price_elasticity": (3, 0),  # ONE (type, day) fact fold
+                                         # (checkpointed; part broadcast
+                                         # paid at build); the day-keyed
+                                         # pair self-join on the tiny
+                                         # series + ONE pair-moment agg
+    "streaming_pq_codes": (1, 0),        # live plan reads the landed
+                                         # code parquet through ONE
+                                         # distinct (the exactly-once
+                                         # crash-replay dedup)
+    "events_user_kanonymity": (2, 1),    # ONE (type, hour) distinct-user
+                                         # cell fold (checkpointed) + the
+                                         # 4-row bucket fold; cell total
+                                         # broadcast
+    "dedup_impact_by_lang": (3, 1),      # rides the cached pair stream;
+                                         # ONE removed-id distinct
+                                         # (broadcast back) + ONE (lang)
+                                         # fold
 }
 
 

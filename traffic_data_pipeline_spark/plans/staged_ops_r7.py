@@ -476,7 +476,10 @@ norms AS (
   SELECT vec_id, CAST(SUM(CAST(val * val AS DECIMAL(30,12))) AS DOUBLE) AS norm_sq
   FROM elems GROUP BY 1),
 cents AS (
-  SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT {IVF_K}),
+  -- LIVE-filtered seeding, matching the query body exactly: the IVF_K
+  -- lowest NON-ZERO-NORM vec_ids (a zero-norm centroid has no cosine)
+  SELECT n.vec_id AS cid FROM norms n WHERE n.norm_sq > 0
+  ORDER BY n.vec_id LIMIT {IVF_K}),
 live AS (
   SELECT n.vec_id FROM norms n WHERE n.norm_sq > 0),
 dots AS (
@@ -507,9 +510,11 @@ SELECT c.centroid_id, c.n_assigned,
 FROM counts c, tot t
 """)
 def q_embedding_ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF index health audit: inverted-list sizes under the registered
-    deterministic centroid seeding (the knn_ivf contract — {IVF_K}
-    lowest ids, nearest-by-cosine assignment, ties to the smaller
+    """IVF index health audit: inverted-list sizes under the
+    deterministic LIVE-filtered centroid seeding ({IVF_K} lowest
+    non-zero-norm ids — one convention shared with streaming_ivf_index
+    and embedding_ann_recall_curve, pinned in both query bodies AND
+    oracles; nearest-by-cosine assignment, ties to the smaller
     centroid id), per-list corpus share, and the imbalance factor
     (n * K / N; 1.0 = perfectly balanced, K = everything in one list).
     A skewed report means probe cost concentrates in hot lists — the

@@ -1,19 +1,19 @@
-"""Round-8 staging area: operators implemented and oracle-gated NOW but
-intentionally NOT registered, honoring the registration freeze until the
-round-7 promotion (31 staged r7 ops) drains through the driver's
-CORRECTNESS window.
+"""Round-8 staging area, PROMOTED into the live registry in round 8
+(VERDICT r7 ask #1): operators implemented and oracle-gated during the
+round-7 registration freeze, then folded into QUERIES/ORACLES by this
+module's tail fold once the round-7 promotion (31 staged r7 ops) drained
+through the driver's CORRECTNESS window.
 
-Same contract as the three promoted staging areas (plans/staged_ops.py,
-plans/staged_ops_r6.py, plans/staged_ops_r7.py): each op is a Spark
-callable ``(spark, sf_dir) -> DataFrame`` plus a DuckDB oracle string
-with matching column names, so the round-8 promotion is the same
-mechanical fold — add the tail fold here, import this module at the end
-of plans/queries.py, move STAGED_R8_CAPS into tests/test_plan_shapes.py,
-flip the freeze test into a promotion check, and queue the
-BENCH_STAGED-costly names into ``__spark_entry__._COSTLY_TAIL``.
-tests/test_staged_ops_r8.py runs the identical query-vs-oracle gate at
-sf0.01, pins exchange caps, and a freeze-guard test pins that none of
-these names leaks into ``__spark_entry__.queries()`` this round.
+Same contract as the three earlier promoted staging areas
+(plans/staged_ops.py, plans/staged_ops_r6.py, plans/staged_ops_r7.py):
+each op is a Spark callable ``(spark, sf_dir) -> DataFrame`` plus a
+DuckDB oracle string with matching column names. The promotion was the
+established mechanical fold — tail fold here, module import at the end
+of plans/queries.py, STAGED_R8_CAPS moved into tests/test_plan_shapes.py,
+the freeze test flipped into a promotion check, and the
+BENCH_STAGED-costly names queued into ``__spark_entry__._COSTLY_TAIL``.
+tests/test_staged_ops_r8.py keeps the identical query-vs-oracle gate at
+sf0.01 addressed by staged name.
 
 Operator set (VERDICT r6 ask #4's named gaps + training-data/analytics
 gaps after the round-7 sweep):
@@ -27,7 +27,7 @@ gaps after the round-7 sweep):
   _conformal_from_daily).
 - ``streaming_ivf_index`` — incremental IVF index maintenance (the
   streaming_minhash_index pattern on the ANN side): centroids are fixed
-  at index creation (the registered knn_ivf seeding), embedding batches
+  at index creation (the shared live-filtered seeding), embedding batches
   assign against the broadcast centroids and append batchId-stamped
   (vec_id, centroid_id) rows; each batch republishes the balance
   report, which after the final batch EQUALS
@@ -241,8 +241,9 @@ def _ivf_handle(spark: SparkSession, cents: DataFrame, index_dir: str,
 
 
 def _ivf_creation_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Index-creation centroids: the registered knn_ivf seeding (IVF_K
-    lowest live vec_ids) taken from the static table ONCE, before the
+    """Index-creation centroids: the balance-report seeding (IVF_K
+    lowest LIVE — non-zero-norm — vec_ids, the one convention shared by
+    embedding_ivf_balance_report and embedding_ann_recall_curve) taken from the static table ONCE, before the
     stream starts — a production IVF index trains its centroids at
     creation and streams vectors in against them, which is exactly what
     makes the streaming fold equal the batch assignment."""
@@ -260,7 +261,7 @@ def _ivf_creation_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-native incremental IVF index maintenance (VERDICT r6 ask
     #4: the streaming_minhash_index pattern on the ANN side): centroids
-    are FIXED at index creation (the registered knn_ivf seeding — IVF_K
+    are FIXED at index creation (the balance-report seeding — IVF_K
     lowest live vec_ids, nearest-by-cosine assignment, ties to the
     smaller centroid id); embedding micro-batches assign against the
     broadcast centroids, append batchId-stamped (vec_id, centroid_id)
@@ -391,6 +392,56 @@ def q_config_scd2_compaction_stats(spark: SparkSession,
 RFM_BUCKETS = 5
 
 
+def _shard_rank(df: DataFrame, order_cols: list, alias: str) -> DataFrame:
+    """Global row_number over a total order WITHOUT a single-partition
+    sort (VERDICT r7 ask #2): range-exchange the frame on the order
+    key, rank within each range shard, then add the broadcast
+    cumulative preceding-shard counts. Spark's range partitioner
+    samples its boundaries with per-partition deterministic seeds, and
+    the eager materialization pins ONE sharding for both the count pass
+    and the rank pass; the RESULT is boundary-independent anyway —
+    shards are ordered and within-shard ranks follow the full total
+    order, so every boundary choice yields the identical global rank.
+
+    Scale shape: one range exchange over the input frame + one
+    shard-keyed rank window; the offset frame is |shards| rows
+    (cluster-constant), its global cumulative window is bounded, and it
+    broadcasts back. No partition-less window ever sees an unbounded
+    frame."""
+    from traffic_data_pipeline_spark.functions.execution import materialize
+
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    sharded = materialize(
+        df.repartitionByRange(nparts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id()))
+    offs = (sharded.groupBy("_pid")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_cnt"))
+            .withColumn(
+                "_off",
+                F.coalesce(
+                    F.sum("_cnt").over(
+                        Window.orderBy("_pid")
+                        .rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0)).cast("bigint"))
+            .select("_pid", "_off"))
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (sharded.join(F.broadcast(offs), "_pid")
+            .withColumn(alias,
+                        (F.row_number().over(w) + F.col("_off"))
+                        .cast("bigint"))
+            .drop("_pid", "_off"))
+
+
+def _rfm_bucket(rn_col: str):
+    """floor((rn - 1) * K / n) + 1 in pure Column arithmetic, exact in
+    both engines: the numerator minus its mod-n remainder is exactly
+    divisible by n, and the quotient (< K) is far inside double
+    precision, so the true division below is exact — no DIV/``//``
+    string expression and no cross-engine truncation convention."""
+    x = ((F.col(rn_col) - 1) * F.lit(RFM_BUCKETS)).cast("bigint")
+    return ((x - x % F.col("n")) / F.col("n")).cast("int") + F.lit(1)
+
+
 @staged_r8("orders_rfm_segmentation", f"""
 WITH cust AS (
   SELECT o_custkey,
@@ -432,12 +483,12 @@ def q_orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cents.
 
     Scale shape: ONE (custkey) map-side-combined fold collapses the
-    fact table to the customer dimension; the three rank windows run on
-    that dimension frame (per-metric total orders over |customers|
-    rows, NOT facts). At a dimension too large for one sort, each rank
-    swaps to the two-pass shard rank (rank within hash shard + shard
-    count offsets — the doc_zonemap_audit pattern); the bucket
-    arithmetic is unchanged.
+    fact table to the customer dimension; each of the three global
+    ranks is the two-pass SHARD rank (_shard_rank: range exchange +
+    within-shard rank + broadcast cumulative shard-count offsets), so
+    no plan node ever single-partition-sorts the customer dimension —
+    the ranks are identical to a global sort's at every shard-boundary
+    choice. The bucket arithmetic runs on the ranked dimension frame.
     """
     od = load_table(spark, sf_dir, "orders")
     mx = od.agg(F.to_date(F.max("o_orderdate")).alias("mxd"))
@@ -452,23 +503,17 @@ def q_orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("recency_days"),
                     "frequency", "cents"))
     n = cust.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    # exact integer floor division in BOTH engines (Spark DIV / DuckDB
-    # //): a double division + int cast would round in DuckDB but
-    # truncate in Spark, flipping customers at exact bucket boundaries
-    bucket = lambda rn, alias: F.expr(  # noqa: E731
-        f"CAST(({alias} - 1) * {RFM_BUCKETS} DIV n AS INT) + 1")
-    scored = (cust.crossJoin(F.broadcast(n))
-              .withColumn("r_rn", F.row_number().over(
-                  Window.orderBy(F.col("recency_days").desc(),
-                                 "o_custkey")))
-              .withColumn("f_rn", F.row_number().over(
-                  Window.orderBy("frequency", "o_custkey")))
-              .withColumn("m_rn", F.row_number().over(
-                  Window.orderBy("cents", "o_custkey")))
+    ranked = _shard_rank(
+        cust, [F.col("recency_days").desc(), F.col("o_custkey")], "r_rn")
+    ranked = _shard_rank(
+        ranked, [F.col("frequency"), F.col("o_custkey")], "f_rn")
+    ranked = _shard_rank(
+        ranked, [F.col("cents"), F.col("o_custkey")], "m_rn")
+    scored = (ranked.crossJoin(F.broadcast(n))
               .select("o_custkey", "cents",
-                      bucket(None, "r_rn").alias("r_score"),
-                      bucket(None, "f_rn").alias("f_score"),
-                      bucket(None, "m_rn").alias("m_score")))
+                      _rfm_bucket("r_rn").alias("r_score"),
+                      _rfm_bucket("f_rn").alias("f_score"),
+                      _rfm_bucket("m_rn").alias("m_score")))
     return (scored.groupBy("r_score", "f_score", "m_score")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
                  F.sum("cents").cast("bigint").alias("monetary_cents")))
@@ -494,7 +539,8 @@ pairs AS (
 SELECT p.type_a, p.type_b, p.n_co,
        ROUND(CAST(p.n_co AS DOUBLE) / n.n_orders, 6) AS support,
        ROUND(CAST(p.n_co AS DOUBLE) / ta.c, 6) AS confidence_a_to_b,
-       ROUND(CAST(p.n_co AS DOUBLE) * n.n_orders / (ta.c * tb.c), 6)
+       ROUND(CAST(p.n_co AS DOUBLE) * n.n_orders
+             / (CAST(ta.c AS DOUBLE) * tb.c), 6)
          AS lift
 FROM pairs p
 JOIN tc ta ON ta.p_type = p.type_a
@@ -510,7 +556,10 @@ def q_lineitem_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: all counts are exact integers over distinct (order,
     type) pairs; each output ratio is ONE ROUND-6 double division of
-    integers.
+    integers. The lift denominator casts ONE factor to double before
+    multiplying (mirrored in the oracle): ca * cb in int64 would wrap
+    silently in non-ANSI Spark once per-type order counts pass ~3e9
+    while DuckDB raises.
 
     Scale shape: ONE distinct (order, type) projection (part broadcast
     into the fact scan), then the pair stream SELF-JOINS CO-KEYED on
@@ -549,7 +598,7 @@ def q_lineitem_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_co").cast("double") / F.col("ca"), 6)
                     .alias("confidence_a_to_b"),
                     F.round(F.col("n_co").cast("double") * F.col("n_orders")
-                            / (F.col("ca") * F.col("cb")), 6)
+                            / (F.col("ca").cast("double") * F.col("cb")), 6)
                     .alias("lift")))
 
 
@@ -899,6 +948,60 @@ def q_doc_quality_rule_ablation(spark: SparkSession,
 # ---------------------------------------------------------------------------
 
 
+def _changepoint_from_daily(daily: DataFrame) -> DataFrame:
+    """The changepoint plan owner, shared by events_changepoint_daily
+    (nightly batch) and the round-9 staged streaming_changepoint_monitor
+    (per-batch republish over accumulated state) — the
+    _conformal_from_daily contract: ONE owner, so the spine fill, the
+    prefix-sum score, and the argmax tiebreak cannot drift between the
+    nightly and streaming forms. ``daily`` is the (event_type, day, y)
+    exact daily-count frame."""
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    types = daily.select("event_type").distinct()
+    fill = (types.crossJoin(F.broadcast(span))
+            .select("event_type",
+                    F.explode(F.sequence(
+                        F.col("d0"), F.col("d1"),
+                        F.expr("interval 1 day"))).alias("day"),
+                    F.col("d0"))
+            .join(F.broadcast(daily.select(
+                F.col("event_type").alias("de"),
+                F.col("day").alias("dd"), "y")),
+                (F.col("de") == F.col("event_type"))
+                & (F.col("dd") == F.col("day")), "left")
+            .select("event_type",
+                    F.datediff(F.col("day"), F.col("d0")).alias("d"),
+                    F.coalesce("y", F.lit(0)).cast("bigint").alias("y")))
+    wp = Window.partitionBy("event_type").orderBy("d")
+    wn = Window.partitionBy("event_type")
+    pre = fill.select(
+        "event_type", "d",
+        F.sum("y").over(wp).cast("bigint").alias("s_t"),
+        F.sum("y").over(wn).cast("bigint").alias("s_n"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"))
+    # contrast in DOUBLE before the square (mirrors the oracle): the
+    # int64 square wraps silently in non-ANSI Spark at production event
+    # counts while DuckDB raises — double is engine-identical IEEE
+    num = (F.col("n").cast("double") * F.col("s_t")
+           - (F.col("d") + 1) * F.col("s_n").cast("double"))
+    scored = (pre.filter(F.col("d") < F.col("n") - 1)
+              .select("event_type", "d", "s_t", "s_n", "n",
+                      F.round((num * num)
+                              / ((F.col("d") + 1)
+                                 * (F.col("n") - F.col("d") - 1)), 6)
+                      .alias("score")))
+    wb = Window.partitionBy("event_type").orderBy(
+        F.col("score").desc(), "d")
+    return (scored.withColumn("rk", F.row_number().over(wb))
+            .filter(F.col("rk") == 1)
+            .select("event_type", F.col("d").alias("change_d"), "score",
+                    F.round(F.col("s_t").cast("double")
+                            / (F.col("d") + 1), 6).alias("mean_before"),
+                    F.round((F.col("s_n") - F.col("s_t")).cast("double")
+                            / (F.col("n") - F.col("d") - 1), 6)
+                    .alias("mean_after")))
+
+
 @staged_r8("events_changepoint_daily", """
 WITH daily AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -927,9 +1030,13 @@ pre AS (
          CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
   FROM fill),
 scored AS (
+  -- the contrast goes through DOUBLE BEFORE the square: n*s_t ~
+  -- days * total_events already brushes int64 at production event
+  -- counts, and its square is far past it — int64 squaring would wrap
+  -- silently in Spark (non-ANSI) while DuckDB raises
   SELECT event_type, d, s_t, s_n, n,
-         ROUND(CAST((n * s_t - (d + 1) * s_n)
-                    * (n * s_t - (d + 1) * s_n) AS DOUBLE)
+         ROUND((CAST(n AS DOUBLE) * s_t - (d + 1) * CAST(s_n AS DOUBLE))
+               * (CAST(n AS DOUBLE) * s_t - (d + 1) * CAST(s_n AS DOUBLE))
                / ((d + 1) * (n - d - 1)), 6) AS score
   FROM pre WHERE d < n - 1),
 best AS (
@@ -953,12 +1060,19 @@ def q_events_changepoint_daily(spark: SparkSession,
     segment means — the "when did this series change regime" readout
     next to events_ewma_control_chart (which flags WHEN the level
     leaves the band; this one locates the break retrospectively).
+    Everything downstream of the daily count lives in the shared plan
+    owner _changepoint_from_daily, which the round-9 staged
+    streaming_changepoint_monitor republishes per micro-batch — the
+    nightly and streaming forms cannot drift.
 
-    Determinism: prefix sums and the score numerator are EXACT integers
-    (counts), so the only float is one ROUND-6 division per candidate
-    split; the argmax uses the (score DESC, d) total order — two
-    near-equal scores that round to the same 6dp value pick the earlier
-    day in both engines.
+    Determinism: prefix sums are EXACT integers (counts); the contrast
+    is cast to DOUBLE before the square (identical IEEE arithmetic from
+    identical int64 inputs in both engines — and overflow-free, where
+    the int64 square would silently wrap in non-ANSI Spark at
+    production event counts while DuckDB raises), then ONE ROUND-6
+    division per candidate split; the argmax uses the (score DESC, d)
+    total order — two near-equal scores that round to the same 6dp
+    value pick the earlier day in both engines.
 
     Scale shape: ONE (type, day) map-side-combined count, then
     type-keyed prefix windows over the calendar-bounded spine and a
@@ -972,46 +1086,7 @@ def q_events_changepoint_daily(spark: SparkSession,
              .groupBy("event_type", "day")
              .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
              .localCheckpoint(eager=True))
-    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    types = daily.select("event_type").distinct()
-    fill = (types.crossJoin(F.broadcast(span))
-            .select("event_type",
-                    F.explode(F.sequence(
-                        F.col("d0"), F.col("d1"),
-                        F.expr("interval 1 day"))).alias("day"),
-                    F.col("d0"))
-            .join(F.broadcast(daily.select(
-                F.col("event_type").alias("de"),
-                F.col("day").alias("dd"), "y")),
-                (F.col("de") == F.col("event_type"))
-                & (F.col("dd") == F.col("day")), "left")
-            .select("event_type",
-                    F.datediff(F.col("day"), F.col("d0")).alias("d"),
-                    F.coalesce("y", F.lit(0)).cast("bigint").alias("y")))
-    wp = Window.partitionBy("event_type").orderBy("d")
-    wn = Window.partitionBy("event_type")
-    pre = fill.select(
-        "event_type", "d",
-        F.sum("y").over(wp).cast("bigint").alias("s_t"),
-        F.sum("y").over(wn).cast("bigint").alias("s_n"),
-        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"))
-    num = (F.col("n") * F.col("s_t") - (F.col("d") + 1) * F.col("s_n"))
-    scored = (pre.filter(F.col("d") < F.col("n") - 1)
-              .select("event_type", "d", "s_t", "s_n", "n",
-                      F.round((num * num).cast("double")
-                              / ((F.col("d") + 1)
-                                 * (F.col("n") - F.col("d") - 1)), 6)
-                      .alias("score")))
-    wb = Window.partitionBy("event_type").orderBy(
-        F.col("score").desc(), "d")
-    return (scored.withColumn("rk", F.row_number().over(wb))
-            .filter(F.col("rk") == 1)
-            .select("event_type", F.col("d").alias("change_d"), "score",
-                    F.round(F.col("s_t").cast("double")
-                            / (F.col("d") + 1), 6).alias("mean_before"),
-                    F.round((F.col("s_n") - F.col("s_t")).cast("double")
-                            / (F.col("n") - F.col("d") - 1), 6)
-                    .alias("mean_after")))
+    return _changepoint_from_daily(daily)
 
 
 # ---------------------------------------------------------------------------
@@ -1034,7 +1109,11 @@ def _recall_curve_oracle() -> str:
 WITH {_EMB_CTES},
 {_COS_CTES},
 cents AS (
-  SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT {IVF_K}),
+  -- LIVE-filtered seeding (the balance-report convention, one
+  -- convention across all three IVF ops): the IVF_K lowest
+  -- non-zero-norm vec_ids
+  SELECT vec_id AS cid FROM norms WHERE norm_sq > 0
+  ORDER BY vec_id LIMIT {IVF_K}),
 live AS (SELECT vec_id FROM norms WHERE norm_sq > 0),
 cdots AS MATERIALIZED (
   SELECT v.vec_id, c.cid,
@@ -1090,7 +1169,8 @@ def q_embedding_ann_recall_curve(spark: SparkSession,
     1/2/4/8 against its own full-probe (exactly-brute) answer — the
     index-tuning curve that picks n_probe before queries pay for it:
     the knee of this curve IS the latency/recall trade. Shares the
-    registered knn_ivf contract exactly (lowest-id centroid seeding,
+    balance-report contract exactly (live-filtered lowest-id centroid
+    seeding — the one convention across all three r7/r8 IVF ops,
     cosine argmax assignment with (cos DESC, cid) ties, probe lists by
     (query-centroid cos DESC, cid), exact rerank inside probed lists,
     (cosine DESC, c_id) top-k) — but computes the sweep in ONE pass:
@@ -1127,7 +1207,9 @@ def q_embedding_ann_recall_curve(spark: SparkSession,
         .select("vec_id", "embedding",
                 norm_sq(F.col("embedding")).alias("_n2")))
     live = with_norm.filter(F.col("_n2") > 0)
-    cents = emb.select("vec_id", "embedding").orderBy("vec_id").limit(IVF_K)
+    # LIVE-filtered seeding — the balance-report convention, shared with
+    # streaming_ivf_index's _ivf_creation_centroids
+    cents = live.orderBy("vec_id").limit(IVF_K).select("vec_id", "embedding")
     assign = ivf_assign(live.select("vec_id", "embedding"), cents,
                         with_norm=live)
     q = live.filter(F.col("vec_id").isin(KNN_QUERY_IDS)).select(
@@ -1696,3 +1778,29 @@ def _late_bind_oracles() -> None:
 
 
 _late_bind_oracles()
+
+
+# ---------------------------------------------------------------------------
+# Round-8 promotion fold (VERDICT r7 ask #1). Runs at the END of the module
+# body so every @staged_r8 registration above is complete before the live
+# registry absorbs it, in EVERY import order (the staged_ops/staged_ops_r6/
+# staged_ops_r7 fold contract: when queries.py is imported first, its
+# bottom import of this module executes this whole fold before queries.py
+# finishes; when this module is imported first, the fold's own `from
+# plans.queries import ...` below fully executes queries.py — whose tail
+# imports are side-effect imports that skip the in-progress import of THIS
+# module via sys.modules — and control returns here to fold the
+# by-then-complete dicts. Both paths end with the same registry; the
+# update is idempotent if both run.)
+# ---------------------------------------------------------------------------
+from traffic_data_pipeline_spark.plans.queries import (  # noqa: E402
+    ORACLES as _LIVE_ORACLES,
+    QUERIES as _LIVE_QUERIES,
+)
+
+_collide = {n for n in set(_LIVE_QUERIES) & set(STAGED_R8_QUERIES)
+            if _LIVE_QUERIES[n] is not STAGED_R8_QUERIES[n]}
+if _collide:  # not assert: must survive python -O
+    raise RuntimeError(f"staged r8 names collide with registry: {_collide}")
+_LIVE_QUERIES.update(STAGED_R8_QUERIES)
+_LIVE_ORACLES.update(STAGED_R8_ORACLES)
