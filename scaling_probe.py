@@ -40,10 +40,14 @@ NAMES = [
                                 # checkpointed; buckets vocab-bounded
     "doc_nb_langid",            # r7: (lang, gram) likelihood counts
                                 # bounded by |langs| x |trigrams|
-    "corpus_snapshot_novelty_rate",  # r8 staged: rides the cached pair
+    "corpus_snapshot_novelty_rate",  # r8: rides the cached pair
                                 # stream; one distinct + one fold
-    "doc_quality_rule_ablation",  # r8 staged: one scalar agg over the
+    "doc_quality_rule_ablation",  # r8: one scalar agg over the
                                 # in-row rule projection
+    "dedup_impact_by_lang",     # r8: one removed-id distinct off the
+                                # cached pair stream + one (lang) fold
+    "dedup_impact_by_lang_cc",  # r9 staged: CC fixpoint over the cached
+                                # pair stream + one (lang) fold
 ]
 OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events", "embeddings"]
@@ -140,6 +144,11 @@ EMB_NAMES = [
                                 # stream <= CAP^2 at any corpus size
     "embedding_margin_align_ann",  # r6: the registered ANN swap — banded
                                 # adaptive-width LSH candidates ~N*k
+    "streaming_ivf_index",      # r8: micro-batch assignment against the
+                                # broadcast creation centroids (x1 pays
+                                # the landing-zone build + ckpt floor)
+    "streaming_pq_codes",       # r8: micro-batch argmin against the
+                                # broadcast codebook spread
 ]
 
 
@@ -187,6 +196,16 @@ EVENT_NAMES = [
                                  # K-row frames are N-INDEPENDENT
     "events_ewma_forecast",      # r7: ONE (type, day) count; the weight
                                  # fold is calendar-bounded
+    "events_user_kanonymity",    # r8: ONE (type, hour) distinct-user
+                                 # cell fold + 4-row bucket fold
+    "streaming_conformal_monitor",  # r8: micro-batch (type, day) partials
+                                 # into calendar-bounded state (x1 pays
+                                 # the landing-zone build + ckpt floor)
+    "events_user_ldiversity",    # r9 staged: ONE (type, hour)
+                                 # distinct-band cell fold
+    "streaming_changepoint_monitor",  # r9 staged: the conformal-monitor
+                                 # state machinery publishing the
+                                 # changepoint report
 ]
 
 
@@ -228,6 +247,50 @@ def build_lineitem_corpus(mult: int) -> str:
     return out
 
 
+def build_orders_corpus(mult: int) -> str:
+    """2x/4x orders corpora by deterministic synthesis of INDEPENDENT
+    new customers (shifted custkey/orderkey space, hash-jittered
+    totalprice and order-date offsets) — the RFM worst case on purpose:
+    the customer DIMENSION grows with the corpus, so the probe exercises
+    the two-pass shard rank, not just the fact fold."""
+    out = f"/tmp/scale_ord_x{mult}"
+    os.makedirs(out, exist_ok=True)
+    reps = ",".join(str(k) for k in range(1, mult))
+    con = duckdb.connect()
+    con.execute(f"""
+      COPY (
+        SELECT * FROM read_parquet('{SRC}/orders.parquet')
+        UNION ALL
+        SELECT o.o_orderkey + k.k * 100000000 AS o_orderkey,
+               o.o_custkey + k.k * 10000000 AS o_custkey,
+               o.o_orderstatus,
+               ROUND(o.o_totalprice
+                     * (50 + hash(o.o_orderkey * 131071 + k.k) % 100)
+                     / 100.0, 2) AS o_totalprice,
+               o.o_orderdate
+                 + INTERVAL (CAST(hash(o.o_orderkey * 8191 + k.k) % 30
+                                  AS INTEGER)) DAY AS o_orderdate,
+               o.o_orderpriority
+        FROM read_parquet('{SRC}/orders.parquet') o,
+             (SELECT unnest([{reps}]) AS k) k
+      ) TO '{out}/orders.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "lineitem", "events", "documents", "embeddings"]:
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SRC}/{t}.parquet", dst)
+    return out
+
+
+ORDERS_NAMES = [
+    "orders_rfm_segmentation",  # r8: ONE (custkey) fact fold + three
+                                # two-pass shard ranks over the GROWING
+                                # customer dimension
+]
+
+
 LINEITEM_NAMES = [
     "part_price_elasticity",    # r7: ONE (p_type) five-moment fold
     "supplier_share_hhi",       # r7: (p_type, suppkey) fold -> shares
@@ -253,6 +316,9 @@ def main() -> None:
     from traffic_data_pipeline_spark.plans.staged_ops_r8 import (
         STAGED_R8_QUERIES,
     )
+    from traffic_data_pipeline_spark.plans.staged_ops_r9 import (
+        STAGED_R9_QUERIES,
+    )
     from traffic_data_pipeline_spark.session import get_spark
 
     spark = get_spark("scaling-probe")
@@ -260,7 +326,7 @@ def main() -> None:
     # SPARK_GRAFT_PROBE_FAMILIES: comma list of docs,emb,events,lineitem
     # (default all) — re-measure one family without repaying the rest
     fams = set(os.environ.get(
-        "SPARK_GRAFT_PROBE_FAMILIES", "docs,emb,events,lineitem"
+        "SPARK_GRAFT_PROBE_FAMILIES", "docs,emb,events,lineitem,orders"
     ).split(","))
     # SPARK_GRAFT_PROBE_ONLY: comma list of query names — measure only
     # those (new rows) without repaying a whole family
@@ -271,7 +337,8 @@ def main() -> None:
         return (QUERIES.get(name) or STAGED_QUERIES.get(name)
                 or STAGED_R6_QUERIES.get(name)
                 or STAGED_R7_QUERIES.get(name)
-                or STAGED_R8_QUERIES[name])
+                or STAGED_R8_QUERIES.get(name)
+                or STAGED_R9_QUERIES[name])
 
     def probe(dirs, names, warm_table):
         if keep is not None:
@@ -313,6 +380,10 @@ def main() -> None:
         report["lineitem_timings_s"] = probe(
             [(SRC, "x1"), (build_lineitem_corpus(2), "x2"),
              (build_lineitem_corpus(4), "x4")], LINEITEM_NAMES, "lineitem")
+    if "orders" in fams:
+        report["orders_timings_s"] = probe(
+            [(SRC, "x1"), (build_orders_corpus(2), "x2"),
+             (build_orders_corpus(4), "x4")], ORDERS_NAMES, "orders")
     print(json.dumps(report, indent=1))
 
 

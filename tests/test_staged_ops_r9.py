@@ -1,0 +1,177 @@
+"""Oracle gate + semantic checks for the round-9 staging area
+(plans/staged_ops_r9.py) — the same query-vs-oracle compare every
+registered query passes, run BEFORE these names enter the driver
+registry, plus a freeze guard pinning that they stay out of it this
+round (the round-8 promotion backlog drains first)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.oracle import assert_matches_oracle
+from traffic_data_pipeline_spark.plans.staged_ops_r9 import (
+    STAGED_R9_ORACLES,
+    STAGED_R9_QUERIES,
+)
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_R9_ORACLES))
+def test_staged_r9_matches_oracle(spark, sf_dir_oracle, name):
+    assert_matches_oracle(
+        STAGED_R9_QUERIES[name](spark, sf_dir_oracle),
+        STAGED_R9_ORACLES[name], sf_dir_oracle)
+
+
+# Exchange budgets (the test_plan_shapes contract, applied at staging
+# time): (max hash exchanges, min broadcast exchanges) in the live plan
+# at the smoke fixture. Fold into tests/test_plan_shapes.py at promotion.
+STAGED_R9_CAPS = {
+    "events_user_ldiversity": (2, 1),    # ONE (type, hour) distinct-band
+                                         # cell fold (checkpointed) + the
+                                         # 4-row bucket fold; cell total
+                                         # broadcast
+    "dedup_impact_by_lang_cc": (4, 0),   # CC labels come off the
+                                         # checkpointed fixpoint orbit;
+                                         # live: the doc_id-keyed label
+                                         # join + ONE (lang) fold
+    "streaming_changepoint_monitor": (0, 0),  # live plan reads the
+                                         # published report parquet;
+                                         # per-batch folds run inside
+                                         # foreachBatch
+}
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_R9_CAPS))
+def test_staged_r9_exchange_budget(spark, sf_dir, name):
+    from tests import test_plan_shapes as shapes
+
+    max_exch, min_bcast = STAGED_R9_CAPS[name]
+    exch, bcast = shapes._count_live(STAGED_R9_QUERIES[name](spark, sf_dir))
+    assert exch <= max_exch, (
+        f"{name}: {exch} hash exchanges (cap {max_exch})")
+    assert bcast >= min_bcast, (
+        f"{name}: {bcast} broadcast exchanges (expected >= {min_bcast})")
+
+
+def test_staged_r9_names_not_registered():
+    """Round-8 registration freeze: round-9 staged ops must not leak into
+    the driver registry until the round-8 promotion backlog drains and
+    round 9 promotes them."""
+    import __spark_entry__ as e
+
+    live = set(e.queries())
+    assert set(STAGED_R9_QUERIES).isdisjoint(live)
+    assert set(STAGED_R9_ORACLES) == set(STAGED_R9_QUERIES)
+    assert set(STAGED_R9_CAPS) == set(STAGED_R9_QUERIES)
+
+
+def test_ldiversity_buckets_partition_cells(spark, sf_dir_oracle):
+    """Bucket rows partition the QI cell universe: n_cells sums to the
+    distinct (type, hour) cells carrying a non-null value, cell_share
+    sums to 1, and every bucket label is one of the four."""
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    rows = STAGED_R9_QUERIES["events_user_ldiversity"](
+        spark, sf_dir_oracle).collect()
+    assert rows
+    n_cells = (load_table(spark, sf_dir_oracle, "events")
+               .filter(F.col("value").isNotNull())
+               .select("event_type", F.date_trunc("hour", F.col("ts")))
+               .distinct().count())
+    assert sum(r.n_cells for r in rows) == n_cells
+    assert abs(sum(r.cell_share for r in rows) - 1.0) < 1e-4
+    labels = {r.diversity_bucket for r in rows}
+    assert labels <= {"l=1", "2<=l<5", "5<=l<10", "l>=10"}
+    for r in rows:
+        assert r.n_value_slots >= r.n_cells    # every cell has l >= 1
+
+
+def test_cc_impact_dominates_one_round_rule(spark, sf_dir_oracle):
+    """The EXACT-CC survivor rule removes a superset of the one-round
+    min-id rule's removals (a doc with a smaller DIRECT partner is also
+    non-minimal in its component), so per language n_removed_cc >=
+    n_removed_one_round, with equal corpus totals (n_docs, n_tokens) —
+    the two audits are the same fold under different survivor rules."""
+    from traffic_data_pipeline_spark.plans.staged_ops_r8 import (
+        STAGED_R8_QUERIES,
+    )
+
+    cc = {r.lang: r for r in STAGED_R9_QUERIES["dedup_impact_by_lang_cc"](
+        spark, sf_dir_oracle).collect()}
+    one = {r.lang: r for r in STAGED_R8_QUERIES["dedup_impact_by_lang"](
+        spark, sf_dir_oracle).collect()}
+    assert set(cc) == set(one)
+    assert any(cc[la].n_removed > 0 for la in cc)
+    for la in cc:
+        assert cc[la].n_docs == one[la].n_docs
+        assert cc[la].n_tokens == one[la].n_tokens
+        assert cc[la].n_removed >= one[la].n_removed, la
+        assert cc[la].tokens_removed >= one[la].tokens_removed, la
+
+
+def test_streaming_changepoint_crash_replay_equals_batch(
+        spark, sf_dir_oracle, tmp_path):
+    """Stop/resume AND append-then-crash replay: run the stream over the
+    first file, resume with the rest, then re-invoke the REAL handler
+    with the last batch under the SAME batchId — the published report
+    must equal the batch op on the full history once the history is
+    complete, and the replay must change nothing."""
+    from traffic_data_pipeline_spark.plans.queries import run_available_now
+    from traffic_data_pipeline_spark.plans.staged_ops_r8 import (
+        STAGED_R8_QUERIES,
+    )
+    from traffic_data_pipeline_spark.plans.staged_ops_r9 import (
+        _changepoint_handle,
+        _changepoint_seed,
+    )
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir_oracle, "events").select(
+        "event_id", "ts", "event_type")
+    src = str(tmp_path / "src")
+    state_dir = str(tmp_path / "state")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _changepoint_seed(spark, state_dir, out_dir)
+    handle = _changepoint_handle(spark, state_dir, out_dir)
+
+    def run_once():
+        stream = (spark.readStream.schema("ts timestamp, event_type string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        run_available_now(
+            spark, "streaming_changepoint_test",
+            start=lambda: (stream.writeStream.foreachBatch(handle)
+                           .option("checkpointLocation", ckpt)
+                           .trigger(availableNow=True).start()))
+
+    ev.filter(F.col("event_id") % 3 == 0).select("ts", "event_type") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    for r in (1, 2):
+        ev.filter(F.col("event_id") % 3 == r).select("ts", "event_type") \
+            .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    want = {(r.event_type, r.change_d, r.score, r.mean_before, r.mean_after)
+            for r in STAGED_R8_QUERIES["events_changepoint_daily"](
+                spark, sf_dir_oracle).collect()}
+
+    def report():
+        return {(r.event_type, r.change_d, r.score, r.mean_before,
+                 r.mean_after)
+                for r in spark.read.parquet(out_dir).collect()}
+
+    assert report() == want
+
+    # crash replay of the last batch under its original batch_id: the
+    # handler re-appends identical deterministic partials, the full-row
+    # DISTINCT collapses them, and the published report is unchanged
+    handle(ev.filter(F.col("event_id") % 3 == 2).select("ts", "event_type"),
+           2)
+    assert report() == want
+    raw = spark.read.parquet(state_dir).count()
+    deduped = spark.read.parquet(state_dir).distinct().count()
+    assert raw > deduped
