@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
-"""Timing probe for the CURRENT staging area (round 8 since the round-7
-promotion moved plans/staged_ops_r7.py into the live registry — this
-script now times plans/staged_ops_r8.py): run every staged query at
+"""Timing probe for the CURRENT staging area (round 9 since the round-8
+promotion moved plans/staged_ops_r8.py into the live registry — this
+script now times plans/staged_ops_r9.py): run every staged query at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) with bench.py's
 warmup + prewarm + noop-sink + cache-release discipline and write a
 round-stamped BENCH_STAGED_r0N.json.
@@ -24,8 +24,8 @@ import os
 import re
 import time
 
-from traffic_data_pipeline_spark.plans.staged_ops_r8 import (
-    STAGED_R8_QUERIES as STAGED_QUERIES,
+from traffic_data_pipeline_spark.plans.staged_ops_r9 import (
+    STAGED_R9_QUERIES as STAGED_QUERIES,
 )
 from traffic_data_pipeline_spark.session import get_spark
 
@@ -57,12 +57,12 @@ def main() -> None:
     doc_band_index(spark, sf_dir).count()
     doc_lsh_pairs(spark, sf_dir).count()
     _session_events_dir(spark, sf_dir)
-    # r7: the document stream's landing zone (input synthesis is
+    # r9: the event stream's landing zone (input synthesis is
     # ingest-side setup — the measurement should time the streaming job)
     from traffic_data_pipeline_spark.plans.staged_ops_r7 import (
-        _minhash_stream_dir,
+        _ewma_stream_dir,
     )
-    _minhash_stream_dir(spark, sf_dir)
+    _ewma_stream_dir(spark, sf_dir)
 
     from traffic_data_pipeline_spark.functions.execution import release
 
