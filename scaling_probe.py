@@ -48,6 +48,8 @@ NAMES = [
                                 # cached pair stream + one (lang) fold
     "dedup_impact_by_lang_cc",  # r9 staged: CC fixpoint over the cached
                                 # pair stream + one (lang) fold
+    "dedup_impact_by_source",   # r9 staged: the per-source marginal of
+                                # the same one-round removal set
 ]
 OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events", "embeddings"]
@@ -206,6 +208,10 @@ EVENT_NAMES = [
     "streaming_changepoint_monitor",  # r9 staged: the conformal-monitor
                                  # state machinery publishing the
                                  # changepoint report
+    "events_user_tcloseness",    # r9 staged: (type, hour, band) count +
+                                 # the band-alphabet TVD fan
+    "streaming_tailindex_monitor",  # r9 staged: (type, user) partials —
+                                 # the user-dimension-bounded state class
 ]
 
 

@@ -29,6 +29,9 @@ from traffic_data_pipeline_spark.plans.staged_ops_r7 import (
 from traffic_data_pipeline_spark.plans.staged_ops_r8 import (
     STAGED_R8_QUERIES,
 )
+from traffic_data_pipeline_spark.plans.staged_ops_r9 import (
+    STAGED_R9_QUERIES,
+)
 
 CASES = [
     "sensor_impute",
@@ -172,6 +175,13 @@ CASES = [
     "part_cross_price_elasticity",
     "embedding_pq_distortion_report",
     "lineitem_basket_lift",
+    # --- round-9 staged: decimal TVD term sums merged across arbitrary
+    # splits (t-closeness), CC labels off the iterative fixpoint
+    # (impact_cc); the pure-count audits (ldiversity, by_source) are
+    # trivially invariant and skipped, the streaming monitors are
+    # exercised by their crash-replay equality tests ---
+    "events_user_tcloseness",
+    "dedup_impact_by_lang_cc",
 ]
 
 
@@ -190,7 +200,8 @@ def test_partition_invariant(spark, sf_dir, name):
     try:
         fn = (QUERIES.get(name) or STAGED_QUERIES.get(name)
               or STAGED_R6_QUERIES.get(name)
-              or STAGED_R7_QUERIES.get(name) or STAGED_R8_QUERIES[name])
+              or STAGED_R7_QUERIES.get(name)
+              or STAGED_R8_QUERIES.get(name) or STAGED_R9_QUERIES[name])
         spark.conf.set(key, "3")
         narrow = _rows(fn(spark, sf_dir))
         release()

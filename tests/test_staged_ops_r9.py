@@ -40,6 +40,22 @@ STAGED_R9_CAPS = {
                                          # published report parquet;
                                          # per-batch folds run inside
                                          # foreachBatch
+    "events_user_tcloseness": (2, 1),    # live plan reads the
+                                         # checkpointed per-cell TVD
+                                         # frame: the 4-row bucket fold
+                                         # + cell-total broadcast (the
+                                         # (type, hour, band) count, the
+                                         # band-alphabet fan, and the
+                                         # corpus-band/n broadcasts are
+                                         # paid at build)
+    "dedup_impact_by_source": (3, 1),    # rides the cached pair stream;
+                                         # ONE removed-id distinct
+                                         # (broadcast back) + ONE
+                                         # (source) fold
+    "streaming_tailindex_monitor": (0, 0),  # live plan reads the
+                                         # published report parquet;
+                                         # per-batch folds run inside
+                                         # foreachBatch
 }
 
 
@@ -86,6 +102,43 @@ def test_ldiversity_buckets_partition_cells(spark, sf_dir_oracle):
     assert labels <= {"l=1", "2<=l<5", "5<=l<10", "l>=10"}
     for r in rows:
         assert r.n_value_slots >= r.n_cells    # every cell has l >= 1
+
+
+def test_tcloseness_buckets_partition_cells(spark, sf_dir_oracle):
+    """t-closeness bucket rows partition the SAME QI cell universe as
+    the l-diversity audit (identical value-not-null filter), cell_share
+    sums to 1, every TVD is in [0, 1], and bucket max_tvd values respect
+    the bucket edges."""
+    rows = STAGED_R9_QUERIES["events_user_tcloseness"](
+        spark, sf_dir_oracle).collect()
+    assert rows
+    ld = STAGED_R9_QUERIES["events_user_ldiversity"](
+        spark, sf_dir_oracle).collect()
+    assert sum(r.n_cells for r in rows) == sum(r.n_cells for r in ld)
+    assert abs(sum(r.cell_share for r in rows) - 1.0) < 1e-4
+    edges = {"t<0.1": (0.0, 0.1), "0.1<=t<0.25": (0.1, 0.25),
+             "0.25<=t<0.5": (0.25, 0.5), "t>=0.5": (0.5, 1.0 + 1e-9)}
+    for r in rows:
+        lo, hi = edges[r.tcloseness_bucket]
+        assert lo <= r.max_tvd < hi or (r.tcloseness_bucket == "t>=0.5"
+                                        and r.max_tvd >= 0.5), r
+
+
+def test_source_and_lang_impact_agree_on_totals(spark, sf_dir_oracle):
+    """The two marginals of the same one-round removal set must agree on
+    the corpus totals: sum of n_docs / n_removed / tokens_removed over
+    sources equals the sum over languages."""
+    from traffic_data_pipeline_spark.plans.staged_ops_r8 import (
+        STAGED_R8_QUERIES,
+    )
+
+    by_src = STAGED_R9_QUERIES["dedup_impact_by_source"](
+        spark, sf_dir_oracle).collect()
+    by_lang = STAGED_R8_QUERIES["dedup_impact_by_lang"](
+        spark, sf_dir_oracle).collect()
+    for col in ("n_docs", "n_removed", "n_tokens", "tokens_removed"):
+        assert (sum(getattr(r, col) for r in by_src)
+                == sum(getattr(r, col) for r in by_lang)), col
 
 
 def test_cc_impact_dominates_one_round_rule(spark, sf_dir_oracle):
@@ -171,6 +224,71 @@ def test_streaming_changepoint_crash_replay_equals_batch(
     # DISTINCT collapses them, and the published report is unchanged
     handle(ev.filter(F.col("event_id") % 3 == 2).select("ts", "event_type"),
            2)
+    assert report() == want
+    raw = spark.read.parquet(state_dir).count()
+    deduped = spark.read.parquet(state_dir).distinct().count()
+    assert raw > deduped
+
+
+def test_streaming_tailindex_crash_replay_equals_batch(
+        spark, sf_dir_oracle, tmp_path):
+    """Stop/resume AND append-then-crash replay for the tail monitor:
+    the published Hill report must equal the batch op on the full
+    history, and a replay of the last batch under its original batchId
+    must change nothing."""
+    from traffic_data_pipeline_spark.plans.queries import run_available_now
+    from traffic_data_pipeline_spark.plans.staged_ops_r8 import (
+        STAGED_R8_QUERIES,
+    )
+    from traffic_data_pipeline_spark.plans.staged_ops_r9 import (
+        _tailindex_handle,
+        _tailindex_seed,
+    )
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir_oracle, "events").select(
+        "event_id", "ts", "event_type", "user_id")
+    src = str(tmp_path / "src")
+    state_dir = str(tmp_path / "state")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _tailindex_seed(spark, state_dir, out_dir)
+    handle = _tailindex_handle(spark, state_dir, out_dir)
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("ts timestamp, event_type string, user_id long")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        run_available_now(
+            spark, "streaming_tailindex_test",
+            start=lambda: (stream.writeStream.foreachBatch(handle)
+                           .option("checkpointLocation", ckpt)
+                           .trigger(availableNow=True).start()))
+
+    ev.filter(F.col("event_id") % 3 == 0) \
+        .select("ts", "event_type", "user_id") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    for r in (1, 2):
+        ev.filter(F.col("event_id") % 3 == r) \
+            .select("ts", "event_type", "user_id") \
+            .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    want = {(r.event_type, r.n_users, r.k_used, r.x_cut, r.hill_alpha)
+            for r in STAGED_R8_QUERIES["events_user_tail_index"](
+                spark, sf_dir_oracle).collect()}
+
+    def report():
+        return {(r.event_type, r.n_users, r.k_used, r.x_cut, r.hill_alpha)
+                for r in spark.read.parquet(out_dir).collect()}
+
+    assert report() == want
+
+    # crash replay of the last batch under its original batch_id
+    handle(ev.filter(F.col("event_id") % 3 == 2)
+           .select("ts", "event_type", "user_id"), 2)
     assert report() == want
     raw = spark.read.parquet(state_dir).count()
     deduped = spark.read.parquet(state_dir).distinct().count()

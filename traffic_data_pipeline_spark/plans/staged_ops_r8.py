@@ -682,6 +682,49 @@ def q_supplier_lead_time_percentiles(spark: SparkSession,
 HILL_K = 20  # tail order statistics per event type (clamped to n-1)
 
 
+def _tail_index_from_counts(uc: DataFrame) -> DataFrame:
+    """The Hill-estimator plan owner, shared by events_user_tail_index
+    (nightly batch) and the round-9 staged streaming_tailindex_monitor
+    (per-batch republish over accumulated state) — ``uc`` is the exact
+    (event_type, user_id, c) activity-count frame; everything downstream
+    (the tail rank, the k clamp, the ROUND-12 decimal log sum, the
+    NULLIF-guarded alpha) lives here so the two forms cannot drift."""
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("c").desc(), "user_id")
+    wn = Window.partitionBy("event_type")
+    ranked = (uc.select("event_type", "c",
+                        F.row_number().over(w).alias("rn"),
+                        F.count(F.lit(1)).over(wn).cast("bigint")
+                        .alias("n_users"))
+              .filter(F.col("rn") <= HILL_K + 1)
+              .localCheckpoint(eager=True))  # ks / cut / s all read it
+    ks = (ranked.filter(F.col("rn") == 1)
+          .select("event_type", "n_users",
+                  F.least(F.lit(HILL_K).cast("bigint"),
+                          F.col("n_users") - 1).alias("k")))
+    cut = (ranked.join(F.broadcast(ks.select("event_type", "k")),
+                       "event_type")
+           .filter(F.col("rn") == F.col("k") + 1)
+           .select("event_type", F.col("c").alias("x_cut")))
+    s = (ranked.join(F.broadcast(ks.select("event_type", "k")),
+                     "event_type")
+         .join(F.broadcast(cut), "event_type")
+         .filter(F.col("rn") <= F.col("k"))
+         .select("event_type",
+                 F.round(F.log(F.col("c").cast("double")
+                               / F.col("x_cut")), 12)
+                 .cast("decimal(24,12)").alias("t"))
+         .groupBy("event_type")
+         .agg(F.sum("t").cast("double").alias("logsum")))
+    return (ks.join(F.broadcast(cut), "event_type")
+            .join(F.broadcast(s), "event_type")
+            .select("event_type", "n_users", F.col("k").alias("k_used"),
+                    "x_cut",
+                    F.round(F.col("k")
+                            / F.nullif(F.col("logsum"), F.lit(0.0)), 6)
+                    .alias("hill_alpha")))
+
+
 @staged_r8("events_user_tail_index", f"""
 WITH uc AS (
   SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
@@ -732,45 +775,15 @@ def q_events_user_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE (type, user) map-side-combined count, ONE
     type-keyed rank window over the user-dimension frame, and
     type-bounded folds after the rank filter. k is a constant, so the
-    tail frames are |types| x (k+1) rows.
+    tail frames are |types| x (k+1) rows. Everything downstream of the
+    count lives in the shared plan owner _tail_index_from_counts, which
+    the round-9 staged streaming_tailindex_monitor republishes per
+    micro-batch — the nightly and streaming forms cannot drift.
     """
     ev = load_table(spark, sf_dir, "events")
     uc = (ev.groupBy("event_type", "user_id")
           .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("c").desc(), "user_id")
-    wn = Window.partitionBy("event_type")
-    ranked = (uc.select("event_type", "c",
-                        F.row_number().over(w).alias("rn"),
-                        F.count(F.lit(1)).over(wn).cast("bigint")
-                        .alias("n_users"))
-              .filter(F.col("rn") <= HILL_K + 1)
-              .localCheckpoint(eager=True))  # ks / cut / s all read it
-    ks = (ranked.filter(F.col("rn") == 1)
-          .select("event_type", "n_users",
-                  F.least(F.lit(HILL_K).cast("bigint"),
-                          F.col("n_users") - 1).alias("k")))
-    cut = (ranked.join(F.broadcast(ks.select("event_type", "k")),
-                       "event_type")
-           .filter(F.col("rn") == F.col("k") + 1)
-           .select("event_type", F.col("c").alias("x_cut")))
-    s = (ranked.join(F.broadcast(ks.select("event_type", "k")),
-                     "event_type")
-         .join(F.broadcast(cut), "event_type")
-         .filter(F.col("rn") <= F.col("k"))
-         .select("event_type",
-                 F.round(F.log(F.col("c").cast("double")
-                               / F.col("x_cut")), 12)
-                 .cast("decimal(24,12)").alias("t"))
-         .groupBy("event_type")
-         .agg(F.sum("t").cast("double").alias("logsum")))
-    return (ks.join(F.broadcast(cut), "event_type")
-            .join(F.broadcast(s), "event_type")
-            .select("event_type", "n_users", F.col("k").alias("k_used"),
-                    "x_cut",
-                    F.round(F.col("k")
-                            / F.nullif(F.col("logsum"), F.lit(0.0)), 6)
-                    .alias("hill_alpha")))
+    return _tail_index_from_counts(uc)
 
 
 # ---------------------------------------------------------------------------

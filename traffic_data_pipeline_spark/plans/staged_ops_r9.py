@@ -38,6 +38,23 @@ candidates the round-7 judge and SURVEY.md §7 tail both name):
   replay dedup, and the SHARED plan owner _changepoint_from_daily —
   after the final batch the published report EQUALS the batch op on the
   full history, whose DuckDB oracle is this op's oracle VERBATIM.
+
+Plus the three round-10 candidates SURVEY.md §7 names, built early into
+the same area (each independently oracle-gated, capped, and swept):
+
+- ``events_user_tcloseness`` — the next rung above l-diversity: the
+  total-variation distance between each QI cell's sensitive-band
+  distribution and the corpus's, bucketed — a cell can be l-diverse and
+  still skewed enough that membership discloses the likely value.
+- ``dedup_impact_by_source`` — the per-SOURCE marginal of the dedup
+  bias audit (same one-round min-id rule and columns as the registered
+  per-language form): crawls near-dup against each other within
+  sources, and a source losing 3x the average share is the acquisition
+  signal, not the language.
+- ``streaming_tailindex_monitor`` — events_user_tail_index republished
+  per micro-batch: batchId-stamped (type, user) partial counts (state
+  is user-dimension-bounded — the WAU-stream state class), the SHARED
+  plan owner _tail_index_from_counts, verbatim batch oracle.
 """
 
 from __future__ import annotations
@@ -143,6 +160,209 @@ def q_events_user_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_cells").cast("double")
                             / F.col("n_cells_total"), 6)
                     .alias("cell_share")))
+
+
+# ---------------------------------------------------------------------------
+# events_user_tcloseness — distributional skew of the sensitive attribute
+# ---------------------------------------------------------------------------
+
+
+@staged_r9("events_user_tcloseness", """
+WITH ev AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(FLOOR(value / 10.0) AS INTEGER) AS band
+  FROM events WHERE value IS NOT NULL),
+corpus AS (
+  SELECT band, CAST(COUNT(*) AS BIGINT) AS cb FROM ev GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM ev),
+cellband AS (
+  SELECT event_type, hr, band, CAST(COUNT(*) AS BIGINT) AS qb
+  FROM ev GROUP BY 1, 2, 3),
+celln AS (
+  SELECT event_type, hr, CAST(SUM(qb) AS BIGINT) AS nc
+  FROM cellband GROUP BY 1, 2),
+terms AS (
+  -- FULL band alphabet per cell: a band absent from the cell still
+  -- contributes |0 - P(band)|; the LEFT join against the corpus band
+  -- list supplies the zeros
+  SELECT cn.event_type, cn.hr, cn.nc,
+         CAST(ROUND(ABS(COALESCE(cb2.qb, 0) / CAST(cn.nc AS DOUBLE)
+                        - c.cb / CAST(n.nt AS DOUBLE)), 12)
+              AS DECIMAL(14,12)) AS term
+  FROM celln cn
+  CROSS JOIN corpus c
+  LEFT JOIN cellband cb2 ON cb2.event_type = cn.event_type
+                        AND cb2.hr = cn.hr AND cb2.band = c.band, n),
+tvd AS (
+  SELECT event_type, hr, MAX(nc) AS n_events,
+         ROUND(0.5 * CAST(SUM(term) AS DOUBLE), 6) AS t
+  FROM terms GROUP BY 1, 2),
+bucketed AS (
+  SELECT CASE WHEN t < 0.1 THEN 't<0.1'
+              WHEN t < 0.25 THEN '0.1<=t<0.25'
+              WHEN t < 0.5 THEN '0.25<=t<0.5'
+              ELSE 't>=0.5' END AS tcloseness_bucket,
+         n_events, t
+  FROM tvd),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells_total FROM tvd)
+SELECT b.tcloseness_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(b.n_events) AS BIGINT) AS n_events,
+       MAX(b.t) AS max_tvd,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / t.n_cells_total, 6) AS cell_share
+FROM bucketed b, tot t
+GROUP BY 1, t.n_cells_total
+""")
+def q_events_user_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit under the (event_type, hour) quasi-identifier —
+    the rung above l-diversity (SURVEY.md §7's round-10 candidate,
+    built early): a QI cell can hold many distinct sensitive values and
+    STILL be skewed enough that membership discloses the likely value
+    (the skewness attack t-closeness exists to catch). Per cell, the
+    total-variation distance between the cell's sensitive-band
+    distribution and the corpus's — over the FULL band alphabet, so a
+    band absent from the cell contributes its corpus mass — bucketed at
+    the conventional 0.1/0.25/0.5 rungs, with cell/event counts and the
+    bucket's worst TVD. Same QI, same sensitive band (floor(value/10)),
+    same cube shape as events_user_kanonymity / events_user_ldiversity:
+    the three release audits read as one table stack.
+
+    Determinism: each |Q - P| term is integer-ratio-derived and
+    ROUND-12-quantized into DECIMAL(14,12) before the order-free sum;
+    the TVD is ONE ROUND-6 projection, so the bucket thresholds (exact
+    binary rationals) compare identical doubles in both engines.
+
+    Scale shape: ONE (type, hour, band) count (map-side-combined; keys
+    bounded by cells x band alphabet), the per-cell fan against the
+    broadcast band alphabet, and the 4-row bucket fold; the corpus band
+    frame and the cell-total scalar broadcast.
+    """
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_type",
+                  F.date_trunc("hour", F.col("ts")).alias("hr"),
+                  F.floor(F.col("value") / 10.0).cast("int").alias("band")))
+    cellband = (ev.groupBy("event_type", "hr", "band")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("qb"))
+                .localCheckpoint(eager=True))  # corpus/celln/terms read it
+    corpus = (cellband.groupBy("band")
+              .agg(F.sum("qb").cast("bigint").alias("cb")))
+    n = corpus.agg(F.sum("cb").cast("bigint").alias("nt"))
+    celln = (cellband.groupBy("event_type", "hr")
+             .agg(F.sum("qb").cast("bigint").alias("nc")))
+    terms = (celln
+             .crossJoin(F.broadcast(corpus.select(
+                 F.col("band").alias("cband"), "cb")))
+             .join(cellband.select(F.col("event_type").alias("ce"),
+                                   F.col("hr").alias("ch"),
+                                   F.col("band").alias("cband2"), "qb"),
+                   (F.col("ce") == F.col("event_type"))
+                   & (F.col("ch") == F.col("hr"))
+                   & (F.col("cband2") == F.col("cband")), "left")
+             .crossJoin(F.broadcast(n))
+             .select("event_type", "hr", "nc",
+                     F.round(F.abs(
+                         F.coalesce("qb", F.lit(0)).cast("double")
+                         / F.col("nc")
+                         - F.col("cb").cast("double") / F.col("nt")), 12)
+                     .cast("decimal(14,12)").alias("term")))
+    tvd = (terms.groupBy("event_type", "hr")
+           .agg(F.max("nc").alias("n_events"),
+                F.round(F.lit(0.5) * F.sum("term").cast("double"), 6)
+                .alias("t")))
+    bucket = (F.when(F.col("t") < 0.1, "t<0.1")
+              .when(F.col("t") < 0.25, "0.1<=t<0.25")
+              .when(F.col("t") < 0.5, "0.25<=t<0.5")
+              .otherwise("t>=0.5"))
+    tvd = tvd.localCheckpoint(eager=True)  # bucket fold + total read it
+    tot = tvd.agg(F.count(F.lit(1)).cast("bigint").alias("n_cells_total"))
+    return (tvd.select(bucket.alias("tcloseness_bucket"), "n_events", "t")
+            .groupBy("tcloseness_bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+                 F.sum("n_events").cast("bigint").alias("n_events"),
+                 F.max("t").alias("max_tvd"))
+            .crossJoin(F.broadcast(tot))
+            .select("tcloseness_bucket", "n_cells", "n_events", "max_tvd",
+                    F.round(F.col("n_cells").cast("double")
+                            / F.col("n_cells_total"), 6)
+                    .alias("cell_share")))
+
+
+# ---------------------------------------------------------------------------
+# dedup_impact_by_source — the bias audit's per-source marginal
+# ---------------------------------------------------------------------------
+
+
+def _dedup_impact_source_oracle() -> str:
+    from traffic_data_pipeline_spark.plans.oracle_ctes import (
+        _MH_PAIRS_CTE,
+        _MINHASH_CTES,
+    )
+
+    return f"""
+WITH {_MINHASH_CTES},
+{_MH_PAIRS_CTE},
+removed AS (
+  SELECT DISTINCT doc_b AS doc_id FROM mpairs WHERE agree / 8.0 >= 0.5),
+tl AS (
+  SELECT d.doc_id, d.source,
+         CAST(len(list_filter(
+             string_split_regex(lower(d.text), '[^a-z0-9]+'),
+             x -> x != '')) AS BIGINT) AS n_tok,
+         CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS gone
+  FROM documents d LEFT JOIN removed r ON r.doc_id = d.doc_id)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(gone) AS BIGINT) AS n_removed,
+       ROUND(CAST(SUM(gone) AS DOUBLE) / COUNT(*), 6) AS removed_doc_share,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(gone * n_tok) AS BIGINT) AS tokens_removed,
+       ROUND(CAST(SUM(gone * n_tok) AS DOUBLE) / NULLIF(SUM(n_tok), 0), 6)
+         AS removed_token_share
+FROM tl GROUP BY 1
+"""
+
+
+@staged_r9("dedup_impact_by_source")
+def q_dedup_impact_by_source(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Dedup fairness audit, per-SOURCE marginal (SURVEY.md §7's
+    round-10 candidate, built early): the registered per-language
+    audit's other axis — crawls near-dup against each other WITHIN
+    sources (mirror sites, syndicated feeds, template farms), so a
+    source losing 3x the corpus-average share is the
+    stop-paying-for-this-crawl signal where the language audit would
+    blame the language. Same one-round min-id survivor rule, same
+    session pair stream, same columns (source for lang), so all three
+    marginals (lang, source, and the CC twin) stack into one readout.
+
+    Determinism / scale shape: identical to dedup_impact_by_lang — ONE
+    removed-id distinct broadcast back, ONE (source) fold with in-row
+    token counts.
+    """
+    from traffic_data_pipeline_spark.functions.text import token_array
+    from traffic_data_pipeline_spark.plans.extensions import doc_lsh_pairs
+
+    removed = (doc_lsh_pairs(spark, sf_dir)
+               .select(F.col("doc_b").alias("rid")).distinct())
+    docs = load_table(spark, sf_dir, "documents")
+    gone = F.when(F.col("rid").isNotNull(), 1).otherwise(0)
+    return (docs.select("doc_id", "source",
+                        F.size(token_array(F.col("text"))).cast("bigint")
+                        .alias("n_tok"))
+            .join(F.broadcast(removed), docs.doc_id == F.col("rid"), "left")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum(gone).cast("bigint").alias("n_removed"),
+                 F.round(F.sum(gone).cast("double") / F.count(F.lit(1)), 6)
+                 .alias("removed_doc_share"),
+                 F.sum("n_tok").cast("bigint").alias("n_tokens"),
+                 F.sum(gone * F.col("n_tok")).cast("bigint")
+                 .alias("tokens_removed"),
+                 F.round(F.sum(gone * F.col("n_tok")).cast("double")
+                         / F.nullif(F.sum("n_tok").cast("double"),
+                                    F.lit(0.0)), 6)
+                 .alias("removed_token_share")))
 
 
 # ---------------------------------------------------------------------------
@@ -348,6 +568,122 @@ def q_streaming_changepoint_monitor(spark: SparkSession,
         "event_type", "change_d", "score", "mean_before", "mean_after")
 
 
+# ---------------------------------------------------------------------------
+# streaming_tailindex_monitor — per-batch Hill tail index on the event stream
+# ---------------------------------------------------------------------------
+
+
+def _tailindex_seed(spark: SparkSession, state_dir: str,
+                    out_dir: str) -> None:
+    """Pre-seed the batchId-stamped (type, user) state table and the
+    published-report sink. State is USER-dimension-bounded — the
+    WAU-stream state class, one partial count row per (batch, type,
+    user) — not calendar-bounded like the conformal/changepoint
+    monitors; that is the honest cost of a user-grain statistic."""
+    spark.createDataFrame(
+        [], "event_type string, user_id long, c long, batch_id long"
+    ).write.mode("overwrite").parquet(state_dir)
+    spark.createDataFrame(
+        [], "event_type string, n_users bigint, k_used bigint, "
+            "x_cut bigint, hill_alpha double"
+    ).write.mode("overwrite").parquet(out_dir)
+
+
+def _tailindex_handle(spark: SparkSession, state_dir: str, out_dir: str):
+    """The foreachBatch body, shared with the crash-replay test so the
+    tested handler IS the production handler."""
+    from traffic_data_pipeline_spark.plans.staged_ops_r8 import (
+        _stamp,
+        _tail_index_from_counts,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        part = (batch_df
+                .groupBy("event_type", "user_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+        _stamp(part, batch_id).write.mode("append").parquet(state_dir)
+        # full-row DISTINCT collapses a crash-replay double-append (same
+        # batch_id, identical deterministic partials) before the sum
+        uc = (spark.read.parquet(state_dir).distinct()
+              .groupBy("event_type", "user_id")
+              .agg(F.sum("c").cast("bigint").alias("c")))
+        _tail_index_from_counts(uc).write.mode("overwrite").parquet(out_dir)
+
+    return handle
+
+
+@staged_r9("streaming_tailindex_monitor")
+def q_streaming_tailindex_monitor(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """events_user_tail_index turned into the always-on monitoring form
+    (SURVEY.md §7's round-10 candidate, built early — the
+    streaming_conformal_monitor contract applied to the heavy-tail
+    readout): events arrive in micro-batches; each batch folds its
+    (type, user) partial counts into a batchId-stamped state table,
+    recomputes the Hill tail exponent over the ACCUMULATED history, and
+    republishes it — so after the final batch the published alpha rows
+    EQUAL the batch op on the full history, and the batch op's DuckDB
+    oracle is this op's oracle VERBATIM. Both paths share one plan
+    owner (_tail_index_from_counts), so the tail rank, the k clamp,
+    and the decimal log sum cannot drift between forms. Hot-key skew is
+    BORN at the user grain — this is the monitor that watches it drift.
+
+    State is user-dimension-bounded ((type, user) partials — the
+    WAU-stream state class, honest for a user-grain statistic), deduped
+    on (batch_id, type, user) then merged by sum, closing the
+    at-least-once foreachBatch caveat the standard way.
+
+    Scale shape: per batch, ONE map-side-combined (type, user) count of
+    the batch, then the constant-k tail fold on the accumulated
+    dimension frame; the live registered plan just reads the published
+    report.
+    """
+    from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
+    from traffic_data_pipeline_spark.plans.queries import run_available_now
+
+    src = _tail_stream_dir(spark, sf_dir)
+    state_dir = scratch_dir(prefix="tdp_tail_state_")
+    out_dir = scratch_dir(prefix="tdp_tail_out_")
+    ckpt = scratch_dir(prefix="tdp_tail_ckpt_")
+
+    _tailindex_seed(spark, state_dir, out_dir)
+    handle = _tailindex_handle(spark, state_dir, out_dir)
+
+    stream = (spark.readStream
+              .schema("ts timestamp, event_type string, user_id long")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src))
+    run_available_now(
+        spark, "streaming_tailindex_monitor",
+        start=lambda: (stream.writeStream.foreachBatch(handle)
+                       .option("checkpointLocation", ckpt)
+                       .trigger(availableNow=True).start()))
+    return spark.read.parquet(out_dir).select(
+        "event_type", "n_users", "k_used", "x_cut", "hill_alpha")
+
+
+_TAIL_STREAM_CACHE: dict[str, str] = {}
+
+
+def _tail_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Landing zone for the user-grain event stream: three parquet files
+    split by event_id residue so maxFilesPerTrigger=1 yields three
+    micro-batches (the _ewma_stream_dir pattern, with user_id kept —
+    the tail monitor needs the user grain the EWMA zone drops)."""
+    if sf_dir not in _TAIL_STREAM_CACHE:
+        from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
+
+        src = scratch_dir(prefix="tdp_tail_stream_")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "user_id")
+        for r in range(3):
+            ev.filter(F.col("event_id") % 3 == r) \
+                .select("ts", "event_type", "user_id") \
+                .coalesce(1).write.mode("append").parquet(src)
+        _TAIL_STREAM_CACHE[sf_dir] = src
+    return _TAIL_STREAM_CACHE[sf_dir]
+
+
 def _late_bind_oracles() -> None:
     """Oracle strings that reuse other modules' oracles verbatim are
     bound lazily (the staged_ops_r8 pattern) to avoid import-order
@@ -358,8 +694,12 @@ def _late_bind_oracles() -> None:
 
     STAGED_R9_ORACLES["streaming_changepoint_monitor"] = (
         STAGED_R8_ORACLES["events_changepoint_daily"])
+    STAGED_R9_ORACLES["streaming_tailindex_monitor"] = (
+        STAGED_R8_ORACLES["events_user_tail_index"])
     STAGED_R9_ORACLES["dedup_impact_by_lang_cc"] = (
         _dedup_impact_cc_oracle())
+    STAGED_R9_ORACLES["dedup_impact_by_source"] = (
+        _dedup_impact_source_oracle())
 
 
 _late_bind_oracles()
