@@ -125,6 +125,12 @@ _COSTLY_TAIL = {
     "streaming_ivf_index",
     "config_scd2_compaction_stats",
 }
+# Round-9 promotion note (for the next round's fold): by the
+# BENCH_STAGED_r08.json readout (6 staged ops, 42.9 s at sf0.1) the
+# staged names to queue into this tail are streaming_tailindex_monitor
+# (13.9 s), dedup_impact_by_lang_cc (11.3 s, the CC fixpoint orbit),
+# and streaming_changepoint_monitor (11.2 s) — micro-batch machinery
+# plus the iterative CC; the remaining three read 1-3 s each.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
