@@ -90,10 +90,16 @@ def main() -> None:
     # (dedup_cluster_density) was charged the whole family's shared build
     from traffic_data_pipeline_spark.plans.extensions import (
         doc_band_index,
+        doc_cc_components,
         doc_lsh_pairs,
     )
     doc_band_index(spark, sf_dir).count()
     doc_lsh_pairs(spark, sf_dir).count()
+    # ... and the session component-label table (the persisted stand-in
+    # the canonicalization / split-assignment consumers read) — without
+    # this prewarm the alphabetically-first CC consumer is charged the
+    # shared fixpoint build
+    doc_cc_components(spark, sf_dir).count()
     # pre-build the streaming query's file-source landing zone and the
     # parquet media table (ingest-side setup — the measurements should time
     # the streaming job / the media transforms, not input synthesis)

@@ -52,10 +52,12 @@ def main() -> None:
     )
     from traffic_data_pipeline_spark.plans.extensions import (
         doc_band_index,
+        doc_cc_components,
         doc_lsh_pairs,
     )
     doc_band_index(spark, sf_dir).count()
     doc_lsh_pairs(spark, sf_dir).count()
+    doc_cc_components(spark, sf_dir).count()
     _session_events_dir(spark, sf_dir)
     # r9: the event stream's landing zone (input synthesis is
     # ingest-side setup — the measurement should time the streaming job)

@@ -929,9 +929,11 @@ def q_split_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cluster's canonical id, so assignment is deterministic, stable
     under re-runs, and independent of cluster enumeration order.
 
-    Scale shape: reads the session-persisted band index / pair stream the
-    whole dedup family shares (the persisted-table stand-in), runs the
-    pointer-jumped min-label propagation (per round one join + one
+    Scale shape: reads the session-persisted band index / pair stream /
+    COMPONENT TABLE the whole dedup family shares (doc_cc_components —
+    the persisted-table stand-ins; the fixpoint runs once per session,
+    not per consumer). The CC itself is the pointer-jumped min-label
+    propagation (per round one join + one
     min-agg over EDGE-TOUCHED nodes only; isolated docs — the vast
     majority — rejoin as label-self rows without ever iterating), then
     one md5 projection. No new pairwise work: everything quadratic was
@@ -939,15 +941,11 @@ def q_split_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the identical closure as a recursive CTE, so
     chain-shaped clusters must agree too.
     """
-    from traffic_data_pipeline_spark.functions.similarity import (
-        connected_components,
+    from traffic_data_pipeline_spark.plans.extensions import (
+        doc_cc_components,
     )
-    from traffic_data_pipeline_spark.plans.extensions import doc_lsh_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = doc_lsh_pairs(spark, sf_dir).select(
-        F.col("doc_a").alias("q_id"), F.col("doc_b").alias("c_id"))
-    comp = connected_components(docs.select("doc_id"), pairs, "doc_id")
+    comp = doc_cc_components(spark, sf_dir)
     b = (
         F.conv(F.substring(F.md5(F.col("canonical_id").cast("string")), 1, 8),
                16, 10).cast("bigint") % 10

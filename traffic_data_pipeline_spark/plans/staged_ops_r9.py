@@ -422,10 +422,10 @@ def q_dedup_impact_by_lang_cc(spark: SparkSession,
     columns are IDENTICAL to the twin's, so the two survivor rules
     compare row-for-row in one join.
 
-    Rides the shared session pair stream (zero new pairwise work) and
-    the registered min-label-propagation CC (functions/similarity.
-    connected_components: per-round one join + one min-agg over
-    checkpointed frames); the oracle computes the same transitive
+    Rides the shared session pair stream AND the session component
+    table (doc_cc_components — the min-label-propagation fixpoint the
+    registered canonicalization and split assignment also read, run
+    once per session); the oracle computes the same transitive
     closure with a recursive CTE, so chain-shaped clusters that a
     one-round approximation would split must agree too.
 
@@ -439,17 +439,13 @@ def q_dedup_impact_by_lang_cc(spark: SparkSession,
     over the corpus scan with the component labels joined co-keyed on
     doc_id.
     """
-    from traffic_data_pipeline_spark.functions.similarity import (
-        connected_components,
-    )
     from traffic_data_pipeline_spark.functions.text import token_array
-    from traffic_data_pipeline_spark.plans.extensions import doc_lsh_pairs
+    from traffic_data_pipeline_spark.plans.extensions import (
+        doc_cc_components,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = (doc_lsh_pairs(spark, sf_dir)
-             .select(F.col("doc_a").alias("q_id"),
-                     F.col("doc_b").alias("c_id")))
-    comp = connected_components(docs.select("doc_id"), pairs, "doc_id")
+    comp = doc_cc_components(spark, sf_dir)
     gone = F.when(F.col("canonical_id") != F.col("doc_id"), 1).otherwise(0)
     return (docs.select("doc_id", "lang",
                         F.size(token_array(F.col("text"))).cast("bigint")
