@@ -50,6 +50,8 @@ NAMES = [
                                 # pair stream + one (lang) fold
     "dedup_impact_by_source",   # r9 staged: the per-source marginal of
                                 # the same one-round removal set
+    "corpus_epoch_plan",        # r9 staged: ONE per-source fold over
+                                # in-row token counts + 1-row normalizer
 ]
 OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events", "embeddings"]

@@ -56,6 +56,10 @@ STAGED_R9_CAPS = {
                                          # published report parquet;
                                          # per-batch folds run inside
                                          # foreachBatch
+    "corpus_epoch_plan": (2, 1),         # ONE map-side-combined
+                                         # per-source fold (in-row token
+                                         # counts, no explode); the
+                                         # 1-row normalizer broadcast
 }
 
 
@@ -139,6 +143,33 @@ def test_source_and_lang_impact_agree_on_totals(spark, sf_dir_oracle):
     for col in ("n_docs", "n_removed", "n_tokens", "tokens_removed"):
         assert (sum(getattr(r, col) for r in by_src)
                 == sum(getattr(r, col) for r in by_lang)), col
+
+
+def test_epoch_plan_identities(spark, sf_dir_oracle):
+    """w_temp sums to ~1, tokens_at_budget sums to ~MULT x corpus
+    tokens, epochs = tokens_at_budget / n_tokens, and the risk flag
+    fires exactly when the ROUND-6 epochs crosses the rule."""
+    from traffic_data_pipeline_spark.plans.staged_ops_r9 import (
+        EPOCH_BUDGET_MULT,
+        EPOCH_RISK,
+    )
+
+    rows = STAGED_R9_QUERIES["corpus_epoch_plan"](
+        spark, sf_dir_oracle).collect()
+    assert rows
+    total = sum(r.n_tokens for r in rows)
+    assert abs(sum(r.w_temp for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.tokens_at_budget for r in rows)
+               - EPOCH_BUDGET_MULT * total) < 1.0
+    for r in rows:
+        assert abs(r.epochs - r.tokens_at_budget / r.n_tokens) < 1e-3
+        assert r.repetition_risk == (r.epochs > EPOCH_RISK)
+        # sqrt-temperature up-weights small sources: epochs ordering is
+        # the REVERSE of token-count ordering
+    small = min(rows, key=lambda r: r.n_tokens)
+    big = max(rows, key=lambda r: r.n_tokens)
+    if small.n_tokens < big.n_tokens:
+        assert small.epochs > big.epochs
 
 
 def test_cc_impact_dominates_one_round_rule(spark, sf_dir_oracle):

@@ -565,6 +565,95 @@ def q_streaming_changepoint_monitor(spark: SparkSession,
 
 
 # ---------------------------------------------------------------------------
+# corpus_epoch_plan — epochs-at-budget / repetition-risk readout per source
+# ---------------------------------------------------------------------------
+
+EPOCH_BUDGET_MULT = 3   # training token budget = MULT x corpus tokens
+EPOCH_RISK = 4.0        # the ~4-epoch repeated-data degradation rule
+
+
+@staged_r9("corpus_epoch_plan", f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x != ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+         CAST(SUM(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(30,12)))
+              AS DOUBLE) AS z
+  FROM per_src)
+SELECT source, n_docs, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / NULLIF(t, 0), 6) AS p_raw,
+       ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / NULLIF(z, 0), 6) AS w_temp,
+       -- 2 dp: budget-sized full-entropy double (the mixture_budget
+       -- round-divergence shape)
+       ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / NULLIF(z, 0)
+             * {EPOCH_BUDGET_MULT} * t, 2) AS tokens_at_budget,
+       ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / NULLIF(z, 0)
+             * {EPOCH_BUDGET_MULT} * t / NULLIF(n_tokens, 0), 6) AS epochs,
+       ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / NULLIF(z, 0)
+             * {EPOCH_BUDGET_MULT} * t / NULLIF(n_tokens, 0), 6)
+         > {EPOCH_RISK} AS repetition_risk
+FROM per_src, tot
+""")
+def q_corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch planner for a temperature-sampled training mixture: at a
+    token budget of {EPOCH_BUDGET_MULT}x the corpus, how many EPOCHS of
+    each source does the sqrt-temperature mixture (the registered
+    lang_temperature_weights contract, on the SOURCE axis) actually
+    consume — and which sources cross the ~{EPOCH_RISK}-epoch
+    repeated-data line where repetition measurably degrades training
+    (the data-constrained scaling readout: up-weighting a small source
+    is a repetition decision, and this is the table that makes it
+    explicit BEFORE the run). tokens_at_budget = w_temp * budget;
+    epochs = tokens_at_budget / tokens_available.
+
+    Determinism: token totals are exact integers; alpha is fixed at 1/2
+    so the temperature weight is IEEE-exact sqrt (the
+    lang_temperature_weights rule — a general pow inherits libm
+    rounding); the normalizer accumulates #sources sqrt terms in
+    DECIMAL(30,12); tokens_at_budget quantizes at ROUND-2 (budget-sized
+    full-entropy double, the mixture_budget shape) and epochs at
+    ROUND-6 BEFORE the {EPOCH_RISK}-epoch compare, so the flag decides
+    on identical doubles in both engines; NULLIF twins guard the
+    zero-token corpus and the zero-token source.
+
+    Scale shape: in-row token counts (no explode), ONE map-side-combined
+    per-source aggregate (output rows = #sources), one broadcast
+    normalizer row. The corpus streams exactly once.
+    """
+    from traffic_data_pipeline_spark.functions.text import token_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (docs.select("source",
+                           F.array_size(token_array(F.col("text")))
+                           .cast("bigint").alias("n_tok"))
+               .groupBy("source")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                    F.sum("n_tok").cast("bigint").alias("n_tokens")))
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("bigint").alias("t"),
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))
+              .cast("decimal(30,12)")).cast("double").alias("z"))
+    w = (F.sqrt(F.col("n_tokens").cast("double"))
+         / F.nullif(F.col("z"), F.lit(0.0)))
+    need = w * EPOCH_BUDGET_MULT * F.col("t")
+    epochs = F.round(need / F.nullif(F.col("n_tokens"), F.lit(0)), 6)
+    return (per_src.crossJoin(F.broadcast(tot))
+            .select("source", "n_docs", "n_tokens",
+                    F.round(F.col("n_tokens").cast("double")
+                            / F.nullif(F.col("t"), F.lit(0)), 6)
+                    .alias("p_raw"),
+                    F.round(w, 6).alias("w_temp"),
+                    F.round(need, 2).alias("tokens_at_budget"),
+                    epochs.alias("epochs"),
+                    (epochs > EPOCH_RISK).alias("repetition_risk")))
+
+
+# ---------------------------------------------------------------------------
 # streaming_tailindex_monitor — per-batch Hill tail index on the event stream
 # ---------------------------------------------------------------------------
 
