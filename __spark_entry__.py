@@ -126,11 +126,12 @@ _COSTLY_TAIL = {
     "config_scd2_compaction_stats",
 }
 # Round-9 promotion note (for the next round's fold): by the
-# BENCH_STAGED_r08.json readout (6 staged ops, 42.9 s at sf0.1) the
+# BENCH_STAGED_r08.json readout (7 staged ops, 39.3 s at sf0.1) the
 # staged names to queue into this tail are streaming_tailindex_monitor
-# (13.9 s), dedup_impact_by_lang_cc (11.3 s, the CC fixpoint orbit),
-# and streaming_changepoint_monitor (11.2 s) — micro-batch machinery
-# plus the iterative CC; the remaining three read 1-3 s each.
+# (15.0 s) and streaming_changepoint_monitor (14.5 s) — micro-batch
+# machinery; the remaining five read 1-3 s each
+# (dedup_impact_by_lang_cc dropped from 11.3 s to 2.2 s once the
+# session CC table is prewarmed like the pair stream it rides).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
