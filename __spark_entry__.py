@@ -60,13 +60,13 @@ def _previously_checked() -> set[str]:
     return seen
 
 
-# Round-8 promotion (VERDICT r7 ask #1): plans/staged_ops_r8.py is folded
+# Round-9 promotion (VERDICT r8 ask #1): plans/staged_ops_r9.py is folded
 # unconditionally into QUERIES/ORACLES (same tail-fold mechanism as
-# staged_ops.py / staged_ops_r6 / staged_ops_r7), adding its 16
-# oracle-gated operators to the registry — 265 names total. With the
-# driver's cumulative record complete through round 7 (249/249), the
+# staged_ops.py / staged_ops_r6 / staged_ops_r7 / staged_ops_r8), adding
+# its 7 oracle-gated operators to the registry — 272 names total. With
+# the driver's cumulative record complete through round 8 (265/265), the
 # never-checked set this round is exactly these promotions — they fit the
-# ~50-row window with ~34 rows of headroom. Among the unchecked, the
+# ~50-row window with ~43 rows of headroom. Among the unchecked, the
 # per-query-costliest (streaming micro-batch machinery and the heavy
 # staged sets sized from the BENCH_STAGED readouts) queue LAST: if the
 # driver window is time-bounded this ordering maximizes rows drained per
@@ -124,14 +124,15 @@ _COSTLY_TAIL = {
     "streaming_pq_codes",
     "streaming_ivf_index",
     "config_scd2_compaction_stats",
+    # heavy round-9 staged promotions, by the BENCH_STAGED_r08.json
+    # readout (7 staged ops, 39.3 s at sf0.1): micro-batch machinery
+    # (streaming_tailindex_monitor 15.0 s, streaming_changepoint_monitor
+    # 14.5 s); the remaining five read 1-3 s each
+    # (dedup_impact_by_lang_cc dropped from 11.3 s to 2.2 s once the
+    # session CC table is prewarmed like the pair stream it rides)
+    "streaming_tailindex_monitor",
+    "streaming_changepoint_monitor",
 }
-# Round-9 promotion note (for the next round's fold): by the
-# BENCH_STAGED_r08.json readout (7 staged ops, 39.3 s at sf0.1) the
-# staged names to queue into this tail are streaming_tailindex_monitor
-# (15.0 s) and streaming_changepoint_monitor (14.5 s) — micro-batch
-# machinery; the remaining five read 1-3 s each
-# (dedup_impact_by_lang_cc dropped from 11.3 s to 2.2 s once the
-# session CC table is prewarmed like the pair stream it rides).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

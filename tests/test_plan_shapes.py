@@ -610,6 +610,40 @@ CAPS = {
                                          # ONE removed-id distinct
                                          # (broadcast back) + ONE (lang)
                                          # fold
+    # --- round-9 promotions (moved here from tests/test_staged_ops_r9.py
+    # at promotion time, per the documented path) ---
+    "events_user_ldiversity": (2, 1),    # ONE (type, hour) distinct-band
+                                         # cell fold (checkpointed) + the
+                                         # 4-row bucket fold; cell total
+                                         # broadcast
+    "events_user_tcloseness": (2, 1),    # live plan reads the
+                                         # checkpointed per-cell TVD
+                                         # frame: the 4-row bucket fold
+                                         # + cell-total broadcast (the
+                                         # (type, hour, band) count, the
+                                         # band-alphabet fan, and the
+                                         # corpus-band/n broadcasts are
+                                         # paid at build)
+    "dedup_impact_by_lang_cc": (4, 0),   # CC labels come off the
+                                         # checkpointed fixpoint orbit;
+                                         # live: the doc_id-keyed label
+                                         # join + ONE (lang) fold
+    "dedup_impact_by_source": (3, 1),    # rides the cached pair stream;
+                                         # ONE removed-id distinct
+                                         # (broadcast back) + ONE
+                                         # (source) fold
+    "streaming_changepoint_monitor": (0, 0),  # live plan reads the
+                                         # published report parquet;
+                                         # per-batch folds run inside
+                                         # foreachBatch
+    "streaming_tailindex_monitor": (0, 0),  # live plan reads the
+                                         # published report parquet;
+                                         # per-batch folds run inside
+                                         # foreachBatch
+    "corpus_epoch_plan": (2, 1),         # ONE map-side-combined
+                                         # per-source fold (in-row token
+                                         # counts, no explode); the
+                                         # 1-row normalizer broadcast
 }
 
 

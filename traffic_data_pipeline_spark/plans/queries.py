@@ -1442,4 +1442,5 @@ from traffic_data_pipeline_spark.plans import staged_ops  # noqa: E402,F401
 from traffic_data_pipeline_spark.plans import staged_ops_r6  # noqa: E402,F401
 from traffic_data_pipeline_spark.plans import staged_ops_r7  # noqa: E402,F401
 from traffic_data_pipeline_spark.plans import staged_ops_r8  # noqa: E402,F401
+from traffic_data_pipeline_spark.plans import staged_ops_r9  # noqa: E402,F401
 

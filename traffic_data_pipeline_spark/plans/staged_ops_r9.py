@@ -1,20 +1,21 @@
-"""Round-9 staging area: operators implemented and oracle-gated NOW but
-intentionally NOT registered, honoring the registration freeze until the
-round-8 promotion (16 staged r8 ops) drains through the driver's
-CORRECTNESS window.
+"""Round-9 staging area, PROMOTED into the live registry at round 9
+(VERDICT r8 ask #1): built and oracle-gated during round 8 behind the
+registration freeze, folded into QUERIES/ORACLES once the round-8
+promotion (16 staged r8 ops) drained through the driver's CORRECTNESS
+window (it did — all 16 earned hash-green rows in CORRECTNESS_r08).
 
-Same contract as the four promoted staging areas (plans/staged_ops.py,
-plans/staged_ops_r6.py, plans/staged_ops_r7.py, plans/staged_ops_r8.py):
-each op is a Spark callable ``(spark, sf_dir) -> DataFrame`` plus a
-DuckDB oracle string with matching column names, so the round-9
-promotion is the same mechanical fold — add the tail fold here, import
-this module at the end of plans/queries.py, move STAGED_R9_CAPS into
-tests/test_plan_shapes.py, flip the freeze test into a promotion check,
-and queue the BENCH_STAGED-costly names into
-``__spark_entry__._COSTLY_TAIL``. tests/test_staged_ops_r9.py runs the
-identical query-vs-oracle gate at sf0.01, pins exchange caps, and a
-freeze-guard test pins that none of these names leaks into
-``__spark_entry__.queries()`` this round.
+Same contract as the four earlier promoted staging areas
+(plans/staged_ops.py, plans/staged_ops_r6.py, plans/staged_ops_r7.py,
+plans/staged_ops_r8.py): each op is a Spark callable
+``(spark, sf_dir) -> DataFrame`` plus a DuckDB oracle string with
+matching column names. The promotion was the established mechanical
+fold — the tail fold at the bottom of this module, the import at the
+end of plans/queries.py, exchange caps moved into
+tests/test_plan_shapes.py::CAPS, the freeze test flipped into a
+promotion check, and the two BENCH_STAGED-costly streaming monitors
+queued into ``__spark_entry__._COSTLY_TAIL``.
+tests/test_staged_ops_r9.py keeps the identical query-vs-oracle gate at
+sf0.01 addressing each op by its staged name.
 
 Operator set (VERDICT r7 ask #5's named gaps — the round-9 staging
 candidates the round-7 judge and SURVEY.md §7 tail both name):
@@ -788,3 +789,29 @@ def _late_bind_oracles() -> None:
 
 
 _late_bind_oracles()
+
+
+# ---------------------------------------------------------------------------
+# Round-9 promotion fold (VERDICT r8 ask #1). Runs at the END of the module
+# body so every @staged_r9 registration above is complete before the live
+# registry absorbs it, in EVERY import order (the staged_ops/staged_ops_r6/
+# staged_ops_r7/staged_ops_r8 fold contract: when queries.py is imported
+# first, its bottom import of this module executes this whole fold before
+# queries.py finishes; when this module is imported first, the fold's own
+# `from plans.queries import ...` below fully executes queries.py — whose
+# tail imports are side-effect imports that skip the in-progress import of
+# THIS module via sys.modules — and control returns here to fold the
+# by-then-complete dicts. Both paths end with the same registry; the
+# update is idempotent if both run.)
+# ---------------------------------------------------------------------------
+from traffic_data_pipeline_spark.plans.queries import (  # noqa: E402
+    ORACLES as _LIVE_ORACLES,
+    QUERIES as _LIVE_QUERIES,
+)
+
+_collide = {n for n in set(_LIVE_QUERIES) & set(STAGED_R9_QUERIES)
+            if _LIVE_QUERIES[n] is not STAGED_R9_QUERIES[n]}
+if _collide:  # not assert: must survive python -O
+    raise RuntimeError(f"staged r9 names collide with registry: {_collide}")
+_LIVE_QUERIES.update(STAGED_R9_QUERIES)
+_LIVE_ORACLES.update(STAGED_R9_ORACLES)
