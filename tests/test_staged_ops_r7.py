@@ -277,11 +277,12 @@ def test_streaming_minhash_index_crash_replay_exactly_once(
     _minhash_seed(spark, index_dir, pair_dir)
     handle = _minhash_handle(spark, index_dir, pair_dir)
 
-    seen: list[int] = []
+    # capture (batchId -> exact rows): file-source batch assignment
+    # follows listing order, so the replay must use the RECORDED last
+    # batch, not an assumed residue slice (ADVICE r8)
+    from tests.streaming_replay import capturing, replay_last
 
-    def tracking_handle(batch_df, batch_id):
-        seen.append(int(batch_id))
-        handle(batch_df, batch_id)
+    tracking_handle, batch_caps = capturing(handle, tmp_path)
 
     for r in range(3):
         docs.filter(F.col("doc_id") % 3 == r).coalesce(1) \
@@ -293,13 +294,11 @@ def test_streaming_minhash_index_crash_replay_exactly_once(
         start=lambda: (stream.writeStream.foreachBatch(tracking_handle)
                        .option("checkpointLocation", ckpt)
                        .trigger(availableNow=True).start()))
-    assert len(seen) == 3
+    assert len(batch_caps) == 3
 
-    # crash replay: the appends of batch `seen[-1]` already landed; the
+    # crash replay: the appends of the last batch already landed; the
     # restarted query re-runs the handler with the same batch_id
-    last = seen[-1]
-    replay_df = docs.filter(F.col("doc_id") % 3 == 2)
-    handle(replay_df, last)
+    replay_last(spark, handle, batch_caps)
 
     got = {(r.doc_a, r.doc_b, r.est_sim)
            for r in _minhash_pairs(spark, pair_dir).collect()}
@@ -709,12 +708,17 @@ def test_streaming_ewma_restart_recovery(spark, sf_dir_oracle, tmp_path):
     _ewma_seed(spark, state_dir, level_dir)
     handle = _ewma_handle(spark, state_dir, level_dir)
 
+    # capture (batchId -> exact rows) for an exact crash replay (ADVICE r8)
+    from tests.streaming_replay import capturing, replay_last
+
+    recording_handle, batch_caps = capturing(handle, tmp_path)
+
     def run_once():
         stream = (spark.readStream.schema("ts timestamp, event_type string")
                   .option("maxFilesPerTrigger", 1).parquet(src))
         run_available_now(
             spark, "streaming_ewma_level_test",
-            start=lambda: (stream.writeStream.foreachBatch(handle)
+            start=lambda: (stream.writeStream.foreachBatch(recording_handle)
                            .option("checkpointLocation", ckpt)
                            .trigger(availableNow=True).start()))
 
@@ -742,11 +746,11 @@ def test_streaming_ewma_restart_recovery(spark, sf_dir_oracle, tmp_path):
 
     # crash replay (VERDICT r6 ask #2 applied to the level fold): the
     # state append of the LAST batch landed but the offset commit did
-    # not — the restart re-runs the handler with the same batch_id; the
-    # stamped dedup must keep the published levels equal to the batch
-    # fold instead of double-counting one batch's partials
-    handle(ev.filter(F.col("event_id") % 3 == 2)
-           .select("ts", "event_type"), 2)
+    # not — the restart re-runs the handler with the RECORDED last batch
+    # under its RECORDED batch_id; the stamped dedup must keep the
+    # published levels equal to the batch fold instead of
+    # double-counting one batch's partials
+    replay_last(spark, handle, batch_caps)
     replayed = {(r.event_type, r.n_days, r.last_day_count, r.ewma_fast,
                  r.ewma_slow, r.momentum)
                 for r in spark.read.parquet(level_dir).collect()}

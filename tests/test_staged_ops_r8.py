@@ -72,12 +72,18 @@ def test_streaming_conformal_crash_replay_equals_batch(
     _conformal_seed(spark, state_dir, out_dir)
     handle = _conformal_handle(spark, state_dir, out_dir)
 
+    # capture (batchId -> exact rows) so the crash replay re-invokes the
+    # RECORDED last batch, not an assumed listing order (ADVICE r8)
+    from tests.streaming_replay import capturing, replay_last
+
+    recording_handle, batch_caps = capturing(handle, tmp_path)
+
     def run_once():
         stream = (spark.readStream.schema("ts timestamp, event_type string")
                   .option("maxFilesPerTrigger", 1).parquet(src))
         run_available_now(
             spark, "streaming_conformal_test",
-            start=lambda: (stream.writeStream.foreachBatch(handle)
+            start=lambda: (stream.writeStream.foreachBatch(recording_handle)
                            .option("checkpointLocation", ckpt)
                            .trigger(availableNow=True).start()))
 
@@ -101,9 +107,9 @@ def test_streaming_conformal_crash_replay_equals_batch(
     assert published() == want
 
     # crash replay: the state append of the LAST batch landed but the
-    # offset commit did not — re-run the handler with the same batch_id
-    handle(ev.filter(F.col("event_id") % 3 == 2)
-           .select("ts", "event_type"), 2)
+    # offset commit did not — re-run the handler with the RECORDED last
+    # batch under its RECORDED batch_id
+    replay_last(spark, handle, batch_caps)
     assert published() == want
     raw = spark.read.parquet(state_dir).count()
     deduped = spark.read.parquet(state_dir).distinct().count()
@@ -135,13 +141,18 @@ def test_streaming_ivf_index_crash_replay_equals_batch(
     _ivf_seed(spark, index_dir, report_dir)
     handle = _ivf_handle(spark, cents, index_dir, report_dir)
 
+    # capture (batchId -> exact rows) for an exact crash replay (ADVICE r8)
+    from tests.streaming_replay import capturing, replay_last
+
+    recording_handle, batch_caps = capturing(handle, tmp_path)
+
     def run_once():
         stream = (spark.readStream
                   .schema("vec_id long, embedding array<float>")
                   .option("maxFilesPerTrigger", 1).parquet(src))
         run_available_now(
             spark, "streaming_ivf_test",
-            start=lambda: (stream.writeStream.foreachBatch(handle)
+            start=lambda: (stream.writeStream.foreachBatch(recording_handle)
                            .option("checkpointLocation", ckpt)
                            .trigger(availableNow=True).start()))
 
@@ -163,8 +174,8 @@ def test_streaming_ivf_index_crash_replay_equals_batch(
 
     assert report() == want_report
 
-    # crash replay of the last batch under its original batch_id
-    handle(emb.filter(F.col("vec_id") % 3 == 2), 2)
+    # crash replay of the RECORDED last batch under its RECORDED batch_id
+    replay_last(spark, handle, batch_caps)
     assert report() == want_report
     raw = spark.read.parquet(index_dir).count()
     deduped = spark.read.parquet(index_dir).distinct().count()
@@ -496,13 +507,18 @@ def test_streaming_pq_codes_crash_replay_equals_batch(
     _pq_seed(spark, code_dir)
     handle = _pq_handle(spark, cent, code_dir)
 
+    # capture (batchId -> exact rows) for an exact crash replay (ADVICE r8)
+    from tests.streaming_replay import capturing, replay_last
+
+    recording_handle, batch_caps = capturing(handle, tmp_path)
+
     def run_once():
         stream = (spark.readStream
                   .schema("vec_id long, embedding array<float>")
                   .option("maxFilesPerTrigger", 1).parquet(src))
         run_available_now(
             spark, "streaming_pq_codes_test",
-            start=lambda: (stream.writeStream.foreachBatch(handle)
+            start=lambda: (stream.writeStream.foreachBatch(recording_handle)
                            .option("checkpointLocation", ckpt)
                            .trigger(availableNow=True).start()))
 
@@ -513,8 +529,8 @@ def test_streaming_pq_codes_crash_replay_equals_batch(
         emb.filter(F.col("vec_id") % 3 == r).coalesce(1) \
             .write.mode("append").parquet(src)
     run_once()
-    # crash replay of the last batch under its original batch_id
-    handle(emb.filter(F.col("vec_id") % 3 == 2), 2)
+    # crash replay of the RECORDED last batch under its RECORDED batch_id
+    replay_last(spark, handle, batch_caps)
 
     got = {(r.vec_id, r.m, r.code)
            for r in spark.read.parquet(code_dir).distinct()

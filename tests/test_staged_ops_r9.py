@@ -183,12 +183,20 @@ def test_streaming_changepoint_crash_replay_equals_batch(
     _changepoint_seed(spark, state_dir, out_dir)
     handle = _changepoint_handle(spark, state_dir, out_dir)
 
+    # capture each micro-batch's actual (batchId -> exact rows) so the
+    # crash replay below re-invokes the REAL last batch (ADVICE r8: file-
+    # source batch assignment follows listing order — hard-coding
+    # batchId 2 = the residue-2 file is flaky if files list differently)
+    from tests.streaming_replay import capturing
+
+    recording_handle, batch_caps = capturing(handle, tmp_path)
+
     def run_once():
         stream = (spark.readStream.schema("ts timestamp, event_type string")
                   .option("maxFilesPerTrigger", 1).parquet(src))
         run_available_now(
             spark, "streaming_changepoint_test",
-            start=lambda: (stream.writeStream.foreachBatch(handle)
+            start=lambda: (stream.writeStream.foreachBatch(recording_handle)
                            .option("checkpointLocation", ckpt)
                            .trigger(availableNow=True).start()))
 
@@ -211,11 +219,13 @@ def test_streaming_changepoint_crash_replay_equals_batch(
 
     assert report() == want
 
-    # crash replay of the last batch under its original batch_id: the
-    # handler re-appends identical deterministic partials, the full-row
-    # DISTINCT collapses them, and the published report is unchanged
-    handle(ev.filter(F.col("event_id") % 3 == 2).select("ts", "event_type"),
-           2)
+    # crash replay of the last batch under its original batch_id (the
+    # RECORDED id and the RECORDED rows, not an assumed listing order):
+    # the handler re-appends identical deterministic partials, the
+    # full-row DISTINCT collapses them, and the report is unchanged
+    from tests.streaming_replay import replay_last
+
+    replay_last(spark, handle, batch_caps)
     assert report() == want
     raw = spark.read.parquet(state_dir).count()
     deduped = spark.read.parquet(state_dir).distinct().count()
@@ -248,13 +258,19 @@ def test_streaming_tailindex_crash_replay_equals_batch(
     _tailindex_seed(spark, state_dir, out_dir)
     handle = _tailindex_handle(spark, state_dir, out_dir)
 
+    # capture (batchId -> exact rows) for an exact crash replay, as in
+    # the changepoint test above
+    from tests.streaming_replay import capturing
+
+    recording_handle, batch_caps = capturing(handle, tmp_path)
+
     def run_once():
         stream = (spark.readStream
                   .schema("ts timestamp, event_type string, user_id long")
                   .option("maxFilesPerTrigger", 1).parquet(src))
         run_available_now(
             spark, "streaming_tailindex_test",
-            start=lambda: (stream.writeStream.foreachBatch(handle)
+            start=lambda: (stream.writeStream.foreachBatch(recording_handle)
                            .option("checkpointLocation", ckpt)
                            .trigger(availableNow=True).start()))
 
@@ -278,9 +294,11 @@ def test_streaming_tailindex_crash_replay_equals_batch(
 
     assert report() == want
 
-    # crash replay of the last batch under its original batch_id
-    handle(ev.filter(F.col("event_id") % 3 == 2)
-           .select("ts", "event_type", "user_id"), 2)
+    # crash replay of the last batch under its RECORDED batch_id and
+    # RECORDED rows (not an assumed listing order)
+    from tests.streaming_replay import replay_last
+
+    replay_last(spark, handle, batch_caps)
     assert report() == want
     raw = spark.read.parquet(state_dir).count()
     deduped = spark.read.parquet(state_dir).distinct().count()

