@@ -20,17 +20,32 @@ from traffic_data_pipeline_spark.plans.queries import QUERIES
 from traffic_data_pipeline_spark.session import get_spark
 
 
-def _previous_round_timings(sf: float) -> dict[str, float]:
+def _current_round(here: str) -> int:
+    """The round this bench run belongs to: highest BENCH_r*.json the
+    driver has recorded, plus one (the driver writes its record AFTER
+    this bench runs)."""
+    import glob as _glob
+    rounds = [int(m.group(1))
+              for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+              if (m := re.search(r"BENCH_r(\d+)\.json$", p))]
+    return max(rounds, default=0) + 1
+
+
+def _previous_round_timings(sf: float, current_round: int) -> dict[str, float]:
     """Per-query official numbers from the newest round-stamped
-    BENCH_DETAIL at the SAME scale factor, for the >1.5x drift-recheck
-    trigger. Empty dict when no comparable prior round exists (first
-    round, or a smoke run at a different SF: nothing to drift from)."""
+    BENCH_DETAIL at the SAME scale factor and a stamp STRICTLY BELOW the
+    current round (ADVICE r8: the current round's own detail artifact can
+    already exist from an earlier run in the same round — comparing
+    against it would make the drift trigger self-referential instead of
+    round-over-round). Empty dict when no comparable prior round exists
+    (first round, or a smoke run at a different SF: nothing to drift
+    from)."""
     import glob as _glob
     here = os.path.dirname(os.path.abspath(__file__))
     stamped = []
     for p in _glob.glob(os.path.join(here, "BENCH_DETAIL_r*.json")):
         m = re.search(r"_r(\d+)\.json$", p)
-        if m:
+        if m and int(m.group(1)) < current_round:
             stamped.append((int(m.group(1)), p))
     for _, path in sorted(stamped, reverse=True):
         try:
@@ -164,31 +179,54 @@ def main() -> None:
         runs_all[name] = runs
         timings[name] = min(runs)
 
-    # Drift self-adjudication (VERDICT r7 ask #3): when a query's
-    # min-of-N reads >1.5x its previous-round official number, re-run it
-    # once at the END of the suite — past rounds' drifters were ambient
-    # co-tenant noise that one later pass resolves (r7: basket_part_pairs
-    # recorded 6.16 s, judge re-timed 1.75 s on unchanged plans) — and
-    # record BOTH numbers so the judge adjudicates from the file, not a
-    # re-run. The recheck is one more min-of-N pass, so it also repairs
-    # the official number.
-    prev = _previous_round_timings(sf)
+    # Drift self-adjudication (VERDICT r7 ask #3, sharpened per ADVICE r8
+    # and VERDICT r8 ask #7): when a query's min-of-N reads >1.5x its
+    # previous-round official number, re-run it at the END of the suite —
+    # past rounds' drifters were ambient co-tenant noise that one later
+    # pass resolves (r7: basket_part_pairs recorded 6.16 s, judge
+    # re-timed 1.75 s on unchanged plans) — and record BOTH numbers so
+    # the judge adjudicates from the file, not a re-run. The official
+    # timings[name] stays the original min-of-N (ADVICE r8: silently
+    # repairing it to min(recorded, recheck) biased the published number
+    # downward — regressions got an extra chance to look fast while
+    # lucky-fast mins were never re-verified); the recheck lives ONLY in
+    # drift_recheck, and runs_all keeps exactly the configured pass count
+    # per query so min(runs) == queries[name] stays auditable. A drifter
+    # whose first recheck CONFIRMS the drift (still >1.5x prev) gets a
+    # SECOND recheck (VERDICT r8 ask #7) and an explicit status, so
+    # BENCH distinguishes "recovered on recheck" from "confirmed drift"
+    # without judge re-timing.
+    here = os.path.dirname(os.path.abspath(__file__))
+    cur_round = _current_round(here)
+    prev = _previous_round_timings(sf, cur_round)
+
+    def _timed_pass(fn) -> tuple[float, float]:
+        load_now = round(os.getloadavg()[0], 2)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        elapsed = round(time.perf_counter() - t0, 3)
+        release()
+        return elapsed, load_now
+
     drift_recheck: dict[str, dict] = {}
     for name, fn in ordered:
         p = prev.get(name)
         if p is None or p <= 0 or timings[name] <= 1.5 * p:
             continue
-        load_now = round(os.getloadavg()[0], 2)
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        recheck = round(time.perf_counter() - t0, 3)
-        release()
-        drift_recheck[name] = {
+        recheck, load_now = _timed_pass(fn)
+        entry = {
             "prev_round": p, "recorded": timings[name],
             "recheck": recheck, "load1_at_recheck": load_now,
         }
-        runs_all[name].append(recheck)
-        timings[name] = min(timings[name], recheck)
+        if recheck > 1.5 * p:
+            recheck2, load_now2 = _timed_pass(fn)
+            entry["recheck2"] = recheck2
+            entry["load1_at_recheck2"] = load_now2
+            entry["status"] = ("confirmed" if recheck2 > 1.5 * p
+                               else "recovered_on_second_recheck")
+        else:
+            entry["status"] = "recovered"
+        drift_recheck[name] = entry
 
     loads = sorted(load1.values())
     out = {
@@ -202,6 +240,13 @@ def main() -> None:
         "load1_median": loads[len(loads) // 2] if loads else None,
         "load1_max": loads[-1] if loads else None,
         "drift_rechecked": sorted(drift_recheck),
+        "drift_confirmed": sorted(
+            n for n, e in drift_recheck.items() if e["status"] == "confirmed"),
+        # streaming queries run one extra pass (lowest-ambient window);
+        # their runs arrays hold stream_passes entries, all others hold
+        # exactly `passes` (ADVICE r8: the arrays are uniform per family
+        # and rechecks are recorded only under drift_recheck)
+        "stream_passes": passes + 1,
     }
     # The per-query map is ~4 KB at 100+ queries and can overflow a
     # log-tail capture mid-line (BENCH_r02 recorded "parsed": null).
@@ -209,16 +254,10 @@ def main() -> None:
     # END with a compact summary line so the tail of stdout always holds
     # one complete JSON object.
     print(json.dumps(out))
-    here = os.path.dirname(os.path.abspath(__file__))
     # round-stamped copy (BENCH_DETAIL_r04.json, ...): the unstamped file
     # is overwritten every run, so round-over-round per-query ratios used
     # to depend on parsing truncated BENCH_r0N log tails (judge ask r3#8).
-    # The current round = highest BENCH_r*.json the driver has recorded,
-    # plus one (the driver writes it AFTER this bench runs).
-    import glob as _glob
-    rounds = [int(m.group(1)) for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
-              if (m := re.search(r"BENCH_r(\d+)\.json$", p))]
-    stamp = f"_r{max(rounds, default=0) + 1:02d}"
+    stamp = f"_r{cur_round:02d}"
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL", os.path.join(here, "BENCH_DETAIL.json"))
     root, ext = os.path.splitext(detail_path)
