@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
-"""Timing probe for the CURRENT staging area (round 9 since the round-8
-promotion moved plans/staged_ops_r8.py into the live registry — this
-script now times plans/staged_ops_r9.py): run every staged query at
+"""Timing probe for the CURRENT staging area (round 10 since the round-9
+promotion moved plans/staged_ops_r9.py into the live registry — this
+script now times plans/staged_ops_r10.py): run every staged query at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) with bench.py's
 warmup + prewarm + noop-sink + cache-release discipline and write a
 round-stamped BENCH_STAGED_r0N.json.
@@ -24,8 +24,8 @@ import os
 import re
 import time
 
-from traffic_data_pipeline_spark.plans.staged_ops_r9 import (
-    STAGED_R9_QUERIES as STAGED_QUERIES,
+from traffic_data_pipeline_spark.plans.staged_ops_r10 import (
+    STAGED_R10_QUERIES as STAGED_QUERIES,
 )
 from traffic_data_pipeline_spark.session import get_spark
 

@@ -52,6 +52,10 @@ NAMES = [
                                 # the same one-round removal set
     "corpus_epoch_plan",        # r9 staged: ONE per-source fold over
                                 # in-row token counts + 1-row normalizer
+    "dedup_impact_by_lang_source",  # r10 staged: the joint (lang, source)
+                                # cell of the two registered marginals —
+                                # same removed-id distinct off the cached
+                                # pair stream, one two-key fold
 ]
 OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events", "embeddings"]
@@ -214,6 +218,8 @@ EVENT_NAMES = [
                                  # the band-alphabet TVD fan
     "streaming_tailindex_monitor",  # r9 staged: (type, user) partials —
                                  # the user-dimension-bounded state class
+    "events_user_deltapresence",  # r10 staged: ONE (type, hour) fold with
+                                 # two distinct-user counts (Expand)
 ]
 
 
@@ -296,6 +302,10 @@ ORDERS_NAMES = [
     "orders_rfm_segmentation",  # r8: ONE (custkey) fact fold + three
                                 # two-pass shard ranks over the GROWING
                                 # customer dimension
+    "streaming_rfm_monitor",    # r10 staged: micro-batch (custkey)
+                                # partials into customer-dimension-
+                                # bounded state; the shared shard-rank
+                                # cube republishes per batch
 ]
 
 
@@ -327,6 +337,9 @@ def main() -> None:
     from traffic_data_pipeline_spark.plans.staged_ops_r9 import (
         STAGED_R9_QUERIES,
     )
+    from traffic_data_pipeline_spark.plans.staged_ops_r10 import (
+        STAGED_R10_QUERIES,
+    )
     from traffic_data_pipeline_spark.session import get_spark
 
     spark = get_spark("scaling-probe")
@@ -346,7 +359,8 @@ def main() -> None:
                 or STAGED_R6_QUERIES.get(name)
                 or STAGED_R7_QUERIES.get(name)
                 or STAGED_R8_QUERIES.get(name)
-                or STAGED_R9_QUERIES[name])
+                or STAGED_R9_QUERIES.get(name)
+                or STAGED_R10_QUERIES[name])
 
     def probe(dirs, names, warm_table):
         if keep is not None:

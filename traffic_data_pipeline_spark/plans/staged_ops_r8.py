@@ -515,6 +515,16 @@ def q_orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.datediff(F.col("mxd"), F.col("last_d"))
                 .alias("recency_days"),
                 "frequency", "cents"))
+    return _rfm_cube_from_cust(cust)
+
+
+def _rfm_cube_from_cust(cust: DataFrame) -> DataFrame:
+    """Shared plan owner for the RFM segment cube: three shard ranks +
+    the exact bucket arithmetic + the segment regroup, over an already
+    MATERIALIZED (o_custkey, recency_days, frequency, cents) frame. The
+    registered batch query and the round-10 staged streaming republisher
+    both call this, so the rank tiebreaks, bucket arithmetic, and cube
+    fold cannot drift between the nightly and streaming forms."""
     n = cust.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     ranked = _shard_rank(
         cust, [F.col("recency_days").desc(), F.col("o_custkey")], "r_rn")
