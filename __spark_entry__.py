@@ -134,11 +134,12 @@ _COSTLY_TAIL = {
     "streaming_changepoint_monitor",
 }
 # Round-10 promotion note (for the next round's fold): by the
-# BENCH_STAGED_r09.json readout (3 staged ops, 18.5 s at sf0.1) the
+# BENCH_STAGED_r09.json readout (4 staged ops, 24.1 s at sf0.1) the
 # staged name to queue into this tail is streaming_rfm_monitor
-# (15.7 s — micro-batch machinery: the shared shard-rank cube
-# republishes per batch); events_user_deltapresence (1.4 s) and
-# dedup_impact_by_lang_source (1.3 s, rides the prewarmed session pair
+# (18.6 s — micro-batch machinery: the shared shard-rank cube
+# republishes per batch); events_user_deltapresence (1.9 s),
+# events_qi_generalization_ladder (2.2 s), and
+# dedup_impact_by_lang_source (1.4 s, rides the prewarmed session pair
 # stream) stay in the head.
 
 

@@ -220,6 +220,9 @@ EVENT_NAMES = [
                                  # the user-dimension-bounded state class
     "events_user_deltapresence",  # r10 staged: ONE (type, hour) fold with
                                  # two distinct-user counts (Expand)
+    "events_qi_generalization_ladder",  # r10 staged: in-row 3-rung
+                                 # explode + ONE (gran, type, cell)
+                                 # distinct-user fold
 ]
 
 

@@ -42,6 +42,12 @@ STAGED_R10_CAPS = {
                                           # cube parquet; per-batch folds
                                           # + the shared shard-rank cube
                                           # run inside foreachBatch
+    "events_qi_generalization_ladder": (1, 0),  # live plan reads the
+                                          # checkpointed (gran, type,
+                                          # cell) k frame: the 3-row
+                                          # rung fold (the in-row ladder
+                                          # explode + Expand distinct
+                                          # fold are paid at build)
 }
 
 
@@ -102,6 +108,38 @@ def test_deltapresence_buckets_partition_cells(spark, sf_dir_oracle):
         assert 0.0 < by["0<delta<0.5"].max_delta < 0.5
     if "0.5<=delta<1" in by:
         assert 0.5 <= by["0.5<=delta<1"].max_delta < 1.0
+
+
+def test_qi_ladder_monotone_and_consistent(spark, sf_dir_oracle):
+    """Coarser generalization can only merge cells: up the ladder
+    (hour -> 4hour -> day) the cell count is non-increasing, min cell
+    size is non-decreasing, and k>=K coverage (cell AND event share) is
+    non-decreasing; every rung accounts for the same event universe;
+    and the hour rung's k>=K cell count matches the registered
+    k-anonymity audit's bucket cube (same QI, same K boundary)."""
+    from traffic_data_pipeline_spark.plans.queries import QUERIES
+    from traffic_data_pipeline_spark.plans.staged_ops_r10 import QI_LADDER
+
+    rows = {r.qi_granularity: r
+            for r in STAGED_R10_QUERIES["events_qi_generalization_ladder"](
+                spark, sf_dir_oracle).collect()}
+    assert set(rows) == {g for g, _ in QI_LADDER}
+    ladder = [rows[g] for g, _ in QI_LADDER]  # fine -> coarse
+    assert len({r.n_events for r in ladder}) == 1
+    for fine, coarse in zip(ladder, ladder[1:]):
+        assert coarse.n_cells <= fine.n_cells
+        assert coarse.min_k >= fine.min_k
+        assert coarse.k5_cell_share >= fine.k5_cell_share
+        assert coarse.k5_event_share >= fine.k5_event_share
+    # hour rung == the registered k-anonymity audit's k>=5 universe
+    # (its buckets split at k=5: 'k=1' + '2<=k<5' below, the rest above)
+    kanon = QUERIES["events_user_kanonymity"](
+        spark, sf_dir_oracle).collect()
+    below = sum(r.n_cells for r in kanon
+                if r.anonymity_bucket in ("k=1", "2<=k<5"))
+    total = sum(r.n_cells for r in kanon)
+    assert rows["hour"].n_cells == total
+    assert rows["hour"].n_cells_k_ge_5 == total - below
 
 
 def test_joint_cell_folds_to_both_registered_marginals(

@@ -41,6 +41,10 @@ staging gaps, plus the conditional the judge stated):
   dedup, and the SHARED plan owner _rfm_cube_from_cust — after the
   final batch the published cube EQUALS the batch op on the full order
   history, whose DuckDB oracle is this op's oracle VERBATIM.
+- ``events_qi_generalization_ladder`` — the round-11 candidate built
+  early (the staging areas' established cadence): k-anonymity
+  re-audited at hour / 4-hour / day QI granularity, the
+  minimal-generalization decision table.
 """
 
 from __future__ import annotations
@@ -163,6 +167,96 @@ def q_events_user_deltapresence(spark: SparkSession,
                     F.round(F.col("n_cells").cast("double")
                             / F.col("n_cells_total"), 6)
                     .alias("cell_share")))
+
+
+# ---------------------------------------------------------------------------
+# events_qi_generalization_ladder — k-anonymity across QI granularities
+# ---------------------------------------------------------------------------
+
+# The generalization lattice rungs: epoch-floor window widths in seconds.
+# Epoch-floor truncation (floor(epoch/secs)) is engine-identical arithmetic
+# at every rung — date_trunc has no '4 hours' unit in either engine.
+QI_LADDER = [("hour", 3600), ("4hour", 14400), ("day", 86400)]
+QI_K = 5
+
+
+@staged_r10("events_qi_generalization_ladder", f"""
+WITH expanded AS (
+  SELECT g.gran, e.event_type, e.user_id,
+         CAST(FLOOR(epoch(e.ts) / g.secs) AS BIGINT) AS cell_ts
+  FROM events e,
+       (VALUES {", ".join(f"('{g}', {s})" for g, s in QI_LADDER)})
+         g(gran, secs)
+  WHERE e.user_id IS NOT NULL),
+cells AS (
+  SELECT gran, event_type, cell_ts,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS k,
+         CAST(COUNT(*) AS BIGINT) AS ne
+  FROM expanded GROUP BY 1, 2, 3)
+SELECT gran AS qi_granularity,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(ne) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN k >= {QI_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cells_k_ge_{QI_K},
+       ROUND(CAST(SUM(CASE WHEN k >= {QI_K} THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS k{QI_K}_cell_share,
+       ROUND(CAST(SUM(CASE WHEN k >= {QI_K} THEN ne ELSE 0 END) AS DOUBLE)
+             / SUM(ne), 6) AS k{QI_K}_event_share,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM cells GROUP BY 1
+""")
+def q_events_qi_generalization_ladder(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """k-anonymity re-audited across the QI generalization lattice
+    (hour → 4-hour → day) — the readout a release planner actually
+    chooses from (SURVEY.md §7's round-11 candidate, built early): the
+    registered events_user_kanonymity says the hour grain leaks (at
+    sf0.01 only 28% of events sit in k>={QI_K} cells); this ladder says
+    which COARSER time generalization first makes the release safe
+    (4-hour already covers 99.5%, day 100%) and what each rung costs in
+    temporal resolution. One row per rung: cell/event universe, the
+    k>={QI_K} cell and event coverage, and the min/max cell size —
+    the minimal-generalization decision in one table.
+
+    Determinism: the cell key is floor(epoch/width) — exact integer
+    arithmetic at every rung in both engines (no '4 hours' date_trunc
+    unit exists in either); counts exact, the two shares single
+    ROUND-6 divisions.
+
+    Scale shape: the |ladder|-way expansion is in-row (explode over a
+    3-element literal array), then ONE (gran, type, cell) fold with a
+    distinct-user count (map-side partials; keys 3 x calendar-bounded)
+    checkpointed for the 3-row rung fold. At 100 TB the distinct user
+    counts swap to the registered HLL sketch, same as the k-anonymity
+    cell fold.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull())
+    rungs = F.array(*[
+        F.struct(F.lit(g).alias("gran"),
+                 F.floor(F.unix_timestamp("ts") / F.lit(s))
+                 .cast("bigint").alias("cell_ts"))
+        for g, s in QI_LADDER])
+    cells = (ev.select("event_type", "user_id",
+                       F.explode(rungs).alias("r"))
+             .groupBy(F.col("r.gran").alias("gran"), "event_type",
+                      F.col("r.cell_ts").alias("cell_ts"))
+             .agg(F.countDistinct("user_id").cast("bigint").alias("k"),
+                  F.count(F.lit(1)).cast("bigint").alias("ne"))
+             .localCheckpoint(eager=True))  # the 3-row rung fold reads it
+    k_ok = F.when(F.col("k") >= QI_K, 1).otherwise(0)
+    return (cells.groupBy(F.col("gran").alias("qi_granularity"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+                 F.sum("ne").cast("bigint").alias("n_events"),
+                 F.sum(k_ok).cast("bigint").alias(f"n_cells_k_ge_{QI_K}"),
+                 F.round(F.sum(k_ok).cast("double") / F.count(F.lit(1)), 6)
+                 .alias(f"k{QI_K}_cell_share"),
+                 F.round(F.sum(k_ok * F.col("ne")).cast("double")
+                         / F.sum("ne"), 6)
+                 .alias(f"k{QI_K}_event_share"),
+                 F.min("k").cast("bigint").alias("min_k"),
+                 F.max("k").cast("bigint").alias("max_k")))
 
 
 # ---------------------------------------------------------------------------
