@@ -87,6 +87,28 @@ _EVENTS = [
     # rolling 24h: second event exactly 86400.000000s later (inclusive)
     (100090, "2024-02-04 03:00:00.000000", 9909, "view", 2.0),
     (100095, "2024-02-05 03:00:00.000000", 9909, "view", 3.0),
+    # delta-presence cohort band edge: value EXACTLY 50.0 is band 5
+    # (floor(50.0/10) — IN the DELTA_HIGH_BAND >= 5 cohort), 49.99 is
+    # band 4 (OUT); a fresh 2-user cell lands at pu=2, pr=1 — delta
+    # exactly 0.5, the 2*pr == pu tie between the '0<delta<0.5' and
+    # '0.5<=delta<1' buckets (a >= flip in one engine diverges here)
+    (200500, "2024-03-20 10:00:00.000000", 9912, "view", 50.0),
+    (200505, "2024-03-20 10:00:00.000000", 9913, "view", 49.99),
+    # QI cell with EXACTLY 5 distinct users: ON the k >= 5 edge — the
+    # generalization ladder counts it covered AND the k-anonymity cube's
+    # '2<=k<5' / '5<=k<10' bucket boundary (also l-diversity: five
+    # values in five distinct bands, l_values exactly 5 — the
+    # '2<=l<5' / '5<=l<10' edge)
+    (200510, "2024-03-21 10:00:00.000000", 9914, "view", 5.0),
+    (200515, "2024-03-21 10:00:00.000000", 9915, "view", 15.0),
+    (200520, "2024-03-21 10:00:00.000000", 9916, "view", 25.0),
+    (200525, "2024-03-21 10:00:00.000000", 9917, "view", 35.0),
+    (200530, "2024-03-21 10:00:00.000000", 9918, "view", 45.0),
+    # ... and a 4-user cell one short of the edge (OUT at k >= 5)
+    (200535, "2024-03-22 10:00:00.000000", 9919, "view", 5.0),
+    (200540, "2024-03-22 10:00:00.000000", 9920, "view", 15.0),
+    (200545, "2024-03-22 10:00:00.000000", 9921, "view", 25.0),
+    (200550, "2024-03-22 10:00:00.000000", 9922, "view", 35.0),
 ]
 
 _GRAM8 = "quark lepton boson gluon photon hadron meson baryon"
@@ -141,6 +163,24 @@ BOUNDARY_QUERIES = [
     "doc_chunk",              # 24- and 25-token docs at the stride edge
     "dedup_minhash_lsh",      # planted est_sim-exactly-0.5 pair
     "media_phash_dedup",      # planted hamming-exactly-3 pair
+    "events_user_kanonymity",  # planted exact-k=5 cell: the
+                              # '2<=k<5' / '5<=k<10' bucket edge
+    "events_user_ldiversity",  # same cell: five values in five distinct
+                              # bands — l_values exactly on the l=5 edge
+    "events_user_tcloseness",  # planted band-edge values (50.0 -> band
+                              # 5, 49.99 -> band 4) shift the corpus
+                              # and cell distributions identically in
+                              # both engines
+]
+
+# Staged (round-10) queries whose boundary constants the planted rows
+# exercise — same oracle compare, addressed through the staging dicts
+# until promotion folds them into the registry.
+STAGED_BOUNDARY_QUERIES = [
+    "events_user_deltapresence",       # planted 2*pr == pu tie cell +
+                                       # the 50.0/49.99 band edge pair
+    "events_qi_generalization_ladder",  # planted exact-k=5 hour cell
+                                       # ON the QI_K coverage edge
 ]
 
 
@@ -240,6 +280,44 @@ def bdir(tmp_path_factory):
 @pytest.mark.parametrize("name", BOUNDARY_QUERIES)
 def test_boundary_fixture_matches_oracle(spark, bdir, name):
     assert_matches_oracle(QUERIES[name](spark, bdir), ORACLES[name], bdir)
+
+
+@pytest.mark.parametrize("name", STAGED_BOUNDARY_QUERIES)
+def test_staged_boundary_fixture_matches_oracle(spark, bdir, name):
+    from traffic_data_pipeline_spark.plans.staged_ops_r10 import (
+        STAGED_R10_ORACLES,
+        STAGED_R10_QUERIES,
+    )
+
+    assert_matches_oracle(STAGED_R10_QUERIES[name](spark, bdir),
+                          STAGED_R10_ORACLES[name], bdir)
+
+
+def test_planted_delta_tie_and_k_edge_cells(spark, bdir):
+    """Fixture self-check: the planted delta cell really sits ON the
+    2*pr == pu tie, and the planted k cells really hold exactly 5 and 4
+    distinct users — so the oracle-equality tests above genuinely
+    exercise those edges rather than vacuously passing."""
+    from traffic_data_pipeline_spark.plans.staged_ops_r10 import (
+        DELTA_HIGH_BAND,
+    )
+
+    ev = spark.read.parquet(f"{bdir}/events.parquet")
+    high = (F.col("value").isNotNull()
+            & (F.floor(F.col("value") / 10.0).cast("int")
+               >= F.lit(DELTA_HIGH_BAND)))
+    cell = (ev.filter(F.col("ts").cast("string")
+                      .startswith("2024-03-20 10"))
+            .agg(F.countDistinct("user_id").alias("pu"),
+                 F.countDistinct(F.when(high, F.col("user_id")))
+                 .alias("pr"))
+            .collect()[0])
+    assert (cell.pu, cell.pr) == (2, 1)   # 2*pr == pu: the exact tie
+    k5 = (ev.filter(F.col("ts").cast("string").startswith("2024-03-21 10"))
+          .select("user_id").distinct().count())
+    k4 = (ev.filter(F.col("ts").cast("string").startswith("2024-03-22 10"))
+          .select("user_id").distinct().count())
+    assert (k5, k4) == (5, 4)
 
 
 def test_planted_session_semantics(spark, bdir):
