@@ -134,13 +134,14 @@ _COSTLY_TAIL = {
     "streaming_changepoint_monitor",
 }
 # Round-10 promotion note (for the next round's fold): by the
-# BENCH_STAGED_r09.json readout (4 staged ops, 24.1 s at sf0.1) the
-# staged name to queue into this tail is streaming_rfm_monitor
-# (18.6 s — micro-batch machinery: the shared shard-rank cube
-# republishes per batch); events_user_deltapresence (1.9 s),
-# events_qi_generalization_ladder (2.2 s), and
-# dedup_impact_by_lang_source (1.4 s, rides the prewarmed session pair
-# stream) stay in the head.
+# BENCH_STAGED_r09.json readout (5 staged ops, 42.7 s at sf0.1) the
+# staged names to queue into this tail are streaming_rfm_monitor
+# (20.3 s — micro-batch machinery: the shared shard-rank cube
+# republishes per batch) and streaming_deltapresence_monitor (15.4 s —
+# micro-batch machinery over the mergeable DISTINCT user-flag state);
+# events_user_deltapresence (2.3 s), events_qi_generalization_ladder
+# (2.4 s), and dedup_impact_by_lang_source (2.3 s, rides the prewarmed
+# session pair stream) stay in the head.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -223,6 +223,9 @@ EVENT_NAMES = [
     "events_qi_generalization_ladder",  # r10 staged: in-row 3-rung
                                  # explode + ONE (gran, type, cell)
                                  # distinct-user fold
+    "streaming_deltapresence_monitor",  # r10 staged: micro-batch DISTINCT
+                                 # (cell, user, flag) partials — exactly
+                                 # mergeable user-dimension state
 ]
 
 

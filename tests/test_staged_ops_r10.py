@@ -48,6 +48,11 @@ STAGED_R10_CAPS = {
                                           # rung fold (the in-row ladder
                                           # explode + Expand distinct
                                           # fold are paid at build)
+    "streaming_deltapresence_monitor": (0, 0),  # live plan reads the
+                                          # published cube parquet;
+                                          # per-batch distincts + the
+                                          # shared cell fold run inside
+                                          # foreachBatch
 }
 
 
@@ -176,6 +181,76 @@ def test_joint_cell_folds_to_both_registered_marginals(
               for r in QUERIES["dedup_impact_by_source"](
                   spark, sf_dir_oracle).collect()}
     assert {k: tuple(v) for k, v in fold(joint, "source").items()} == by_src
+
+
+def test_streaming_deltapresence_crash_replay_equals_batch(
+        spark, sf_dir_oracle, tmp_path):
+    """Stop/resume AND append-then-crash replay for the δ-presence
+    monitor: the published cube must equal the staged batch audit on
+    the full history, and a replay of the recorded last batch under its
+    recorded batchId must change nothing."""
+    from tests.streaming_replay import capturing, replay_last
+    from traffic_data_pipeline_spark.plans.queries import run_available_now
+    from traffic_data_pipeline_spark.plans.staged_ops_r10 import (
+        _delta_handle,
+        _delta_seed,
+    )
+    from traffic_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir_oracle, "events").select(
+        "event_id", "ts", "event_type", "user_id", "value")
+    src = str(tmp_path / "src")
+    state_dir = str(tmp_path / "state")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _delta_seed(spark, state_dir, out_dir)
+    handle = _delta_handle(spark, state_dir, out_dir)
+    recording_handle, batch_caps = capturing(handle, tmp_path)
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("ts timestamp, event_type string, "
+                          "user_id long, value double")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        run_available_now(
+            spark, "streaming_delta_test",
+            start=lambda: (stream.writeStream.foreachBatch(recording_handle)
+                           .option("checkpointLocation", ckpt)
+                           .trigger(availableNow=True).start()))
+
+    ev.filter(F.col("event_id") % 3 == 0) \
+        .select("ts", "event_type", "user_id", "value") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    mid = {r.delta_bucket: r.n_cells
+           for r in spark.read.parquet(out_dir).collect()}
+    for r in (1, 2):
+        ev.filter(F.col("event_id") % 3 == r) \
+            .select("ts", "event_type", "user_id", "value") \
+            .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    want = {(r.delta_bucket, r.n_cells, r.n_public_users,
+             r.n_private_users, r.max_delta, r.cell_share)
+            for r in STAGED_R10_QUERIES["events_user_deltapresence"](
+                spark, sf_dir_oracle).collect()}
+
+    def cube():
+        return {(r.delta_bucket, r.n_cells, r.n_public_users,
+                 r.n_private_users, r.max_delta, r.cell_share)
+                for r in spark.read.parquet(out_dir).collect()}
+
+    assert cube() == want
+    # the mid-stream snapshot was a genuinely partial-history cube
+    assert mid != {b: n for (b, n, _, _, _, _) in want}
+
+    # crash replay of the RECORDED last batch under its RECORDED batch_id
+    replay_last(spark, handle, batch_caps)
+    assert cube() == want
+    raw = spark.read.parquet(state_dir).count()
+    deduped = spark.read.parquet(state_dir).distinct().count()
+    assert raw > deduped  # the dedup is doing work, not vacuously passing
 
 
 def test_streaming_rfm_crash_replay_equals_batch(

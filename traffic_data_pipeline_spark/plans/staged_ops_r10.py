@@ -45,6 +45,10 @@ staging gaps, plus the conditional the judge stated):
   early (the staging areas' established cadence): k-anonymity
   re-audited at hour / 4-hour / day QI granularity, the
   minimal-generalization decision table.
+- ``streaming_deltapresence_monitor`` — the other round-11 candidate
+  built early: the δ-presence cube republished per micro-batch over
+  DISTINCT (cell, user, high-flag) state (exactly mergeable), shared
+  plan owners with the batch audit, batch oracle verbatim.
 """
 
 from __future__ import annotations
@@ -138,13 +142,38 @@ def q_events_user_deltapresence(spark: SparkSession,
     """
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull())
+    return _delta_cube_from_flags(_delta_user_flags(ev))
+
+
+def _delta_user_flags(ev: DataFrame) -> DataFrame:
+    """The (event_type, hr, user_id, is_high) projection of an event
+    frame — the op's mergeable intermediate: DISTINCT rows of this
+    projection union across any partition of the event history into the
+    full history's rows, which is what lets the streaming republisher
+    keep exactly this frame as batchId-stamped state. The batch op
+    feeds it straight into the cube (the countDistinct folds below
+    dedup anyway, so no explicit distinct is spent here)."""
     high = (F.col("value").isNotNull()
             & (F.floor(F.col("value") / 10.0).cast("int")
                >= F.lit(DELTA_HIGH_BAND)))
-    cells = (ev.groupBy("event_type",
-                        F.date_trunc("hour", F.col("ts")).alias("hr"))
+    return ev.select("event_type",
+                     F.date_trunc("hour", F.col("ts")).alias("hr"),
+                     "user_id", high.alias("is_high"))
+
+
+def _delta_cube_from_flags(flags: DataFrame) -> DataFrame:
+    """Shared plan owner for the δ-presence cube: the (type, hour) cell
+    fold (public users = all distinct, private = distinct with a high
+    flag) plus the exact-integer bucket cube, over the user-flag
+    projection. The staged batch query and the staged streaming
+    republisher both call this, so the cohort rule, bucket edges, and
+    share rounding cannot drift between forms. Duplicate (cell, user,
+    flag) rows — e.g. merged micro-batch partials — are harmless: both
+    counts are DISTINCT folds."""
+    cells = (flags.groupBy("event_type", "hr")
              .agg(F.countDistinct("user_id").cast("bigint").alias("pu"),
-                  F.countDistinct(F.when(high, F.col("user_id")))
+                  F.countDistinct(F.when(F.col("is_high"),
+                                         F.col("user_id")))
                   .cast("bigint").alias("pr"))
              .localCheckpoint(eager=True))  # bucket fold + total read it
     bucket = (F.when(F.col("pr") == 0, "delta=0")
@@ -167,6 +196,122 @@ def q_events_user_deltapresence(spark: SparkSession,
                     F.round(F.col("n_cells").cast("double")
                             / F.col("n_cells_total"), 6)
                     .alias("cell_share")))
+
+
+# ---------------------------------------------------------------------------
+# streaming_deltapresence_monitor — δ-presence republished per micro-batch
+# ---------------------------------------------------------------------------
+
+
+def _delta_seed(spark: SparkSession, state_dir: str, out_dir: str) -> None:
+    """Pre-seed the batchId-stamped user-flag state table and the
+    published-cube sink. State is the DISTINCT (cell, user, flag)
+    projection per batch — bounded by cells x users x 2, the
+    user-dimension state class the tail monitor established."""
+    spark.createDataFrame(
+        [], "event_type string, hr timestamp, user_id long, "
+            "is_high boolean, batch_id long"
+    ).write.mode("overwrite").parquet(state_dir)
+    spark.createDataFrame(
+        [], "delta_bucket string, n_cells bigint, n_public_users bigint, "
+            "n_private_users bigint, max_delta double, cell_share double"
+    ).write.mode("overwrite").parquet(out_dir)
+
+
+def _delta_handle(spark: SparkSession, state_dir: str, out_dir: str):
+    """The foreachBatch body, shared with the crash-replay test so the
+    tested handler IS the production handler."""
+    from traffic_data_pipeline_spark.plans.staged_ops_r8 import _stamp
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        part = (_delta_user_flags(
+            batch_df.filter(F.col("user_id").isNotNull())).distinct())
+        _stamp(part, batch_id).write.mode("append").parquet(state_dir)
+        # full-row DISTINCT collapses a crash-replay double-append (same
+        # batch_id, identical deterministic partials); the cube's own
+        # DISTINCT folds absorb cross-batch user repeats
+        merged = (spark.read.parquet(state_dir).distinct()
+                  .select("event_type", "hr", "user_id", "is_high"))
+        _delta_cube_from_flags(merged).write.mode("overwrite") \
+            .parquet(out_dir)
+
+    return handle
+
+
+@staged_r10("streaming_deltapresence_monitor")
+def q_streaming_deltapresence_monitor(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """events_user_deltapresence turned into the always-on monitoring
+    form — the streaming face of the privacy ladder's last rung (the
+    round-11 conditional SURVEY.md §7 names, met the moment a release
+    cadence goes continuous; built early under the staging areas'
+    established cadence): events arrive in micro-batches; each batch
+    lands its DISTINCT (cell, user, high-flag) projection batchId-
+    stamped, and the cube recomputes over the merged ACCUMULATED
+    projection — distinctness makes the state exactly mergeable, so
+    after the final batch the published cube EQUALS the batch op on the
+    full history, and the batch op's DuckDB oracle is this op's oracle
+    VERBATIM. Both forms share the plan owners _delta_user_flags /
+    _delta_cube_from_flags, so the cohort band rule and the
+    exact-integer bucket edges cannot drift between the nightly audit
+    and the monitor.
+
+    State is (cells x users x 2)-bounded — the user-dimension state
+    class of the tail monitor, honest for a user-grain audit — deduped
+    by full-row DISTINCT on replay, closing the at-least-once
+    foreachBatch caveat the standard way.
+
+    Scale shape: per batch, ONE map-side distinct of the batch
+    projection, then the shared cell fold on the accumulated frame; the
+    live registered plan just reads the published cube.
+    """
+    from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
+    from traffic_data_pipeline_spark.plans.queries import run_available_now
+
+    src = _delta_stream_dir(spark, sf_dir)
+    state_dir = scratch_dir(prefix="tdp_delta_state_")
+    out_dir = scratch_dir(prefix="tdp_delta_out_")
+    ckpt = scratch_dir(prefix="tdp_delta_ckpt_")
+
+    _delta_seed(spark, state_dir, out_dir)
+    handle = _delta_handle(spark, state_dir, out_dir)
+
+    stream = (spark.readStream
+              .schema("ts timestamp, event_type string, user_id long, "
+                      "value double")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src))
+    run_available_now(
+        spark, "streaming_deltapresence_monitor",
+        start=lambda: (stream.writeStream.foreachBatch(handle)
+                       .option("checkpointLocation", ckpt)
+                       .trigger(availableNow=True).start()))
+    return spark.read.parquet(out_dir).select(
+        "delta_bucket", "n_cells", "n_public_users", "n_private_users",
+        "max_delta", "cell_share")
+
+
+_DELTA_STREAM_CACHE: dict[str, str] = {}
+
+
+def _delta_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Landing zone for the value-carrying user-grain event stream:
+    three parquet files split by event_id residue so
+    maxFilesPerTrigger=1 yields three micro-batches (the
+    _tail_stream_dir pattern, with `value` kept — the δ cohort flag
+    needs the reading the tail zone drops)."""
+    if sf_dir not in _DELTA_STREAM_CACHE:
+        from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
+
+        src = scratch_dir(prefix="tdp_delta_stream_")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "user_id", "value")
+        for r in range(3):
+            ev.filter(F.col("event_id") % 3 == r) \
+                .select("ts", "event_type", "user_id", "value") \
+                .coalesce(1).write.mode("append").parquet(src)
+        _DELTA_STREAM_CACHE[sf_dir] = src
+    return _DELTA_STREAM_CACHE[sf_dir]
 
 
 # ---------------------------------------------------------------------------
@@ -484,6 +629,8 @@ def _late_bind_oracles() -> None:
         STAGED_R8_ORACLES["orders_rfm_segmentation"])
     STAGED_R10_ORACLES["dedup_impact_by_lang_source"] = (
         _dedup_impact_joint_oracle())
+    STAGED_R10_ORACLES["streaming_deltapresence_monitor"] = (
+        STAGED_R10_ORACLES["events_user_deltapresence"])
 
 
 _late_bind_oracles()
