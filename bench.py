@@ -153,10 +153,14 @@ def main() -> None:
 
     # The streaming family runs FIRST (VERDICT r5 ask #5): its per-batch
     # state-store IO is the suite's most disk-contention-sensitive cost,
-    # so it gets the lowest-ambient-load window of the run plus one extra
-    # pass; each pass's recentProgress batch durations land in
-    # BENCH_DETAIL so an inflated official number carries its own
-    # batch-level explanation.
+    # so it gets the lowest-ambient-load window of the run plus TWO extra
+    # passes (round 9: with the official min no longer repaired by the
+    # drift recheck, the state-store floor needs more chances — e.g.
+    # streaming_click_purchase's runs read [8.0, 5.3, 5.6, 2.6] in r8 and
+    # [11.2, 3.3, 2.8, 2.8, 2.8] on a quiet 5-pass session: the min
+    # reliably appears by pass 4, rarely by pass 3); each pass's
+    # recentProgress batch durations land in BENCH_DETAIL so an inflated
+    # official number carries its own batch-level explanation.
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (not kv[0].startswith("streaming_"),
                                      kv[0]))
@@ -164,7 +168,7 @@ def main() -> None:
         is_stream = name.startswith("streaming_")
         load1[name] = round(os.getloadavg()[0], 2)
         runs = []
-        for _ in range(passes + 1 if is_stream else passes):
+        for _ in range(passes + 2 if is_stream else passes):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
@@ -242,11 +246,12 @@ def main() -> None:
         "drift_rechecked": sorted(drift_recheck),
         "drift_confirmed": sorted(
             n for n, e in drift_recheck.items() if e["status"] == "confirmed"),
-        # streaming queries run one extra pass (lowest-ambient window);
-        # their runs arrays hold stream_passes entries, all others hold
+        # streaming queries run two extra passes (lowest-ambient window +
+        # the state-store floor needs more chances, see above); their
+        # runs arrays hold stream_passes entries, all others hold
         # exactly `passes` (ADVICE r8: the arrays are uniform per family
         # and rechecks are recorded only under drift_recheck)
-        "stream_passes": passes + 1,
+        "stream_passes": passes + 2,
     }
     # The per-query map is ~4 KB at 100+ queries and can overflow a
     # log-tail capture mid-line (BENCH_r02 recorded "parsed": null).
