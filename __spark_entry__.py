@@ -60,17 +60,18 @@ def _previously_checked() -> set[str]:
     return seen
 
 
-# Round-9 promotion (VERDICT r8 ask #1): plans/staged_ops_r9.py is folded
-# unconditionally into QUERIES/ORACLES (same tail-fold mechanism as
-# staged_ops.py / staged_ops_r6 / staged_ops_r7 / staged_ops_r8), adding
-# its 7 oracle-gated operators to the registry — 272 names total. With
-# the driver's cumulative record complete through round 8 (265/265), the
-# never-checked set this round is exactly these promotions — they fit the
-# ~50-row window with ~43 rows of headroom. Among the unchecked, the
-# per-query-costliest (streaming micro-batch machinery and the heavy
-# staged sets sized from the BENCH_STAGED readouts) queue LAST: if the
-# driver window is time-bounded this ordering maximizes rows drained per
-# round, and if it is count-bounded the order is neutral.
+# Round-10 promotion (VERDICT r9 ask #1): plans/staged_ops_r10.py is
+# folded unconditionally into QUERIES/ORACLES (same tail-fold mechanism
+# as staged_ops.py / staged_ops_r6 / staged_ops_r7 / staged_ops_r8 /
+# staged_ops_r9), adding its 5 oracle-gated operators to the registry —
+# 277 names total. With the driver's cumulative record complete through
+# round 9 (272/272), the never-checked set this round is exactly these
+# promotions — they fit the ~50-row window with ~45 rows of headroom.
+# Among the unchecked, the per-query-costliest (streaming micro-batch
+# machinery and the heavy staged sets sized from the BENCH_STAGED
+# readouts) queue LAST: if the driver window is time-bounded this
+# ordering maximizes rows drained per round, and if it is count-bounded
+# the order is neutral.
 _COSTLY_TAIL = {
     "streaming_sessionize",
     "streaming_static_enrich",
@@ -132,16 +133,17 @@ _COSTLY_TAIL = {
     # session CC table is prewarmed like the pair stream it rides)
     "streaming_tailindex_monitor",
     "streaming_changepoint_monitor",
+    # heavy round-10 staged promotions, by the BENCH_STAGED_r09.json
+    # readout (5 staged ops, 42.7 s at sf0.1): micro-batch machinery
+    # (streaming_rfm_monitor 20.3 s — the shared shard-rank cube
+    # republishes per batch; streaming_deltapresence_monitor 15.4 s —
+    # mergeable DISTINCT user-flag state); the remaining three
+    # (events_user_deltapresence 2.3 s, events_qi_generalization_ladder
+    # 2.4 s, dedup_impact_by_lang_source 2.3 s riding the prewarmed
+    # session pair stream) stay in the head
+    "streaming_rfm_monitor",
+    "streaming_deltapresence_monitor",
 }
-# Round-10 promotion note (for the next round's fold): by the
-# BENCH_STAGED_r09.json readout (5 staged ops, 42.7 s at sf0.1) the
-# staged names to queue into this tail are streaming_rfm_monitor
-# (20.3 s — micro-batch machinery: the shared shard-rank cube
-# republishes per batch) and streaming_deltapresence_monitor (15.4 s —
-# micro-batch machinery over the mergeable DISTINCT user-flag state);
-# events_user_deltapresence (2.3 s), events_qi_generalization_ladder
-# (2.4 s), and dedup_impact_by_lang_source (2.3 s, rides the prewarmed
-# session pair stream) stay in the head.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -164,9 +164,23 @@ def main() -> None:
     ordered = sorted(QUERIES.items(),
                      key=lambda kv: (not kv[0].startswith("streaming_"),
                                      kv[0]))
+    stream_warmup: dict[str, float] = {}
     for name, fn in ordered:
         is_stream = name.startswith("streaming_")
         load1[name] = round(os.getloadavg()[0], 2)
+        if is_stream:
+            # Discarded warm-up pass (VERDICT r9 ask #2 option (a)):
+            # a streaming query's FIRST pass pays one-time cold costs the
+            # production form never re-pays — checkpoint-dir creation,
+            # state-store provider init, landing-zone listing — and in
+            # two independent r9 sessions the min-of-4 still failed to
+            # shed them for streaming_minhash_index (official ~15 s vs
+            # 6-7 s warm). The warm-up is NOT in runs/min; it is recorded
+            # separately in BENCH_DETAIL so the shed cost stays visible.
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            stream_warmup[name] = round(time.perf_counter() - t0, 3)
+            release()
         runs = []
         for _ in range(passes + 2 if is_stream else passes):
             t0 = time.perf_counter()
@@ -232,6 +246,24 @@ def main() -> None:
             entry["status"] = "recovered"
         drift_recheck[name] = entry
 
+    # Floor estimate (VERDICT r9 ask #2 option (b) + "what's wrong" #3):
+    # the official number stays the untouched min-of-N, but an ambient-
+    # load spike that hits every recorded pass leaves the official
+    # overstating a query whose recheck found the true floor (r9:
+    # streaming_minhash_index official ~15 s, rechecks 6-10 s, in two
+    # independent sessions). floor_estimate folds every timing the suite
+    # actually observed for the query — recorded passes AND any drift
+    # rechecks — into one honest lower bound, and suite_floor_estimate
+    # sums it as the load-qualified companion aggregate. Clearly
+    # NON-OFFICIAL: it mixes pass counts per query, so round-over-round
+    # comparisons still read the official min / per-query ratios.
+    floor_estimate = {
+        name: min([timings[name]]
+                  + [e[k] for e in [drift_recheck.get(name)] if e
+                     for k in ("recheck", "recheck2") if k in e])
+        for name in timings
+    }
+
     loads = sorted(load1.values())
     out = {
         "metric": "suite_runtime",
@@ -252,6 +284,10 @@ def main() -> None:
         # exactly `passes` (ADVICE r8: the arrays are uniform per family
         # and rechecks are recorded only under drift_recheck)
         "stream_passes": passes + 2,
+        # NON-OFFICIAL companion (see floor_estimate above): sum of each
+        # query's min over every observed timing (recorded + rechecks).
+        # The official `value` is the sum of untouched min-of-N.
+        "suite_floor_estimate": round(sum(floor_estimate.values()), 3),
     }
     # The per-query map is ~4 KB at 100+ queries and can overflow a
     # log-tail capture mid-line (BENCH_r02 recorded "parsed": null).
@@ -271,6 +307,8 @@ def main() -> None:
     detail["load1"] = load1            # 1-min loadavg sampled per query
     detail["streaming_batches"] = stream_batches  # per-pass batch timings
     detail["drift_recheck"] = drift_recheck  # both numbers per >1.5x drifter
+    detail["stream_warmup"] = stream_warmup  # discarded cold pass, per stream
+    detail["floor_estimate"] = floor_estimate  # NON-OFFICIAL, see above
     for path in (detail_path, f"{root}{stamp}{ext or '.json'}"):
         try:
             with open(path, "w") as fh:

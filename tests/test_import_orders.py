@@ -39,10 +39,10 @@ MODULES = [
                        # imports r8 (whose tail fold imports queries)
                        # BEFORE its own tail fold — importing it FIRST
                        # must still complete the registry
-    "staged_ops_r10",  # frozen (no fold), but its oracle late-binding
-                       # imports r8 (whose tail fold imports queries) —
-                       # importing it FIRST must still complete the
-                       # registry
+    "staged_ops_r10",  # promoted round 10; its oracle late-binding
+                       # imports r8 (whose tail fold imports queries)
+                       # BEFORE its own tail fold — importing it FIRST
+                       # must still complete the registry
     "oracle_ctes",
 ]
 

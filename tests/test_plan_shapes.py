@@ -644,6 +644,33 @@ CAPS = {
                                          # per-source fold (in-row token
                                          # counts, no explode); the
                                          # 1-row normalizer broadcast
+    # --- round-10 promotions (moved here from tests/test_staged_ops_r10.py
+    # at promotion time, per the documented path) ---
+    "events_user_deltapresence": (2, 1),  # live plan reads the
+                                         # checkpointed (pu, pr) cell
+                                         # frame: the 4-row bucket fold
+                                         # + cell-total broadcast (the
+                                         # Expand multi-distinct cell
+                                         # fold is paid at build)
+    "dedup_impact_by_lang_source": (3, 1),  # rides the cached pair
+                                         # stream; ONE removed-id
+                                         # distinct (broadcast back) +
+                                         # ONE (lang, source) fold
+    "streaming_rfm_monitor": (0, 0),     # live plan reads the published
+                                         # cube parquet; per-batch folds
+                                         # + the shared shard-rank cube
+                                         # run inside foreachBatch
+    "events_qi_generalization_ladder": (1, 0),  # live plan reads the
+                                         # checkpointed (gran, type,
+                                         # cell) k frame: the 3-row
+                                         # rung fold (the in-row ladder
+                                         # explode + Expand distinct
+                                         # fold are paid at build)
+    "streaming_deltapresence_monitor": (0, 0),  # live plan reads the
+                                         # published cube parquet;
+                                         # per-batch distincts + the
+                                         # shared cell fold run inside
+                                         # foreachBatch
 }
 
 

@@ -1,8 +1,10 @@
 """Oracle gate + semantic checks for the round-10 staging area
 (plans/staged_ops_r10.py) — the same query-vs-oracle compare every
-registered query passes, run BEFORE these names enter the driver
-registry, plus a freeze guard pinning that they stay out of it this
-round (the round-9 promotion backlog drains first)."""
+registered query passes, first run BEFORE these names entered the
+driver registry, kept after the round-10 promotion (the gate addresses
+each op by its staged name), plus the promotion check pinning that
+every staged r10 op is registered under the same function object and
+oracle."""
 
 from __future__ import annotations
 
@@ -24,60 +26,27 @@ def test_staged_r10_matches_oracle(spark, sf_dir_oracle, name):
         STAGED_R10_ORACLES[name], sf_dir_oracle)
 
 
-# Exchange budgets (the test_plan_shapes contract, applied at staging
-# time): (max hash exchanges, min broadcast exchanges) in the live plan
-# at the smoke fixture. Fold into tests/test_plan_shapes.py at promotion.
-STAGED_R10_CAPS = {
-    "events_user_deltapresence": (2, 1),  # live plan reads the
-                                          # checkpointed (pu, pr) cell
-                                          # frame: the 4-row bucket fold
-                                          # + cell-total broadcast (the
-                                          # Expand multi-distinct cell
-                                          # fold is paid at build)
-    "dedup_impact_by_lang_source": (3, 1),  # rides the cached pair
-                                          # stream; ONE removed-id
-                                          # distinct (broadcast back) +
-                                          # ONE (lang, source) fold
-    "streaming_rfm_monitor": (0, 0),      # live plan reads the published
-                                          # cube parquet; per-batch folds
-                                          # + the shared shard-rank cube
-                                          # run inside foreachBatch
-    "events_qi_generalization_ladder": (1, 0),  # live plan reads the
-                                          # checkpointed (gran, type,
-                                          # cell) k frame: the 3-row
-                                          # rung fold (the in-row ladder
-                                          # explode + Expand distinct
-                                          # fold are paid at build)
-    "streaming_deltapresence_monitor": (0, 0),  # live plan reads the
-                                          # published cube parquet;
-                                          # per-batch distincts + the
-                                          # shared cell fold run inside
-                                          # foreachBatch
-}
+# Exchange budgets live in tests/test_plan_shapes.py CAPS
+# (moved at promotion time, per the documented round-10 path); the oracle
+# gate above still addresses each op by its staged name.
 
 
-@pytest.mark.parametrize("name", sorted(STAGED_R10_CAPS))
-def test_staged_r10_exchange_budget(spark, sf_dir, name):
-    from tests import test_plan_shapes as shapes
-
-    max_exch, min_bcast = STAGED_R10_CAPS[name]
-    exch, bcast = shapes._count_live(STAGED_R10_QUERIES[name](spark, sf_dir))
-    assert exch <= max_exch, (
-        f"{name}: {exch} hash exchanges (cap {max_exch})")
-    assert bcast >= min_bcast, (
-        f"{name}: {bcast} broadcast exchanges (expected >= {min_bcast})")
-
-
-def test_staged_r10_names_not_registered():
-    """Round-9 registration freeze: round-10 staged ops must not leak
-    into the driver registry until the round-9 promotion backlog drains
-    and round 10 promotes them."""
+def test_staged_r10_names_promoted():
+    """Round-10 promotion check (VERDICT r9 ask #1, flipped from the
+    round-9 freeze guard): every staged r10 op is registered in the
+    driver registry under the SAME function object and oracle, every
+    one carries a DuckDB oracle, and every one has an exchange cap in
+    tests/test_plan_shapes.py."""
     import __spark_entry__ as e
+    from tests.test_plan_shapes import CAPS
 
-    live = set(e.queries())
-    assert set(STAGED_R10_QUERIES).isdisjoint(live)
+    live = e.queries()
+    oracles = e.oracle_sql()
     assert set(STAGED_R10_ORACLES) == set(STAGED_R10_QUERIES)
-    assert set(STAGED_R10_CAPS) == set(STAGED_R10_QUERIES)
+    for name, fn in STAGED_R10_QUERIES.items():
+        assert live[name] is fn, name
+        assert oracles[name] == STAGED_R10_ORACLES[name], name
+        assert name in CAPS, name
 
 
 def test_deltapresence_buckets_partition_cells(spark, sf_dir_oracle):
@@ -134,7 +103,13 @@ def test_qi_ladder_monotone_and_consistent(spark, sf_dir_oracle):
     for fine, coarse in zip(ladder, ladder[1:]):
         assert coarse.n_cells <= fine.n_cells
         assert coarse.min_k >= fine.min_k
-        assert coarse.k5_cell_share >= fine.k5_cell_share
+        # NOT asserted: k5_cell_share monotonicity. Unlike event share
+        # (a theorem — an event in a k>=5 fine cell stays in a k>=5
+        # coarse cell), CELL share can legitimately drop up the ladder:
+        # nine k>=5 hour cells merging into one good day cell while a
+        # lone k=1 hour cell stays its own bad day cell takes the share
+        # from 0.9 to 0.5. It happens to hold on the current fixture
+        # but is fixture-specific, not a pin (ADVICE r9).
         assert coarse.k5_event_share >= fine.k5_event_share
     # hour rung == the registered k-anonymity audit's k>=5 universe
     # (its buckets split at k=5: 'k=1' + '2<=k<5' below, the rest above)

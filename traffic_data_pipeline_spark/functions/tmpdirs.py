@@ -12,6 +12,7 @@ registered queries."""
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 
@@ -22,6 +23,27 @@ def scratch_dir(prefix: str) -> str:
     d = tempfile.mkdtemp(prefix=prefix)
     _CREATED.append(d)
     return d
+
+
+def cached_dir_valid(cache: dict, key) -> bool:
+    """True iff ``cache[key]`` names a directory that still exists.
+
+    The landing-zone builders memoize their scratch path per sf_dir for
+    the process lifetime; if the tmpdir is cleaned underneath them (an
+    external tmp reaper, a scratch sweep between long-session phases)
+    the cached path dangles and every later call in the same process
+    fails on a missing read. This guard drops the dangling entry so the
+    caller rebuilds instead (ADVICE r9). A vanished dir is removed from
+    the cache here; re-validating existence per call is one stat against
+    a parquet write the miss path would pay anyway.
+    """
+    d = cache.get(key)
+    if d is None:
+        return False
+    if os.path.isdir(d):
+        return True
+    del cache[key]
+    return False
 
 
 @atexit.register

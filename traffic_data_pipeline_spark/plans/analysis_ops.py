@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from traffic_data_pipeline_spark.functions.tmpdirs import cached_dir_valid
 from traffic_data_pipeline_spark.functions.text import ngram_array, token_array
 from traffic_data_pipeline_spark.operators.rangejoin import overlap_join
 from traffic_data_pipeline_spark.plans.queries import register
@@ -927,7 +928,7 @@ def _session_events_dir(spark: SparkSession, sf_dir: str) -> str:
     queries.stream_source_dir). Built once per sf_dir per process."""
     from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
 
-    if sf_dir not in _SESS_SRC_CACHE:
+    if not cached_dir_valid(_SESS_SRC_CACHE, sf_dir):
         src = scratch_dir(prefix="tdp_sess_events_")
         ev = load_table(spark, sf_dir, "events").select(
             "user_id", "ts", "value")
@@ -1704,7 +1705,7 @@ def _csv_events_dir(spark: SparkSession, sf_dir: str) -> str:
     as decimal(18,6) strings so the text round-trip is exact."""
     from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
 
-    if sf_dir not in _CSV_SRC_CACHE:
+    if not cached_dir_valid(_CSV_SRC_CACHE, sf_dir):
         src = scratch_dir(prefix="tdp_csv_events_")
         ev = load_table(spark, sf_dir, "events")
         lines = ev.select(

@@ -8,7 +8,7 @@ Registered into the same QUERIES/ORACLES dicts as plans/queries.py.
 
 from __future__ import annotations
 
-from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
+from traffic_data_pipeline_spark.functions.tmpdirs import cached_dir_valid, scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -956,7 +956,7 @@ def media_source_dir(spark: SparkSession, sf_dir: str) -> str:
     work: in production media arrives once and is stored as parquet binary
     columns; queries read that. bench.py pre-builds this in warmup for the
     same reason it pre-builds the streaming landing zone."""
-    if sf_dir not in _MEDIA_SRC_CACHE:
+    if not cached_dir_valid(_MEDIA_SRC_CACHE, sf_dir):
         from traffic_data_pipeline_spark.multimodal.media import attach_media
 
         src = scratch_dir(prefix="tdp_media_src_")

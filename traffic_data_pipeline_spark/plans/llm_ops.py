@@ -10,7 +10,7 @@ value-hash is bit-stable across engines.
 
 from __future__ import annotations
 
-from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
+from traffic_data_pipeline_spark.functions.tmpdirs import cached_dir_valid, scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -430,7 +430,7 @@ def _dup_events_dir(spark: SparkSession, sf_dir: str) -> str:
     """Landing zone simulating at-least-once delivery: every 5th event is
     delivered twice. Built once per sf_dir per process (ingest-side setup,
     like queries.stream_source_dir)."""
-    if sf_dir not in _DUP_EVENTS_CACHE:
+    if not cached_dir_valid(_DUP_EVENTS_CACHE, sf_dir):
         src = scratch_dir(prefix="tdp_dup_events_")
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "event_type", "value")
@@ -892,7 +892,7 @@ _EVENTS_STREAM_CACHE: dict[str, str] = {}
 def _events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     """Plain events landing zone for stream-stream queries (ingest-side
     setup, memoized per sf_dir like _dup_events_dir)."""
-    if sf_dir not in _EVENTS_STREAM_CACHE:
+    if not cached_dir_valid(_EVENTS_STREAM_CACHE, sf_dir):
         src = scratch_dir(prefix="tdp_events_stream_")
         load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "user_id", "event_type", "value"

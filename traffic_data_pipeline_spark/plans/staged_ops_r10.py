@@ -1,20 +1,18 @@
-"""Round-10 staging area: operators implemented and oracle-gated NOW but
-intentionally NOT registered, honoring the registration freeze until the
-round-9 promotion (7 staged r9 ops) drains through the driver's
-CORRECTNESS window.
-
-Same contract as the five promoted staging areas (plans/staged_ops.py,
-plans/staged_ops_r6.py, plans/staged_ops_r7.py, plans/staged_ops_r8.py,
-plans/staged_ops_r9.py): each op is a Spark callable
+"""Round-10 staging area, PROMOTED in round 10 (VERDICT r9 ask #1):
+these five operators were built and oracle-gated in round 9 behind the
+registration freeze (the round-9 promotion backlog drained through the
+driver's CORRECTNESS window first) and are now folded unconditionally
+into the live registry by the tail fold below — the same mechanical
+promotion path as plans/staged_ops.py, plans/staged_ops_r6.py,
+plans/staged_ops_r7.py, plans/staged_ops_r8.py, and
+plans/staged_ops_r9.py: each op is a Spark callable
 ``(spark, sf_dir) -> DataFrame`` plus a DuckDB oracle string with
-matching column names, so the round-10 promotion is the same mechanical
-fold — add the tail fold here, import this module at the end of
-plans/queries.py, move STAGED_R10_CAPS into tests/test_plan_shapes.py,
-flip the freeze test into a promotion check, and queue the
-BENCH_STAGED-costly names into ``__spark_entry__._COSTLY_TAIL``.
-tests/test_staged_ops_r10.py runs the identical query-vs-oracle gate at
-sf0.01, pins exchange caps, and a freeze-guard test pins that none of
-these names leaks into ``__spark_entry__.queries()`` this round.
+matching column names; exchange caps moved into
+tests/test_plan_shapes.py; the round-9 freeze guard in
+tests/test_staged_ops_r10.py flipped into a promotion check; and the
+BENCH_STAGED_r09-costly names (streaming_rfm_monitor 20.3 s,
+streaming_deltapresence_monitor 15.4 s) queued into
+``__spark_entry__._COSTLY_TAIL``.
 
 Operator set (VERDICT r8 "What's missing" #2 — the named round-10
 staging gaps, plus the conditional the judge stated):
@@ -58,6 +56,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from traffic_data_pipeline_spark.functions.tmpdirs import cached_dir_valid
 from traffic_data_pipeline_spark.sources.tables import load_table
 
 STAGED_R10_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -222,18 +221,25 @@ def _delta_handle(spark: SparkSession, state_dir: str, out_dir: str):
     """The foreachBatch body, shared with the crash-replay test so the
     tested handler IS the production handler."""
     from traffic_data_pipeline_spark.plans.staged_ops_r8 import _stamp
+    from traffic_data_pipeline_spark.streaming.batch_scope import (
+        scoped_local_checkpoints,
+    )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        part = (_delta_user_flags(
-            batch_df.filter(F.col("user_id").isNotNull())).distinct())
-        _stamp(part, batch_id).write.mode("append").parquet(state_dir)
-        # full-row DISTINCT collapses a crash-replay double-append (same
-        # batch_id, identical deterministic partials); the cube's own
-        # DISTINCT folds absorb cross-batch user repeats
-        merged = (spark.read.parquet(state_dir).distinct()
-                  .select("event_type", "hr", "user_id", "is_high"))
-        _delta_cube_from_flags(merged).write.mode("overwrite") \
-            .parquet(out_dir)
+        # scoped: the cube's per-batch localCheckpoint (the cell frame in
+        # _delta_cube_from_flags) frees its blocks once the cube is
+        # published — always-on memory stays bounded by one batch
+        with scoped_local_checkpoints(spark):
+            part = (_delta_user_flags(
+                batch_df.filter(F.col("user_id").isNotNull())).distinct())
+            _stamp(part, batch_id).write.mode("append").parquet(state_dir)
+            # full-row DISTINCT collapses a crash-replay double-append
+            # (same batch_id, identical deterministic partials); the
+            # cube's own DISTINCT folds absorb cross-batch user repeats
+            merged = (spark.read.parquet(state_dir).distinct()
+                      .select("event_type", "hr", "user_id", "is_high"))
+            _delta_cube_from_flags(merged).write.mode("overwrite") \
+                .parquet(out_dir)
 
     return handle
 
@@ -300,7 +306,7 @@ def _delta_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     maxFilesPerTrigger=1 yields three micro-batches (the
     _tail_stream_dir pattern, with `value` kept — the δ cohort flag
     needs the reading the tail zone drops)."""
-    if sf_dir not in _DELTA_STREAM_CACHE:
+    if not cached_dir_valid(_DELTA_STREAM_CACHE, sf_dir):
         from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
 
         src = scratch_dir(prefix="tdp_delta_stream_")
@@ -516,31 +522,40 @@ def _rfm_handle(spark: SparkSession, state_dir: str, out_dir: str):
         _rfm_cube_from_cust,
         _stamp,
     )
+    from traffic_data_pipeline_spark.streaming.batch_scope import (
+        scoped_local_checkpoints,
+    )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        part = (batch_df
-                .groupBy("o_custkey")
-                .agg(F.to_date(F.max("o_orderdate")).alias("last_d"),
-                     F.count(F.lit(1)).cast("long").alias("frequency"),
-                     F.sum(F.round(F.col("o_totalprice") * 100)
-                           .cast("bigint")).cast("long").alias("cents")))
-        _stamp(part, batch_id).write.mode("append").parquet(state_dir)
-        # full-row DISTINCT collapses a crash-replay double-append (same
-        # batch_id, identical deterministic partials) before the merge;
-        # max/sum/sum merge the per-batch partials exactly
-        merged = (spark.read.parquet(state_dir).distinct()
-                  .groupBy("o_custkey")
-                  .agg(F.max("last_d").alias("last_d"),
-                       F.sum("frequency").cast("bigint").alias("frequency"),
-                       F.sum("cents").cast("bigint").alias("cents")))
-        mx = merged.agg(F.max("last_d").alias("mxd"))
-        cust = (merged.crossJoin(F.broadcast(mx))
-                .select("o_custkey",
-                        F.datediff(F.col("mxd"), F.col("last_d"))
-                        .alias("recency_days"),
-                        "frequency", "cents")
-                .localCheckpoint(eager=True))
-        _rfm_cube_from_cust(cust).write.mode("overwrite").parquet(out_dir)
+        # scoped: the per-batch localCheckpoints (cust below, plus
+        # _shard_rank's inside the shared cube) free their blocks once
+        # the cube is published — always-on memory stays batch-bounded
+        with scoped_local_checkpoints(spark):
+            part = (batch_df
+                    .groupBy("o_custkey")
+                    .agg(F.to_date(F.max("o_orderdate")).alias("last_d"),
+                         F.count(F.lit(1)).cast("long").alias("frequency"),
+                         F.sum(F.round(F.col("o_totalprice") * 100)
+                               .cast("bigint")).cast("long").alias("cents")))
+            _stamp(part, batch_id).write.mode("append").parquet(state_dir)
+            # full-row DISTINCT collapses a crash-replay double-append
+            # (same batch_id, identical deterministic partials) before the
+            # merge; max/sum/sum merge the per-batch partials exactly
+            merged = (spark.read.parquet(state_dir).distinct()
+                      .groupBy("o_custkey")
+                      .agg(F.max("last_d").alias("last_d"),
+                           F.sum("frequency").cast("bigint")
+                           .alias("frequency"),
+                           F.sum("cents").cast("bigint").alias("cents")))
+            mx = merged.agg(F.max("last_d").alias("mxd"))
+            cust = (merged.crossJoin(F.broadcast(mx))
+                    .select("o_custkey",
+                            F.datediff(F.col("mxd"), F.col("last_d"))
+                            .alias("recency_days"),
+                            "frequency", "cents")
+                    .localCheckpoint(eager=True))
+            _rfm_cube_from_cust(cust).write.mode("overwrite") \
+                .parquet(out_dir)
 
     return handle
 
@@ -552,7 +567,7 @@ def _rfm_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     """Landing zone for the customer-grain order stream: three parquet
     files split by o_orderkey residue so maxFilesPerTrigger=1 yields
     three micro-batches (the _tail_stream_dir pattern on orders)."""
-    if sf_dir not in _RFM_STREAM_CACHE:
+    if not cached_dir_valid(_RFM_STREAM_CACHE, sf_dir):
         from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
 
         src = scratch_dir(prefix="tdp_rfm_stream_")
@@ -634,3 +649,29 @@ def _late_bind_oracles() -> None:
 
 
 _late_bind_oracles()
+
+
+# ---------------------------------------------------------------------------
+# Round-10 promotion fold (VERDICT r9 ask #1). Runs at the END of the module
+# body so every @staged_r10 registration above is complete before the live
+# registry absorbs it, in EVERY import order (the staged_ops/staged_ops_r6/
+# staged_ops_r7/staged_ops_r8/staged_ops_r9 fold contract: when queries.py
+# is imported first, its bottom import of this module executes this whole
+# fold before queries.py finishes; when this module is imported first, the
+# fold's own `from plans.queries import ...` below fully executes
+# queries.py — whose tail imports are side-effect imports that skip the
+# in-progress import of THIS module via sys.modules — and control returns
+# here to fold the by-then-complete dicts. Both paths end with the same
+# registry; the update is idempotent if both run.)
+# ---------------------------------------------------------------------------
+from traffic_data_pipeline_spark.plans.queries import (  # noqa: E402
+    ORACLES as _LIVE_ORACLES,
+    QUERIES as _LIVE_QUERIES,
+)
+
+_collide = {n for n in set(_LIVE_QUERIES) & set(STAGED_R10_QUERIES)
+            if _LIVE_QUERIES[n] is not STAGED_R10_QUERIES[n]}
+if _collide:  # not assert: must survive python -O
+    raise RuntimeError(f"staged r10 names collide with registry: {_collide}")
+_LIVE_QUERIES.update(STAGED_R10_QUERIES)
+_LIVE_ORACLES.update(STAGED_R10_ORACLES)

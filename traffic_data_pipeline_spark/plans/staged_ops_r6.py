@@ -58,6 +58,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from traffic_data_pipeline_spark.functions.tmpdirs import cached_dir_valid
 from traffic_data_pipeline_spark.functions.similarity import DOT_DECIMAL
 from traffic_data_pipeline_spark.sources.tables import load_table
 
@@ -1318,7 +1319,7 @@ def _funnel_events_dir(spark: SparkSession, sf_dir: str) -> str:
     from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
     from traffic_data_pipeline_spark.plans.analysis_ops import FLUSH_USER
 
-    if sf_dir not in _FUNNEL_SRC_CACHE:
+    if not cached_dir_valid(_FUNNEL_SRC_CACHE, sf_dir):
         src = scratch_dir(prefix="tdp_funnel_events_")
         ev = load_table(spark, sf_dir, "events").select(
             "user_id", "ts", "event_type")

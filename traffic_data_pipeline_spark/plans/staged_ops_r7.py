@@ -97,6 +97,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from traffic_data_pipeline_spark.functions.tmpdirs import cached_dir_valid
 from traffic_data_pipeline_spark.functions.similarity import DOT_DECIMAL
 from traffic_data_pipeline_spark.plans.oracle_ctes import (
     _MH_PAIRS_CTE,
@@ -1190,7 +1191,7 @@ def _minhash_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     doc_id residue, so maxFilesPerTrigger=1 yields three micro-batches.
     Built once per sf_dir per process (ingest-side setup, the
     _dup_events_dir pattern)."""
-    if sf_dir not in _MINHASH_STREAM_CACHE:
+    if not cached_dir_valid(_MINHASH_STREAM_CACHE, sf_dir):
         from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
 
         src = scratch_dir(prefix="tdp_mh_stream_")
@@ -3050,7 +3051,7 @@ def _ewma_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     event_id residue so maxFilesPerTrigger=1 yields three micro-batches
     (the _minhash_stream_dir pattern). Only (ts, event_type) lands —
     the level maintenance needs nothing else."""
-    if sf_dir not in _EWMA_STREAM_CACHE:
+    if not cached_dir_valid(_EWMA_STREAM_CACHE, sf_dir):
         from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
 
         src = scratch_dir(prefix="tdp_ewma_stream_")

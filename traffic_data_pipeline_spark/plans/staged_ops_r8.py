@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from traffic_data_pipeline_spark.functions.tmpdirs import cached_dir_valid
 from traffic_data_pipeline_spark.sources.tables import load_table
 
 STAGED_R8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -175,7 +176,7 @@ def _emb_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     """Landing zone for the embedding stream: three parquet files split
     by vec_id residue so maxFilesPerTrigger=1 yields three micro-batches
     (the _minhash_stream_dir pattern)."""
-    if sf_dir not in _EMB_STREAM_CACHE:
+    if not cached_dir_valid(_EMB_STREAM_CACHE, sf_dir):
         from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
 
         src = scratch_dir(prefix="tdp_emb_stream_")

@@ -65,6 +65,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from traffic_data_pipeline_spark.functions.tmpdirs import cached_dir_valid
 from traffic_data_pipeline_spark.sources.tables import load_table
 
 STAGED_R9_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -492,21 +493,29 @@ def _changepoint_handle(spark: SparkSession, state_dir: str, out_dir: str):
         _changepoint_from_daily,
         _stamp,
     )
+    from traffic_data_pipeline_spark.streaming.batch_scope import (
+        scoped_local_checkpoints,
+    )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        part = (batch_df
-                .groupBy("event_type",
-                         F.to_date(F.date_trunc("day", F.col("ts")))
-                         .alias("day"))
-                .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
-        _stamp(part, batch_id).write.mode("append").parquet(state_dir)
-        # full-row DISTINCT collapses a crash-replay double-append (same
-        # batch_id, identical deterministic partials) before the sum
-        daily = (spark.read.parquet(state_dir).distinct()
-                 .groupBy("event_type", "day")
-                 .agg(F.sum("y").cast("bigint").alias("y")))
-        _changepoint_from_daily(daily).write.mode("overwrite") \
-            .parquet(out_dir)
+        # scoped: any per-batch localCheckpoint (none today — the owner
+        # plan is checkpoint-free; the guard keeps the monitor contract
+        # uniform) frees its blocks once the report is published
+        with scoped_local_checkpoints(spark):
+            part = (batch_df
+                    .groupBy("event_type",
+                             F.to_date(F.date_trunc("day", F.col("ts")))
+                             .alias("day"))
+                    .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
+            _stamp(part, batch_id).write.mode("append").parquet(state_dir)
+            # full-row DISTINCT collapses a crash-replay double-append
+            # (same batch_id, identical deterministic partials) before
+            # the sum
+            daily = (spark.read.parquet(state_dir).distinct()
+                     .groupBy("event_type", "day")
+                     .agg(F.sum("y").cast("bigint").alias("y")))
+            _changepoint_from_daily(daily).write.mode("overwrite") \
+                .parquet(out_dir)
 
     return handle
 
@@ -682,18 +691,26 @@ def _tailindex_handle(spark: SparkSession, state_dir: str, out_dir: str):
         _stamp,
         _tail_index_from_counts,
     )
+    from traffic_data_pipeline_spark.streaming.batch_scope import (
+        scoped_local_checkpoints,
+    )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        part = (batch_df
-                .groupBy("event_type", "user_id")
-                .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
-        _stamp(part, batch_id).write.mode("append").parquet(state_dir)
-        # full-row DISTINCT collapses a crash-replay double-append (same
-        # batch_id, identical deterministic partials) before the sum
-        uc = (spark.read.parquet(state_dir).distinct()
-              .groupBy("event_type", "user_id")
-              .agg(F.sum("c").cast("bigint").alias("c")))
-        _tail_index_from_counts(uc).write.mode("overwrite").parquet(out_dir)
+        # scoped: _tail_index_from_counts's per-batch localCheckpoint
+        # frees its blocks once the report is published (batch_scope)
+        with scoped_local_checkpoints(spark):
+            part = (batch_df
+                    .groupBy("event_type", "user_id")
+                    .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+            _stamp(part, batch_id).write.mode("append").parquet(state_dir)
+            # full-row DISTINCT collapses a crash-replay double-append
+            # (same batch_id, identical deterministic partials) before
+            # the sum
+            uc = (spark.read.parquet(state_dir).distinct()
+                  .groupBy("event_type", "user_id")
+                  .agg(F.sum("c").cast("bigint").alias("c")))
+            _tail_index_from_counts(uc).write.mode("overwrite") \
+                .parquet(out_dir)
 
     return handle
 
@@ -756,7 +773,7 @@ def _tail_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     split by event_id residue so maxFilesPerTrigger=1 yields three
     micro-batches (the _ewma_stream_dir pattern, with user_id kept —
     the tail monitor needs the user grain the EWMA zone drops)."""
-    if sf_dir not in _TAIL_STREAM_CACHE:
+    if not cached_dir_valid(_TAIL_STREAM_CACHE, sf_dir):
         from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
 
         src = scratch_dir(prefix="tdp_tail_stream_")
