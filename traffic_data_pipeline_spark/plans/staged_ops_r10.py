@@ -207,14 +207,17 @@ def _delta_seed(spark: SparkSession, state_dir: str, out_dir: str) -> None:
     published-cube sink. State is the DISTINCT (cell, user, flag)
     projection per batch — bounded by cells x users x 2, the
     user-dimension state class the tail monitor established."""
-    spark.createDataFrame(
-        [], "event_type string, hr timestamp, user_id long, "
-            "is_high boolean, batch_id long"
-    ).write.mode("overwrite").parquet(state_dir)
-    spark.createDataFrame(
-        [], "delta_bucket string, n_cells bigint, n_public_users bigint, "
-            "n_private_users bigint, max_delta double, cell_share double"
-    ).write.mode("overwrite").parquet(out_dir)
+    from traffic_data_pipeline_spark.streaming.monitor_contract import (
+        seed_parquet,
+    )
+
+    seed_parquet(
+        spark,
+        (state_dir, "event_type string, hr timestamp, user_id long, "
+                    "is_high boolean, batch_id long"),
+        (out_dir, "delta_bucket string, n_cells bigint, "
+                  "n_public_users bigint, n_private_users bigint, "
+                  "max_delta double, cell_share double"))
 
 
 def _delta_handle(spark: SparkSession, state_dir: str, out_dir: str):
@@ -272,7 +275,9 @@ def q_streaming_deltapresence_monitor(spark: SparkSession,
     live registered plan just reads the published cube.
     """
     from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
-    from traffic_data_pipeline_spark.plans.queries import run_available_now
+    from traffic_data_pipeline_spark.streaming.monitor_contract import (
+        run_monitor,
+    )
 
     src = _delta_stream_dir(spark, sf_dir)
     state_dir = scratch_dir(prefix="tdp_delta_state_")
@@ -282,16 +287,9 @@ def q_streaming_deltapresence_monitor(spark: SparkSession,
     _delta_seed(spark, state_dir, out_dir)
     handle = _delta_handle(spark, state_dir, out_dir)
 
-    stream = (spark.readStream
-              .schema("ts timestamp, event_type string, user_id long, "
-                      "value double")
-              .option("maxFilesPerTrigger", 1)
-              .parquet(src))
-    run_available_now(
-        spark, "streaming_deltapresence_monitor",
-        start=lambda: (stream.writeStream.foreachBatch(handle)
-                       .option("checkpointLocation", ckpt)
-                       .trigger(availableNow=True).start()))
+    run_monitor(spark, "streaming_deltapresence_monitor", src,
+                "ts timestamp, event_type string, user_id long, "
+                "value double", handle, ckpt)
     return spark.read.parquet(out_dir).select(
         "delta_bucket", "n_cells", "n_public_users", "n_private_users",
         "max_delta", "cell_share")
@@ -301,23 +299,17 @@ _DELTA_STREAM_CACHE: dict[str, str] = {}
 
 
 def _delta_stream_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Landing zone for the value-carrying user-grain event stream:
-    three parquet files split by event_id residue so
-    maxFilesPerTrigger=1 yields three micro-batches (the
-    _tail_stream_dir pattern, with `value` kept — the δ cohort flag
-    needs the reading the tail zone drops)."""
-    if not cached_dir_valid(_DELTA_STREAM_CACHE, sf_dir):
-        from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
+    """Landing zone for the value-carrying user-grain event stream
+    (monitor_contract.residue_landing_zone on event_id, with `value`
+    kept — the δ cohort flag needs the reading the tail zone drops)."""
+    from traffic_data_pipeline_spark.streaming.monitor_contract import (
+        residue_landing_zone,
+    )
 
-        src = scratch_dir(prefix="tdp_delta_stream_")
-        ev = load_table(spark, sf_dir, "events").select(
-            "event_id", "ts", "event_type", "user_id", "value")
-        for r in range(3):
-            ev.filter(F.col("event_id") % 3 == r) \
-                .select("ts", "event_type", "user_id", "value") \
-                .coalesce(1).write.mode("append").parquet(src)
-        _DELTA_STREAM_CACHE[sf_dir] = src
-    return _DELTA_STREAM_CACHE[sf_dir]
+    return residue_landing_zone(
+        spark, _DELTA_STREAM_CACHE, sf_dir, "tdp_delta_stream_",
+        load_table(spark, sf_dir, "events"), "event_id",
+        ["ts", "event_type", "user_id", "value"])
 
 
 # ---------------------------------------------------------------------------
@@ -505,14 +497,16 @@ def _rfm_seed(spark: SparkSession, state_dir: str, out_dir: str) -> None:
     published-cube sink. State is CUSTOMER-dimension-bounded — one
     partial (last_d, frequency, cents) row per (batch, customer), the
     same honest state class as the tail monitor's user grain."""
-    spark.createDataFrame(
-        [], "o_custkey long, last_d date, frequency long, cents long, "
-            "batch_id long"
-    ).write.mode("overwrite").parquet(state_dir)
-    spark.createDataFrame(
-        [], "r_score int, f_score int, m_score int, n_customers bigint, "
-            "monetary_cents bigint"
-    ).write.mode("overwrite").parquet(out_dir)
+    from traffic_data_pipeline_spark.streaming.monitor_contract import (
+        seed_parquet,
+    )
+
+    seed_parquet(
+        spark,
+        (state_dir, "o_custkey long, last_d date, frequency long, "
+                    "cents long, batch_id long"),
+        (out_dir, "r_score int, f_score int, m_score int, "
+                  "n_customers bigint, monetary_cents bigint"))
 
 
 def _rfm_handle(spark: SparkSession, state_dir: str, out_dir: str):
@@ -564,21 +558,16 @@ _RFM_STREAM_CACHE: dict[str, str] = {}
 
 
 def _rfm_stream_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Landing zone for the customer-grain order stream: three parquet
-    files split by o_orderkey residue so maxFilesPerTrigger=1 yields
-    three micro-batches (the _tail_stream_dir pattern on orders)."""
-    if not cached_dir_valid(_RFM_STREAM_CACHE, sf_dir):
-        from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
+    """Landing zone for the customer-grain order stream
+    (monitor_contract.residue_landing_zone on o_orderkey)."""
+    from traffic_data_pipeline_spark.streaming.monitor_contract import (
+        residue_landing_zone,
+    )
 
-        src = scratch_dir(prefix="tdp_rfm_stream_")
-        od = load_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
-        for r in range(3):
-            od.filter(F.col("o_orderkey") % 3 == r) \
-                .select("o_custkey", "o_orderdate", "o_totalprice") \
-                .coalesce(1).write.mode("append").parquet(src)
-        _RFM_STREAM_CACHE[sf_dir] = src
-    return _RFM_STREAM_CACHE[sf_dir]
+    return residue_landing_zone(
+        spark, _RFM_STREAM_CACHE, sf_dir, "tdp_rfm_stream_",
+        load_table(spark, sf_dir, "orders"), "o_orderkey",
+        ["o_custkey", "o_orderdate", "o_totalprice"])
 
 
 @staged_r10("streaming_rfm_monitor")
@@ -608,7 +597,9 @@ def q_streaming_rfm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     state; the live registered plan just reads the published cube.
     """
     from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
-    from traffic_data_pipeline_spark.plans.queries import run_available_now
+    from traffic_data_pipeline_spark.streaming.monitor_contract import (
+        run_monitor,
+    )
 
     src = _rfm_stream_dir(spark, sf_dir)
     state_dir = scratch_dir(prefix="tdp_rfm_state_")
@@ -618,16 +609,9 @@ def q_streaming_rfm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     _rfm_seed(spark, state_dir, out_dir)
     handle = _rfm_handle(spark, state_dir, out_dir)
 
-    stream = (spark.readStream
-              .schema("o_custkey long, o_orderdate timestamp, "
-                      "o_totalprice double")
-              .option("maxFilesPerTrigger", 1)
-              .parquet(src))
-    run_available_now(
-        spark, "streaming_rfm_monitor",
-        start=lambda: (stream.writeStream.foreachBatch(handle)
-                       .option("checkpointLocation", ckpt)
-                       .trigger(availableNow=True).start()))
+    run_monitor(spark, "streaming_rfm_monitor", src,
+                "o_custkey long, o_orderdate timestamp, "
+                "o_totalprice double", handle, ckpt)
     return spark.read.parquet(out_dir).select(
         "r_score", "f_score", "m_score", "n_customers", "monetary_cents")
 

@@ -1191,16 +1191,14 @@ def _minhash_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     doc_id residue, so maxFilesPerTrigger=1 yields three micro-batches.
     Built once per sf_dir per process (ingest-side setup, the
     _dup_events_dir pattern)."""
-    if not cached_dir_valid(_MINHASH_STREAM_CACHE, sf_dir):
-        from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
+    from traffic_data_pipeline_spark.streaming.monitor_contract import (
+        residue_landing_zone,
+    )
 
-        src = scratch_dir(prefix="tdp_mh_stream_")
-        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        for r in range(3):
-            docs.filter(F.col("doc_id") % 3 == r).coalesce(1) \
-                .write.mode("append").parquet(src)
-        _MINHASH_STREAM_CACHE[sf_dir] = src
-    return _MINHASH_STREAM_CACHE[sf_dir]
+    return residue_landing_zone(
+        spark, _MINHASH_STREAM_CACHE, sf_dir, "tdp_mh_stream_",
+        load_table(spark, sf_dir, "documents"), "doc_id",
+        ["doc_id", "text"])
 
 
 @staged_r7("streaming_minhash_index", f"""
@@ -1243,7 +1241,9 @@ def q_streaming_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     count / 8 from the signatures both sides carry.
     """
     from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
-    from traffic_data_pipeline_spark.plans.queries import run_available_now
+    from traffic_data_pipeline_spark.streaming.monitor_contract import (
+        run_monitor,
+    )
 
     src = _minhash_stream_dir(spark, sf_dir)
     index_dir = scratch_dir(prefix="tdp_mh_index_")
@@ -1253,20 +1253,15 @@ def q_streaming_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     _minhash_seed(spark, index_dir, pair_dir)
     handle = _minhash_handle(spark, index_dir, pair_dir)
 
-    stream = (spark.readStream
-              .schema("doc_id long, text string")
-              .option("maxFilesPerTrigger", 1)
-              .parquet(src))
-    run_available_now(
-        spark, "streaming_minhash_index",
-        start=lambda: (stream.writeStream.foreachBatch(handle)
-                       .option("checkpointLocation", ckpt)
-                       .trigger(availableNow=True).start()))
+    run_monitor(spark, "streaming_minhash_index", src,
+                "doc_id long, text string", handle, ckpt)
     return _minhash_pairs(spark, pair_dir)
 
 
-def _stamp(df: DataFrame, batch_id: int) -> DataFrame:
-    return df.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+# the batchId stamp lives in the shared monitor contract since round 10
+from traffic_data_pipeline_spark.streaming.monitor_contract import (  # noqa: E402
+    stamp as _stamp,
+)
 
 
 def _minhash_seed(spark: SparkSession, index_dir: str,
@@ -3051,18 +3046,14 @@ def _ewma_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     event_id residue so maxFilesPerTrigger=1 yields three micro-batches
     (the _minhash_stream_dir pattern). Only (ts, event_type) lands —
     the level maintenance needs nothing else."""
-    if not cached_dir_valid(_EWMA_STREAM_CACHE, sf_dir):
-        from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
+    from traffic_data_pipeline_spark.streaming.monitor_contract import (
+        residue_landing_zone,
+    )
 
-        src = scratch_dir(prefix="tdp_ewma_stream_")
-        ev = load_table(spark, sf_dir, "events").select(
-            "event_id", "ts", "event_type")
-        for r in range(3):
-            ev.filter(F.col("event_id") % 3 == r).select(
-                "ts", "event_type").coalesce(1) \
-                .write.mode("append").parquet(src)
-        _EWMA_STREAM_CACHE[sf_dir] = src
-    return _EWMA_STREAM_CACHE[sf_dir]
+    return residue_landing_zone(
+        spark, _EWMA_STREAM_CACHE, sf_dir, "tdp_ewma_stream_",
+        load_table(spark, sf_dir, "events"), "event_id",
+        ["ts", "event_type"])
 
 
 @staged_r7("streaming_ewma_level", STAGED_R7_ORACLES["events_ewma_forecast"])
@@ -3097,7 +3088,9 @@ def q_streaming_ewma_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     the live registered plan just reads the published levels.
     """
     from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
-    from traffic_data_pipeline_spark.plans.queries import run_available_now
+    from traffic_data_pipeline_spark.streaming.monitor_contract import (
+        run_monitor,
+    )
 
     src = _ewma_stream_dir(spark, sf_dir)
     state_dir = scratch_dir(prefix="tdp_ewma_state_")
@@ -3107,15 +3100,8 @@ def q_streaming_ewma_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ewma_seed(spark, state_dir, level_dir)
     handle = _ewma_handle(spark, state_dir, level_dir)
 
-    stream = (spark.readStream
-              .schema("ts timestamp, event_type string")
-              .option("maxFilesPerTrigger", 1)
-              .parquet(src))
-    run_available_now(
-        spark, "streaming_ewma_level",
-        start=lambda: (stream.writeStream.foreachBatch(handle)
-                       .option("checkpointLocation", ckpt)
-                       .trigger(availableNow=True).start()))
+    run_monitor(spark, "streaming_ewma_level", src,
+                "ts timestamp, event_type string", handle, ckpt)
     return spark.read.parquet(level_dir).select(
         "event_type", "n_days", "last_day_count",
         "ewma_fast", "ewma_slow", "momentum")
@@ -3123,13 +3109,15 @@ def q_streaming_ewma_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ewma_seed(spark: SparkSession, state_dir: str, level_dir: str) -> None:
     """Pre-seed the batch_id-stamped state table and the level sink."""
-    spark.createDataFrame(
-        [], "event_type string, day date, y long, batch_id long"
-    ).write.mode("overwrite").parquet(state_dir)
-    spark.createDataFrame(
-        [], "event_type string, n_days long, last_day_count long, "
-            "ewma_fast double, ewma_slow double, momentum double"
-    ).write.mode("overwrite").parquet(level_dir)
+    from traffic_data_pipeline_spark.streaming.monitor_contract import (
+        seed_parquet,
+    )
+
+    seed_parquet(
+        spark,
+        (state_dir, "event_type string, day date, y long, batch_id long"),
+        (level_dir, "event_type string, n_days long, last_day_count long, "
+                    "ewma_fast double, ewma_slow double, momentum double"))
 
 
 def _ewma_handle(spark: SparkSession, state_dir: str, level_dir: str):

@@ -65,8 +65,12 @@ def staged_r8(name: str, oracle: str | None = None):
     return deco
 
 
-def _stamp(df: DataFrame, batch_id: int) -> DataFrame:
-    return df.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+# the batchId stamp lives in the shared monitor contract since round 10;
+# the _stamp name stays — every later staged module and the replay tests
+# import it from here
+from traffic_data_pipeline_spark.streaming.monitor_contract import (  # noqa: E402
+    stamp as _stamp,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -78,13 +82,15 @@ def _conformal_seed(spark: SparkSession, state_dir: str,
                     out_dir: str) -> None:
     """Pre-seed the batchId-stamped (type, day) state table and the
     published-intervals sink."""
-    spark.createDataFrame(
-        [], "event_type string, day date, y long, batch_id long"
-    ).write.mode("overwrite").parquet(state_dir)
-    spark.createDataFrame(
-        [], "event_type string, n_train long, n_cal long, n_eval long, "
-            "qhat double, coverage double"
-    ).write.mode("overwrite").parquet(out_dir)
+    from traffic_data_pipeline_spark.streaming.monitor_contract import (
+        seed_parquet,
+    )
+
+    seed_parquet(
+        spark,
+        (state_dir, "event_type string, day date, y long, batch_id long"),
+        (out_dir, "event_type string, n_train long, n_cal long, "
+                  "n_eval long, qhat double, coverage double"))
 
 
 def _conformal_handle(spark: SparkSession, state_dir: str, out_dir: str):
@@ -139,9 +145,11 @@ def q_streaming_conformal_monitor(spark: SparkSession,
     frame; the live registered plan just reads the published intervals.
     """
     from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
-    from traffic_data_pipeline_spark.plans.queries import run_available_now
     from traffic_data_pipeline_spark.plans.staged_ops_r7 import (
         _ewma_stream_dir,
+    )
+    from traffic_data_pipeline_spark.streaming.monitor_contract import (
+        run_monitor,
     )
 
     src = _ewma_stream_dir(spark, sf_dir)
@@ -152,15 +160,8 @@ def q_streaming_conformal_monitor(spark: SparkSession,
     _conformal_seed(spark, state_dir, out_dir)
     handle = _conformal_handle(spark, state_dir, out_dir)
 
-    stream = (spark.readStream
-              .schema("ts timestamp, event_type string")
-              .option("maxFilesPerTrigger", 1)
-              .parquet(src))
-    run_available_now(
-        spark, "streaming_conformal_monitor",
-        start=lambda: (stream.writeStream.foreachBatch(handle)
-                       .option("checkpointLocation", ckpt)
-                       .trigger(availableNow=True).start()))
+    run_monitor(spark, "streaming_conformal_monitor", src,
+                "ts timestamp, event_type string", handle, ckpt)
     return spark.read.parquet(out_dir).select(
         "event_type", "n_train", "n_cal", "n_eval", "qhat", "coverage")
 
@@ -173,31 +174,29 @@ _EMB_STREAM_CACHE: dict[str, str] = {}
 
 
 def _emb_stream_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Landing zone for the embedding stream: three parquet files split
-    by vec_id residue so maxFilesPerTrigger=1 yields three micro-batches
-    (the _minhash_stream_dir pattern)."""
-    if not cached_dir_valid(_EMB_STREAM_CACHE, sf_dir):
-        from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
+    """Landing zone for the embedding stream
+    (monitor_contract.residue_landing_zone on vec_id)."""
+    from traffic_data_pipeline_spark.streaming.monitor_contract import (
+        residue_landing_zone,
+    )
 
-        src = scratch_dir(prefix="tdp_emb_stream_")
-        emb = load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", "embedding")
-        for r in range(3):
-            emb.filter(F.col("vec_id") % 3 == r).coalesce(1) \
-                .write.mode("append").parquet(src)
-        _EMB_STREAM_CACHE[sf_dir] = src
-    return _EMB_STREAM_CACHE[sf_dir]
+    return residue_landing_zone(
+        spark, _EMB_STREAM_CACHE, sf_dir, "tdp_emb_stream_",
+        load_table(spark, sf_dir, "embeddings"), "vec_id",
+        ["vec_id", "embedding"])
 
 
 def _ivf_seed(spark: SparkSession, index_dir: str, report_dir: str) -> None:
     """Pre-seed the batchId-stamped assignment table and the report."""
-    spark.createDataFrame(
-        [], "vec_id long, centroid_id long, batch_id long"
-    ).write.mode("overwrite").parquet(index_dir)
-    spark.createDataFrame(
-        [], "centroid_id long, n_assigned long, share double, "
-            "imbalance double"
-    ).write.mode("overwrite").parquet(report_dir)
+    from traffic_data_pipeline_spark.streaming.monitor_contract import (
+        seed_parquet,
+    )
+
+    seed_parquet(
+        spark,
+        (index_dir, "vec_id long, centroid_id long, batch_id long"),
+        (report_dir, "centroid_id long, n_assigned long, share double, "
+                     "imbalance double"))
 
 
 def _ivf_handle(spark: SparkSession, cents: DataFrame, index_dir: str,
@@ -284,7 +283,9 @@ def q_streaming_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered.
     """
     from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
-    from traffic_data_pipeline_spark.plans.queries import run_available_now
+    from traffic_data_pipeline_spark.streaming.monitor_contract import (
+        run_monitor,
+    )
 
     src = _emb_stream_dir(spark, sf_dir)
     index_dir = scratch_dir(prefix="tdp_ivf_index_")
@@ -296,15 +297,8 @@ def q_streaming_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ivf_seed(spark, index_dir, report_dir)
     handle = _ivf_handle(spark, cents, index_dir, report_dir)
 
-    stream = (spark.readStream
-              .schema("vec_id long, embedding array<float>")
-              .option("maxFilesPerTrigger", 1)
-              .parquet(src))
-    run_available_now(
-        spark, "streaming_ivf_index",
-        start=lambda: (stream.writeStream.foreachBatch(handle)
-                       .option("checkpointLocation", ckpt)
-                       .trigger(availableNow=True).start()))
+    run_monitor(spark, "streaming_ivf_index", src,
+                "vec_id long, embedding array<float>", handle, ckpt)
     out = spark.read.parquet(report_dir).select(
         "centroid_id", "n_assigned", "share", "imbalance")
     cents.unpersist()
@@ -1447,9 +1441,12 @@ def _pq_sub_spread(df: DataFrame) -> DataFrame:
 
 
 def _pq_seed(spark: SparkSession, code_dir: str) -> None:
-    spark.createDataFrame(
-        [], "vec_id long, m int, code long, batch_id long"
-    ).write.mode("overwrite").parquet(code_dir)
+    from traffic_data_pipeline_spark.streaming.monitor_contract import (
+        seed_parquet,
+    )
+
+    seed_parquet(spark, (code_dir,
+                         "vec_id long, m int, code long, batch_id long"))
 
 
 def _pq_handle(spark: SparkSession, cent: DataFrame, code_dir: str):
@@ -1501,8 +1498,10 @@ def q_streaming_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes per vector). Nothing joins corpus x corpus.
     """
     from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
-    from traffic_data_pipeline_spark.plans.queries import run_available_now
     from traffic_data_pipeline_spark.plans.staged_ops import PQ_K
+    from traffic_data_pipeline_spark.streaming.monitor_contract import (
+        run_monitor,
+    )
 
     src = _emb_stream_dir(spark, sf_dir)
     code_dir = scratch_dir(prefix="tdp_pqc_codes_")
@@ -1518,15 +1517,8 @@ def q_streaming_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pq_seed(spark, code_dir)
     handle = _pq_handle(spark, cent, code_dir)
 
-    stream = (spark.readStream
-              .schema("vec_id long, embedding array<float>")
-              .option("maxFilesPerTrigger", 1)
-              .parquet(src))
-    run_available_now(
-        spark, "streaming_pq_codes",
-        start=lambda: (stream.writeStream.foreachBatch(handle)
-                       .option("checkpointLocation", ckpt)
-                       .trigger(availableNow=True).start()))
+    run_monitor(spark, "streaming_pq_codes", src,
+                "vec_id long, embedding array<float>", handle, ckpt)
     out = (spark.read.parquet(code_dir).distinct()
            .select("vec_id", "m", "code"))
     cent.unpersist()

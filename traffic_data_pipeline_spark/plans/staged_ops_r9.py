@@ -477,13 +477,15 @@ def _changepoint_seed(spark: SparkSession, state_dir: str,
     """Pre-seed the batchId-stamped (type, day) state table and the
     published-report sink (the _conformal_seed contract — the state
     schema is IDENTICAL, only the published frame differs)."""
-    spark.createDataFrame(
-        [], "event_type string, day date, y long, batch_id long"
-    ).write.mode("overwrite").parquet(state_dir)
-    spark.createDataFrame(
-        [], "event_type string, change_d int, score double, "
-            "mean_before double, mean_after double"
-    ).write.mode("overwrite").parquet(out_dir)
+    from traffic_data_pipeline_spark.streaming.monitor_contract import (
+        seed_parquet,
+    )
+
+    seed_parquet(
+        spark,
+        (state_dir, "event_type string, day date, y long, batch_id long"),
+        (out_dir, "event_type string, change_d int, score double, "
+                  "mean_before double, mean_after double"))
 
 
 def _changepoint_handle(spark: SparkSession, state_dir: str, out_dir: str):
@@ -548,9 +550,11 @@ def q_streaming_changepoint_monitor(spark: SparkSession,
     frame; the live registered plan just reads the published report.
     """
     from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
-    from traffic_data_pipeline_spark.plans.queries import run_available_now
     from traffic_data_pipeline_spark.plans.staged_ops_r7 import (
         _ewma_stream_dir,
+    )
+    from traffic_data_pipeline_spark.streaming.monitor_contract import (
+        run_monitor,
     )
 
     src = _ewma_stream_dir(spark, sf_dir)
@@ -561,15 +565,8 @@ def q_streaming_changepoint_monitor(spark: SparkSession,
     _changepoint_seed(spark, state_dir, out_dir)
     handle = _changepoint_handle(spark, state_dir, out_dir)
 
-    stream = (spark.readStream
-              .schema("ts timestamp, event_type string")
-              .option("maxFilesPerTrigger", 1)
-              .parquet(src))
-    run_available_now(
-        spark, "streaming_changepoint_monitor",
-        start=lambda: (stream.writeStream.foreachBatch(handle)
-                       .option("checkpointLocation", ckpt)
-                       .trigger(availableNow=True).start()))
+    run_monitor(spark, "streaming_changepoint_monitor", src,
+                "ts timestamp, event_type string", handle, ckpt)
     return spark.read.parquet(out_dir).select(
         "event_type", "change_d", "score", "mean_before", "mean_after")
 
@@ -675,13 +672,16 @@ def _tailindex_seed(spark: SparkSession, state_dir: str,
     WAU-stream state class, one partial count row per (batch, type,
     user) — not calendar-bounded like the conformal/changepoint
     monitors; that is the honest cost of a user-grain statistic."""
-    spark.createDataFrame(
-        [], "event_type string, user_id long, c long, batch_id long"
-    ).write.mode("overwrite").parquet(state_dir)
-    spark.createDataFrame(
-        [], "event_type string, n_users bigint, k_used bigint, "
-            "x_cut bigint, hill_alpha double"
-    ).write.mode("overwrite").parquet(out_dir)
+    from traffic_data_pipeline_spark.streaming.monitor_contract import (
+        seed_parquet,
+    )
+
+    seed_parquet(
+        spark,
+        (state_dir, "event_type string, user_id long, c long, "
+                    "batch_id long"),
+        (out_dir, "event_type string, n_users bigint, k_used bigint, "
+                  "x_cut bigint, hill_alpha double"))
 
 
 def _tailindex_handle(spark: SparkSession, state_dir: str, out_dir: str):
@@ -742,7 +742,9 @@ def q_streaming_tailindex_monitor(spark: SparkSession,
     report.
     """
     from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
-    from traffic_data_pipeline_spark.plans.queries import run_available_now
+    from traffic_data_pipeline_spark.streaming.monitor_contract import (
+        run_monitor,
+    )
 
     src = _tail_stream_dir(spark, sf_dir)
     state_dir = scratch_dir(prefix="tdp_tail_state_")
@@ -752,15 +754,9 @@ def q_streaming_tailindex_monitor(spark: SparkSession,
     _tailindex_seed(spark, state_dir, out_dir)
     handle = _tailindex_handle(spark, state_dir, out_dir)
 
-    stream = (spark.readStream
-              .schema("ts timestamp, event_type string, user_id long")
-              .option("maxFilesPerTrigger", 1)
-              .parquet(src))
-    run_available_now(
-        spark, "streaming_tailindex_monitor",
-        start=lambda: (stream.writeStream.foreachBatch(handle)
-                       .option("checkpointLocation", ckpt)
-                       .trigger(availableNow=True).start()))
+    run_monitor(spark, "streaming_tailindex_monitor", src,
+                "ts timestamp, event_type string, user_id long",
+                handle, ckpt)
     return spark.read.parquet(out_dir).select(
         "event_type", "n_users", "k_used", "x_cut", "hill_alpha")
 
@@ -769,22 +765,18 @@ _TAIL_STREAM_CACHE: dict[str, str] = {}
 
 
 def _tail_stream_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Landing zone for the user-grain event stream: three parquet files
-    split by event_id residue so maxFilesPerTrigger=1 yields three
-    micro-batches (the _ewma_stream_dir pattern, with user_id kept —
-    the tail monitor needs the user grain the EWMA zone drops)."""
-    if not cached_dir_valid(_TAIL_STREAM_CACHE, sf_dir):
-        from traffic_data_pipeline_spark.functions.tmpdirs import scratch_dir
+    """Landing zone for the user-grain event stream
+    (monitor_contract.residue_landing_zone on event_id, with user_id
+    kept — the tail monitor needs the user grain the EWMA zone
+    drops)."""
+    from traffic_data_pipeline_spark.streaming.monitor_contract import (
+        residue_landing_zone,
+    )
 
-        src = scratch_dir(prefix="tdp_tail_stream_")
-        ev = load_table(spark, sf_dir, "events").select(
-            "event_id", "ts", "event_type", "user_id")
-        for r in range(3):
-            ev.filter(F.col("event_id") % 3 == r) \
-                .select("ts", "event_type", "user_id") \
-                .coalesce(1).write.mode("append").parquet(src)
-        _TAIL_STREAM_CACHE[sf_dir] = src
-    return _TAIL_STREAM_CACHE[sf_dir]
+    return residue_landing_zone(
+        spark, _TAIL_STREAM_CACHE, sf_dir, "tdp_tail_stream_",
+        load_table(spark, sf_dir, "events"), "event_id",
+        ["ts", "event_type", "user_id"])
 
 
 def _late_bind_oracles() -> None:
