@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
-"""Timing probe for the CURRENT staging area (round 10 since the round-9
-promotion moved plans/staged_ops_r9.py into the live registry — this
-script now times plans/staged_ops_r10.py): run every staged query at
+"""Timing probe for the CURRENT staging area (round 11 since the
+round-10 promotion moved plans/staged_ops_r10.py into the live registry
+— this script now times plans/staged_ops_r11.py): run every staged query at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) with bench.py's
 warmup + prewarm + noop-sink + cache-release discipline and write a
 round-stamped BENCH_STAGED_r0N.json.
@@ -24,8 +24,8 @@ import os
 import re
 import time
 
-from traffic_data_pipeline_spark.plans.staged_ops_r10 import (
-    STAGED_R10_QUERIES as STAGED_QUERIES,
+from traffic_data_pipeline_spark.plans.staged_ops_r11 import (
+    STAGED_R11_QUERIES as STAGED_QUERIES,
 )
 from traffic_data_pipeline_spark.session import get_spark
 
@@ -65,6 +65,17 @@ def main() -> None:
         _ewma_stream_dir,
     )
     _ewma_stream_dir(spark, sf_dir)
+    # r11: the comparison family reads the session RTMC fact (the
+    # persisted-table stand-in every registered fact consumer shares)
+    # and streams from the compare landing zone — both ingest-side setup
+    from traffic_data_pipeline_spark.operators.ingest import (
+        build_rtmc_15min,
+    )
+    from traffic_data_pipeline_spark.plans.staged_ops_r11 import (
+        _cmp_stream_dir,
+    )
+    build_rtmc_15min(spark, sf_dir).count()
+    _cmp_stream_dir(spark, sf_dir)
 
     from traffic_data_pipeline_spark.functions.execution import release
 

@@ -56,6 +56,10 @@ NAMES = [
                                 # cell of the two registered marginals —
                                 # same removed-id distinct off the cached
                                 # pair stream, one two-key fold
+    "dedup_impact_by_source_cc",  # r11 staged: CC fixpoint over the
+                                # cached pair stream + one (source) fold
+                                # (the dedup_impact_by_lang_cc shape on
+                                # the other axis)
 ]
 OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events", "embeddings"]
@@ -226,6 +230,10 @@ EVENT_NAMES = [
     "streaming_deltapresence_monitor",  # r10 staged: micro-batch DISTINCT
                                  # (cell, user, flag) partials — exactly
                                  # mergeable user-dimension state
+    "events_file_compaction_plan",  # r11 staged: ONE (day) count fold +
+                                 # a calendar-bounded window — the probe
+                                 # pins that the window cost tracks
+                                 # |days|, not the fact
 ]
 
 
@@ -346,6 +354,9 @@ def main() -> None:
     from traffic_data_pipeline_spark.plans.staged_ops_r10 import (
         STAGED_R10_QUERIES,
     )
+    from traffic_data_pipeline_spark.plans.staged_ops_r11 import (
+        STAGED_R11_QUERIES,
+    )
     from traffic_data_pipeline_spark.session import get_spark
 
     spark = get_spark("scaling-probe")
@@ -366,7 +377,8 @@ def main() -> None:
                 or STAGED_R7_QUERIES.get(name)
                 or STAGED_R8_QUERIES.get(name)
                 or STAGED_R9_QUERIES.get(name)
-                or STAGED_R10_QUERIES[name])
+                or STAGED_R10_QUERIES.get(name)
+                or STAGED_R11_QUERIES[name])
 
     def probe(dirs, names, warm_table):
         if keep is not None:

@@ -43,6 +43,10 @@ MODULES = [
                        # imports r8 (whose tail fold imports queries)
                        # BEFORE its own tail fold — importing it FIRST
                        # must still complete the registry
+    "staged_ops_r11",  # frozen (no fold), but its oracle late-binding
+                       # imports queries (CMP_CTES) and oracle_ctes —
+                       # importing it FIRST must still complete the
+                       # registry
     "oracle_ctes",
 ]
 

@@ -1054,8 +1054,10 @@ PREDICT_SPLIT = "2024-01-16 00:00:00"
 PREDICT_STOP = "2024-01-30 23:00:00"
 
 
-_PREDICT_COMPARE_ORACLE = f"""
-WITH {NODEFACT_CTES},
+# The comparison CTE chain, ending in `cmp` — the oracle twin of
+# compare_frame (below): shared by the predict_compare oracle and the
+# round-11 report-family oracles so VOLUME_DIFF has ONE SQL definition.
+CMP_CTES = f"""{NODEFACT_CTES},
 train AS (SELECT * FROM lvl2 WHERE ts < TIMESTAMP '{PREDICT_SPLIT}'),
 profile AS (
   SELECT node_name, dayofweek(ts) AS dow, hour(ts) AS hod,
@@ -1072,19 +1074,33 @@ pred AS (
   FROM spine s CROSS JOIN nodes n
   LEFT JOIN profile p ON p.node_name = n.node_name
        AND p.dow = dayofweek(s.predict_time) AND p.hod = hour(s.predict_time)),
-actual AS (SELECT * FROM lvl2 WHERE ts >= TIMESTAMP '{PREDICT_SPLIT}')
-SELECT a.node_name,
-       strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS start_datetime,
-       a.volume_sum, p."VOLUMN_PREDICTION",
-       a.volume_sum - p."VOLUMN_PREDICTION" AS "VOLUME_DIFF"
-FROM actual a JOIN pred p
-  ON a.node_name = p.node_name AND a.ts = p.predict_time
+actual AS (SELECT * FROM lvl2 WHERE ts >= TIMESTAMP '{PREDICT_SPLIT}'),
+cmp AS (
+  SELECT a.node_name, a.ts, a.volume_sum, p."VOLUMN_PREDICTION",
+         a.volume_sum - p."VOLUMN_PREDICTION" AS "VOLUME_DIFF"
+  FROM actual a JOIN pred p
+    ON a.node_name = p.node_name AND a.ts = p.predict_time)"""
+
+_PREDICT_COMPARE_ORACLE = f"""
+WITH {CMP_CTES}
+SELECT node_name,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS start_datetime,
+       volume_sum, "VOLUMN_PREDICTION", "VOLUME_DIFF"
+FROM cmp
 """
 
 
-@register("predict_compare", _PREDICT_COMPARE_ORACLE)
-def q_predict_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F11 spine + seasonal profile + J12 comparison (§3.3 intent)."""
+def compare_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared plan owner for the actual-vs-predicted comparison — the
+    in-memory table the reference's Rshiny app consumes
+    (/root/reference/R/_analyze_data.R:369-384). Owns the split, the
+    seasonal profile, the dense spine, and the J12 join, so the
+    registered predict_compare query and the round-11 report family
+    (per-node scorecard, weekday error profile, top-N misses, the
+    streaming scorecard monitor) all read ONE definition of
+    VOLUME_DIFF. Columns: node_name, start_datetime (timestamp),
+    volume_sum (bigint), VOLUMN_PREDICTION (int, NULL when the train
+    slice has no profile row), VOLUME_DIFF (integer, NULL with it)."""
     roll = two_level_rollup(_node_fact(spark, sf_dir), "hour")
     split = F.lit(PREDICT_SPLIT).cast("timestamp")
     train = roll.filter(F.col("ts") < split)
@@ -1099,7 +1115,13 @@ def q_predict_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(profile, ["node_name", "dow", "hod"], "left")
         .select("node_name", "predict_time", "VOLUMN_PREDICTION")
     )
-    cmp_ = compare_actual_predicted(actual, pred)
+    return compare_actual_predicted(actual, pred)
+
+
+@register("predict_compare", _PREDICT_COMPARE_ORACLE)
+def q_predict_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 spine + seasonal profile + J12 comparison (§3.3 intent)."""
+    cmp_ = compare_frame(spark, sf_dir)
     return cmp_.select(
         "node_name", fmt_ts("start_datetime").alias("start_datetime"),
         "volume_sum", "VOLUMN_PREDICTION", "VOLUME_DIFF",
