@@ -55,7 +55,12 @@ CAPS = {
                                          # centroids broadcast
     "doc_tfidf_knn": (1, 2),             # postings move once; query postings
                                          # and query norms broadcast
-    "doc_ngram_containment": (3, 0),     # df window (8-byte hash keys) +
+    "doc_ngram_containment": (4, 0),     # spread repartition feeds the
+                                         # regex shingle projection (one-
+                                         # file corpus = one task otherwise
+                                         # — round-10, same budget shape as
+                                         # doc_cdc_chunks) +
+                                         # df window (8-byte hash keys) +
                                          # doc-rank window + candidate
                                          # distinct; the freq table is NOT
                                          # broadcast — word-shingle universe
@@ -345,7 +350,9 @@ CAPS = {
                                          # frames always broadcast
     "events_ab_proportions": (1, 0),     # user-conversion agg folded to
                                          # one four-counter row
-    "events_median_bootstrap_ci": (3, 1),  # in-row B-spread into a
+    "events_median_bootstrap_ci": (4, 1),  # spread repartition (one-file
+                                         # corpus = one task otherwise,
+                                         # round-10) + in-row B-spread into a
                                          # (type, replica) percentile agg
                                          # + type re-agg; CI frame joins
                                          # broadcast
@@ -443,9 +450,14 @@ CAPS = {
                                          # two source join-backs + ONE
                                          # (src, src) count; total scalar
                                          # broadcast
-    "embedding_ivf_balance_report": (3, 2),  # assignment argmax + K-row
-                                         # count over the cached spread;
-                                         # centroids + total broadcast
+    "embedding_ivf_balance_report": (1, 1),  # live plan reads the cached
+                                         # K-row counts (assignment argmax
+                                         # + centroid broadcast paid at
+                                         # cache build — round-10: the
+                                         # Arrow dot node defeats
+                                         # ReusedExchange, so the counts
+                                         # frame materializes); total
+                                         # scalar broadcast stays live
     "events_value_benford": (8, 1),      # (type, digit) count + type
                                          # totals + chi regroup; tot/chi
                                          # frames broadcast
@@ -457,10 +469,13 @@ CAPS = {
                                          # doc_id — ONE spread exchange
                                          # fans into the gram counts,
                                          # run islands, and join-backs
-    "events_markov_removal_effect": (2, 1),  # live plan reads the
-                                         # checkpointed orbit; the 40
-                                         # value iterations are paid at
-                                         # build on K-row frames
+    "events_markov_removal_effect": (2, 1),  # live plan is the K-row
+                                         # result frame + the broadcast
+                                         # base scalar; the 40 value
+                                         # iterations run on the driver
+                                         # over the collected (K+2)^2
+                                         # matrix (round-10, the CC/
+                                         # k-means fixpoint probe class)
     "dedup_threshold_sweep": (5, 3),     # pair stream x 5-row threshold
                                          # broadcast + (thr, doc) canon
                                          # agg + survivor regroup

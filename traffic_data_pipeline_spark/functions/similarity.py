@@ -129,14 +129,18 @@ def knn_bruteforce(df: DataFrame, query_ids, k: int = 5,
     flt = F.col("q_id") != F.col("c_id")
     if exclude_same:
         flt = flt & (F.col("_qx") != F.col("_cx"))
+    from traffic_data_pipeline_spark.functions.arrowmath import (
+        with_exact_dot,
+    )
+
     pairs = (
-        c.crossJoin(F.broadcast(q))
-        .filter(flt)
-        .select(
-            "q_id", "c_id",
-            _cosine(dot_product(F.col("_qv"), F.col("_cv")),
-                    F.col("_qn"), F.col("_cn")).alias("cosine"),
-        )
+        with_exact_dot(
+            c.crossJoin(F.broadcast(q)).filter(flt)
+            .select("q_id", "c_id", "_qn", "_cn", "_qv", "_cv"),
+            "_qv", "_cv", "_dot")
+        .select("q_id", "c_id",
+                _cosine(F.col("_dot"),
+                        F.col("_qn"), F.col("_cn")).alias("cosine"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (
@@ -172,14 +176,19 @@ def ann_lsh_pairs(df: DataFrame, n_planes: int = N_PLANES, min_cosine: float = 0
                      F.col("_n2").alias("_qn"), "bucket")
     b = coded.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("_cv"),
                      F.col("_n2").alias("_cn"), "bucket")
+    from traffic_data_pipeline_spark.functions.arrowmath import (
+        with_exact_dot,
+    )
+
     return (
-        a.join(b, "bucket")
-        .filter(F.col("q_id") < F.col("c_id"))
-        .select(
-            "q_id", "c_id",
-            _cosine(dot_product(F.col("_qv"), F.col("_cv")),
-                    F.col("_qn"), F.col("_cn")).alias("cosine"),
-        )
+        with_exact_dot(
+            a.join(b, "bucket")
+            .filter(F.col("q_id") < F.col("c_id"))
+            .select("q_id", "c_id", "_qn", "_cn", "_qv", "_cv"),
+            "_qv", "_cv", "_dot")
+        .select("q_id", "c_id",
+                _cosine(F.col("_dot"),
+                        F.col("_qn"), F.col("_cn")).alias("cosine"))
         .filter(F.col("cosine") >= min_cosine)
     )
 
@@ -325,9 +334,20 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
         ).select(F.col(id_col), F.col(vec_col),
                  norm_sq(F.col(vec_col)).alias("_n2"))
     v = with_norm
+    # corpus x K dots through the Arrow exact-dot kernel (round-10,
+    # guide §4.2): identical DECIMAL(30,12) per-element units, vectorized
+    # (functions/arrowmath.py); the cosine ratio stays in the JVM
+    from traffic_data_pipeline_spark.functions.arrowmath import (
+        with_exact_dot,
+    )
+
     scored = (
-        v.crossJoin(F.broadcast(c))
-        .withColumn("_cos", _cosine(dot_product(F.col(vec_col), F.col("_cvec")),
+        with_exact_dot(
+            v.crossJoin(F.broadcast(c))
+            .select(id_col, "_n2", "_cid", "_cn",
+                    F.col(vec_col).alias("_v"), "_cvec"),
+            "_v", "_cvec", "_dot")
+        .withColumn("_cos", _cosine(F.col("_dot"),
                                     F.col("_n2"), F.col("_cn")))
     )
     return scored.groupBy(id_col).agg(
@@ -388,12 +408,19 @@ def knn_ivf(df: DataFrame, query_ids, k: int = 5,
                          F.col("_n2").alias("_cn2")),
         id_col,
     ).select(F.col(id_col).alias("c_id"), "centroid_id", "_cv", "_cn2")
-    pairs = probes.join(members, "centroid_id").filter(
-        F.col("q_id") != F.col("c_id")
-    ).select(
-        "q_id", "c_id",
-        _cosine(dot_product(F.col("_qv"), F.col("_cv")),
-                F.col("_qn"), F.col("_cn2")).alias("cosine"),
+    from traffic_data_pipeline_spark.functions.arrowmath import (
+        with_exact_dot,
+    )
+
+    pairs = (
+        with_exact_dot(
+            probes.join(members, "centroid_id")
+            .filter(F.col("q_id") != F.col("c_id"))
+            .select("q_id", "c_id", "_qn", "_cn2", "_qv", "_cv"),
+            "_qv", "_cv", "_dot")
+        .select("q_id", "c_id",
+                _cosine(F.col("_dot"),
+                        F.col("_qn"), F.col("_cn2")).alias("cosine"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (

@@ -28,7 +28,11 @@ from traffic_data_pipeline_spark.functions.similarity import (
     ivf_assign,
     norm_sq,
 )
-from traffic_data_pipeline_spark.functions.text import ngram_array, token_array
+from traffic_data_pipeline_spark.functions.text import (
+    ngram_array,
+    normalize,
+    token_array,
+)
 from traffic_data_pipeline_spark.plans.queries import register
 from traffic_data_pipeline_spark.sources.tables import load_table
 
@@ -248,15 +252,31 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = max(N_SEM_CLUSTERS, int(math.floor(math.sqrt(n_corpus))))
     centroids = corpus.orderBy("vec_id").limit(k)
     assign = ivf_assign(corpus, centroids, with_norm=with_norm)
-    m = with_norm.join(assign, "vec_id")
+    # materialized: the cluster self-join below reads m TWICE, and the
+    # Arrow dot node in ivf_assign defeats ReusedExchange's subtree
+    # dedup for self-joins (round-10 audit) — one cache fill replaces
+    # two full assignment computations
+    m = materialize(with_norm.join(assign, "vec_id"))
     a = m.select(F.col("centroid_id").alias("_c"), F.col("vec_id").alias("a_id"),
                  F.col("embedding").alias("_av"), F.col("_n2").alias("_an"))
     b = m.select(F.col("centroid_id").alias("_c"), F.col("vec_id").alias("b_id"),
                  F.col("embedding").alias("_bv"), F.col("_n2").alias("_bn"))
+    # pair scoring through the Arrow exact-dot kernel (round-10, guide
+    # §4.2): the interpreted zip_with/BigDecimal dot was ~600 ns/element
+    # over |pairs| x dim — the kernel computes the identical
+    # DECIMAL(30,12) units vectorized (functions/arrowmath.py exactness
+    # proof); the cosine ratio stays in the JVM, same oracle hash
+    from traffic_data_pipeline_spark.functions.arrowmath import (
+        with_exact_dot,
+    )
+
     dup = (
-        a.join(b, ["_c"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("_cos", _cosine(dot_product(F.col("_av"), F.col("_bv")),
+        with_exact_dot(
+            a.join(b, ["_c"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", "_an", "_bn", "_av", "_bv"),
+            "_av", "_bv", "_dot")
+        .withColumn("_cos", _cosine(F.col("_dot"),
                                     F.col("_an"), F.col("_bn")))
         .filter(F.col("_cos") >= SEMANTIC_TAU)
         .groupBy("b_id")
@@ -550,11 +570,26 @@ def q_doc_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical rows — the standard proof the pruned path is lossless.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", token_array(F.col("text")).alias("toks"))
+    # Word-5-gram sets via ONE regex pass over the normalized text
+    # (round-10 optimization, guide §4.1/§2.5): the previous
+    # token_array + transform(slice..concat_ws) chain ran interpreted
+    # higher-order lambdas — and on the single-file fixture scan it ran
+    # them on ONE task (measured 6.0 s of the query's 6.3 s at sf0.1).
+    # The lookahead pattern matches at the string start and after every
+    # space, capturing the next five tokens — the identical space-joined
+    # 5-gram at every token start (normalize() collapses separators to
+    # single spaces, so [^ ]+ IS the token) — and the spread repartition
+    # parallelizes the projection exactly as shingle_sets does for
+    # char-grams. Same rows, same oracle; set build now ~0.4 s.
+    n_pat = "(?:^| )(?=((?:[^ ]+ ){" + str(CONTAIN_NGRAM - 1) + "}[^ ]+))"
     sets = materialize(
-        toks.select(
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism,
+                         F.col("doc_id"))
+        .select("doc_id", normalize(F.col("text")).alias("_norm"))
+        .select(
             "doc_id",
-            F.array_distinct(ngram_array("toks", CONTAIN_NGRAM)).alias("_set"))
+            F.array_distinct(
+                F.regexp_extract_all("_norm", F.lit(n_pat), 1)).alias("_set"))
         .withColumn("n_sh", F.size("_set"))
         .filter(F.col("n_sh") > 0)
     )

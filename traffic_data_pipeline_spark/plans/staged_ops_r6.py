@@ -365,8 +365,21 @@ def q_events_median_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop B to 8-16 or bootstrap a stratified subsample, both plain
     parameter changes.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", "value")
+    from traffic_data_pipeline_spark.functions.execution import materialize
+
+    # Spread the corpus across tasks BEFORE the B-way replica explode
+    # (round-10 optimization, guide §2.5 input skew): the single-file
+    # fixture scan is one partition, so the x32 explode, the md5 draws,
+    # and the percentile map-side partials all ran on ONE core
+    # (measured: the draw pass alone 3.7 s, the query 5.1 s at sf0.1).
+    # One materialized spread feeds both the replica stream and the
+    # point-median branch; per-row arithmetic and the grouped
+    # percentiles are unchanged (order-independent), so the oracle hash
+    # is identical.
+    ev = materialize(
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .repartition(spark.sparkContext.defaultParallelism, "event_id"))
     rep = ev.select(
         "event_type", "value",
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("r"),
@@ -525,15 +538,24 @@ def q_embedding_whitening_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent; the only doubles are the final centered ratios,
     computed in the identical term order both engines and ROUND 6.
 
-    Scale shape: the pair terms x_i*x_j generate IN-ROW (flatten of a
-    triangular transform over the vector — no self-join, no (vec, pos)
-    spread shuffle on the Spark side), then ONE map-side-combined
-    aggregate folds the corpus to d(d+1)/2 = 2080 rows; the mean join
-    runs on 64-row broadcast frames. This is the outer-product
-    accumulation pattern: each row contributes its rank-1 triangle
-    locally and only the fixed-size partial matrices move — at 100 TB
-    the shuffle is executors x 2080 rows regardless of corpus size.
+    Scale shape: the pair terms x_i*x_j accumulate PER TASK (the
+    ``functions.arrowmath.gram_units`` mapInArrow kernel: vectorized
+    exact-decimal products in 1e-12 integer units, one
+    d(d+1)/2 = 2080-row int64 partial per task — see the module
+    docstring for the exactness proof), then ONE aggregate folds the
+    tasks' partials to 2080 rows; the mean join runs on 64-row
+    broadcast frames. This is the outer-product accumulation pattern:
+    each task contributes its rank-1 triangle sum locally and only the
+    fixed-size partial matrices move — at 100 TB the shuffle is
+    executors x 2080 rows regardless of corpus size. (Round-10
+    optimization, guide §4.2: the previous in-row
+    flatten(transform(...)) explode built N x 2080 named_structs with a
+    per-element BigDecimal cast through interpreted lambdas — 5.8 s of
+    the query's 6.9 s at sf0.1; the Arrow kernel computes the identical
+    units and the noop time drops to ~1 s, same oracle hash.)
     """
+    from traffic_data_pipeline_spark.functions.arrowmath import gram_units
+
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     spread = emb.select(
@@ -541,20 +563,16 @@ def q_embedding_whitening_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = spread.groupBy((F.col("p0") + 1).cast("bigint").alias("pos")).agg(
         F.sum(F.col("val").cast("double").cast(DOT_DECIMAL))
         .cast("double").alias("s"))
-    pairs = F.expr(f"""
-      flatten(transform(sequence(1, size(embedding)), i ->
-        transform(sequence(i, size(embedding)), j ->
-          named_struct(
-            'i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT),
-            'p', CAST(CAST(element_at(embedding, i) AS DOUBLE)
-                      * CAST(element_at(embedding, j) AS DOUBLE)
-                      AS {DOT_DECIMAL})))))
-    """)
     gram = (
-        emb.select(F.explode(pairs).alias("t"))
-        .select("t.i", "t.j", "t.p")
+        emb.select("embedding")  # only the column the kernel needs crosses
+        .mapInArrow(gram_units, "i long, j long, u long")
         .groupBy("i", "j")
-        .agg(F.sum("p").cast("double").alias("sij"))
+        # cross-task fold in DECIMAL(38,0) units: exact, overflow-free
+        .agg(F.sum(F.col("u").cast("decimal(38,0)")).alias("u"))
+        # exact-int units / exactly-representable 1e12: one correctly
+        # rounded IEEE division == CAST(exact DECIMAL sum AS DOUBLE)
+        .select("i", "j",
+                (F.col("u").cast("double") / F.lit(1.0e12)).alias("sij"))
     )
     si = sums.select(F.col("pos").alias("i"), F.col("s").alias("s_i"))
     sj = sums.select(F.col("pos").alias("j"), F.col("s").alias("s_j"))

@@ -548,13 +548,18 @@ def q_embedding_ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFram
     cents = live.orderBy("vec_id").limit(IVF_K).select("vec_id", "embedding")
     assign = ivf_assign(live.select("vec_id", "embedding"), cents,
                         with_norm=live)
-    counts = (cents.select(F.col("vec_id").alias("centroid_id"))
-              .join(assign.groupBy("centroid_id")
-                    .agg(F.count(F.lit(1)).cast("bigint").alias("n")),
-                    "centroid_id", "left")
-              .select("centroid_id",
-                      F.coalesce("n", F.lit(0).cast("bigint"))
-                      .alias("n_assigned")))
+    # materialized: the share/imbalance scalar below re-reads counts,
+    # and the Arrow dot node in ivf_assign defeats ReusedExchange's
+    # subtree dedup (round-10 audit) — the K-row cache fill replaces a
+    # second full assignment pass
+    counts = materialize(
+        cents.select(F.col("vec_id").alias("centroid_id"))
+        .join(assign.groupBy("centroid_id")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n")),
+              "centroid_id", "left")
+        .select("centroid_id",
+                F.coalesce("n", F.lit(0).cast("bigint"))
+                .alias("n_assigned")))
     tot = counts.agg(F.sum("n_assigned").cast("bigint").alias("t"))
     return counts.crossJoin(F.broadcast(tot)).select(
         "centroid_id", "n_assigned",
@@ -1103,11 +1108,22 @@ def q_events_markov_removal_effect(spark: SparkSession, sf_dir: str) -> DataFram
 
     Scale shape: the corpus-sized work is ONE user-keyed window pass
     (sequence + truncation + lead) and ONE (from, to) count aggregate —
-    at most (K+1)^2 + 2 rows out. The iteration then runs on that tiny
-    broadcast frame: per round, one broadcast join + one K-row
-    aggregate; every 8 rounds a localCheckpoint keeps the plan flat
-    (the connected-components discipline).
+    at most (K+1)^2 + 2 rows out. The iteration then runs ON THE DRIVER
+    over that collected (K+2)^2-bounded matrix (round-10 optimization,
+    guide §1.2/§5: the previous form ran the 40 quantized iterations as
+    chained tiny-frame Spark jobs — ~4.5 s of pure job/planning overhead
+    on ~100-row shuffles at sf0.1; the collect is the sanctioned scalar
+    probe class of the CC / k-means fixpoints — K is the EVENT-TYPE
+    alphabet, cluster-constant at any corpus size). The driver loop
+    replays Spark's arithmetic exactly: c/ct and the p read-back are
+    correctly-rounded IEEE doubles in both runtimes, and
+    ``Decimal(repr(x)).quantize(1e-12, HALF_UP)`` is
+    ``BigDecimal.valueOf(x).setScale(12, HALF_UP)`` — both quantize the
+    shortest round-trip decimal string of the same double — so the
+    40-step orbit is term-for-term identical to the old plan's (oracle
+    hash unchanged, verified at sf0.001/0.01/0.1).
     """
+    from decimal import ROUND_HALF_UP, Decimal
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = (ev.filter(F.col("ts").isNotNull())
@@ -1134,47 +1150,62 @@ def q_events_markov_removal_effect(spark: SparkSession, sf_dir: str) -> DataFram
     loops = spark.createDataFrame(
         [("purchase", "purchase", 1, 1), ("END", "END", 1, 1)],
         "from_state string, to_state string, c bigint, ct bigint")
-    tmat = (tc.join(rowsum, "from_state")
-            .select("from_state", "to_state", "c", "ct")
-            .unionByName(loops)).localCheckpoint(eager=True)
-    states = tmat.select(F.col("from_state").alias("state")).distinct()
-    channels = (ev.filter(F.col("event_type").isNotNull()
-                          & (F.col("event_type") != "purchase"))
-                .select(F.col("event_type").alias("removed")).distinct())
-    variants = channels.unionByName(
-        spark.createDataFrame([("(none)",)], "removed string"))
-    p = (variants.crossJoin(states)
-         .select("removed", "state",
-                 F.when(F.col("state") == "purchase", F.lit(1))
-                 .otherwise(F.lit(0)).cast(_MKV_DEC).alias("p"))
-         ).localCheckpoint(eager=True)
-    term = F.round(
-        F.col("c").cast("double") / F.col("ct") * F.col("p").cast("double"),
-        12).cast(_MKV_DEC)
-    for i in range(MARKOV_ITERS):
-        p = (F.broadcast(tmat)
-             .join(p, tmat.to_state == p.state)
-             .groupBy("removed", "from_state")
-             .agg(F.sum(term).cast(_MKV_DEC).alias("p_next"))
-             .select("removed",
-                     F.col("from_state").alias("state"),
-                     F.when(F.col("from_state") == F.col("removed"),
-                            F.lit(0).cast(_MKV_DEC))
-                     .otherwise(F.col("p_next")).alias("p")))
-        if i % 8 == 7:
-            p = p.localCheckpoint(eager=True)
-    fin = p
-    base = (fin.filter((F.col("removed") == "(none)")
-                       & (F.col("state") == "START"))
-            .select(F.col("p").cast("double").alias("pb")))
-    return (fin.filter((F.col("removed") != "(none)")
-                       & (F.col("state") == "START"))
-            .crossJoin(F.broadcast(base))
+    tmat_rows = (tc.join(rowsum, "from_state")
+                 .select("from_state", "to_state", "c", "ct")
+                 .unionByName(loops)).collect()
+    channels = [r[0] for r in
+                (ev.filter(F.col("event_type").isNotNull()
+                           & (F.col("event_type") != "purchase"))
+                 .select(F.col("event_type").alias("removed")).distinct()
+                 .collect())]
+    variants = channels + ["(none)"]
+    states = sorted({r["from_state"] for r in tmat_rows})
+
+    # --- driver fixpoint: term-for-term replay of the old Spark orbit ---
+    # term = CAST(ROUND(c/ct * CAST(p AS DOUBLE), 12) AS DECIMAL(20,12));
+    # ROUND(double,12) then the decimal cast both pass through the
+    # shortest round-trip decimal string (BigDecimal.valueOf), which
+    # Decimal(repr(x)) reproduces; float(Decimal) is the correctly
+    # rounded read-back CAST(p AS DOUBLE) performs.
+    q12 = Decimal(1).scaleb(-12)
+
+    def _term(c: int, ct: int, p: Decimal) -> Decimal:
+        x = c / ct * float(p)
+        return Decimal(repr(x)).quantize(q12, rounding=ROUND_HALF_UP)
+
+    zero = Decimal(0).quantize(q12)
+    one = Decimal(1).quantize(q12)
+    p_cur: dict[tuple[str, str], Decimal] = {
+        (rm, st): (one if st == "purchase" else zero)
+        for rm in variants for st in states}
+    for _ in range(MARKOV_ITERS):
+        nxt: dict[tuple[str, str], Decimal] = {}
+        for rm in variants:
+            for row in tmat_rows:
+                pv = p_cur.get((rm, row["to_state"]))
+                if pv is None:
+                    continue  # inner-join semantics of the old plan
+                key = (rm, row["from_state"])
+                nxt[key] = nxt.get(key, zero) + _term(row["c"], row["ct"], pv)
+        for rm in variants:
+            if (rm, rm) in nxt:
+                nxt[(rm, rm)] = zero
+        p_cur = nxt
+    if ("(none)", "START") not in p_cur:  # no journeys at all: the old
+        # plan's START filter returned an empty frame — preserve that
+        return spark.createDataFrame(
+            [], "channel string, p_conv_base double, "
+                "p_conv_removed double, removal_effect double")
+    pb = float(p_cur[("(none)", "START")])
+    fin = spark.createDataFrame(
+        [(rm, float(p_cur[(rm, "START")])) for rm in channels],
+        "removed string, p double")
+    base = spark.createDataFrame([(pb,)], "pb double")
+    return (fin.crossJoin(F.broadcast(base))
             .select(F.col("removed").alias("channel"),
                     F.round(F.col("pb"), 6).alias("p_conv_base"),
-                    F.round(F.col("p").cast("double"), 6)
-                    .alias("p_conv_removed"),
-                    F.round((F.col("pb") - F.col("p").cast("double"))
+                    F.round(F.col("p"), 6).alias("p_conv_removed"),
+                    F.round((F.col("pb") - F.col("p"))
                             / F.nullif(F.col("pb"), F.lit(0.0)), 6)
                     .alias("removal_effect")))
 
