@@ -504,10 +504,14 @@ CAPS = {
     "doc_readability": (3, 1),          # TWO (lang, source) aggs over the
                                          # same in-row counts + a tiny
                                          # group-frame broadcast join
-    "doc_nb_langid": (10, 5),            # train/eval pipeline: the wide
+    "doc_nb_langid": (11, 5),            # train/eval pipeline: the wide
                                          # exchanges are the (lang,gram) /
-                                         # (doc,gram) counts; model, vocab,
-                                         # and lang frames all broadcast
+                                         # (doc,gram) counts plus the
+                                         # round-10 spread repartition
+                                         # (one-file corpus = one task for
+                                         # both gram explodes otherwise);
+                                         # model, vocab, and lang frames
+                                         # all broadcast
     "embedding_ivfpq_query": (4, 3),     # live plan reads checkpointed
                                          # assignment/code frames; coarse
                                          # centroids, probe list, codebook

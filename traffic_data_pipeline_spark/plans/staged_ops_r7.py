@@ -1976,14 +1976,20 @@ def q_doc_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     confusion matrix is a |langs|^2 regroup. Nothing shuffles wider
     than (doc, gram).
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.lower(F.col("text")).alias("t"))
+    # spread the single-file scan before the per-char gram explodes
+    # (round-10, guide §2.5: both gram passes ran interpreted transform
+    # lambdas on ONE task), and extract the trigram list with one regex
+    # lookahead instead of the transform(sequence, substr) HOF — (?s)
+    # makes . match newlines, so the gram set is char-identical to the
+    # positional-substring form for every character. Same rows, same
+    # oracle hash.
+    docs = (load_table(spark, sf_dir, "documents")
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+            .select("doc_id", "lang", F.lower(F.col("text")).alias("t")))
     tr = docs.filter(F.col("doc_id") % NB_TEST_MOD != 0)
     te = docs.filter(F.col("doc_id") % NB_TEST_MOD == 0)
-    gram_list = F.transform(
-        F.sequence(F.lit(1),
-                   F.greatest(F.length("t") - (NB_GRAM - 1), F.lit(0))),
-        lambda i: F.col("t").substr(i, F.lit(NB_GRAM)))
+    gram_list = F.regexp_extract_all(
+        "t", F.lit(f"(?s)(?=(.{{{NB_GRAM}}}))"), 1)
 
     cnt = (tr.select("lang", F.explode(gram_list).alias("g3"))
            .groupBy("lang", "g3")

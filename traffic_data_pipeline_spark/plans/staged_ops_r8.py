@@ -398,6 +398,15 @@ def _shard_rank(df: DataFrame, order_cols: list, alias: str) -> DataFrame:
     shards are ordered and within-shard ranks follow the full total
     order, so every boundary choice yields the identical global rank.
 
+    Shard width follows ``spark.sql.shuffle.partitions`` — the
+    post-shuffle width the deployment already sizes — instead of
+    ``defaultParallelism`` (round-10, guide §2.2): inside the streaming
+    monitors run_available_now pins that width to the state-sized 8,
+    and 32 range shards per rank over a per-batch dimension frame paid
+    3x the sampling/task overhead for nothing (measured 3.5 s -> 1.25 s
+    for the three chained ranks at sf0.1). The rank is
+    boundary-independent, so the width cannot change the result.
+
     The sharded frame is LOCALLY CHECKPOINTED, not persisted (ADVICE
     r8): the offset pass and the rank pass below must observe ONE
     consistent (_pid, row) assignment, and a persisted frame whose
@@ -411,7 +420,7 @@ def _shard_rank(df: DataFrame, order_cols: list, alias: str) -> DataFrame:
     (cluster-constant), its global cumulative window is bounded, and it
     broadcasts back. No partition-less window ever sees an unbounded
     frame."""
-    nparts = df.sparkSession.sparkContext.defaultParallelism
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     sharded = (df.repartitionByRange(nparts, *order_cols)
                .withColumn("_pid", F.spark_partition_id())
                .localCheckpoint(eager=True))
