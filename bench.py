@@ -289,11 +289,13 @@ def main() -> None:
         # The official `value` is the sum of untouched min-of-N.
         "suite_floor_estimate": round(sum(floor_estimate.values()), 3),
     }
-    # The per-query map is ~4 KB at 100+ queries and can overflow a
-    # log-tail capture mid-line (BENCH_r02 recorded "parsed": null).
-    # Emit the detailed line first, persist it to a file for humans, and
-    # END with a compact summary line so the tail of stdout always holds
-    # one complete JSON object.
+    # The FINAL stdout line must carry the per-query map (VERDICT r10
+    # "what's wrong" #1): the driver's PERF comparator parses the LAST
+    # one-line JSON, and two rounds running it got per_query: {} because
+    # the map lived only on the earlier detail line. Emit the full object
+    # twice — first so a mid-line truncation of the tail capture still
+    # leaves one complete copy upstream, last so the driver's parse gets
+    # the map. All previous fields are kept (additions only).
     print(json.dumps(out))
     # round-stamped copy (BENCH_DETAIL_r04.json, ...): the unstamped file
     # is overwritten every run, so round-over-round per-query ratios used
@@ -316,8 +318,7 @@ def main() -> None:
                 fh.write("\n")
         except OSError:
             pass  # read-only checkout: the stdout lines above still carry it
-    compact = {k: v for k, v in out.items() if k != "queries"}
-    print(json.dumps(compact))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -289,10 +289,12 @@ CAPS = {
     "sensor_theilsen_trend": (2, 0),     # (sensor, day) agg + (sensor)
                                          # gather; pair slopes + median
                                          # explode IN-ROW — no self-join
-    "embedding_pq_adc": (5, 3),          # spread + d2 agg + code window +
-                                         # adc/exact aggs; codebook, ADC
-                                         # table, and query ALWAYS
-                                         # broadcast (fixed M*K size)
+    "embedding_pq_adc": (0, 0),          # round-11: ONE mapInArrow pass
+                                         # against the driver-collected
+                                         # codebook + TakeOrdered top-k —
+                                         # zero exchanges (was 5 hash + 3
+                                         # broadcast for the explode/join/
+                                         # window pipeline)
     "embedding_margin_align": (4, 1),    # ONE pair stream (bench side
                                          # broadcast) + two rank windows
                                          # the k-NN window-sums ride +
@@ -373,11 +375,12 @@ CAPS = {
     "events_time_zonemap_audit": (2, 1), # ONE (day) footer aggregate +
                                          # the #files probe scalar always
                                          # broadcast
-    "embedding_silhouette_by_label": (4, 1),  # (label,pos) centroid agg +
-                                         # per-vector distance agg + the
-                                         # a/b regroup; the centroid
-                                         # matrix ALWAYS broadcast
-                                         # (measured 3)
+    "embedding_silhouette_by_label": (1, 0),  # round-11: ONE mapInArrow
+                                         # pass against the collected
+                                         # centroid matrix + the per-label
+                                         # mean aggregate (was 4 hash with
+                                         # the N x d x |labels| explode/
+                                         # broadcast-join/distance-agg)
     "embedding_ood_score": (3, 2),       # (pos) moment agg + per-vector
                                          # rescore agg + TakeOrdered
                                          # top-k; moment frame ALWAYS
@@ -512,10 +515,13 @@ CAPS = {
                                          # both gram explodes otherwise);
                                          # model, vocab, and lang frames
                                          # all broadcast
-    "embedding_ivfpq_query": (4, 3),     # live plan reads checkpointed
-                                         # assignment/code frames; coarse
-                                         # centroids, probe list, codebook
-                                         # and ADC table all broadcast
+    "embedding_ivfpq_query": (0, 0),     # round-11: ONE mapInArrow pass
+                                         # (coarse-assign + probe-prune +
+                                         # code + ADC against the driver-
+                                         # collected codebook) +
+                                         # TakeOrdered — zero exchanges
+                                         # (was 4 hash + 3 broadcast over
+                                         # three checkpointed frames)
     "corpus_token_psi_drift": (3, 1),    # live plan reads the
                                          # checkpointed token-count /
                                          # bucket frames; anchors +
@@ -734,3 +740,58 @@ def test_exchange_budget(spark, sf_dir, name):
     assert bcast >= min_bcast, (
         f"{name}: {bcast} broadcast exchanges (expected >= {min_bcast}) — "
         f"a dimension stopped broadcasting")
+
+
+# ---------------------------------------------------------------------------
+# round-11 (VERDICT r10 #5): Arrow-kernel duplication guard. A Python
+# node (MapInArrow) inside a self-joined subtree defeats ReusedExchange's
+# subtree dedup, silently recomputing the kernel's WHOLE upstream — this
+# bit twice in round 10 (dedup_semantic, embedding_ivf_balance_report)
+# and was caught only by manual plan audits. The caps below are the
+# audited LIVE-plan MapInArrow node counts (cached-scan builds excluded,
+# same leaf rule as _count_live): two distinct kernels are fine when
+# audited as 2; an UNaudited jump means a kernel started re-executing.
+# ---------------------------------------------------------------------------
+
+MAPARROW_CAPS = {
+    "embedding_pq_adc": 1,               # the ADC scan kernel
+    "embedding_pq_distortion_report": 0,  # kernel paid at checkpoint build
+    "embedding_ivfpq_query": 1,          # the fused IVFADC kernel
+    "embedding_whitening_stats": 1,      # gram_units
+    "embedding_silhouette_by_label": 1,  # label_centroid_ab_frame
+    "embedding_ann_lsh": 1,              # pair exact-dot over cached coded
+    "embedding_ann_recall": 1,           # brute-truth pair exact-dot
+    "embedding_knn": 1,                  # brute pair exact-dot
+    "embedding_knn_ivf": 2,              # ivf_assign dot + rerank pair dot
+    "dedup_semantic": 1,                 # pair scorer (assign cached)
+    "dedup_embedding_cosine": 0,         # pairs prewarmed/cached upstream
+    "dedup_embedding_cc": 0,             # same
+    "embedding_kmeans_step": 1,          # ivf_assign dot
+    "embedding_ivf_balance_report": 0,   # K-row counts cached (r10 fix)
+    "embedding_hard_negatives": 1,       # brute pair exact-dot
+    "embedding_ann_recall_curve": 0,     # grid checkpointed at build
+    "streaming_pq_codes": 0,             # codes kernel paid per batch
+}
+
+
+def _count_map_arrow(df) -> int:
+    def walk(node) -> int:
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            return walk(node.executedPlan())
+        c = 1 if "MapInArrow" in name else 0
+        ch = node.children()
+        for i in range(ch.size()):
+            c += walk(ch.apply(i))
+        return c
+
+    return walk(df._jdf.queryExecution().executedPlan())
+
+
+@pytest.mark.parametrize("name", sorted(MAPARROW_CAPS))
+def test_map_arrow_budget(spark, sf_dir, name):
+    got = _count_map_arrow(QUERIES[name](spark, sf_dir))
+    assert got <= MAPARROW_CAPS[name], (
+        f"{name}: {got} MapInArrow nodes in the live plan (audited "
+        f"{MAPARROW_CAPS[name]}) — an Arrow kernel is being recomputed "
+        f"(ReusedExchange defeat) or a new kernel landed unaudited")

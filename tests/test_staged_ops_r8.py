@@ -486,10 +486,12 @@ def test_streaming_pq_codes_crash_replay_equals_batch(
     op's own oracle semantics) after both."""
     from traffic_data_pipeline_spark.plans.queries import run_available_now
     from traffic_data_pipeline_spark.plans.staged_ops import PQ_K
+    from traffic_data_pipeline_spark.functions.arrowmath import (
+        collect_codebook,
+    )
     from traffic_data_pipeline_spark.plans.staged_ops_r8 import (
         _pq_handle,
         _pq_seed,
-        _pq_sub_spread,
     )
     from traffic_data_pipeline_spark.sources.tables import load_table
 
@@ -499,11 +501,7 @@ def test_streaming_pq_codes_crash_replay_equals_batch(
     code_dir = str(tmp_path / "codes")
     ckpt = str(tmp_path / "ckpt")
 
-    cent = (_pq_sub_spread(emb).filter(F.col("vec_id") < PQ_K)
-            .select(F.col("vec_id").alias("cid"), F.col("m").alias("cm"),
-                    F.col("j").alias("cj"), F.col("val").alias("cval"))
-            .persist())
-    cent.count()
+    cent = collect_codebook(emb, PQ_K)  # round-11: ndarray codebook
     _pq_seed(spark, code_dir)
     handle = _pq_handle(spark, cent, code_dir)
 
@@ -542,7 +540,6 @@ def test_streaming_pq_codes_crash_replay_equals_batch(
     raw = spark.read.parquet(code_dir).count()
     deduped = spark.read.parquet(code_dir).distinct().count()
     assert raw > deduped
-    cent.unpersist()
 
 
 def test_kanonymity_buckets_partition_cells(spark, sf_dir_oracle):

@@ -109,7 +109,13 @@ def knn_bruteforce(df: DataFrame, query_ids, k: int = 5,
 
     extra = [F.col(exclude_same)] if exclude_same else []
     # corpus-side repartition: the per-pair decimal dot products below are
-    # the cost, and a single-file scan would run them in one task
+    # the cost, and a single-file scan would run them in one task.
+    # (Round-11 note: routing this norm through the Arrow kernel was
+    # A/B'd and REVERTED — the projection is consumed by both join
+    # sides, so the Python node runs 2-4x per query and its fixed
+    # round-trip cost exceeds the interpreted HOF's at any |rows| the
+    # bench sees; the per-PAIR dots below stay on the Arrow kernel,
+    # where |pairs| x dim does pay.)
     with_norm = df.repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     ).select(
@@ -159,18 +165,25 @@ def ann_lsh_pairs(df: DataFrame, n_planes: int = N_PLANES, min_cosine: float = 0
     at most once (no dedup needed). Hot buckets are the skew risk: AQE
     skew-join splits them at runtime.
     """
+    from traffic_data_pipeline_spark.functions.arrowmath import (
+        with_vec_stats,
+    )
+
     # Spread vectors across tasks first: a single-file scan is ONE
-    # partition, and the exact-cosine pass below (interpreted decimal HOFs
-    # over |candidates| x dim elements) is the query's dominant compute —
-    # serial, it was 2.2s of a 4s query at sf0.1. Explicit count: AQE
-    # would coalesce the small shuffle back to one partition.
+    # partition, and the exact-cosine pass below (vectorized decimal
+    # kernels over |candidates| x dim elements) is the query's dominant
+    # compute — serial, it was 2.2s of a 4s query at sf0.1. Explicit
+    # count: AQE would coalesce the small shuffle back to one partition.
+    # Bucket codes + norms in ONE Arrow pass (round-11, guide §4.2):
+    # the n_planes+1 interpreted HOF folds per row are the vectorized
+    # with_vec_stats kernel now (identical DECIMAL(30,12) contract).
     coded = materialize(
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism,
-                       F.col(id_col))
-        .select(
-            F.col(id_col), F.col(vec_col),
-            bucket_code(F.col(vec_col), n_planes).alias("bucket"),
-            norm_sq(F.col(vec_col)).alias("_n2"),
+        with_vec_stats(
+            df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+                           F.col(id_col))
+            .select(F.col(id_col), F.col(vec_col)),
+            vec_col, norm_alias="_n2", bucket_alias="bucket",
+            n_planes=n_planes,
         ))  # self-joined below: one materialization, two cache readers
     a = coded.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"),
                      F.col("_n2").alias("_qn"), "bucket")

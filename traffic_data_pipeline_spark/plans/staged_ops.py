@@ -103,9 +103,7 @@ from pyspark.sql.window import Window
 
 from traffic_data_pipeline_spark.functions.similarity import (
     DOT_DECIMAL,
-    bucket_code,
     dot_product,
-    norm_sq,
 )
 from traffic_data_pipeline_spark.functions.text import (
     STOPWORDS_EN,
@@ -571,6 +569,11 @@ def q_embedding_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> Data
             ).alias("v"),
         )
     )
+    from traffic_data_pipeline_spark.functions.similarity import (
+        bucket_code,
+        norm_sq,
+    )
+
     allv = (
         emb.unionByName(planted)
         .repartition(dp, "vec_id")
@@ -2462,55 +2465,24 @@ def q_embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     query beyond the final k-row gather.  The exact_d2 column is the
     fixture-scale audit the production scan drops.
     """
+    # Round-11 (guide §4.2): the (vec x subspace x centroid) pipeline —
+    # posexplode + broadcast-join + decimal d2 aggregate + argmin window
+    # + two more decimal re-aggregations — becomes ONE mapInArrow pass
+    # against the driver-collected K x dim codebook (a bounded
+    # creation-time artifact, the sanctioned scalar-collect class). The
+    # kernel computes the identical DECIMAL(30,12)-exact unit sums,
+    # codes and ADC/exact totals per vector (exactness proof:
+    # functions/arrowmath.py); the only remaining Spark work is the
+    # TakeOrdered top-k — zero shuffles.
+    from traffic_data_pipeline_spark.functions.arrowmath import (
+        collect_codebook,
+        pq_adc_frame,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    sub = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "v")
-    ).select(
-        "vec_id",
-        F.floor(F.col("pos") / PQ_DSUB).cast("int").alias("m"),
-        (F.col("pos") % PQ_DSUB).alias("j"),
-        F.col("v").cast("double").alias("val"),
-    )
-    cent = sub.filter(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").alias("cid"), F.col("m").alias("cm"),
-        F.col("j").alias("cj"), F.col("val").alias("cval"))
-    diff = F.col("val") - F.col("cval")
-    d2 = (
-        sub.join(F.broadcast(cent),
-                 (F.col("cm") == F.col("m")) & (F.col("cj") == F.col("j")))
-        .groupBy("vec_id", "m", "cid")
-        .agg(F.sum((diff * diff).cast(DOT_DECIMAL)).cast(DOT_DECIMAL)
-             .cast("double").alias("d2"))
-    )
-    wmin = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
-    codes = (
-        d2.withColumn("rk", F.row_number().over(wmin))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "m", F.col("cid").alias("code"))
-    )
-    qd2 = d2.filter(F.col("vec_id") == PQ_QUERY_ID).select(
-        F.col("m").alias("qm"), F.col("cid").alias("qcid"),
-        F.col("d2").alias("qd2"))
-    adc = (
-        codes.join(F.broadcast(qd2),
-                   (F.col("qm") == F.col("m")) & (F.col("qcid") == F.col("code")))
-        .groupBy("vec_id")
-        .agg(F.sum(F.col("qd2").cast(DOT_DECIMAL)).cast(DOT_DECIMAL)
-             .cast("double").alias("adc_d2"))
-    )
-    q = sub.filter(F.col("vec_id") == PQ_QUERY_ID).select(
-        F.col("m").alias("qm"), F.col("j").alias("qj"),
-        F.col("val").alias("qval"))
-    qdiff = F.col("val") - F.col("qval")
-    exact = (
-        sub.join(F.broadcast(q),
-                 (F.col("qm") == F.col("m")) & (F.col("qj") == F.col("j")))
-        .groupBy("vec_id")
-        .agg(F.sum((qdiff * qdiff).cast(DOT_DECIMAL)).cast(DOT_DECIMAL)
-             .cast("double").alias("exact_d2"))
-    )
+    cb = collect_codebook(emb, PQ_K)
     return (
-        adc.join(exact, "vec_id")
+        pq_adc_frame(emb, cb, PQ_DSUB, PQ_QUERY_ID)
         .filter(F.col("vec_id") != PQ_QUERY_ID)
         # order on the PRE-round adc total: the oracle's ORDER BY binds
         # the CTE column, so rounding before the cut would let two
@@ -2612,6 +2584,8 @@ def q_embedding_margin_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     full brute semantics there; both rank windows and the two
     normalizer aggregates still ride the ONE pair stream.
     """
+    from traffic_data_pipeline_spark.functions.similarity import norm_sq
+
     emb = load_table(spark, sf_dir, "embeddings")
     # NULL/empty/zero-norm vectors are excluded on BOTH sides: the
     # oracle's explode-based pair CTE silently drops NULL/empty arrays,
@@ -2833,6 +2807,8 @@ def q_embedding_margin_align_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-row compute. Repartition BEFORE the norm filters so even the
     # norm_sq HOFs run 32-way. The cache is read five times (the r
     # scalar, two code builds, two pair join-backs).
+    from traffic_data_pipeline_spark.functions.similarity import norm_sq
+
     clean = materialize(
         emb.select("vec_id", "embedding", "label")
         .filter(F.col("label").isin(ALIGN_LAB_A, ALIGN_LAB_B))

@@ -376,10 +376,17 @@ def q_events_median_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # point-median branch; per-row arithmetic and the grouped
     # percentiles are unchanged (order-independent), so the oracle hash
     # is identical.
+    # Round-11 (VERDICT r10 #6): the spread is gated on the scan's split
+    # count — present for the one-file fixture, absent once the corpus
+    # scan splits by itself (see execution.single_split_scan).
+    from traffic_data_pipeline_spark.functions.execution import (
+        spread_single_split,
+    )
+
     ev = materialize(
-        load_table(spark, sf_dir, "events")
-        .select("event_id", "event_type", "value")
-        .repartition(spark.sparkContext.defaultParallelism, "event_id"))
+        spread_single_split(
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "event_type", "value"), "event_id"))
     rep = ev.select(
         "event_type", "value",
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("r"),
@@ -554,7 +561,10 @@ def q_embedding_whitening_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query's 6.9 s at sf0.1; the Arrow kernel computes the identical
     units and the noop time drops to ~1 s, same oracle hash.)
     """
-    from traffic_data_pipeline_spark.functions.arrowmath import gram_units
+    from traffic_data_pipeline_spark.functions.arrowmath import (
+        gram_units,
+        units_as_double,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
@@ -569,10 +579,11 @@ def q_embedding_whitening_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         # cross-task fold in DECIMAL(38,0) units: exact, overflow-free
         .agg(F.sum(F.col("u").cast("decimal(38,0)")).alias("u"))
-        # exact-int units / exactly-representable 1e12: one correctly
-        # rounded IEEE division == CAST(exact DECIMAL sum AS DOUBLE)
-        .select("i", "j",
-                (F.col("u").cast("double") / F.lit(1.0e12)).alias("sij"))
+        # exact decimal division (arrowmath.units_as_double): correctly
+        # rounded == CAST(exact DECIMAL sum AS DOUBLE) at ANY magnitude
+        # — the double-then-divide form double-rounded past 2^53 units
+        # (ADVICE r10 #3)
+        .select("i", "j", units_as_double(F.col("u")).alias("sij"))
     )
     si = sums.select(F.col("pos").alias("i"), F.col("s").alias("s_i"))
     sj = sums.select(F.col("pos").alias("j"), F.col("s").alias("s_j"))
@@ -1047,33 +1058,41 @@ def q_embedding_silhouette_by_label(
     |labels|-row. At 100 TB: one scan + one tiny broadcast — the
     pairwise-free formulation IS the scale path.
     """
-    from traffic_data_pipeline_spark.functions.execution import materialize
+    # Round-11 (guide §4.2): the N x d x |labels| explode/broadcast-
+    # join/decimal-aggregate becomes ONE mapInArrow pass against the
+    # driver-collected |labels| x d centroid matrix (the same bounded
+    # aggregate the old plan broadcast — collecting it is the
+    # sanctioned bounded-scalar class). The kernel computes the
+    # identical DECIMAL(30,12)-exact squared distances (proof:
+    # functions/arrowmath.py) and emits (vec_id, own_label, a2, b2);
+    # the sqrt / silhouette / per-label mean tail is unchanged.
+    from traffic_data_pipeline_spark.functions.arrowmath import (
+        label_centroid_ab_frame,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     spread = emb.select(
         "vec_id", "label",
         F.posexplode(F.col("embedding")).alias("p0", "v"))
-    cent = materialize(
+    cent_rows = (
         spread.groupBy("label", (F.col("p0") + 1).alias("pos")).agg(
             (F.sum(F.col("v").cast("double").cast(DOT_DECIMAL))
              .cast("double") / F.count(F.lit(1))).alias("c"))
-        .withColumnRenamed("label", "cand_label"))
-    d2 = (
-        spread.select("vec_id", F.col("label").alias("own_label"),
-                      (F.col("p0") + 1).alias("pos"),
-                      F.col("v").cast("double").alias("val"))
-        .join(F.broadcast(cent), "pos")
-        .groupBy("vec_id", "own_label", "cand_label")
-        .agg(F.sum(((F.col("val") - F.col("c"))
-                    * (F.col("val") - F.col("c"))).cast(DOT_DECIMAL))
-             .cast("double").alias("dist2"))
-    )
-    ab = d2.groupBy("vec_id", "own_label").agg(
-        F.sqrt(F.max(F.when(F.col("cand_label") == F.col("own_label"),
-                            F.col("dist2")))).alias("a"),
-        F.sqrt(F.min(F.when(F.col("cand_label") != F.col("own_label"),
-                            F.col("dist2")))).alias("b"),
-    )
+        .collect())
+    by_label: dict = {}
+    for r in cent_rows:
+        by_label.setdefault(r["label"], {})[int(r["pos"])] = float(r["c"])
+    labels = sorted(by_label)
+    dmax = max((max(v) for v in by_label.values()), default=0)
+    if any(sorted(v) != list(range(1, dmax + 1))
+           for v in by_label.values()):
+        raise ValueError("ragged label centroids (never in fixtures)")
+    import numpy as np
+    cents = np.array([[by_label[lb][p + 1] for p in range(dmax)]
+                      for lb in labels], dtype=np.float64)
+    ab = label_centroid_ab_frame(emb, cents, labels).select(
+        "vec_id", "own_label",
+        F.sqrt("a2").alias("a"), F.sqrt("b2").alias("b"))
     sil = ab.filter(F.greatest("a", "b") > 0).select(
         "own_label",
         ((F.col("b") - F.col("a")) / F.greatest("a", "b")).alias("sil"))

@@ -1983,8 +1983,14 @@ def q_doc_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # makes . match newlines, so the gram set is char-identical to the
     # positional-substring form for every character. Same rows, same
     # oracle hash.
-    docs = (load_table(spark, sf_dir, "documents")
-            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # round-11 (VERDICT r10 #6): spread gated on the scan's split count
+    from traffic_data_pipeline_spark.functions.execution import (
+        spread_single_split,
+    )
+
+    docs = (spread_single_split(
+                load_table(spark, sf_dir, "documents")
+                .select("doc_id", "lang", "text"), "doc_id")
             .select("doc_id", "lang", F.lower(F.col("text")).alias("t")))
     tr = docs.filter(F.col("doc_id") % NB_TEST_MOD != 0)
     te = docs.filter(F.col("doc_id") % NB_TEST_MOD == 0)
@@ -2162,75 +2168,26 @@ def q_embedding_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered gather. The exact_d2 column is the fixture-scale audit
     the production scan drops.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    elems = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos0", "v")
-    ).select("vec_id", (F.col("pos0") + 1).alias("pos"),
-             F.col("v").cast("double").alias("val"))
-    ccent = elems.filter(F.col("vec_id") < IVFPQ_KC).select(
-        F.col("vec_id").alias("cc"), F.col("pos").alias("cpos"),
-        F.col("val").alias("cval"))
-    cdiff = F.col("val") - F.col("cval")
-    cd2 = (elems.join(F.broadcast(ccent), F.col("cpos") == F.col("pos"))
-           .groupBy("vec_id", "cc")
-           .agg(F.sum((cdiff * cdiff).cast(DOT_DECIMAL)).cast(DOT_DECIMAL)
-                .cast("double").alias("d2")))
-    cd2 = cd2.localCheckpoint(eager=True)  # assignment + probe read it
-    wv = Window.partitionBy("vec_id").orderBy("d2", "cc")
-    assign = (cd2.withColumn("rk", F.row_number().over(wv))
-              .filter(F.col("rk") == 1)
-              .select("vec_id", F.col("cc").alias("list_id")))
-    probe = (cd2.filter(F.col("vec_id") == IVFPQ_QUERY_ID)
-             .orderBy("d2", "cc").limit(IVFPQ_NPROBE)
-             .select(F.col("cc").alias("list_id")))
-    cand = (assign.join(F.broadcast(probe), "list_id")
-            .filter(F.col("vec_id") != IVFPQ_QUERY_ID)
-            .select("vec_id", "list_id"))
-    cand = cand.localCheckpoint(eager=True)  # read by d2/exact/final
+    # Round-11 (guide §4.2): the 3-localCheckpoint chain (coarse d2
+    # aggregate + assignment window + probe + candidate semi-join + PQ
+    # d2 aggregate + code window + ADC/exact re-aggregations) becomes
+    # ONE mapInArrow pass against the driver-collected codebook (the
+    # probe lists fall out driver-side — the query vector IS codebook
+    # row 0, so its coarse distances are a K_C-bounded scalar
+    # computation, the sanctioned class). The kernel coarse-assigns,
+    # prunes to the probed lists, codes the survivors and emits
+    # (vec_id, list_id, adc_d2, exact_d2) with the identical
+    # DECIMAL(30,12)-exact unit arithmetic (proof:
+    # functions/arrowmath.py); only the TakeOrdered top-k remains.
+    from traffic_data_pipeline_spark.functions.arrowmath import (
+        collect_codebook,
+        ivfpq_candidates_frame,
+    )
 
-    sub = elems.select(
-        "vec_id",
-        F.floor((F.col("pos") - 1) / IVFPQ_DSUB).cast("int").alias("m"),
-        ((F.col("pos") - 1) % IVFPQ_DSUB).alias("j"),
-        "val")
-    keep = sub.join(
-        F.broadcast(cand.select("vec_id")), "vec_id", "left_semi"
-    ).unionByName(sub.filter(F.col("vec_id") == IVFPQ_QUERY_ID))
-    cent = sub.filter(F.col("vec_id") < IVFPQ_K).select(
-        F.col("vec_id").alias("cid"), F.col("m").alias("cm"),
-        F.col("j").alias("cj"), F.col("val").alias("cval"))
-    diff = F.col("val") - F.col("cval")
-    d2 = (keep.join(F.broadcast(cent),
-                    (F.col("cm") == F.col("m")) & (F.col("cj") == F.col("j")))
-          .groupBy("vec_id", "m", "cid")
-          .agg(F.sum((diff * diff).cast(DOT_DECIMAL)).cast(DOT_DECIMAL)
-               .cast("double").alias("d2")))
-    d2 = d2.localCheckpoint(eager=True)  # codes + qd2 read it
-    wmin = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
-    codes = (d2.withColumn("rk", F.row_number().over(wmin))
-             .filter((F.col("rk") == 1)
-                     & (F.col("vec_id") != IVFPQ_QUERY_ID))
-             .select("vec_id", "m", F.col("cid").alias("code")))
-    qd2 = d2.filter(F.col("vec_id") == IVFPQ_QUERY_ID).select(
-        F.col("m").alias("qm"), F.col("cid").alias("qcid"),
-        F.col("d2").alias("qd2"))
-    adc = (codes.join(F.broadcast(qd2),
-                      (F.col("qm") == F.col("m"))
-                      & (F.col("qcid") == F.col("code")))
-           .groupBy("vec_id")
-           .agg(F.sum(F.col("qd2").cast(DOT_DECIMAL)).cast(DOT_DECIMAL)
-                .cast("double").alias("adc_d2")))
-    q = sub.filter(F.col("vec_id") == IVFPQ_QUERY_ID).select(
-        F.col("m").alias("qm"), F.col("j").alias("qj"),
-        F.col("val").alias("qval"))
-    qdiff = F.col("val") - F.col("qval")
-    exact = (keep.filter(F.col("vec_id") != IVFPQ_QUERY_ID)
-             .join(F.broadcast(q),
-                   (F.col("qm") == F.col("m")) & (F.col("qj") == F.col("j")))
-             .groupBy("vec_id")
-             .agg(F.sum((qdiff * qdiff).cast(DOT_DECIMAL)).cast(DOT_DECIMAL)
-                  .cast("double").alias("exact_d2")))
-    return (cand.join(adc, "vec_id").join(exact, "vec_id")
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = collect_codebook(emb, IVFPQ_K)
+    return (ivfpq_candidates_frame(emb, cb, IVFPQ_DSUB, IVFPQ_QUERY_ID,
+                                   IVFPQ_KC, IVFPQ_NPROBE)
             .orderBy("adc_d2", "vec_id").limit(IVFPQ_TOP)
             .select("vec_id", "list_id",
                     F.round("adc_d2", 6).alias("adc_d2"),

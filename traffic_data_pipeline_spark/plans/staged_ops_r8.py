@@ -420,7 +420,14 @@ def _shard_rank(df: DataFrame, order_cols: list, alias: str) -> DataFrame:
     (cluster-constant), its global cumulative window is bounded, and it
     broadcasts back. No partition-less window ever sees an unbounded
     frame."""
-    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # ADVICE r10 #4: some deployments set the conf non-numeric (e.g.
+    # "auto"); fall back to defaultParallelism — rank is boundary-
+    # independent, so the width can never change the result
+    try:
+        nparts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        nparts = df.sparkSession.sparkContext.defaultParallelism
     sharded = (df.repartitionByRange(nparts, *order_cols)
                .withColumn("_pid", F.spark_partition_id())
                .localCheckpoint(eager=True))
@@ -1367,35 +1374,31 @@ def q_embedding_pq_distortion_report(spark: SparkSession,
     1-row broadcast. At 100 TB this runs at ingest next to the code
     writer on the same pass.
     """
+    from traffic_data_pipeline_spark.functions.arrowmath import (
+        collect_codebook,
+        pq_distortion_partials,
+        units_as_double,
+    )
     from traffic_data_pipeline_spark.plans.staged_ops import (
         PQ_DSUB,
         PQ_K,
     )
 
+    # Round-11 (guide §4.2): the explode + broadcast-join + decimal d2
+    # aggregate + argmin window collapse into ONE mapInArrow pass that
+    # ships an M-row (m, n, units) partial per task (exactness proof:
+    # functions/arrowmath.py — per-vector d2 < 4096 makes Spark's
+    # CAST(d2 AS DECIMAL(30,12)) recover the exact units, so summing
+    # units IS the oracle's decimal re-sum); the cross-task fold is one
+    # M-key aggregate and the exact units -> double conversion happens
+    # on the M-row frame. The grand total / final tail is unchanged.
     emb = load_table(spark, sf_dir, "embeddings")
-    sub = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "v")
-    ).select(
-        "vec_id",
-        F.floor(F.col("pos") / PQ_DSUB).cast("int").alias("m"),
-        (F.col("pos") % PQ_DSUB).alias("j"),
-        F.col("v").cast("double").alias("val"))
-    cent = sub.filter(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").alias("cid"), F.col("m").alias("cm"),
-        F.col("j").alias("cj"), F.col("val").alias("cval"))
-    diff = F.col("val") - F.col("cval")
-    d2 = (sub.join(F.broadcast(cent),
-                   (F.col("cm") == F.col("m")) & (F.col("cj") == F.col("j")))
-          .groupBy("vec_id", "m", "cid")
-          .agg(F.sum((diff * diff).cast("decimal(30,12)"))
-               .cast("decimal(30,12)").cast("double").alias("d2")))
-    wmin = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
-    best = (d2.withColumn("rk", F.row_number().over(wmin))
-            .filter(F.col("rk") == 1).select("vec_id", "m", "d2"))
-    per = (best.groupBy("m")
-           .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
-                F.sum(F.col("d2").cast("decimal(30,12)"))
-                .cast("decimal(30,12)").cast("double").alias("tot"))
+    cb = collect_codebook(emb, PQ_K)
+    per = (pq_distortion_partials(emb, cb, PQ_DSUB)
+           .groupBy("m")
+           .agg(F.sum("n").cast("bigint").alias("n_vectors"),
+                F.sum(F.col("u")).cast("decimal(38,0)").alias("u"))
+           .select("m", "n_vectors", units_as_double(F.col("u")).alias("tot"))
            .localCheckpoint(eager=True))  # grand total + final both read it
     g = per.agg(F.sum(F.col("tot").cast("decimal(30,12)"))
                 .cast("decimal(30,12)").cast("double").alias("gt"))
@@ -1437,18 +1440,6 @@ WHERE rk = 1
 """
 
 
-def _pq_sub_spread(df: DataFrame) -> DataFrame:
-    from traffic_data_pipeline_spark.plans.staged_ops import PQ_DSUB
-
-    return df.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "v")
-    ).select(
-        "vec_id",
-        F.floor(F.col("pos") / PQ_DSUB).cast("int").alias("m"),
-        (F.col("pos") % PQ_DSUB).alias("j"),
-        F.col("v").cast("double").alias("val"))
-
-
 def _pq_seed(spark: SparkSession, code_dir: str) -> None:
     from traffic_data_pipeline_spark.streaming.monitor_contract import (
         seed_parquet,
@@ -1458,25 +1449,21 @@ def _pq_seed(spark: SparkSession, code_dir: str) -> None:
                          "vec_id long, m int, code long, batch_id long"))
 
 
-def _pq_handle(spark: SparkSession, cent: DataFrame, code_dir: str):
+def _pq_handle(spark: SparkSession, cent, code_dir: str):
     """The foreachBatch body, shared with the crash-replay test.
-    ``cent`` is the FIXED creation-time codebook spread (cid, cm, cj,
-    cval), persisted by the caller."""
+    ``cent`` is the FIXED creation-time codebook as a (K, dim) float64
+    ndarray (collected once by the caller — the bounded creation-time
+    artifact). Round-11 (guide §4.2): the per-batch explode +
+    broadcast-join + decimal aggregate + argmin window becomes one
+    mapInArrow pass per micro-batch (functions/arrowmath.pq_codes_frame;
+    identical DECIMAL(30,12)-exact unit argmin, cid tiebreak)."""
+    from traffic_data_pipeline_spark.functions.arrowmath import (
+        pq_codes_frame,
+    )
+    from traffic_data_pipeline_spark.plans.staged_ops import PQ_DSUB
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        sub = _pq_sub_spread(batch_df)
-        diff = F.col("val") - F.col("cval")
-        d2 = (sub.join(F.broadcast(cent),
-                       (F.col("cm") == F.col("m"))
-                       & (F.col("cj") == F.col("j")))
-              .groupBy("vec_id", "m", "cid")
-              .agg(F.sum((diff * diff).cast("decimal(30,12)"))
-                   .cast("decimal(30,12)").cast("double").alias("d2")))
-        wmin = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
-        codes = (d2.withColumn("rk", F.row_number().over(wmin))
-                 .filter(F.col("rk") == 1)
-                 .select("vec_id", F.col("m").cast("int").alias("m"),
-                         F.col("cid").cast("bigint").alias("code")))
+        codes = pq_codes_frame(batch_df, cent, PQ_DSUB)
         _stamp(codes, batch_id).write.mode("append").parquet(code_dir)
 
     return handle
@@ -1516,22 +1503,19 @@ def q_streaming_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     code_dir = scratch_dir(prefix="tdp_pqc_codes_")
     ckpt = scratch_dir(prefix="tdp_pqc_ckpt_")
 
+    from traffic_data_pipeline_spark.functions.arrowmath import (
+        collect_codebook,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = (_pq_sub_spread(emb.select("vec_id", "embedding"))
-            .filter(F.col("vec_id") < PQ_K)
-            .select(F.col("vec_id").alias("cid"), F.col("m").alias("cm"),
-                    F.col("j").alias("cj"), F.col("val").alias("cval"))
-            .persist())
-    cent.count()
+    cent = collect_codebook(emb, PQ_K)
     _pq_seed(spark, code_dir)
     handle = _pq_handle(spark, cent, code_dir)
 
     run_monitor(spark, "streaming_pq_codes", src,
                 "vec_id long, embedding array<float>", handle, ckpt)
-    out = (spark.read.parquet(code_dir).distinct()
-           .select("vec_id", "m", "code"))
-    cent.unpersist()
-    return out
+    return (spark.read.parquet(code_dir).distinct()
+            .select("vec_id", "m", "code"))
 
 
 # ---------------------------------------------------------------------------
