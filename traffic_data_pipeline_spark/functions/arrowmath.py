@@ -49,18 +49,20 @@ _TIE_BAND = 1e-3
 _UNIT_SCALE = 12  # DECIMAL(30,12) — the similarity-family dot contract
 
 
-def _units_exact(p: float) -> int:
+def _units_exact(p: float, scale: int = _UNIT_SCALE) -> int:
     """Exact HALF_UP units of one product — the scalar tie-band path.
     ``Decimal(repr(p))`` mirrors ``BigDecimal.valueOf(p)``: both parse
     the shortest decimal string that round-trips to ``p``."""
-    return int(Decimal(repr(p)).scaleb(_UNIT_SCALE)
+    return int(Decimal(repr(p)).scaleb(scale)
                .quantize(Decimal(1), rounding=ROUND_HALF_UP))
 
 
-def _round_units(P):
-    """Vectorized HALF_UP(P * 1e12) with the exact tie-band fixup.
+def _round_units(P, scale: int = _UNIT_SCALE):
+    """Vectorized HALF_UP(P * 10^scale) with the exact tie-band fixup.
     Returns int64 units, elementwise equal to Spark's
-    CAST(P AS DECIMAL(30,12)) in 1e-12 units.
+    CAST(P AS DECIMAL(p,scale)) in 10^-scale units (default: the
+    DECIMAL(30,12) similarity contract; scale 6 serves the dsum
+    DECIMAL(18,6) contract).
 
     The suspect band scales with |P| (ADVICE r10 #2): the float64
     evaluation of ``P * 1e12`` carries absolute error up to
@@ -71,7 +73,7 @@ def _round_units(P):
     sub-unit precision, so the vectorized frac test is meaningless."""
     import numpy as np
 
-    F = P * 1e12
+    F = P * (10.0 ** scale)
     A = np.abs(F)
     R = np.floor(A + 0.5)
     frac = A - np.floor(A)
@@ -85,7 +87,7 @@ def _round_units(P):
     sus = (np.abs(frac - 0.5) < band) | (A >= 2.0 ** 50)
     if sus.any():
         flatP = P[sus]
-        U[sus] = [_units_exact(float(p)) for p in flatP.ravel()]
+        U[sus] = [_units_exact(float(p), scale) for p in flatP.ravel()]
     return U
 
 
@@ -542,7 +544,7 @@ def ivfpq_candidates_frame(df, cents, dsub: int, query_id: int,
                 "adc_d2 double, exact_d2 double")
 
 
-def units_as_double(col):
+def units_as_double(col, scale: int = _UNIT_SCALE):
     """Column expression: exact double of a 1e-12-unit integer total —
     ``CAST(units AS DECIMAL(26,0)) / 1e12`` lands on DECIMAL(38,12) by
     Spark's precision-adjustment rule (intDigits 26 keeps scale 12), an
@@ -556,7 +558,11 @@ def units_as_double(col):
 
     from pyspark.sql import functions as F
 
-    return (col.cast("decimal(26,0)") / F.lit(_D(10) ** 12)).cast("double")
+    # (26,0)/(scale+1,0) stays exact for every scale in use: the
+    # precision-adjusted result keeps >= ``scale`` fractional digits
+    # (scale 12 -> DECIMAL(38,12), scale 6 -> DECIMAL(34,8))
+    return (col.cast("decimal(26,0)")
+            / F.lit(_D(10) ** scale)).cast("double")
 
 
 def with_vec_stats(df, vec_col: str = "embedding", *,
@@ -749,3 +755,192 @@ def label_centroid_ab_frame(df, cents, labels,
     return df.select(id_col, label_col, vec_col).mapInArrow(
         kernel, f"`{id_col}` {dt[id_col]}, own_label {dt[label_col]}, "
                 "a2 double, b2 double")
+
+
+def ols_moment_partials(df, group_col: str, x_col: str, y_col: str):
+    """Per-task OLS moment partials in exact 1e-12 units: one row per
+    (task, group) with (group, n, ux, uy, uxy, uxx, uyy) — the five
+    DECIMAL moment sums of part_price_elasticity's fold, vectorized.
+
+    The inputs are the RAW JVM ln doubles — the libm-sensitive ln stays
+    in the JVM, so the kernel sees the exact same doubles the old plan
+    rounded. The kernel applies the ROUND(v, 12) contract itself:
+    Spark's ROUND on a double is BigDecimal.valueOf(v).setScale(12,
+    HALF_UP).toDouble, which is exactly ``_round_units(v)`` (units) and
+    ``units/1e12`` (the correctly rounded double both engines then
+    multiply). CAST(x AS DECIMAL(20,12)) of that 12-decimal double < 4096
+    recovers the same units; x*y / x*x / y*y are correctly rounded
+    doubles of identical operands, then the same CAST-to-units contract. Partials accumulate as Python ints (exact
+    at any task size; per-batch int64 sums stay < 2^53 for |x| <= 4096
+    at Arrow's 10k-row default batch, asserted); the cross-task fold
+    sums DECIMAL(38,0) units in Spark and units_as_double recovers the
+    exact CAST(decimal-sum AS DOUBLE). Null group keys group together
+    (SQL GROUP BY semantics); null x/y cannot occur behind the > 0
+    filters (asserted loudly)."""
+    import pyarrow  # noqa: F401 — fail fast at plan time, not in tasks
+
+    def kernel(it):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        acc: dict = {}
+
+        def bump(key, n, sums):
+            cur = acc.get(key)
+            if cur is None:
+                acc[key] = [n] + [int(s) for s in sums]
+            else:
+                cur[0] += n
+                for i, s in enumerate(sums):
+                    cur[i + 1] += int(s)
+
+        for batch in it:
+            names = batch.schema.names
+            g = batch.column(names.index(group_col))
+            x_arr = batch.column(names.index(x_col))
+            y_arr = batch.column(names.index(y_col))
+            if x_arr.null_count or y_arr.null_count:
+                raise ValueError("ols kernel: null x/y behind the filter")
+            ux = _round_units(x_arr.to_numpy(zero_copy_only=False))
+            uy = _round_units(y_arr.to_numpy(zero_copy_only=False))
+            x = ux.astype(np.float64) / 1.0e12  # == ROUND(raw, 12)
+            y = uy.astype(np.float64) / 1.0e12
+            U = [ux, uy, _round_units(x * y),
+                 _round_units(x * x), _round_units(y * y)]
+            if max(int(np.abs(u).max(initial=0)) for u in U) \
+                    * batch.num_rows >= 2 ** 63 - 1:
+                raise ValueError("ols kernel: per-batch unit sum could "
+                                 "overflow int64")
+            enc = pc.dictionary_encode(g)
+            idx = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False)
+            keys = enc.dictionary.to_pylist()
+            for k in range(-1, len(keys)):
+                m = idx == k
+                cnt = int(m.sum())
+                if not cnt:
+                    continue
+                key = None if k == -1 else keys[k]
+                bump(key, cnt, [u[m].sum() for u in U])
+        if acc:
+            import pyarrow as pa
+            from decimal import Decimal
+            ks = list(acc)
+            cols = [pa.array(ks)] + [
+                pa.array([acc[k][0] for k in ks], type=pa.int64())] + [
+                pa.array([Decimal(acc[k][i]) for k in ks],
+                         type=pa.decimal128(38, 0)) for i in range(1, 6)]
+            yield pa.RecordBatch.from_arrays(
+                cols, names=[group_col, "n", "ux", "uy", "uxy",
+                             "uxx", "uyy"])
+
+    gtype = dict(df.dtypes)[group_col]
+    return df.select(group_col, x_col, y_col).mapInArrow(
+        kernel, f"`{group_col}` {gtype}, n bigint, ux decimal(38,0), "
+                "uy decimal(38,0), uxy decimal(38,0), uxx decimal(38,0), "
+                "uyy decimal(38,0)")
+
+
+def grouped_dsum_partials(df, group_cols, val_cols, scale: int = 6):
+    """Per-task grouped decimal-sum partials: one row per (task, group
+    tuple) carrying n = COUNT(*) and one exact 10^-scale unit total per
+    value column — the vectorized map side of the ``dsum`` contract
+    (CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)) for scan-heavy
+    fact aggregates whose per-row cost was one BigDecimal per cast.
+
+    The value columns must be the JVM-projected doubles (products like
+    e*(1-d) computed in codegen — correctly rounded doubles NumPy
+    reproduces bit-identically is NOT needed here because the columns
+    arrive already evaluated). CAST(v AS DECIMAL(p,scale)) ==
+    ``_round_units(v, scale)`` (tie-band exact); per-batch int64 sums
+    are bounded (asserted) and fold into Python ints per task; the
+    cross-task fold sums DECIMAL(38,0) units in Spark and
+    ``units_as_double(col, scale)`` recovers the exact
+    CAST(decimal-sum AS DOUBLE). NULL group keys group together; NULL
+    values are skipped by SUM but still counted by COUNT(*), exactly
+    the SQL semantics."""
+    import pyarrow  # noqa: F401 — fail fast at plan time, not in tasks
+
+    group_cols = list(group_cols)
+    val_cols = list(val_cols)
+
+    def kernel(it):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        acc: dict = {}
+        for batch in it:
+            names = batch.schema.names
+            n_rows = batch.num_rows
+            # composite group index: dictionary-encode each key column
+            # and mix (small alphabets — the group-by keys of a report)
+            idx = np.zeros(n_rows, dtype=np.int64)
+            dicts = []
+            for gc in group_cols:
+                enc = pc.dictionary_encode(batch.column(names.index(gc)))
+                ks = enc.dictionary.to_pylist()
+                gi = enc.indices.fill_null(len(ks)).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                idx = idx * (len(ks) + 1) + gi
+                dicts.append(ks + [None])
+            vals = []
+            nn_masks = []
+            for vc in val_cols:
+                arr = batch.column(names.index(vc))
+                v = arr.to_numpy(zero_copy_only=False)
+                u = np.zeros(n_rows, dtype=np.int64)
+                ok = ~np.asarray(arr.is_null()) if arr.null_count \
+                    else np.ones(n_rows, dtype=bool)
+                u[ok] = _round_units(v[ok], scale)
+                if int(np.abs(u).max(initial=0)) * n_rows >= 2 ** 63 - 1:
+                    raise ValueError("dsum kernel: per-batch unit sum "
+                                     "could overflow int64")
+                vals.append(u)
+                nn_masks.append(ok)
+            for code in np.unique(idx):
+                m = idx == code
+                key = []
+                c = int(code)
+                for ks in reversed(dicts):
+                    key.append(ks[c % len(ks)])
+                    c //= len(ks)
+                key = tuple(reversed(key))
+                cur = acc.get(key)
+                sums = [int(u[m].sum()) for u in vals]
+                # per-column non-null count: an ALL-NULL group's SUM is
+                # NULL, not 0 — zero-add only mirrors SUM's null skip
+                # while at least one value exists
+                nns = [int(ok[m].sum()) for ok in nn_masks]
+                if cur is None:
+                    acc[key] = [int(m.sum())] + sums + nns
+                else:
+                    cur[0] += int(m.sum())
+                    for i, s in enumerate(sums):
+                        cur[i + 1] += s
+                    for i, c2 in enumerate(nns):
+                        cur[1 + len(vals) + i] += c2
+        if acc:
+            from decimal import Decimal
+
+            import pyarrow as pa
+            ks = list(acc)
+            cols = [pa.array([k[i] for k in ks])
+                    for i in range(len(group_cols))]
+            cols.append(pa.array([acc[k][0] for k in ks],
+                                 type=pa.int64()))
+            nv = len(val_cols)
+            for i in range(nv):
+                cols.append(pa.array(
+                    [None if acc[k][1 + nv + i] == 0
+                     else Decimal(acc[k][i + 1]) for k in ks],
+                    type=pa.decimal128(38, 0)))
+            yield pa.RecordBatch.from_arrays(
+                cols, names=group_cols + ["n"]
+                + [f"u_{c}" for c in val_cols])
+
+    dt = dict(df.dtypes)
+    ddl = ", ".join([f"`{g}` {dt[g]}" for g in group_cols]
+                    + ["n bigint"]
+                    + [f"`u_{c}` decimal(38,0)" for c in val_cols])
+    return df.select(*group_cols, *val_cols).mapInArrow(kernel, ddl)

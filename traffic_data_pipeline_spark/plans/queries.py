@@ -386,21 +386,52 @@ GROUP BY l_returnflag, l_linestatus
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped scan+agg (covers A-class hash aggregation, P6 filter,
     F7 casts). Filter + pruning reach the parquet scan via Catalyst."""
+    # Round-11 (guide §4.2): the seven per-row DECIMAL(18,6) casts +
+    # decimal sum buffers ran a BigDecimal per cast per row on the
+    # one-task local scan; the products stay in codegen (plain double
+    # arithmetic) and ONE mapInArrow pass accumulates exact per-task
+    # unit partials (arrowmath.grouped_dsum_partials — same
+    # CAST/SUM/CAST contract, proof in its docstring). The fold is a
+    # 6-key aggregate over the partials + the exact decimal division.
+    from traffic_data_pipeline_spark.functions.arrowmath import (
+        grouped_dsum_partials,
+        units_as_double,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
-    cnt = F.count(F.lit(1))
-    return (
+    base = (
         li.filter(F.to_date("l_shipdate") <= F.lit("2024-09-02"))
+        .select(
+            "l_returnflag", "l_linestatus",
+            F.col("l_quantity").alias("v_qty"),
+            F.col("l_extendedprice").alias("v_base"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("v_dp"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+             * (1 + F.col("l_tax"))).alias("v_ch"),
+            F.col("l_discount").alias("v_disc"),
+        ))
+    agg = (
+        grouped_dsum_partials(base, ["l_returnflag", "l_linestatus"],
+                              ["v_qty", "v_base", "v_dp", "v_ch", "v_disc"],
+                              scale=6)
         .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum(F.col("l_quantity")).alias("sum_qty"),
-            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias("sum_charge"),
-            (dsum(F.col("l_quantity")) / cnt).alias("avg_qty"),
-            (dsum(F.col("l_extendedprice")) / cnt).alias("avg_price"),
-            (dsum(F.col("l_discount")) / cnt).alias("avg_disc"),
-            cnt.alias("count_order"),
-        )
+        .agg(F.sum("n").cast("bigint").alias("cnt"),
+             *[F.sum(f"u_{c}").cast("decimal(38,0)").alias(f"u_{c}")
+               for c in ("v_qty", "v_base", "v_dp", "v_ch", "v_disc")]))
+    return agg.select(
+        "l_returnflag", "l_linestatus",
+        units_as_double(F.col("u_v_qty"), 6).alias("sum_qty"),
+        units_as_double(F.col("u_v_base"), 6).alias("sum_base_price"),
+        units_as_double(F.col("u_v_dp"), 6).alias("sum_disc_price"),
+        units_as_double(F.col("u_v_ch"), 6).alias("sum_charge"),
+        (units_as_double(F.col("u_v_qty"), 6) / F.col("cnt"))
+        .alias("avg_qty"),
+        (units_as_double(F.col("u_v_base"), 6) / F.col("cnt"))
+        .alias("avg_price"),
+        (units_as_double(F.col("u_v_disc"), 6) / F.col("cnt"))
+        .alias("avg_disc"),
+        F.col("cnt").alias("count_order"),
     )
 
 

@@ -2543,26 +2543,40 @@ def q_part_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fold. The five-moment trick is what makes OLS a single
     shuffle at 100 TB.
     """
+    # Round-11 (guide §4.2): the five per-row DECIMAL casts + decimal
+    # sum buffers (a BigDecimal per cast per row, on the one-task local
+    # scan) become ONE mapInArrow pass emitting exact per-task unit
+    # partials; ln/ROUND stay in the JVM so the libm-sensitive doubles
+    # are byte-identical to the old plan's (exactness:
+    # arrowmath.ols_moment_partials docstring). The fold is a |types|-
+    # key aggregate over the partials and the exact decimal division.
+    from traffic_data_pipeline_spark.functions.arrowmath import (
+        ols_moment_partials,
+        units_as_double,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    x = F.round(F.log(F.col("l_extendedprice") / F.col("l_quantity")), 12)
-    y = F.round(F.log(F.col("l_quantity")), 12)
+    # RAW ln doubles: the ROUND(…, 12) moves into the kernel (same
+    # BigDecimal.valueOf contract — see ols_moment_partials), leaving
+    # the JVM zero per-row BigDecimal work
+    x = F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+    y = F.log(F.col("l_quantity"))
     pts = (li.filter((F.col("l_quantity") > 0)
                      & (F.col("l_extendedprice") > 0))
            .join(F.broadcast(pt), pt.p_partkey == li.l_partkey)
            .select("p_type", x.alias("x"), y.alias("y")))
-    m = (pts.groupBy("p_type")
-         .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-              F.sum(F.col("x").cast("decimal(20,12)"))
-              .cast("double").alias("sx"),
-              F.sum(F.col("y").cast("decimal(20,12)"))
-              .cast("double").alias("sy"),
-              F.sum((F.col("x") * F.col("y")).cast("decimal(24,12)"))
-              .cast("double").alias("sxy"),
-              F.sum((F.col("x") * F.col("x")).cast("decimal(24,12)"))
-              .cast("double").alias("sxx"),
-              F.sum((F.col("y") * F.col("y")).cast("decimal(24,12)"))
-              .cast("double").alias("syy")))
+    m = (ols_moment_partials(pts, "p_type", "x", "y")
+         .groupBy("p_type")
+         .agg(F.sum("n").cast("bigint").alias("n_lines"),
+              *[F.sum(c).cast("decimal(38,0)").alias(c)
+                for c in ("ux", "uy", "uxy", "uxx", "uyy")])
+         .select("p_type", "n_lines",
+                 units_as_double(F.col("ux")).alias("sx"),
+                 units_as_double(F.col("uy")).alias("sy"),
+                 units_as_double(F.col("uxy")).alias("sxy"),
+                 units_as_double(F.col("uxx")).alias("sxx"),
+                 units_as_double(F.col("uyy")).alias("syy")))
     num = F.col("n_lines") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n_lines") * F.col("sxx") - F.col("sx") * F.col("sx")
     deny = F.col("n_lines") * F.col("syy") - F.col("sy") * F.col("sy")
