@@ -530,7 +530,8 @@ CAPS = {
                                          # scalar + filled spine
                                          # broadcast; final |types| fold
     "part_price_elasticity": (2, 1),     # part broadcast into the scan
-                                         # + ONE five-moment aggregate
+                                         # + ONE five-moment fold (round-
+                                         # 11: over Arrow unit partials)
     "supplier_share_hhi": (2, 2),        # live plan reads the
                                          # checkpointed (type, supp)
                                          # cents frame; totals broadcast
@@ -771,6 +772,8 @@ MAPARROW_CAPS = {
     "embedding_hard_negatives": 1,       # brute pair exact-dot
     "embedding_ann_recall_curve": 0,     # grid checkpointed at build
     "streaming_pq_codes": 0,             # codes kernel paid per batch
+    "part_price_elasticity": 1,          # the OLS moment-partials kernel
+    "pricing_summary": 1,                # the grouped dsum-partials kernel
 }
 
 
