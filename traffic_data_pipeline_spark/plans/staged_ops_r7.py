@@ -2005,23 +2005,30 @@ def q_doc_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (gtot.orderBy(F.desc("gc"), F.asc("g3")).limit(NB_VOCAB)
              .select("g3"))
     vocab = vocab.localCheckpoint(eager=True)
-    v = vocab.count() + 1  # smoothing denominator: vocab + OOV bucket
+    # round-11 (the r10 "tiny scalar probe" item): the smoothing
+    # denominator and the train count become IN-PLAN broadcast scalars
+    # instead of two serial driver count() jobs — same values, same
+    # expressions (the literal was never structurally required), two
+    # fewer jobs per run
+    vc = vocab.agg((F.count(F.lit(1)) + F.lit(1)).cast("bigint").alias("v"))
+    ntr = tr.agg(F.count(F.lit(1)).cast("bigint").alias("ntr"))
     model = cnt.join(F.broadcast(vocab), "g3")
     tots = model.groupBy("lang").agg(F.sum("c").alias("tot"))
     ndocs = tr.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("nd"))
-    n_train = tr.count()
     langs = (ndocs.join(tots, "lang")
+             .crossJoin(F.broadcast(ntr)).crossJoin(F.broadcast(vc))
              .select(
                  "lang",
-                 F.round(F.log(F.col("nd").cast("double") / F.lit(n_train)),
+                 F.round(F.log(F.col("nd").cast("double") / F.col("ntr")),
                          9).cast(_NB_DEC).alias("prior"),
-                 F.round(F.log(F.lit(1.0) / (F.col("tot") + F.lit(v))),
+                 F.round(F.log(F.lit(1.0) / (F.col("tot") + F.col("v"))),
                          9).cast(_NB_DEC).alias("dll")))
     ll = (model.join(tots, "lang")
+          .crossJoin(F.broadcast(vc))
           .select("lang", "g3",
                   F.round(F.log((F.col("c") + F.lit(1.0))
-                                / (F.col("tot") + F.lit(v))),
+                                / (F.col("tot") + F.col("v"))),
                           9).cast(_NB_DEC).alias("ll")))
 
     tegc = (te.select("doc_id", F.col("lang").alias("true_lang"),
